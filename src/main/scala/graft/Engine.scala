@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's pinned configuration (SURVEY §4.3).
+  *
+  * Design point is a 1000-executor cluster over ~100 TB; the configs below
+  * are the scale-relevant defaults (AQE on, skew-join split, coalesced
+  * shuffle partitions, 128 MB scan splits) verified locally on `local[32]`.
+  * Everything is set on the builder so t2/bench runs are reproducible.
+  */
+object Engine {
+
+  /** Configs shared by every entry point (Verify/Bench/tests). */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 128 MB scan splits: the right granularity for 100 TB parquet/ORC
+      // scans (≈800k tasks at 100 TB — amortized by executor count).
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
+      // dims (region/nation/customer at tested SFs) stay broadcast-able
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.orc.impl", "native")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def session(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = cores
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

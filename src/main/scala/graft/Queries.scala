@@ -1,0 +1,434 @@
+package graft
+
+import graft.functions.{VectorFunctions, WeightedMean}
+import graft.operators.{Dedup, Joins, Multimodal, Similarity, TextAnalysis}
+import graft.sources.CdcIngest
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared query corpus (SURVEY §2 / FIXTURES §3, Q1–Q44) plus the
+  * extra LLM-pipeline operators, all as DataFrame plans so Catalyst owns
+  * pushdown/pruning/join selection. Aliases here are the t2 contract:
+  * they must match the oracle SQL in [[SparkEntry.oracleSql]] exactly.
+  */
+object Queries {
+  import Tables._
+
+  // ---- §2.1/2.2 scans, projections, filters -------------------------------
+
+  /** Q1 (S2-S4): JSON field extraction. App.txt:59-61's envelope decode
+    * re-expressed over the events table. */
+  def q1(s: SparkSession, d: String): DataFrame =
+    events(s, d).where(col("event_type") === "signup")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("event_id")
+
+  /** Q2 (S5): epoch/tz date derivation (App.txt:66-68's UTC+8 shift). */
+  def q2(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("event_id"),
+        (col("ts") + expr("INTERVAL 8 HOURS")).cast("date").as("d"))
+      .orderBy("event_id")
+
+  /** Q3 (P1/S11): scan + computed projection. */
+  def q3(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q4 (P2): predicate families (IN/BETWEEN/LIKE/IS NULL). */
+  def q4(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .where(col("o_orderstatus").isin("F", "O")
+        && col("o_totalprice").between(1000, 100000)
+        && col("o_orderpriority").like("1%")
+        && col("o_orderdate").isNotNull)
+      .select("o_orderkey").orderBy("o_orderkey")
+
+  /** Q5 (P3/T6): distinct on a key subset. */
+  def q5(s: SparkSession, d: String): DataFrame =
+    events(s, d).select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+
+  /** Q6 (P4/P5): conditionals + casts. Truncating double→bigint cast. */
+  def q6(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid").otherwise("high").as("band"),
+        coalesce(nullif(col("c_mktsegment"), lit("")), lit("NONE")).as("seg"),
+        col("c_acctbal").cast("bigint").as("bal_i"))
+      .orderBy("c_custkey")
+
+  // ---- §2.3 joins ---------------------------------------------------------
+
+  /** Q7 (J1/J2): star join; dims broadcast (plan-asserted in tests). */
+  def q7(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("orders_cnt"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("n_name")
+
+  /** Q8 (J3): large-large join (SMJ/shuffled-hash territory). */
+  def q8(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("li_cnt"), round(sum("l_extendedprice"), 4).as("gross"))
+      .orderBy("o_orderstatus")
+
+  /** Q9 (J4): left outer + count of matches. */
+  def q9(s: SparkSession, d: String): DataFrame =
+    customer(s, d).join(orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("cnt"))
+      .orderBy("c_custkey")
+
+  /** Q10 (J5): semi ∪ anti ≡ EXISTS flag per customer. */
+  def q10(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select("c_custkey")
+    val o = orders(s, d).select("o_custkey")
+    val has = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("has_order", lit(true))
+    val not = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("has_order", lit(false))
+    has.unionByName(not).orderBy("c_custkey")
+  }
+
+  /** Q11 (J6): cross join + theta filter (BroadcastNestedLoop at scale
+    * only because both sides are tiny dims). */
+  def q11(s: SparkSession, d: String): DataFrame =
+    nation(s, d).crossJoin(region(s, d))
+      .where(col("n_regionkey") =!= col("r_regionkey"))
+      .select("n_name", "r_name").orderBy("n_name", "r_name")
+
+  /** Q12 (J7): range join via the equi-bucket helper. */
+  def q12(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val e1 = e.select(col("event_id").as("l_event_id"), col("user_id").as("l_uid"),
+      col("ts").as("l_ts"))
+    val e2 = e.select(col("user_id").as("r_uid"), col("ts").as("r_ts"))
+    Joins.rangeJoin(e1, "l_uid", "l_ts", e2, "r_uid", "r_ts", widthSec = 600L)
+      .groupBy(col("l_event_id").as("event_id"))
+      .agg(count(lit(1)).as("followers"))
+      .orderBy("event_id")
+  }
+
+  /** Q13 (J8): as-of join (strict) — latest prior event per user. */
+  def q13(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val right = e.select(col("user_id").as("r_uid"), col("ts").as("r_ts"))
+    Joins.asofLatestTs(e.select("event_id", "user_id", "ts"), "user_id", "ts",
+        right, "r_uid", "r_ts", strict = true)
+      .select(col("event_id"), col("asof_ts").as("prev_ts"))
+      .orderBy("event_id")
+  }
+
+  // ---- §2.4 aggregations --------------------------------------------------
+
+  /** Q14 (A1): TPC-H Q1-style grouped aggregate (partial+final auto). */
+  def q14(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q15 (A2): exact count-distinct (expand+two-phase under the hood). */
+  def q15(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("parts"))
+      .orderBy("l_returnflag")
+
+  /** Q16 (A4): rollup. */
+  def q16(s: SparkSession, d: String): DataFrame =
+    orders(s, d).rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Q17 (A5): filtered/conditional aggregates. */
+  def q17(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy("user_id")
+      .agg(round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)), 4).as("purchase_val"),
+        count(when(col("event_type") === "error", lit(1))).as("errors"))
+      .orderBy("user_id")
+
+  /** Q18 (A6): collect_list made deterministic by sort_array. */
+  def q18(s: SparkSession, d: String): DataFrame =
+    customer(s, d).groupBy("c_nationkey")
+      .agg(array_join(sort_array(collect_list(col("c_mktsegment"))), ",").as("segs"))
+      .orderBy("c_nationkey")
+
+  /** Q19 (A7): exact median. */
+  def q19(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(round(median(col("l_quantity")), 4).as("med"))
+      .orderBy("l_returnflag")
+
+  /** Q20 (A8): custom typed Aggregator (weighted mean) via udaf(). */
+  def q20(s: SparkSession, d: String): DataFrame = {
+    val wm = udaf(new WeightedMean)
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(round(wm(col("l_extendedprice"), col("l_quantity")), 4).as("wavg"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---- §2.5 window functions ----------------------------------------------
+
+  private def wSeg = Window.partitionBy("c_mktsegment")
+    .orderBy(col("c_acctbal").desc, col("c_custkey"))
+
+  /** Q21 (W1): ranking trio. */
+  def q21(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_mktsegment"), col("c_custkey"),
+        row_number().over(wSeg).cast("bigint").as("rn"),
+        rank().over(wSeg).cast("bigint").as("rk"),
+        dense_rank().over(wSeg).cast("bigint").as("drk"))
+      .orderBy("c_mktsegment", "rn")
+
+  /** Q22 (W2): lag/lead. */
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d).select(col("event_id"),
+        round(lag("value", 1).over(w), 4).as("prev_v"),
+        round(lead("value", 1).over(w), 4).as("next_v"))
+      .orderBy("event_id")
+  }
+
+  /** Q23 (W3): running sum (rows frame). */
+  def q23(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d).select(col("event_id"),
+        round(sum("value").over(w), 4).as("run"))
+      .orderBy("event_id")
+  }
+
+  /** Q24 (W4): time-range frame over epoch seconds. */
+  def q24(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tss").rangeBetween(-600, 0)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_timestamp(col("ts")).as("tss"))
+      .select(col("event_id"), round(sum("value").over(w), 4).as("win10m"))
+      .orderBy("event_id")
+  }
+
+  /** Q25 (W5): top-k per group (row_number + filter). */
+  def q25(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("bigint").as("rn"))
+      .where(col("rn") <= 2)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---- §2.6 sort / limit / set ops ---------------------------------------
+
+  /** Q26 (O1/O2): global top-k → TakeOrderedAndProject (plan-asserted). */
+  def q26(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+
+  /** Q27 (O3): union all + re-aggregate. */
+  def q27(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("k"))
+      .unionByName(supplier(s, d).select(col("s_nationkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .orderBy("k")
+
+  /** Q28 (O4): intersect / except (distinct set semantics). */
+  def q28(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_nationkey").as("k"))
+    val su = supplier(s, d).select(col("s_nationkey").as("k"))
+    val both = c.intersect(su).withColumn("tag", lit("both"))
+    val custOnly = c.except(su).withColumn("tag", lit("cust_only"))
+    both.unionByName(custOnly).select("tag", "k").orderBy("tag", "k")
+  }
+
+  // ---- §2.7 scalar function families -------------------------------------
+
+  /** Q29 (F1): string family. */
+  def q29(s: SparkSession, d: String): DataFrame =
+    part(s, d).where(col("p_name").like("%a%"))
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        trim(col("p_name")).as("name_t"),
+        substring(col("p_name"), 1, 5).as("name_s5"),
+        length(col("p_name")).cast("bigint").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_size").cast("string")).as("brand_size"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us"))
+      .orderBy("p_partkey")
+
+  /** Q30 (F2): date/time family. */
+  def q30(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("y"),
+        month(col("o_orderdate")).cast("bigint").as("mo"),
+        date_trunc("month", col("o_orderdate")).as("m"),
+        datediff(col("o_orderdate").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("bigint").as("dd"))
+      .orderBy("o_orderkey")
+
+  /** Q31 (F3): math family. */
+  def q31(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("price_r"),
+        round(abs(col("l_discount") - 0.05), 4).as("disc_abs"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_quantity")).as("qty_floor"),
+        (col("l_orderkey") % 7).as("mod7"),
+        round(pow(col("l_tax") + 1, 2), 4).as("tax_pow"),
+        round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q32 (F4): JSON extraction + aggregate. */
+  def q32(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select((get_json_object(col("props"), "$.k").cast("bigint") % 10).as("kb"))
+      .groupBy("kb").agg(count(lit(1)).as("c"))
+      .orderBy("kb")
+
+  /** Q33 (F5): array family over the embedding column. */
+  def q33(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        round(element_at(col("embedding"), 64).cast("double"), 4).as("e64"))
+      .orderBy("vec_id")
+
+  /** Q34 (F6): map functions via from_json(map<string,bigint>). */
+  def q34(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("event_id"),
+        element_at(from_json(col("props"), "map<string,bigint>",
+          Map.empty[String, String]), "k").as("k"))
+      .orderBy("event_id")
+
+  /** Q35 (F7): hash functions as dedup keys. */
+  def q35(s: SparkSession, d: String): DataFrame =
+    documents(s, d).agg(count(lit(1)).as("n"),
+      countDistinct(md5(col("text"))).as("n_distinct"))
+
+  /** Q36 (F8): scalar UDF parity (tokenCount ≡ size(split(…))). */
+  def q36(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCountUdf(col("text")).as("ntok"))
+      .orderBy("doc_id")
+
+  // ---- §2.8 streaming ops (batch projections) ----------------------------
+
+  /** Q37 (T2): tumbling window — same plan as the streaming path. */
+  def q37(s: SparkSession, d: String): DataFrame =
+    StreamOps.tumblingCounts(events(s, d)).orderBy("w_start")
+
+  /** Q38 (T3): sliding window. */
+  def q38(s: SparkSession, d: String): DataFrame =
+    StreamOps.slidingCounts(events(s, d)).orderBy("w_start")
+
+  /** Q39 (T4): session windows + per-user session index. */
+  def q39(s: SparkSession, d: String): DataFrame =
+    StreamOps.sessionAgg(events(s, d)).orderBy("user_id", "sid")
+
+  // ---- §2.9 LLM-data-pipeline ops ----------------------------------------
+
+  /** Q40 (L1): exact dedup accounting by content hash. */
+  def q40(s: SparkSession, d: String): DataFrame =
+    documents(s, d).groupBy("lang")
+      .agg(countDistinct(md5(col("text"))).as("uniq_docs"))
+      .orderBy("lang")
+
+  /** Q41 (L2 exact form): token-set Jaccard pairs ≥ 0.6 on doc_id < 50. */
+  def q41(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(documents(s, d).where(col("doc_id") < 50),
+        "doc_id", "text", tau = 0.6)
+      .orderBy("d1", "d2")
+
+  /** Q42 (L3): cosine top-10 vs vec_id=0 via higher-order functions. */
+  def q42(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineTopK(embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 10)
+
+  /** Q43 (L4): per-language corpus stats. */
+  def q43(s: SparkSession, d: String): DataFrame =
+    documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg(size(split(col("text"), " "))), 4).as("avg_toks"))
+      .orderBy("lang")
+
+  /** Q44 (L5): multimodal row = text metadata + embedding vector. */
+  def q44(s: SparkSession, d: String): DataFrame =
+    documents(s, d).where(col("lang") === "en").as("doc")
+      .join(embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("label"),
+        size(col("embedding")).cast("bigint").as("dim"), col("n_chars"))
+      .orderBy("doc_id")
+
+  // ---- extras: rows-only-checked operators (no portable SQL oracle) ------
+
+  /** L2 scale path: MinHash-LSH candidate pairs + exact verify. */
+  def xMinHashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLshPairs(documents(s, d).where(col("doc_id") < 50),
+        "doc_id", "text", tau = 0.6)
+      .orderBy("d1", "d2")
+
+  /** SimHash-64 fingerprints. */
+  def xSimHash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHash64(documents(s, d), "doc_id", "text").orderBy("doc_id")
+
+  /** Word-3-gram shingle Jaccard near-dup pairs. */
+  def xNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(s, d).where(col("doc_id") < 50),
+        "doc_id", "text", n = 3, tau = 0.01)
+      .orderBy("d1", "d2")
+
+  /** ANN top-10 via sign-LSH bucketing + exact re-rank. */
+  def xAnnTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.annTopK(embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 10)
+
+  /** Embedding-cosine near-dup pairs (threshold fits fixture cosine range). */
+  def xEmbedNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(embeddings(s, d), "vec_id", "embedding", tau = 0.4)
+      .orderBy("v1", "v2")
+
+  /** Language-ID heuristic vs labeled lang (per-language confusion counts). */
+  def xLangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), TextAnalysis.langIdGuess(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
+  /** Per-doc token/char/quality/fingerprint stats. */
+  def xTokenStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenStats(documents(s, d), "doc_id", "text").orderBy("doc_id")
+
+  /** Multimodal plumbing: binary payload + typed meta + batched decode. */
+  def xMultimodal(s: SparkSession, d: String): DataFrame = {
+    val withPayload = Multimodal.withMeta(
+      Multimodal.withBinaryPayload(documents(s, d), "text"))
+    val feats = Multimodal.decodeFeatures(withPayload, "doc_id", dim = 16)
+    withPayload.select(col("doc_id"), col("meta.kind").as("kind"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.bytes").as("bytes"))
+      .join(feats, "doc_id")
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        col("bytes"), size(col("feature")).cast("bigint").as("feat_dim"))
+      .orderBy("doc_id")
+  }
+
+  /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
+    * envelopes from nation rows, parse them back typed. */
+  def xCdcIngest(s: SparkSession, d: String): DataFrame = {
+    val src = nation(s, d).select(
+      col("n_nationkey").cast("long").as("ref"),
+      col("n_regionkey").cast("long").as("city_id"),
+      col("n_name").as("city_name"),
+      (lit(1704067200000L) + col("n_nationkey").cast("long") * 86400000L).as("c_ms"))
+    CdcIngest.parse(CdcIngest.toEnvelope(src, "c_ms"), "payload").orderBy("ref")
+  }
+}

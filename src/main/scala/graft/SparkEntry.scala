@@ -1,13 +1,166 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §3.
+  *
+  * `queries` keys ↔ `oracleSql` keys; column aliases must match exactly
+  * (the driver's compare sorts columns by name before hashing). Oracle SQL
+  * is the DuckDB-dialect variant of each query (FIXTURES §3 [variant]
+  * notes); entries without portable SQL (the `x_*` operators) get the
+  * driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.q14(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_json_extract" -> (Queries.q1 _),
+    "q02_tz_date" -> (Queries.q2 _),
+    "q03_project" -> (Queries.q3 _),
+    "q04_filter" -> (Queries.q4 _),
+    "q05_distinct" -> (Queries.q5 _),
+    "q06_case_cast" -> (Queries.q6 _),
+    "q07_star_join" -> (Queries.q7 _),
+    "q08_big_join" -> (Queries.q8 _),
+    "q09_outer_join" -> (Queries.q9 _),
+    "q10_semi_anti" -> (Queries.q10 _),
+    "q11_cross_join" -> (Queries.q11 _),
+    "q12_range_join" -> (Queries.q12 _),
+    "q13_asof_join" -> (Queries.q13 _),
+    "q14_group_agg" -> (Queries.q14 _),
+    "q15_count_distinct" -> (Queries.q15 _),
+    "q16_rollup" -> (Queries.q16 _),
+    "q17_filtered_agg" -> (Queries.q17 _),
+    "q18_collect" -> (Queries.q18 _),
+    "q19_median" -> (Queries.q19 _),
+    "q20_udaf_wavg" -> (Queries.q20 _),
+    "q21_rank" -> (Queries.q21 _),
+    "q22_lag_lead" -> (Queries.q22 _),
+    "q23_running_sum" -> (Queries.q23 _),
+    "q24_range_frame" -> (Queries.q24 _),
+    "q25_topk_per_group" -> (Queries.q25 _),
+    "q26_topk" -> (Queries.q26 _),
+    "q27_union" -> (Queries.q27 _),
+    "q28_set_ops" -> (Queries.q28 _),
+    "q29_string_fns" -> (Queries.q29 _),
+    "q30_date_fns" -> (Queries.q30 _),
+    "q31_math_fns" -> (Queries.q31 _),
+    "q32_json_agg" -> (Queries.q32 _),
+    "q33_array_fns" -> (Queries.q33 _),
+    "q34_map_fns" -> (Queries.q34 _),
+    "q35_hash_fns" -> (Queries.q35 _),
+    "q36_udf_tokens" -> (Queries.q36 _),
+    "q37_tumbling" -> (Queries.q37 _),
+    "q38_sliding" -> (Queries.q38 _),
+    "q39_session" -> (Queries.q39 _),
+    "q40_exact_dedup" -> (Queries.q40 _),
+    "q41_jaccard_pairs" -> (Queries.q41 _),
+    "q42_cosine_topk" -> (Queries.q42 _),
+    "q43_text_stats" -> (Queries.q43 _),
+    "q44_multimodal_join" -> (Queries.q44 _),
+    // extras: no portable oracle → rows-only check
+    "x_minhash_lsh" -> (Queries.xMinHashLsh _),
+    "x_simhash" -> (Queries.xSimHash _),
+    "x_ngram_jaccard" -> (Queries.xNgramJaccard _),
+    "x_ann_topk" -> (Queries.xAnnTopK _),
+    "x_embed_neardup" -> (Queries.xEmbedNearDup _),
+    "x_lang_id" -> (Queries.xLangId _),
+    "x_token_stats" -> (Queries.xTokenStats _),
+    "x_multimodal" -> (Queries.xMultimodal _),
+    "x_cdc_ingest" -> (Queries.xCdcIngest _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events WHERE event_type = 'signup' ORDER BY event_id",
+    "q02_tz_date" ->
+      "SELECT event_id, CAST(ts + INTERVAL 8 HOUR AS DATE) AS d FROM events ORDER BY event_id",
+    "q03_project" ->
+      "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount), 4) AS net FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q04_filter" ->
+      "SELECT o_orderkey FROM orders WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 1000 AND 100000 AND o_orderpriority LIKE '1%' AND o_orderdate IS NOT NULL ORDER BY o_orderkey",
+    "q05_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    "q06_case_cast" ->
+      "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band, COALESCE(NULLIF(c_mktsegment,''),'NONE') AS seg, CAST(TRUNC(c_acctbal) AS BIGINT) AS bal_i FROM customer ORDER BY c_custkey",
+    "q07_star_join" ->
+      "SELECT n_name, COUNT(*) AS orders_cnt, ROUND(SUM(o_totalprice),4) AS total FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "q08_big_join" ->
+      "SELECT o_orderstatus, COUNT(*) AS li_cnt, ROUND(SUM(l_extendedprice),4) AS gross FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q09_outer_join" ->
+      "SELECT c_custkey, COUNT(o_orderkey) AS cnt FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey",
+    "q10_semi_anti" ->
+      "SELECT c_custkey, EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order FROM customer ORDER BY c_custkey",
+    "q11_cross_join" ->
+      "SELECT n_name, r_name FROM nation CROSS JOIN region WHERE n_regionkey <> r_regionkey ORDER BY n_name, r_name",
+    "q12_range_join" ->
+      "SELECT e1.event_id, COUNT(*) AS followers FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE GROUP BY e1.event_id ORDER BY e1.event_id",
+    "q13_asof_join" ->
+      "SELECT e1.event_id, (SELECT MAX(e2.ts) FROM events e2 WHERE e2.user_id = e1.user_id AND e2.ts < e1.ts) AS prev_ts FROM events e1 ORDER BY e1.event_id",
+    "q14_group_agg" ->
+      "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),4) AS sum_qty, ROUND(SUM(l_extendedprice),4) AS sum_price, ROUND(AVG(l_discount),4) AS avg_disc, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q15_count_distinct" ->
+      "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS parts FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q16_rollup" ->
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    "q17_filtered_agg" ->
+      "SELECT user_id, ROUND(SUM(CASE WHEN event_type='purchase' THEN value ELSE 0 END),4) AS purchase_val, COUNT(CASE WHEN event_type='error' THEN 1 END) AS errors FROM events GROUP BY user_id ORDER BY user_id",
+    "q18_collect" ->
+      "SELECT c_nationkey, array_to_string(list_sort(list(c_mktsegment)), ',') AS segs FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
+    "q19_median" ->
+      "SELECT l_returnflag, ROUND(MEDIAN(l_quantity),4) AS med FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q20_udaf_wavg" ->
+      "SELECT l_returnflag, ROUND(SUM(l_extendedprice*l_quantity)/SUM(l_quantity),4) AS wavg FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q21_rank" ->
+      "SELECT c_mktsegment, c_custkey, ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) ORDER BY c_mktsegment, rn",
+    "q22_lag_lead" ->
+      "SELECT event_id, ROUND(LAG(value) OVER w,4) AS prev_v, ROUND(LEAD(value) OVER w,4) AS next_v FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id",
+    "q23_running_sum" ->
+      "SELECT event_id, ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS run FROM events ORDER BY event_id",
+    "q24_range_frame" ->
+      "SELECT event_id, ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT) RANGE BETWEEN 600 PRECEDING AND CURRENT ROW),4) AS win10m FROM events ORDER BY event_id",
+    "q25_topk_per_group" ->
+      "SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn",
+    "q26_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+    "q27_union" ->
+      "SELECT k, COUNT(*) AS c FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier) t GROUP BY k ORDER BY k",
+    "q28_set_ops" ->
+      "SELECT tag, k FROM (SELECT 'both' AS tag, k FROM (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier) t1 UNION ALL SELECT 'cust_only' AS tag, k FROM (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier) t2) u ORDER BY tag, k",
+    "q29_string_fns" ->
+      "SELECT p_partkey, UPPER(p_brand) AS brand_u, LOWER(p_type) AS type_l, TRIM(p_name) AS name_t, SUBSTRING(p_name,1,5) AS name_s5, LENGTH(p_name) AS name_len, CONCAT_WS('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size, REPLACE(p_type,' ','_') AS type_us FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey",
+    "q30_date_fns" ->
+      "SELECT o_orderkey, YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS mo, DATE_TRUNC('month', o_orderdate) AS m, DATE_DIFF('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS dd FROM orders ORDER BY o_orderkey",
+    "q31_math_fns" ->
+      "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice,1) AS price_r, ROUND(ABS(l_discount-0.05),4) AS disc_abs, CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil, CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor, l_orderkey % 7 AS mod7, ROUND(POW(l_tax+1,2),4) AS tax_pow, ROUND(SQRT(l_extendedprice),4) AS price_sqrt FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q32_json_agg" ->
+      "SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS kb, COUNT(*) AS c FROM events GROUP BY 1 ORDER BY kb",
+    "q33_array_fns" ->
+      "SELECT vec_id, len(embedding) AS dim, ROUND(CAST(embedding[1] AS DOUBLE),4) AS e1, ROUND(CAST(embedding[64] AS DOUBLE),4) AS e64 FROM embeddings ORDER BY vec_id",
+    "q34_map_fns" ->
+      "SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
+    "q35_hash_fns" ->
+      "SELECT COUNT(*) AS n, COUNT(DISTINCT md5(text)) AS n_distinct FROM documents",
+    "q36_udf_tokens" ->
+      "SELECT doc_id, len(string_split(text,' ')) AS ntok FROM documents ORDER BY doc_id",
+    "q37_tumbling" ->
+      "SELECT make_timestamp(CAST(FLOOR(epoch(ts)/600)*600 AS BIGINT)*1000000) AS w_start, COUNT(*) AS c, ROUND(SUM(value),4) AS s FROM events GROUP BY 1 ORDER BY w_start",
+    "q38_sliding" ->
+      "SELECT make_timestamp(CAST(FLOOR((epoch(ts)-o.off)/600)*600+o.off AS BIGINT)*1000000) AS w_start, COUNT(*) AS c FROM events CROSS JOIN (SELECT 0 AS off UNION ALL SELECT 300) o GROUP BY 1 ORDER BY w_start",
+    "q39_session" ->
+      "WITH g AS (SELECT user_id, ts, event_id, value, CASE WHEN LAG(ts) OVER w IS NULL OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT user_id, value, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM g) SELECT user_id, sid, COUNT(*) AS c, ROUND(SUM(value),4) AS v FROM s GROUP BY user_id, sid ORDER BY user_id, sid",
+    "q40_exact_dedup" ->
+      "SELECT lang, COUNT(DISTINCT md5(text)) AS uniq_docs FROM documents GROUP BY lang ORDER BY lang",
+    "q41_jaccard_pairs" ->
+      "WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS tok FROM documents WHERE doc_id < 50), p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, len(list_intersect(a.tok,b.tok))/CAST(len(list_distinct(list_concat(a.tok,b.tok))) AS DOUBLE) AS jr FROM t a JOIN t b ON a.doc_id < b.doc_id) SELECT d1, d2, ROUND(jr,4) AS j FROM p WHERE jr >= 0.6 ORDER BY d1, d2",
+    "q42_cosine_topk" ->
+      "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)/(SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))*SQRT(list_dot_product(q.qv,q.qv))),4) AS cos FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10",
+    "q43_text_stats" ->
+      "SELECT lang, COUNT(*) AS docs, ROUND(AVG(n_chars),4) AS avg_chars, ROUND(AVG(len(string_split(text,' '))),4) AS avg_toks FROM documents GROUP BY lang ORDER BY lang",
+    "q44_multimodal_join" ->
+      "SELECT d.doc_id, d.lang, e.label, len(e.embedding) AS dim, d.n_chars FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id WHERE d.lang = 'en' ORDER BY d.doc_id"
+  )
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators (SURVEY §2.9 L1/L2).
+  *
+  * Scale posture: the exact pairwise forms are test-scale oracles; the
+  * production path is candidate generation (MinHash-LSH banding) so the
+  * pairwise verify stage only ever sees bucket-cohabiting pairs, keyed
+  * shuffles throughout, never an unbounded cross join.
+  */
+object Dedup {
+
+  def tokenSet(text: Column): Column = array_distinct(split(text, " "))
+
+  /** L1 exact dedup: one representative row per distinct content hash. */
+  def exactDedup(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__h", md5(col(textCol))).dropDuplicates("__h").drop("__h")
+
+  private def jaccard(t1: Column, t2: Column): Column =
+    size(array_intersect(t1, t2)) / size(array_union(t1, t2)).cast("double")
+
+  /** Exact token-set Jaccard over all pairs of `docs` (FIXTURES Q41 form —
+    * test-scale only; production uses [[minHashLshPairs]]). Output:
+    * (d1, d2, j) with the *unrounded* similarity filtered at `tau` and the
+    * reported `j` rounded to 4 dp.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
+    val t = docs.select(col(idCol).as("__id"), tokenSet(col(textCol)).as("__tok"))
+    val a = t.select(col("__id").as("d1"), col("__tok").as("t1"))
+    val b = t.select(col("__id").as("d2"), col("__tok").as("t2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("__j", jaccard(col("t1"), col("t2")))
+      .where(col("__j") >= tau)
+      .select(col("d1"), col("d2"), round(col("__j"), 4).as("j"))
+  }
+
+  /** MinHash signature column: for seed i, min over tokens of
+    * xxhash64(token, i). Seed-pinned → deterministic across runs. */
+  private def minHashSig(tok: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(tok, t => xxhash64(t, lit(i))))
+    }: _*)
+
+  /** L2 at scale: MinHash + LSH banding candidate generation, then exact
+    * Jaccard verification of candidates only.
+    *
+    * Pipeline: tokens → `numHashes` minhash values → `bands` band keys
+    * (hash of each signature slice) → explode to (band, key) → self-join
+    * on the band key (equi, shuffle-keyed — bucket sizes bounded by band
+    * collision rate) → distinct candidate pairs → join token sets back →
+    * exact-Jaccard filter at `tau`. With r = numHashes/bands rows per
+    * band, P(candidate | j) = 1-(1-j^r)^bands; defaults (64, 32 ⇒ r=2)
+    * give recall ≈ 1-(1-0.36)^32 ≈ 1.0 at j = 0.6.
+    */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      tau: Double, numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val toks = docs.select(col(idCol).as("__id"), tokenSet(col(textCol)).as("__tok"))
+    val sig = toks.withColumn("__sig", minHashSig(col("__tok"), numHashes))
+    val banded = sig.select(col("__id"),
+      explode(array((0 until bands).map { b =>
+        // band key = hash of (band index, signature slice)
+        hash(lit(b) +: (0 until r).map(i => element_at(col("__sig"), b * r + i + 1)): _*)
+      }: _*)).as("__bkey"))
+    val a = banded.select(col("__bkey"), col("__id").as("d1"))
+    val b = banded.select(col("__bkey").as("__bkey2"), col("__id").as("d2"))
+    val cand = a.join(b, col("__bkey") === col("__bkey2") && col("d1") < col("d2"))
+      .select("d1", "d2").dropDuplicates("d1", "d2")
+    val t1 = toks.select(col("__id").as("d1"), col("__tok").as("t1"))
+    val t2 = toks.select(col("__id").as("d2"), col("__tok").as("t2"))
+    cand.join(t1, "d1").join(t2, "d2")
+      .withColumn("__j", jaccard(col("t1"), col("t2")))
+      .where(col("__j") >= tau)
+      .select(col("d1"), col("d2"), round(col("__j"), 4).as("j"))
+  }
+
+  /** SimHash-64 fingerprint: per-token xxhash64, per-bit ±1 votes, sign of
+    * each vote sum becomes the bit. Near-dup docs differ in few bits
+    * (compare via hamming distance on the bigint). Pure column algebra —
+    * explode + 64 conditional sums, one keyed shuffle. */
+  def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokenSet(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("__h").bitwiseAND(shiftleft(lit(1L), b)) =!= 0L, 1).otherwise(-1)).as(s"__v$b")
+    }
+    val bits = (0 until 64).map { b =>
+      when(col(s"__v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.as("simhash"))
+  }
+
+  /** Word n-gram (shingle) Jaccard pairs — contiguous n-token shingles,
+    * then exact Jaccard at `tau` (test-scale exact form; the LSH path
+    * applies unchanged by swapping token sets for shingle sets). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, tau: Double): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val shingles = array_distinct(
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    val t = docs.select(col(idCol).as("__id"), shingles.as("__tok"))
+      .where(size(col("__tok")) > 0)
+    val a = t.select(col("__id").as("d1"), col("__tok").as("t1"))
+    val b = t.select(col("__id").as("d2"), col("__tok").as("t2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("__j", jaccard(col("t1"), col("t2")))
+      .where(col("__j") >= tau)
+      .select(col("d1"), col("d2"), round(col("__j"), 4).as("j"))
+  }
+}

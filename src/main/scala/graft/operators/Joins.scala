@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Time-join helpers the built-in operators don't express directly
+  * (SURVEY §2.3 J7/J8). Both are written for the 100 TB posture:
+  * no correlated per-row scans, no unbounded theta joins.
+  */
+object Joins {
+
+  /** Range join (J7): pairs rows of `left` and `right` sharing a key with
+    * `right.ts ∈ (left.ts, left.ts + widthSec]`.
+    *
+    * Equi-bucket prefilter: time is bucketed by `widthSec`; a matching
+    * right row can only land in the left row's bucket or the next one, so
+    * the join becomes an *equi*-join on (key, bucket) — hash/SMJ eligible,
+    * shuffle keyed on (key, bucket) — with a 2-way explode on the left and
+    * the exact range predicate applied post-join. At 100 TB this avoids
+    * the per-key cross product a plain theta join degenerates to.
+    *
+    * Caller must ensure left/right column names are disjoint.
+    */
+  def rangeJoin(left: DataFrame, leftKey: String, leftTs: String,
+                right: DataFrame, rightKey: String, rightTs: String,
+                widthSec: Long): DataFrame = {
+    val w = widthSec * 1000000L // micros
+    val l = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__b", explode(array(floor(col("__lus") / w), floor(col("__lus") / w) + 1)))
+    val r = right
+      .withColumn("__rus", unix_micros(col(rightTs)))
+      .withColumn("__rb", floor(col("__rus") / w))
+    l.join(r,
+        l("__b") === r("__rb") && l(leftKey) === r(rightKey) &&
+          r("__rus") > l("__lus") && r("__rus") <= l("__lus") + lit(w),
+        "inner")
+      .drop("__lus", "__b", "__rus", "__rb")
+  }
+
+  /** As-of join (J8): for every left row, the greatest `right.ts` that is
+    * `<` (strict) or `<=` left.ts within the same key, appended as column
+    * `asof_ts` (null when no earlier right row exists).
+    *
+    * Union + running-max window: tag rows, sort by (key, ts, side) once,
+    * take the running max of right-side timestamps. One shuffle on `key`,
+    * no correlated subquery, no range explosion — the scalable as-of
+    * formulation. Strictness is encoded in the tie-break order: at equal
+    * ts the right row sorts after (strict) or before (non-strict) the
+    * left row, so the rows-frame naturally ex/includes it.
+    */
+  def asofLatestTs(left: DataFrame, leftKey: String, leftTs: String,
+                   right: DataFrame, rightKey: String, rightTs: String,
+                   strict: Boolean = true): DataFrame = {
+    val tsType = right.schema(rightTs).dataType
+    val rowType = StructType(left.schema.fields)
+    val lSide = if (strict) 0 else 1
+    val rSide = 1 - lSide
+    val l = left.select(
+      col(leftKey).as("__key"), col(leftTs).as("__ts"), lit(lSide).as("__side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__row"),
+      lit(null).cast(tsType).as("__rts"))
+    val r = right.select(
+      col(rightKey).as("__key"), col(rightTs).as("__ts"), lit(rSide).as("__side"),
+      lit(null).cast(rowType).as("__row"),
+      col(rightTs).as("__rts"))
+    val w = Window.partitionBy("__key").orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", max(col("__rts")).over(w))
+      .where(col("__row").isNotNull)
+      .select(col("__row.*"), col("__asof").as("asof_ts"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.9 L4).
+  * Everything is column algebra (codegen-eligible); the lone UDF
+  * (tokenCount) exists to satisfy F8's "scalar UDF example" and is
+  * semantically identical to `size(split(text,' '))`.
+  */
+object TextAnalysis {
+
+  /** F8's example scalar UDF. Prefer `size(split(c,' '))` (codegen'd);
+    * this exists to demonstrate UDF registration parity (FIXTURES Q36). */
+  val tokenCountUdf: UserDefinedFunction =
+    udf((s: String) => if (s == null) 0L else s.split(" ").length.toLong)
+
+  def whitespaceTokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword proxy: split on word boundaries/punctuation, the
+    * usual pre-tokenization regex shape. */
+  def bpeishTokens(text: Column): Column =
+    filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), t => length(t) > 0)
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "in", "von", "zu", "mit", "den", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "en", "du", "que"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** n-gram/stopword language-ID heuristic: score = |tokens ∩ stopwords_L|
+    * per language, argmax wins ("und" = no stopword hit at all). Pure
+    * column algebra — argmax via array_max over (score, lang) structs. */
+  def langIdGuess(text: Column): Column = {
+    val toks = array_distinct(whitespaceTokens(lower(text)))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val wl = array(words.map(lit): _*)
+      struct(size(array_intersect(toks, wl)).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1]: length band + alpha ratio +
+    * mean-token-length band — the usual cheap pre-filters before
+    * expensive model scoring. Deterministic. */
+  def qualityScore(text: Column): Column = {
+    val toks = whitespaceTokens(text)
+    val nToks = size(toks).cast("double")
+    val meanTokLen = (length(text) - nToks + 1) / nToks
+    val alphaRatio = (length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double")
+      / greatest(length(text), lit(1)).cast("double"))
+    val lenScore = when(nToks.between(5, 5000), 1.0).otherwise(0.2)
+    val tokScore = when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.3)
+    round((lenScore * 0.4 + tokScore * 0.3 + alphaRatio * 0.3), 4)
+  }
+
+  /** Rolling fingerprint over the token stream: left-fold of
+    * xxhash64(acc, token). Order-sensitive — unlike a set hash, catches
+    * reorderings — and overflow-free under ANSI mode. */
+  def fingerprint(text: Column): Column =
+    aggregate(whitespaceTokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Per-doc token/char stats frame used by quality dashboards. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(whitespaceTokens(col(textCol))).cast("long").as("ws_tokens"),
+      size(bpeishTokens(col(textCol))).cast("long").as("bpeish_tokens"),
+      length(col(textCol)).cast("long").as("chars"),
+      qualityScore(col(textCol)).as("quality"),
+      langIdGuess(col(textCol)).as("lang_pred"),
+      fingerprint(col(textCol)).as("fp"))
+}

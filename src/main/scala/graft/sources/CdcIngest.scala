@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's sample record schema (City.java:9-12): bigint ids,
+  * string name, date carried as a `yyyy-MM-dd` string. */
+case class City(ref: Long, city_id: Long, city_name: String, c_date: String)
+
+/** CDC-envelope ingestion (SURVEY §2.1 S2-S5), re-expressing App.txt:59-69:
+  * lower-case the payload, parse the JSON envelope, extract `value.after`
+  * (the `value` field is itself a JSON *string* — double-encoded,
+  * FIXTURES §2), project typed fields, and derive `c_date` from epoch-ms
+  * at UTC+8 (App.txt:66-68).
+  *
+  * All decoding is `from_json` on declared schemas — codegen-eligible,
+  * no per-row driver logic, schema fixed at assembly time (mirroring the
+  * reference's reflection-derived compile-time schema,
+  * HiveOrcSink.java:309-314).
+  */
+object CdcIngest {
+
+  private val outerSchema = StructType(Seq(StructField("value", StringType)))
+  private val innerSchema = StructType(Seq(
+    StructField("after", StructType(Seq(
+      StructField("ref", LongType),
+      StructField("city_id", LongType),
+      StructField("city_name", StringType),
+      StructField("c_time", LongType))))))
+
+  /** payload string column → typed City frame (columns ref, city_id,
+    * city_name, c_date). */
+  def parse(df: DataFrame, payloadCol: String): DataFrame = {
+    val outer = from_json(lower(col(payloadCol)), outerSchema)
+    df.select(from_json(outer.getField("value"), innerSchema).getField("after").as("a"))
+      .select(
+        col("a.ref").as("ref"),
+        col("a.city_id").as("city_id"),
+        col("a.city_name").as("city_name"),
+        // App.txt:66-68: epoch-millis rendered as a local date at UTC+8
+        date_format(from_utc_timestamp(timestamp_millis(col("a.c_time")), "+08:00"),
+          "yyyy-MM-dd").as("c_date"))
+  }
+
+  def parseTyped(df: DataFrame, payloadCol: String): Dataset[City] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    parse(df, payloadCol).as[City]
+  }
+
+  /** Inverse helper (test fixture generator): wrap typed rows back into
+    * the double-encoded envelope shape the reference consumes. */
+  def toEnvelope(df: DataFrame, epochMsCol: String): DataFrame =
+    df.select(to_json(struct(
+      to_json(struct(struct(
+        col("ref"), col("city_id"), col("city_name"),
+        col(epochMsCol).as("c_time")).as("after"))).as("value"))).as("payload"))
+}
