@@ -43,12 +43,15 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
 
   /** ANN top-k via sign-LSH: bucket all vectors by `planes` hyperplane
-    * signs, probe the query's bucket plus all buckets at hamming
-    * distance 1 (multi-probe), exact cosine re-rank within candidates.
-    * At 100 TB the bucket join is an equi shuffle on a bigint key and the
-    * re-rank touches only ~(1+planes)/2^planes of the data. */
+    * signs, probe the query's bucket plus all buckets within hamming
+    * distance `probeRadius` (multi-probe), exact cosine re-rank within
+    * candidates. At 100 TB the bucket join is an equi shuffle on a bigint
+    * key and the re-rank touches only the probed fraction of the data.
+    * Tune planes↑ for clustered corpora (tighter buckets), probeRadius↑
+    * for diffuse ones (this fixture's embeddings are near-orthogonal). */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int, planes: Int = 8): DataFrame = {
+              queryId: Long, k: Int, planes: Int = 8,
+              probeRadius: Int = 1): DataFrame = {
     val spark = emb.sparkSession
     val dim = 64
     val hp = hyperplanes(planes, dim)
@@ -58,8 +61,9 @@ object Similarity {
       .select(col("__v"), col("__bucket")).head()
     val qVec = qRow.getSeq[Double](0)
     val qBucket = qRow.getLong(1)
-    // multi-probe: query bucket + hamming-distance-1 neighbors
-    val probes = qBucket +: (0 until planes).map(p => qBucket ^ (1L << p))
+    // multi-probe: all buckets within hamming distance probeRadius
+    val probes = (0L until (1L << planes))
+      .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= probeRadius)
     import spark.implicits._
     val probeDf = probes.toDF("__bucket")
     val qVecCol = array(qVec.map(lit).toIndexedSeq: _*)

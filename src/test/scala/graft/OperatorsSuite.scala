@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{Dedup, Joins, Multimodal, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-vs-SQL differential tests: each custom operator must equal a
+  * straightforward (non-scalable) SQL formulation of the same semantics. */
+class OperatorsSuite extends AnyFunSuite {
+  import TestSpark.{sfDir, spark}
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def eventsView(): Unit =
+    Tables.events(spark, sfDir).createOrReplaceTempView("ev")
+
+  test("J8 as-of join equals the correlated-subquery formulation (Q13)") {
+    eventsView()
+    val sql = spark.sql(
+      """SELECT e1.event_id,
+        |  (SELECT MAX(e2.ts) FROM ev e2
+        |   WHERE e2.user_id = e1.user_id AND e2.ts < e1.ts) AS prev_ts
+        |FROM ev e1""".stripMargin)
+    assert(rows(Queries.q13(spark, sfDir)) == rows(sql))
+  }
+
+  test("J7 range join equals the theta-join formulation (Q12)") {
+    eventsView()
+    val sql = spark.sql(
+      """SELECT e1.event_id, COUNT(*) AS followers FROM ev e1 JOIN ev e2
+        |ON e1.user_id = e2.user_id AND e2.ts > e1.ts
+        |  AND e2.ts <= e1.ts + INTERVAL 10 MINUTES
+        |GROUP BY e1.event_id""".stripMargin)
+    assert(rows(Queries.q12(spark, sfDir)) == rows(sql))
+  }
+
+  test("L2 MinHash-LSH finds every exact-Jaccard pair at tau=0.6 here") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 50)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
+      .select("d1", "d2")
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.6)
+      .select("d1", "d2")
+    // LSH candidates are verified with exact Jaccard → subset always holds;
+    // with 32 bands × r=2 recall at 0.6 is ~1.0 on this corpus.
+    assert(lsh.exceptAll(exact).count() == 0L)
+    assert(exact.exceptAll(lsh).count() == 0L)
+  }
+
+  test("L2 SimHash: near-identical docs collide, disjoint docs differ") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // 1 token swap
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.simHash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+    assert(hamming(sh(1L), sh(2L)) <= 16)
+  }
+
+  test("L3 ANN top-k overlaps brute-force top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // fixture embeddings are near-orthogonal (max cos ≈ 0.5), so use wide
+    // probing: 4 planes, hamming ≤ 2 → ~0.9 per-item candidate probability
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 10,
+        planes = 4, probeRadius = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((brute & ann).size >= 5, s"brute=$brute ann=$ann")
+  }
+
+  test("multimodal decode: batched features are deterministic + unit-norm") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    val withPayload = Multimodal.withBinaryPayload(docs, "text")
+    val f1 = Multimodal.decodeFeatures(withPayload, "doc_id", dim = 16)
+    val norms = f1.select(aggregate(col("feature"), lit(0.0),
+        (acc, x) => acc + x * x).as("n2"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-9))
+    assert(rows(f1) == rows(Multimodal.decodeFeatures(withPayload, "doc_id", 16)))
+  }
+
+  test("CDC ingest: envelope round-trip preserves fields, derives UTC+8 date") {
+    val out = Queries.xCdcIngest(spark, sfDir).collect()
+    assert(out.length == 25)
+    val first = out.head
+    assert(first.getLong(0) == 0L)
+    // 2024-01-01 00:00 UTC + 8h → 2024-01-01 local date
+    assert(first.getString(3) == "2024-01-01")
+    // +16 days later: UTC date 2024-01-17, +8h stays 17th
+    assert(out(16).getString(3) == "2024-01-17")
+  }
+}

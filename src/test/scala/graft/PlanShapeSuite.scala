@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (SURVEY §5.6): the physical plans the 100 TB
+  * posture depends on — broadcast for dims, SMJ/shuffled-hash for
+  * large-large, TakeOrderedAndProject for top-k, pushed filters and
+  * partition pruning at the scans. */
+class PlanShapeSuite extends AnyFunSuite {
+  import TestSpark.{sfDir, spark}
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("J2: star-join dims broadcast (Q7)") {
+    assert(plan(Queries.q7(spark, sfDir)).contains("BroadcastHashJoin"))
+  }
+
+  test("J3: large-large join does not broadcast the fact side (Q8)") {
+    val p = plan(
+      Queries.q8(spark, sfDir).withColumn("x", lit(1))) // avoid cached reuse
+    // lineitem⋈orders at scale: sort-merge or shuffled hash, never nested loop
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin")) // tiny test SF may still broadcast
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("O2: global top-k plans as TakeOrderedAndProject (Q26)") {
+    assert(plan(Queries.q26(spark, sfDir)).contains("TakeOrderedAndProject"))
+  }
+
+  test("P2: predicate pushdown reaches the parquet scan (Q4)") {
+    val p = plan(Queries.q4(spark, sfDir))
+    assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"), p)
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema (Q3)") {
+    val p = plan(Queries.q3(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("partition pruning: c_date filter prunes ORC partition dirs") {
+    val wh = Files.createTempDirectory("graft_pp").toString
+    spark.range(100)
+      .select(col("id"), when(col("id") % 2 === 0, "2024-01-01")
+        .otherwise("2024-01-02").as("c_date"))
+      .write.format("orc").partitionBy("c_date").save(s"$wh/t")
+    val q = spark.read.orc(s"$wh/t").where(col("c_date") === "2024-01-01")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-01"), scan)
+    assert(q.count() == 50L)
+  }
+
+  test("whole-stage codegen covers the hot aggregate path (Q14)") {
+    val df = Queries.q14(spark, sfDir)
+    df.collect() // finalize the adaptive plan first
+    // AQE's string form marks WholeStageCodegen spans as "*(n) Op"
+    val p = plan(df)
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error-bound property tests for the approximate sketches excluded from
+  * the hash oracle (SURVEY §2 footnote: A3 HLL, A7 approx percentile). */
+class SketchPropsSuite extends AnyFunSuite {
+  import TestSpark.{sfDir, spark}
+
+  test("A3: approx_count_distinct within 3×rsd of exact") {
+    val li = Tables.lineitem(spark, sfDir)
+    val rsd = 0.05
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), rsd).as("approx")).head()
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact <= 3 * rsd,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("A7: percentile_approx brackets the exact median") {
+    val li = Tables.lineitem(spark, sfDir)
+    val r = li.agg(
+      expr("percentile(l_quantity, 0.5)").as("exact"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx")).head()
+    val exact = r.getDouble(0)
+    val approx = r.getDouble(1)
+    // high-accuracy sketch on 6k rows: within 2% of the exact median
+    assert(math.abs(approx - exact) <= math.abs(exact) * 0.02 + 1e-9,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("A8: WeightedMean Aggregator equals the SQL formulation (Q20)") {
+    val viaAgg = Queries.q20(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    val li = Tables.lineitem(spark, sfDir)
+    val viaSql = li.groupBy("l_returnflag")
+      .agg(round(sum(col("l_extendedprice") * col("l_quantity"))
+        / sum(col("l_quantity")), 4).as("wavg"))
+      .orderBy("l_returnflag").collect().map(_.toString).sorted.toSeq
+    assert(viaAgg == viaSql)
+  }
+}
