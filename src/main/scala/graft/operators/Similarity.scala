@@ -1,7 +1,8 @@
 package graft.operators
 
+import graft.expressions.VectorExpressions.fastDot
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (SURVEY §2.9 L3).
@@ -14,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Codegen'd cosine: same left-to-right accumulation as the
+    * higher-order formulation in [[graft.functions.VectorFunctions]], so
+    * results are bit-identical — just compiled to a primitive loop. */
+  private def fastCosine(a: Column, b: Column): Column =
+    fastDot(a, b) / (sqrt(fastDot(a, a)) * sqrt(fastDot(b, b)))
+
   /** Brute-force cosine top-k against the vector of `queryId`.
     * Output: (idCol, cos) with cos rounded to 4 dp; ties broken by id. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
@@ -23,7 +30,7 @@ object Similarity {
     emb.where(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("__v", toDouble(col(vecCol)))
-      .select(col(idCol), round(cosine(col("__v"), col("__qv")), 4).as("cos"))
+      .select(col(idCol), round(fastCosine(col("__v"), col("__qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Partitioned-ORC warehouse sink (SURVEY §2.1 S6-S9), the Spark-native
@@ -28,6 +28,23 @@ object OrcTableSink {
     val w = df.write.format("orc").mode("append").partitionBy(partitionCol)
     val w2 = if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
     w2.save(s"$warehouse/$table")
+  }
+
+  /** S12: register the warehouse directory as a catalog table (the
+    * reference's implicit Hive-metastore registration of
+    * `warehouse/tableName`, HiveOrcSink.java:57,66-71) and discover its
+    * `field=value` partitions — the `MSCK REPAIR` equivalent. */
+  def registerTable(spark: SparkSession, warehouse: String, table: String,
+                    partitionCol: String): Unit = {
+    val df = spark.read.orc(s"$warehouse/$table")
+    val dataCols = df.schema.fields
+      .filterNot(_.name == partitionCol)
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val partType = df.schema(partitionCol).dataType.sql
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS `$table` ($dataCols,
+      `$partitionCol` $partType) USING ORC PARTITIONED BY (`$partitionCol`)
+      LOCATION '$warehouse/$table'""")
+    spark.catalog.recoverPartitions(table)
   }
 
   /** Streaming write with exactly-once file visibility via the

@@ -45,4 +45,43 @@ object StreamOps {
   def runningTotals(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+
+  /** T7 (custom state): per-user accumulator via flatMapGroupsWithState —
+    * the escape hatch for state the built-in aggregates can't express
+    * (here: running count+sum with an explicit processing-time TTL, the
+    * Spark-native analog of the reference's timer-driven idle eviction,
+    * HiveOrcSink.java:40-41,137-145). Emits one updated row per key per
+    * batch; state for idle keys expires after `ttl`. */
+  def statefulRunningTotals(events: DataFrame,
+                            ttl: Option[String] = Some("1 hour")): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Append(), timeoutConf) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotals]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+            val (n, s) = rows.foldLeft((prev.n, prev.total)) {
+              case ((cn, cs), (_, v)) => (cn + 1, cs + v)
+            }
+            val next = UserTotals(uid, n, s)
+            state.update(next)
+            ttl.foreach(state.setTimeoutDuration)
+            Iterator.single(next)
+          }
+      }
+      .toDF()
+  }
 }
+
+case class UserTotals(user_id: Long, n: Long, total: Double)

@@ -74,6 +74,19 @@ class OperatorsSuite extends AnyFunSuite {
     assert((brute & ann).size >= 5, s"brute=$brute ann=$ann")
   }
 
+  test("codegen DotProduct equals the higher-order formulation bitwise") {
+    import graft.expressions.VectorExpressions.fastDot
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = emb.select(
+      fastDot(col("v"), col("v")).as("native"),
+      VectorFunctions.dot(col("v"), col("v")).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() == 0L)
+    // and it runs inside the generated code path (no interpreted fallback)
+    both.collect()
+  }
+
   test("multimodal decode: batched features are deterministic + unit-norm") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val withPayload = Multimodal.withBinaryPayload(docs, "text")

@@ -1,0 +1,93 @@
+package graft
+
+import graft.jobs.CdcToOrcJob
+import graft.sources.OrcTableSink
+import graft.streaming.StreamOps
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** End-to-end re-expression of the reference's sample job (App.txt:26-73):
+  * CDC envelopes stream in, a partitioned-ORC warehouse table comes out,
+  * exactly-once, with the reference's directory layout — plus the S12
+  * catalog registration and the T7 custom-state operator. */
+class ReferenceJobSuite extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Reference-shaped envelope (FIXTURES §2): value is a JSON *string*. */
+  private def envelope(ref: Long, cityId: Long, name: String, epochMs: Long): String = {
+    val after = s"""{\\"ref\\": $ref, \\"city_id\\": $cityId, \\"city_name\\": \\"$name\\", \\"c_time\\": $epochMs}"""
+    s"""{"value": "{\\"after\\": $after}"}"""
+  }
+
+  test("App.txt job: CDC stream → partitioned ORC warehouse, exactly-once") {
+    val dir = Files.createTempDirectory("graft_job").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    // 2024-01-01T00:00Z+8h → 2024-01-01; 2024-01-01T20:00Z+8h → 2024-01-02
+    mem.addData(
+      envelope(1, 10, "beijing", 1704067200000L),
+      envelope(2, 11, "shanghai", 1704139200000L))
+    val q = CdcToOrcJob.run(mem.toDF().toDF("payload"), dir, "flink_orc",
+      s"$dir/ckpt", Trigger.AvailableNow())
+    q.awaitTermination()
+
+    // reference layout: warehouse/flink_orc/c_date=YYYY-MM-DD/*.orc
+    val parts = Files.list(Paths.get(dir, "flink_orc")).iterator().asScala
+      .map(_.getFileName.toString).filterNot(_.startsWith("_")).toSet
+    assert(parts == Set("c_date=2024-01-01", "c_date=2024-01-02"), parts.toString)
+
+    val rows = spark.read.orc(s"$dir/flink_orc")
+      .orderBy("ref")
+      .select("ref", "city_id", "city_name", "c_date")
+      .collect().map(_.toString).toSeq
+    assert(rows == Seq("[1,10,beijing,2024-01-01]", "[2,11,shanghai,2024-01-02]"))
+
+    // restart on the same checkpoint: no duplicate files/rows
+    val q2 = CdcToOrcJob.run(mem.toDF().toDF("payload"), dir, "flink_orc",
+      s"$dir/ckpt", Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(spark.read.orc(s"$dir/flink_orc").count() == 2L)
+  }
+
+  test("S12: warehouse dir registers as a partitioned catalog table") {
+    val dir = Files.createTempDirectory("graft_cat").toString
+    Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
+      .toDF("id", "v", "c_date")
+      .write.format("orc").partitionBy("c_date").save(s"$dir/t1")
+    OrcTableSink.registerTable(spark, dir, "t1", "c_date")
+    try {
+      assert(spark.sql("SELECT count(*) FROM t1").head().getLong(0) == 2L)
+      // partition pruning works through the catalog table
+      val pruned = spark.sql("SELECT id FROM t1 WHERE c_date = '2024-01-01'")
+      assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(1L))
+      assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    } finally spark.sql("DROP TABLE IF EXISTS t1")
+  }
+
+  test("T7 custom state: flatMapGroupsWithState accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ev(id: Long, uid: Long, v: Double) = Ev(id, base, uid, "click", v)
+    // ttl=None: with a processing-time timeout the engine schedules
+    // timer-firing batches forever and processAllAvailable never quiesces
+    val q = StreamOps.statefulRunningTotals(mem.toDF(), ttl = None)
+      .writeStream.format("memory").queryName("t7s").outputMode("append")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    mem.addData(ev(1, 1, 1.0), ev(2, 1, 2.0), ev(3, 2, 5.0))
+    q.processAllAvailable()
+    mem.addData(ev(4, 1, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("t7s").groupBy("user_id")
+      .agg(max("n").as("n"), max("total").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // user 1: batch1 (2, 3.0) then batch2 (3, 7.0); user 2: (1, 5.0)
+    assert(last == Set((1L, 3L, 7.0), (2L, 1L, 5.0)))
+  }
+}
