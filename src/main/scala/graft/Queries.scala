@@ -421,6 +421,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** S6 sink throughput surface: write events as a date-partitioned ORC
+    * warehouse table (the reference's entire job, HiveOrcSink.java:34-465)
+    * and read it back aggregated — puts ORC write+read throughput into
+    * the bench alongside query throughput. */
+  def xOrcSinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_bench"
+    val src = events(s, d).withColumn("c_date",
+      date_format(col("ts"), "yyyy-MM-dd"))
+    // overwrite (not append): keeps the bench idempotent across runs
+    src.write.format("orc").mode("overwrite")
+      .partitionBy("c_date").save(out)
+    s.read.orc(out).groupBy("c_date").agg(count(lit(1)).as("n"))
+      .orderBy("c_date")
+  }
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

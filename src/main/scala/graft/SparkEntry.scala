@@ -70,7 +70,8 @@ object SparkEntry {
     "x_lang_id" -> (Queries.xLangId _),
     "x_token_stats" -> (Queries.xTokenStats _),
     "x_multimodal" -> (Queries.xMultimodal _),
-    "x_cdc_ingest" -> (Queries.xCdcIngest _)
+    "x_cdc_ingest" -> (Queries.xCdcIngest _),
+    "x_orc_sink" -> (Queries.xOrcSinkRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -72,5 +72,32 @@ object Joins {
       .withColumn("__asof", max(col("__rts")).over(w))
       .where(col("__row").isNotNull)
       .select(col("__row.*"), col("__asof").as("asof_ts"))
+  }
+
+  /** Persist two frames bucketed on their join keys so later joins are
+    * co-located — zero Exchange in the join plan (SURVEY §4.3: "co-locate
+    * joins via bucketing"). At 100 TB this is the difference between a
+    * one-time layout cost and re-shuffling the fact table every query.
+    * Bucketed layout requires catalog tables (`saveAsTable`). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int, format: String = "orc"): Unit =
+    df.write.format(format)
+      .bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
+
+  /** Skew-safe equi join: salt the skewed (left) side's key into
+    * `saltFactor` sub-keys and explode the compact (right) side across
+    * all salt values, so one hot key spreads over `saltFactor` tasks.
+    * Complements AQE's runtime skew split (which only handles sort-merge
+    * joins post-shuffle); use this when a known hot key must never land
+    * in one task. Right side is replicated ×saltFactor — keep it the
+    * dimension side. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor.toLong)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
 }

@@ -55,6 +55,36 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(q.count() == 50L)
   }
 
+  test("bucketed tables join without an Exchange (co-located join)") {
+    import graft.operators.Joins
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Joins.writeBucketed(o, "b_orders", "o_custkey", 8)
+      Joins.writeBucketed(c.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer", "o_custkey", 8)
+      val j = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("salted join equals plain join (skew mitigation is transparent)") {
+    import graft.operators.Joins
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    val plain = o.join(c, "o_custkey").count()
+    val salted = Joins.saltedJoin(o, c, "o_custkey", saltFactor = 8).count()
+    assert(salted == plain)
+  }
+
   test("whole-stage codegen covers the hot aggregate path (Q14)") {
     val df = Queries.q14(spark, sfDir)
     df.collect() // finalize the adaptive plan first
