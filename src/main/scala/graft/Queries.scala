@@ -369,6 +369,53 @@ object Queries {
         size(col("embedding")).cast("bigint").as("dim"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Q45 (A4): cube — every grouping-set combination. */
+  def q45(s: SparkSession, d: String): DataFrame =
+    orders(s, d).cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("c"), round(sum("o_totalprice"), 4).as("sp"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Q46 (F5): higher-order array functions — fold, transform, sort+slice. */
+  def q46(s: SparkSession, d: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val sorted = sort_array(v, asc = false)
+    embeddings(s, d).select(col("vec_id"),
+        round(aggregate(v, lit(0.0), (a, x) => a + x), 4).as("vsum"),
+        round(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x), 4)
+          .as("sumsq"),
+        round(element_at(sorted, 1), 4).as("t1"),
+        round(element_at(sorted, 2), 4).as("t2"),
+        round(element_at(sorted, 3), 4).as("t3"))
+      .orderBy("vec_id")
+  }
+
+  /** Q47 (F1): regexp_extract / lpad / split+join. */
+  def q47(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(col("p_partkey"),
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_w"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        array_join(split(col("p_name"), " "), "|").as("name_bar"))
+      .orderBy("p_partkey")
+
+  /** Q48 (F6): map_keys / map_values over JSON-decoded props. */
+  def q48(s: SparkSession, d: String): DataFrame = {
+    val m = from_json(col("props"), "map<string,bigint>", Map.empty[String, String])
+    events(s, d).select(col("event_id"),
+        array_join(map_keys(m), ",").as("ks"),
+        (element_at(map_values(m), 1) + 1L).as("kv1"))
+      .orderBy("event_id")
+  }
+
+  /** Q49 (F2): date_add / unix_timestamp / quarter / dayofweek. */
+  def q49(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 30).as("d30"),
+        unix_timestamp(col("o_orderdate")).as("uts"),
+        quarter(col("o_orderdate")).cast("bigint").as("qr"),
+        dayofweek(col("o_orderdate")).cast("bigint").as("dow"))
+      .orderBy("o_orderkey")
+
   // ---- extras: rows-only-checked operators (no portable SQL oracle) ------
 
   /** L2 scale path: MinHash-LSH candidate pairs + exact verify. */

@@ -61,6 +61,11 @@ object SparkEntry {
     "q42_cosine_topk" -> (Queries.q42 _),
     "q43_text_stats" -> (Queries.q43 _),
     "q44_multimodal_join" -> (Queries.q44 _),
+    "q45_cube" -> (Queries.q45 _),
+    "q46_hof_arrays" -> (Queries.q46 _),
+    "q47_string_fns2" -> (Queries.q47 _),
+    "q48_map_fns2" -> (Queries.q48 _),
+    "q49_date_fns2" -> (Queries.q49 _),
     // extras: no portable oracle → rows-only check
     "x_minhash_lsh" -> (Queries.xMinHashLsh _),
     "x_simhash" -> (Queries.xSimHash _),
@@ -162,6 +167,16 @@ object SparkEntry {
     "q43_text_stats" ->
       "SELECT lang, COUNT(*) AS docs, ROUND(AVG(n_chars),4) AS avg_chars, ROUND(AVG(len(string_split(text,' '))),4) AS avg_toks FROM documents GROUP BY lang ORDER BY lang",
     "q44_multimodal_join" ->
-      "SELECT d.doc_id, d.lang, e.label, len(e.embedding) AS dim, d.n_chars FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id WHERE d.lang = 'en' ORDER BY d.doc_id"
+      "SELECT d.doc_id, d.lang, e.label, len(e.embedding) AS dim, d.n_chars FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id WHERE d.lang = 'en' ORDER BY d.doc_id",
+    "q45_cube" ->
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c, ROUND(SUM(o_totalprice),4) AS sp FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    "q46_hof_arrays" ->
+      "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), s AS (SELECT vec_id, v, list_reverse_sort(v) AS vs FROM t) SELECT vec_id, ROUND(list_sum(v),4) AS vsum, ROUND(list_sum(list_transform(v, x -> x*x)),4) AS sumsq, ROUND(vs[1],4) AS t1, ROUND(vs[2],4) AS t2, ROUND(vs[3],4) AS t3 FROM s ORDER BY vec_id",
+    "q47_string_fns2" ->
+      "SELECT p_partkey, regexp_extract(p_type,'([A-Z]+)$',1) AS last_w, LPAD(p_brand,12,'*') AS brand_pad, array_to_string(string_split(p_name,' '),'|') AS name_bar FROM part ORDER BY p_partkey",
+    "q48_map_fns2" ->
+      "SELECT event_id, array_to_string(json_keys(props),',') AS ks, CAST(json_extract_string(props,'$.k') AS BIGINT) + 1 AS kv1 FROM events ORDER BY event_id",
+    "q49_date_fns2" ->
+      "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS d30, CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS uts, QUARTER(o_orderdate) AS qr, DAYOFWEEK(o_orderdate) + 1 AS dow FROM orders ORDER BY o_orderkey"
   )
 }

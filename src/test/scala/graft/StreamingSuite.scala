@@ -61,6 +61,29 @@ class StreamingSuite extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
   }
 
+  test("T4: session windows on a stream equal the batch sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val base = Timestamp.valueOf("2024-01-01 10:00:00")
+    def ev(id: Long, uid: Long, minOff: Int, v: Double): Ev =
+      Ev(id, new Timestamp(base.getTime + minOff * 60000L), uid, "click", v)
+    // user 1: two sessions (gap 45 min > 30); user 2: one session
+    val rows = Seq(ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 1, 55, 3.0),
+      ev(4, 2, 0, 5.0))
+    mem.addData(rows: _*)
+    val q = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("c"), sum("value").as("v"))
+      .select("user_id", "c", "v")
+      .writeStream.format("memory").queryName("t4").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t4").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 5.0)))
+  }
+
   test("T5/T6: watermark drops late rows; dedup drops repeats") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
