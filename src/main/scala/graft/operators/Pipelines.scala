@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation utilities a training-data pipeline runs after
+  * dedup/quality filtering: deterministic splits, stratified sampling,
+  * PII scrubbing, and output sharding. All seeded/hash-based — the same
+  * row lands in the same split on every run and every cluster, which is
+  * the property that matters when the corpus is rebuilt incrementally.
+  */
+object Pipelines {
+
+  /** Deterministic train/val/test split: xxhash64(id, seed) mod 100
+    * against cumulative percentage cut-points. No sampling state, no
+    * shuffle — a pure projection, stable under re-runs and appends. */
+  def splitByHash(df: DataFrame, idCol: String,
+                  cuts: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5),
+                  seed: Long = 42L): DataFrame = {
+    require(cuts.map(_._2).sum == 100, "split percentages must total 100")
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(100L))
+    val expr = cuts.scanLeft(("", 0)) { case ((_, acc), (name, p)) => (name, acc + p) }
+      .drop(1)
+      .foldRight(lit(null).cast("string")) { case ((name, upper), els) =>
+        when(bucket < upper, name).otherwise(els)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Stratified sample: per-stratum fractions via seeded `sampleBy` —
+    * e.g. downsample over-represented languages. Executor-local RNG per
+    * row, no shuffle. */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  private val piiPatterns: Seq[(String, String)] = Seq(
+    ("""[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""", "<EMAIL>"),
+    ("""https?://[^\s]+""", "<URL>"),
+    ("""\b(?:\+?\d{1,3}[ -]?)?(?:\(\d{2,4}\)[ -]?)?\d{3,4}[ -]\d{3,4}\b""", "<PHONE>"),
+    ("""\b\d{3}-\d{2}-\d{4}\b""", "<SSN>"))
+
+  /** Scrub common PII shapes from a text column (email, URL, phone, SSN)
+    * — chained regexp_replace, codegen-eligible, order matters (URL
+    * before phone so digits in URLs don't half-match). */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Shard a corpus for output: repartition by hash of id into `shards`
+    * writer tasks → `shards` similar-sized files per partition dir, the
+    * knob that keeps 100 TB outputs at 128-512 MB per file. */
+  def shardForOutput(df: DataFrame, idCol: String, shards: Int): DataFrame =
+    df.repartition(shards, col(idCol))
+}

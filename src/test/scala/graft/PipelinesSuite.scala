@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Pipelines
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelinesSuite extends AnyFunSuite {
+  import TestSpark.{sfDir, spark}
+  import spark.implicits._
+
+  test("splitByHash: deterministic, total, roughly proportioned") {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = Pipelines.splitByHash(docs, "doc_id")
+    val s2 = Pipelines.splitByHash(docs, "doc_id")
+    assert(s1.where(col("split").isNull).count() == 0)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 400 && counts("train") < 480, counts.toString)
+    // deterministic: same assignment on re-run
+    assert(s1.select("doc_id", "split").exceptAll(s2.select("doc_id", "split")).count() == 0)
+  }
+
+  test("stratifiedSample: per-stratum downsampling is deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val langs = docs.select("lang").distinct().as[String].collect()
+    val fractions = langs.map(l => l -> (if (l == "en") 0.5 else 1.0)).toMap
+    val a = Pipelines.stratifiedSample(docs, "lang", fractions).count()
+    val b = Pipelines.stratifiedSample(docs, "lang", fractions).count()
+    assert(a == b)
+    assert(a < docs.count())
+  }
+
+  test("scrubPii replaces emails, urls, phones, ssns") {
+    val rows = Seq(
+      "contact me at jo.doe+x@example.co.uk today",
+      "see https://example.com/a?b=c and http://x.io",
+      "call 555-123 4567 ok",
+      "ssn 123-45-6789 end",
+      "clean text stays clean"
+    ).toDF("text")
+    val out = rows.select(Pipelines.scrubPii(col("text")).as("t"))
+      .as[String].collect().toSeq
+    assert(out(0) == "contact me at <EMAIL> today")
+    assert(out(1) == "see <URL> and <URL>")
+    assert(out(2).contains("<PHONE>"), out(2))
+    assert(out(3) == "ssn <SSN> end")
+    assert(out(4) == "clean text stays clean")
+  }
+
+  test("shardForOutput yields the requested writer parallelism") {
+    val docs = Tables.documents(spark, sfDir)
+    assert(Pipelines.shardForOutput(docs, "doc_id", 7).rdd.getNumPartitions == 7)
+  }
+
+  test("dot_product is callable from SQL (GraftExtensions)") {
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+}
