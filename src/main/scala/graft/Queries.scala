@@ -416,6 +416,38 @@ object Queries {
         dayofweek(col("o_orderdate")).cast("bigint").as("dow"))
       .orderBy("o_orderkey")
 
+  /** Q50 (P-family generate): explode/lateral view — token frequency
+    * top-20 (the training-corpus "frequent tokens" report). */
+  def q50(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token"))
+      .limit(20)
+
+  /** Q51 (A-family pivot): per-user event counts pivoted by type
+    * (explicit value list → stable schema at any scale). */
+  def q51(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Q52 (W1/W2 rest): ntile, percent_rank, cume_dist, first/last value. */
+  def q52(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    customer(s, d).select(col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"),
+        first(col("c_custkey")).over(wf).as("top_cust"),
+        last(col("c_custkey")).over(wf).as("bottom_cust"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   // ---- extras: rows-only-checked operators (no portable SQL oracle) ------
 
   /** L2 scale path: MinHash-LSH candidate pairs + exact verify. */

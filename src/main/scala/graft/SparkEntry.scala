@@ -66,6 +66,9 @@ object SparkEntry {
     "q47_string_fns2" -> (Queries.q47 _),
     "q48_map_fns2" -> (Queries.q48 _),
     "q49_date_fns2" -> (Queries.q49 _),
+    "q50_explode_agg" -> (Queries.q50 _),
+    "q51_pivot" -> (Queries.q51 _),
+    "q52_window_fns2" -> (Queries.q52 _),
     // extras: no portable oracle → rows-only check
     "x_minhash_lsh" -> (Queries.xMinHashLsh _),
     "x_simhash" -> (Queries.xSimHash _),
@@ -177,6 +180,12 @@ object SparkEntry {
     "q48_map_fns2" ->
       "SELECT event_id, array_to_string(json_keys(props),',') AS ks, CAST(json_extract_string(props,'$.k') AS BIGINT) + 1 AS kv1 FROM events ORDER BY event_id",
     "q49_date_fns2" ->
-      "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS d30, CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS uts, QUARTER(o_orderdate) AS qr, DAYOFWEEK(o_orderdate) + 1 AS dow FROM orders ORDER BY o_orderkey"
+      "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS d30, CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS uts, QUARTER(o_orderdate) AS qr, DAYOFWEEK(o_orderdate) + 1 AS dow FROM orders ORDER BY o_orderkey",
+    "q50_explode_agg" ->
+      "SELECT t AS token, COUNT(*) AS c FROM documents, UNNEST(string_split(text,' ')) AS u(t) GROUP BY t ORDER BY c DESC, token LIMIT 20",
+    "q51_pivot" ->
+      "SELECT user_id, COUNT(*) FILTER (event_type='click') AS click, COUNT(*) FILTER (event_type='error') AS error, COUNT(*) FILTER (event_type='purchase') AS purchase, COUNT(*) FILTER (event_type='signup') AS signup, COUNT(*) FILTER (event_type='view') AS view FROM events GROUP BY user_id ORDER BY user_id",
+    "q52_window_fns2" ->
+      "SELECT c_mktsegment, c_custkey, NTILE(4) OVER w AS quartile, ROUND(PERCENT_RANK() OVER w,4) AS pr, ROUND(CUME_DIST() OVER w,4) AS cd, FIRST_VALUE(c_custkey) OVER wf AS top_cust, LAST_VALUE(c_custkey) OVER wf AS bottom_cust FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey), wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY c_mktsegment, c_custkey"
   )
 }
