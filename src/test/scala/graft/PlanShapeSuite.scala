@@ -55,6 +55,15 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(q.count() == 50L)
   }
 
+  test("J7/J8: custom time joins stay equi-join shaped (never NLJ/cartesian)") {
+    val p12 = plan(Queries.q12(spark, sfDir))
+    assert(!p12.contains("BroadcastNestedLoopJoin") && !p12.contains("CartesianProduct"), p12)
+    val p13 = plan(Queries.q13(spark, sfDir))
+    assert(!p13.contains("BroadcastNestedLoopJoin") && !p13.contains("CartesianProduct"), p13)
+    // as-of is union+window: exactly zero joins in the plan
+    assert(!p13.contains("Join"), p13)
+  }
+
   test("bucketed tables join without an Exchange (co-located join)") {
     import graft.operators.Joins
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
