@@ -297,10 +297,12 @@ object Queries {
 
   /** Q33 (F5): array family over the embedding column. */
   def q33(s: SparkSession, d: String): DataFrame =
+    // "+ 0.0" normalizes IEEE negative zero after rounding (Spark rounds
+    // -1e-6 → 0.0, DuckDB → -0.0; the oracle SQL applies the same +0)
     embeddings(s, d).select(col("vec_id"),
         size(col("embedding")).cast("bigint").as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
-        round(element_at(col("embedding"), 64).cast("double"), 4).as("e64"))
+        (round(element_at(col("embedding"), 1).cast("double"), 4) + 0.0).as("e1"),
+        (round(element_at(col("embedding"), 64).cast("double"), 4) + 0.0).as("e64"))
       .orderBy("vec_id")
 
   /** Q34 (F6): map functions via from_json(map<string,bigint>). */
@@ -380,13 +382,14 @@ object Queries {
   def q46(s: SparkSession, d: String): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val sorted = sort_array(v, asc = false)
+    // "+ 0.0": negative-zero normalization (see q33)
     embeddings(s, d).select(col("vec_id"),
-        round(aggregate(v, lit(0.0), (a, x) => a + x), 4).as("vsum"),
+        (round(aggregate(v, lit(0.0), (a, x) => a + x), 4) + 0.0).as("vsum"),
         round(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x), 4)
           .as("sumsq"),
-        round(element_at(sorted, 1), 4).as("t1"),
-        round(element_at(sorted, 2), 4).as("t2"),
-        round(element_at(sorted, 3), 4).as("t3"))
+        (round(element_at(sorted, 1), 4) + 0.0).as("t1"),
+        (round(element_at(sorted, 2), 4) + 0.0).as("t2"),
+        (round(element_at(sorted, 3), 4) + 0.0).as("t3"))
       .orderBy("vec_id")
   }
 

@@ -148,7 +148,7 @@ object SparkEntry {
     "q32_json_agg" ->
       "SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS kb, COUNT(*) AS c FROM events GROUP BY 1 ORDER BY kb",
     "q33_array_fns" ->
-      "SELECT vec_id, len(embedding) AS dim, ROUND(CAST(embedding[1] AS DOUBLE),4) AS e1, ROUND(CAST(embedding[64] AS DOUBLE),4) AS e64 FROM embeddings ORDER BY vec_id",
+      "SELECT vec_id, len(embedding) AS dim, ROUND(CAST(embedding[1] AS DOUBLE),4) + 0 AS e1, ROUND(CAST(embedding[64] AS DOUBLE),4) + 0 AS e64 FROM embeddings ORDER BY vec_id",
     "q34_map_fns" ->
       "SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
     "q35_hash_fns" ->
@@ -166,7 +166,7 @@ object SparkEntry {
     "q41_jaccard_pairs" ->
       "WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS tok FROM documents WHERE doc_id < 50), p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, len(list_intersect(a.tok,b.tok))/CAST(len(list_distinct(list_concat(a.tok,b.tok))) AS DOUBLE) AS jr FROM t a JOIN t b ON a.doc_id < b.doc_id) SELECT d1, d2, ROUND(jr,4) AS j FROM p WHERE jr >= 0.6 ORDER BY d1, d2",
     "q42_cosine_topk" ->
-      "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)/(SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))*SQRT(list_dot_product(q.qv,q.qv))),4) AS cos FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10",
+      "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) SELECT e.vec_id, ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)/(SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))*SQRT(list_dot_product(q.qv,q.qv))),4) + 0 AS cos FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 ORDER BY cos DESC, e.vec_id LIMIT 10",
     "q43_text_stats" ->
       "SELECT lang, COUNT(*) AS docs, ROUND(AVG(n_chars),4) AS avg_chars, ROUND(AVG(len(string_split(text,' '))),4) AS avg_toks FROM documents GROUP BY lang ORDER BY lang",
     "q44_multimodal_join" ->
@@ -174,7 +174,7 @@ object SparkEntry {
     "q45_cube" ->
       "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c, ROUND(SUM(o_totalprice),4) AS sp FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
     "q46_hof_arrays" ->
-      "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), s AS (SELECT vec_id, v, list_reverse_sort(v) AS vs FROM t) SELECT vec_id, ROUND(list_sum(v),4) AS vsum, ROUND(list_sum(list_transform(v, x -> x*x)),4) AS sumsq, ROUND(vs[1],4) AS t1, ROUND(vs[2],4) AS t2, ROUND(vs[3],4) AS t3 FROM s ORDER BY vec_id",
+      "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), s AS (SELECT vec_id, v, list_reverse_sort(v) AS vs FROM t) SELECT vec_id, ROUND(list_sum(v),4) + 0 AS vsum, ROUND(list_sum(list_transform(v, x -> x*x)),4) AS sumsq, ROUND(vs[1],4) + 0 AS t1, ROUND(vs[2],4) + 0 AS t2, ROUND(vs[3],4) + 0 AS t3 FROM s ORDER BY vec_id",
     "q47_string_fns2" ->
       "SELECT p_partkey, regexp_extract(p_type,'([A-Z]+)$',1) AS last_w, LPAD(p_brand,12,'*') AS brand_pad, array_to_string(string_split(p_name,' '),'|') AS name_bar FROM part ORDER BY p_partkey",
     "q48_map_fns2" ->

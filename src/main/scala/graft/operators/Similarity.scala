@@ -30,7 +30,10 @@ object Similarity {
     emb.where(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("__v", toDouble(col(vecCol)))
-      .select(col(idCol), round(fastCosine(col("__v"), col("__qv")), 4).as("cos"))
+      // "+ 0.0" folds IEEE -0.0 (from rounding tiny negative cosines) to
+      // +0.0 so cross-engine comparisons agree
+      .select(col(idCol),
+        (round(fastCosine(col("__v"), col("__qv")), 4) + 0.0).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
