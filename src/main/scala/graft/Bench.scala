@@ -32,8 +32,12 @@ object Bench {
     }
     val results = names.map { n =>
       val t0 = System.nanoTime()
+      // failures must be loud: a swallowed throw would record its (fast)
+      // failure time as a legitimate benchmark number
       try materialize(n)
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] FAILED $n: ${e.getMessage}")
+      }
       n -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

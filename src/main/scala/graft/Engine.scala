@@ -25,6 +25,9 @@ object Engine {
       // dims (region/nation/customer at tested SFs) stay broadcast-able
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.orc.impl", "native")
+      // fixture events.parquet carries TIMESTAMP(NANOS); pinned here so
+      // the behavior is explicit session config, not a loader side effect
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 

@@ -25,7 +25,8 @@ object CorpusPipelineJob {
       shards: Int = 64)
 
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val exact = Dedup.exactDedup(docs, cfg.textCol)
+    // min-id representative → deterministic across partitionings
+    val exact = Dedup.exactDedup(docs, cfg.textCol, cfg.idCol)
 
     // drop the higher-id side of every near-dup pair
     val dupIds = Dedup.minHashLshPairs(exact, cfg.idCol, cfg.textCol, cfg.nearDupTau)

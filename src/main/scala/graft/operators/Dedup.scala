@@ -14,9 +14,23 @@ object Dedup {
 
   def tokenSet(text: Column): Column = array_distinct(split(text, " "))
 
-  /** L1 exact dedup: one representative row per distinct content hash. */
-  def exactDedup(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("__h", md5(col(textCol))).dropDuplicates("__h").drop("__h")
+  /** L1 exact dedup: one representative row per distinct content hash.
+    * With `idCol`, the representative is the minimum id — deterministic
+    * across runs/partitionings (required by the incremental-rebuild
+    * posture in [[Pipelines]]); without it, dropDuplicates keeps an
+    * arbitrary row (cheaper: map-side partial dedup, no window). */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String = ""): DataFrame = {
+    val hashed = df.withColumn("__h", md5(col(textCol)))
+    val kept =
+      if (idCol.isEmpty) hashed.dropDuplicates("__h")
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__h").orderBy(col(idCol))
+        hashed.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+      }
+    kept.drop("__h")
+  }
 
   private def jaccard(t1: Column, t2: Column): Column =
     size(array_intersect(t1, t2)) / size(array_union(t1, t2)).cast("double")

@@ -94,6 +94,12 @@ object Joins {
     * dimension side. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would surface each unmatched right row once per
+    // salt replica — semantically wrong, so reject those join types
+    require(Set("inner", "left", "left_outer", "leftouter", "cross")
+        .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/cross joins, not $joinType " +
+        "(the right side is replicated per salt)")
     val l = left.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor.toLong)))
     val r = right.withColumn("__salt",

@@ -63,14 +63,16 @@ object Similarity {
               queryId: Long, k: Int, planes: Int = 8,
               probeRadius: Int = 1): DataFrame = {
     val spark = emb.sparkSession
-    val dim = 64
+    // dimension comes from the query vector itself (a mismatched
+    // hyperplane length would null out every bucket via zip_with padding)
+    val qVec = emb.where(col(idCol) === queryId)
+      .select(toDouble(col(vecCol))).head().getSeq[Double](0)
+    val dim = qVec.length
     val hp = hyperplanes(planes, dim)
     val bucketed = emb.withColumn("__v", toDouble(col(vecCol)))
       .withColumn("__bucket", bucketExpr(col("__v"), hp))
-    val qRow = bucketed.where(col(idCol) === queryId)
-      .select(col("__v"), col("__bucket")).head()
-    val qVec = qRow.getSeq[Double](0)
-    val qBucket = qRow.getLong(1)
+    val qBucket = bucketed.where(col(idCol) === queryId)
+      .select(col("__bucket")).head().getLong(0)
     // multi-probe: all buckets within hamming distance probeRadius
     val probes = (0L until (1L << planes))
       .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= probeRadius)

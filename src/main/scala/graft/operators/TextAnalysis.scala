@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** F8's example scalar UDF. Prefer `size(split(c,' '))` (codegen'd);
-    * this exists to demonstrate UDF registration parity (FIXTURES Q36). */
+    * this exists to demonstrate UDF registration parity (FIXTURES Q36).
+    * split limit -1 keeps trailing empty tokens and null maps to null —
+    * exactly `size(split(c,' '))` semantics, including at the edges. */
   val tokenCountUdf: UserDefinedFunction =
-    udf((s: String) => if (s == null) 0L else s.split(" ").length.toLong)
+    udf((s: String) =>
+      if (s == null) null else java.lang.Long.valueOf(s.split(" ", -1).length.toLong))
 
   def whitespaceTokens(text: Column): Column = split(text, " ")
 

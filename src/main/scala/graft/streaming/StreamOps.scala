@@ -28,7 +28,12 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col("c"))
 
   /** T4: session windows (gap-based) → (user_id, sid, c, v) with sid a
-    * per-user 1-based session index ordered by session start. */
+    * per-user 1-based session index ordered by session start.
+    *
+    * Boundary semantics (empirically verified on Spark 4.1): an event at
+    * exactly `prev_ts + gap` merges into the SAME session (inclusive),
+    * so the gaps-and-islands oracle's "new session when gap > 1800"
+    * matches Spark exactly, including at the boundary. */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
     val s = events.groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("c"), round(sum(col("value")), 4).as("v"))

@@ -64,11 +64,13 @@ def main():
         except Exception as e:
             n_fail += 1
             print(f"ERROR {name}: {type(e).__name__}: {e}")
-    # rows-only entries (no oracle): just report counts
+    # rows-only entries (no oracle): replicate the driver's rows>0 check
     for p in sorted(Path(out_dir).iterdir()):
         if p.is_dir() and p.name not in oracle:
             n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
             status = "ok" if n > 0 else "EMPTY"
+            if n == 0:
+                n_fail += 1
             print(f"rows-only {p.name}: {n} rows [{status}]")
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
