@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{VectorFunctions, WeightedMean}
-import graft.operators.{Dedup, Joins, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, Pipelines, Similarity, TextAnalysis}
 import graft.sources.CdcIngest
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -451,7 +451,20 @@ object Queries {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** Q53 (pipeline): overlapping token-window chunking (context-length
+    * prep) — 16-token windows, 4-token overlap. */
+  def q53(s: SparkSession, d: String): DataFrame =
+    Pipelines.chunkByTokens(documents(s, d).where(col("doc_id") < 100),
+        "doc_id", "text", chunkSize = 16, overlap = 4)
+      .orderBy("doc_id", "chunk_id")
+
   // ---- extras: rows-only-checked operators (no portable SQL oracle) ------
+
+  /** TF-IDF top-5 terms per doc (ranking on unrounded double scores is
+    * libm-sensitive cross-engine → rows-only check + ScalaTest). */
+  def xTfIdf(s: SparkSession, d: String): DataFrame =
+    Pipelines.tfIdfTopTerms(documents(s, d), "doc_id", "text", k = 5)
+      .orderBy("doc_id", "rk")
 
   /** L2 scale path: MinHash-LSH candidate pairs + exact verify. */
   def xMinHashLsh(s: SparkSession, d: String): DataFrame =

@@ -69,6 +69,7 @@ object SparkEntry {
     "q50_explode_agg" -> (Queries.q50 _),
     "q51_pivot" -> (Queries.q51 _),
     "q52_window_fns2" -> (Queries.q52 _),
+    "q53_chunking" -> (Queries.q53 _),
     // extras: no portable oracle → rows-only check
     "x_minhash_lsh" -> (Queries.xMinHashLsh _),
     "x_simhash" -> (Queries.xSimHash _),
@@ -79,7 +80,8 @@ object SparkEntry {
     "x_token_stats" -> (Queries.xTokenStats _),
     "x_multimodal" -> (Queries.xMultimodal _),
     "x_cdc_ingest" -> (Queries.xCdcIngest _),
-    "x_orc_sink" -> (Queries.xOrcSinkRoundtrip _)
+    "x_orc_sink" -> (Queries.xOrcSinkRoundtrip _),
+    "x_tfidf" -> (Queries.xTfIdf _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -186,6 +188,8 @@ object SparkEntry {
     "q51_pivot" ->
       "SELECT user_id, COUNT(*) FILTER (event_type='click') AS click, COUNT(*) FILTER (event_type='error') AS error, COUNT(*) FILTER (event_type='purchase') AS purchase, COUNT(*) FILTER (event_type='signup') AS signup, COUNT(*) FILTER (event_type='view') AS view FROM events GROUP BY user_id ORDER BY user_id",
     "q52_window_fns2" ->
-      "SELECT c_mktsegment, c_custkey, NTILE(4) OVER w AS quartile, ROUND(PERCENT_RANK() OVER w,4) AS pr, ROUND(CUME_DIST() OVER w,4) AS cd, FIRST_VALUE(c_custkey) OVER wf AS top_cust, LAST_VALUE(c_custkey) OVER wf AS bottom_cust FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey), wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY c_mktsegment, c_custkey"
+      "SELECT c_mktsegment, c_custkey, NTILE(4) OVER w AS quartile, ROUND(PERCENT_RANK() OVER w,4) AS pr, ROUND(CUME_DIST() OVER w,4) AS cd, FIRST_VALUE(c_custkey) OVER wf AS top_cust, LAST_VALUE(c_custkey) OVER wf AS bottom_cust FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey), wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY c_mktsegment, c_custkey",
+    "q53_chunking" ->
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS s FROM documents WHERE doc_id < 100), st AS (SELECT doc_id, s, UNNEST(range(1, GREATEST(len(s) - 4, 1) + 1, 12)) AS b FROM t) SELECT doc_id, CAST((b - 1) / 12 AS BIGINT) AS chunk_id, array_to_string(s[b : b + 15], ' ') AS chunk, len(s[b : b + 15]) AS n_tokens FROM st ORDER BY doc_id, chunk_id"
   )
 }

@@ -53,4 +53,47 @@ object Pipelines {
     * knob that keeps 100 TB outputs at 128-512 MB per file. */
   def shardForOutput(df: DataFrame, idCol: String, shards: Int): DataFrame =
     df.repartition(shards, col(idCol))
+
+  /** Chunk long documents into overlapping token windows (context-length
+    * preparation): windows of `chunkSize` tokens every `chunkSize -
+    * overlap` tokens, last partial window kept. Pure column algebra —
+    * sequence → transform → posexplode, no shuffle, no UDF. Output: one
+    * row per (doc, chunk_id) with the chunk text and its token count. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = split(col(textCol), " ")
+    // window start indices: 1, 1+step, … while start <= numToks (1-based);
+    // the last window may be partial
+    val starts = sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step))
+    val chunks = transform(starts, s => concat_ws(" ", slice(toks, s, lit(chunkSize))))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .select(col(idCol), col("chunk_id").cast("bigint").as("chunk_id"),
+        col("chunk"),
+        size(split(col("chunk"), " ")).cast("bigint").as("n_tokens"))
+  }
+
+  /** TF-IDF top terms per document — the classic two-pass relevance
+    * scorer: pass 1 aggregates document frequency per term (one shuffle),
+    * pass 2 joins idf back (broadcast when the vocab is small) and ranks
+    * terms per doc. Returns the top-`k` terms with scores. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count()
+    val terms = df.select(col(idCol),
+        explode(array_distinct(split(col(textCol), " "))).as("term"))
+    val docFreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(docFreq), "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(nDocs.toDouble + 1) / (col("df") + 1)), 4))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rk").cast("bigint").as("rk"))
+  }
 }

@@ -53,6 +53,34 @@ class PipelinesSuite extends AnyFunSuite {
     assert(Pipelines.shardForOutput(docs, "doc_id", 7).rdd.getNumPartitions == 7)
   }
 
+  test("chunkByTokens: overlap stitches, coverage is total, no tiny tails") {
+    val doc = Seq((1L, (1 to 40).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = graft.operators.Pipelines
+      .chunkByTokens(doc, "doc_id", "text", chunkSize = 16, overlap = 4)
+      .orderBy("chunk_id").collect()
+    // starts 1,13,25 (stop at len-overlap=36): 16,16,16 tokens
+    assert(chunks.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(chunks.map(_.getLong(3)).toSeq == Seq(16L, 16L, 16L))
+    // consecutive chunks share exactly the 4-token overlap
+    val c0 = chunks(0).getString(2).split(" ")
+    val c1 = chunks(1).getString(2).split(" ")
+    assert(c0.takeRight(4).toSeq == c1.take(4).toSeq)
+    // every token appears in some chunk
+    val covered = chunks.flatMap(_.getString(2).split(" ")).toSet
+    assert(covered == (1 to 40).map(i => s"t$i").toSet)
+  }
+
+  test("tfIdfTopTerms: rare terms outrank common ones") {
+    val docs = Seq(
+      (1L, "common common rare1 rare1 rare1"),
+      (2L, "common filler filler"),
+      (3L, "common other other")).toDF("doc_id", "text")
+    val top = graft.operators.Pipelines.tfIdfTopTerms(docs, "doc_id", "text", 2)
+    val d1 = top.where(col("doc_id") === 1 && col("rk") === 1).head()
+    assert(d1.getString(1) == "rare1") // columns: doc_id, term, score, rk
+  }
+
   test("dot_product is callable from SQL (GraftExtensions)") {
     val r = spark.sql(
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
