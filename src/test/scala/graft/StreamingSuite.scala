@@ -111,9 +111,6 @@ class StreamingSuite extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_stream").toString
     val src = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
     Files.createDirectories(java.nio.file.Paths.get(src))
-    // two input files of 50 rows each
-    spark.range(0, 50).toDF("id").write.json(s"$src/batch1")
-    spark.range(50, 100).toDF("id").write.json(s"$src/batch2")
     def runOnce(): Unit = {
       val stream = spark.readStream.schema("id LONG").json(s"$src/*")
       val q = stream.writeStream.format("orc")
@@ -121,11 +118,18 @@ class StreamingSuite extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    // phase 1: only the first 50 rows exist; stream stops after them
+    spark.range(0, 50).toDF("id").write.json(s"$src/batch1")
     runOnce()
-    val n1 = spark.read.orc(out).count()
-    // restart with same checkpoint: no re-processing, no duplicates
+    assert(spark.read.orc(out).count() == 50L)
+    // phase 2: more data lands; restart from checkpoint picks up ONLY the
+    // new file — incremental exactly-once (offsets replay, commit log)
+    spark.range(50, 100).toDF("id").write.json(s"$src/batch2")
     runOnce()
-    val n2 = spark.read.orc(out).count()
-    assert(n1 == 100L && n2 == 100L)
+    val ids = spark.read.orc(out).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 100L), s"got ${ids.length} rows")
+    // phase 3: restart with nothing new: no re-processing, no duplicates
+    runOnce()
+    assert(spark.read.orc(out).count() == 100L)
   }
 }
