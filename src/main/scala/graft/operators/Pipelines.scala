@@ -64,34 +64,38 @@ object Pipelines {
     require(overlap >= 0 && overlap < chunkSize, "0 <= overlap < chunkSize")
     val step = chunkSize - overlap
     val toks = split(col(textCol), " ")
-    // window start indices: 1, 1+step, … while start <= numToks (1-based);
-    // the last window may be partial
+    // window starts: 1, 1+step, … up to numToks - overlap (1-based): a
+    // start past that bound would yield a window fully contained in the
+    // previous chunk's overlap. The last window may be partial.
     val starts = sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step))
-    val chunks = transform(starts, s => concat_ws(" ", slice(toks, s, lit(chunkSize))))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+    val chunks = transform(starts, s => struct(
+      concat_ws(" ", slice(toks, s, lit(chunkSize))).as("chunk"),
+      size(slice(toks, s, lit(chunkSize))).cast("bigint").as("n_tokens")))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
       .select(col(idCol), col("chunk_id").cast("bigint").as("chunk_id"),
-        col("chunk"),
-        size(split(col("chunk"), " ")).cast("bigint").as("n_tokens"))
+        col("c.chunk").as("chunk"), col("c.n_tokens").as("n_tokens"))
   }
 
   /** TF-IDF top terms per document — the classic two-pass relevance
-    * scorer: pass 1 aggregates document frequency per term (one shuffle),
-    * pass 2 joins idf back (broadcast when the vocab is small) and ranks
-    * terms per doc. Returns the top-`k` terms with scores. */
+    * scorer. One explode+groupBy produces tf; docFreq derives from tf
+    * (one row per (doc, term) already) with no second scan of the input;
+    * nDocs joins in as a 1-row aggregate so nothing executes eagerly.
+    * The idf join is left to AQE — a web-scale vocabulary must NOT be
+    * force-broadcast (10^8+ distinct terms blows the broadcast limit);
+    * AQE broadcasts it exactly when it is actually small. */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = df.count()
-    val terms = df.select(col(idCol),
-        explode(array_distinct(split(col(textCol), " "))).as("term"))
-    val docFreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
     val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(docFreq), "term")
+    tf.join(docFreq, "term")
+      .crossJoin(nDocs)
       .withColumn("score",
-        round(col("tf") * log(lit(nDocs.toDouble + 1) / (col("df") + 1)), 4))
+        round(col("tf") * log((col("__n") + 1.0) / (col("df") + 1)), 4))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col(idCol), col("term"), col("score"), col("rk").cast("bigint").as("rk"))
