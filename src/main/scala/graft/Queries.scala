@@ -486,6 +486,10 @@ object Queries {
   def xAnnTopK(s: SparkSession, d: String): DataFrame =
     Similarity.annTopK(embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 10)
 
+  /** ANN top-10 via IVF cells (k-means trained, nProbe nearest cells). */
+  def xIvfTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 10)
+
   /** Embedding-cosine near-dup pairs (threshold fits fixture cosine range). */
   def xEmbedNearDup(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupPairs(embeddings(s, d), "vec_id", "embedding", tau = 0.4)

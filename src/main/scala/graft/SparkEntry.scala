@@ -75,6 +75,7 @@ object SparkEntry {
     "x_simhash" -> (Queries.xSimHash _),
     "x_ngram_jaccard" -> (Queries.xNgramJaccard _),
     "x_ann_topk" -> (Queries.xAnnTopK _),
+    "x_ivf_topk" -> (Queries.xIvfTopK _),
     "x_embed_neardup" -> (Queries.xEmbedNearDup _),
     "x_lang_id" -> (Queries.xLangId _),
     "x_token_stats" -> (Queries.xTokenStats _),

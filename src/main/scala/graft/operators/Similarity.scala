@@ -86,6 +86,79 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN top-k: partition vectors into `nCells`
+    * Voronoi cells around centroids learned with a few Lloyd iterations,
+    * then scan only the `nProbe` cells nearest the query. Complements
+    * sign-LSH: IVF adapts to clustered corpora (centroids follow the
+    * data), LSH needs no training. Training here is DataFrame-native and
+    * seeded: centroids init from evenly-spaced sampled rows, each
+    * iteration is one broadcast-join + groupBy (at 100 TB you train on a
+    * sample and broadcast the tiny centroid table, exactly as below).
+    * Final scan is an equi semi-join on cell id + codegen'd cosine +
+    * TakeOrderedAndProject. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).cast("long"), toDouble(col(vecCol)))
+      .as[(Long, Array[Double])]
+    // deterministic init: rank rows by xxhash64(id), take nCells
+    val seedRows = vecs.toDF("id", "v")
+      .withColumn("__r", xxhash64(col("id")))
+      .orderBy("__r").limit(nCells)
+      .select("v").as[Array[Double]].collect()
+    var centroids: Array[Array[Double]] = seedRows
+    def nearestCell(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    // Lloyd iterations: assign (map over broadcast centroids) + re-mean
+    for (_ <- 0 until lloydIters) {
+      val cs = centroids
+      val bc = spark.sparkContext.broadcast(cs)
+      val means = vecs.map { case (_, v) => (nearestCell(v, bc.value), v) }
+        .groupByKey(_._1)
+        .mapGroups { (cell: Int, it: Iterator[(Int, Array[Double])]) =>
+          val acc = new Array[Double](cs(0).length)
+          var n = 0L
+          it.foreach { case (_, v) =>
+            var i = 0; while (i < v.length) { acc(i) += v(i); i += 1 }; n += 1
+          }
+          (cell, acc.map(_ / n))
+        }.collect().toMap
+      centroids = Array.tabulate(cs.length)(c => means.getOrElse(c, cs(c)))
+    }
+    val finalCs = centroids
+    val bc = spark.sparkContext.broadcast(finalCs)
+    val assigned = vecs.map { case (id, v) => (id, v, nearestCell(v, bc.value)) }
+      .toDF(idCol, "__v", "__cell")
+    val qVec = assigned.where(col(idCol) === queryId)
+      .select("__v").as[Array[Double]].head()
+    // probe the nProbe cells whose centroids are nearest the query
+    val probeCells = finalCs.zipWithIndex
+      .map { case (cv, i) =>
+        var d = 0.0; var j = 0
+        while (j < qVec.length) { val t = qVec(j) - cv(j); d += t * t; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+    val qVecCol = array(qVec.map(lit).toIndexedSeq: _*)
+    assigned.where(col("__cell").isin(probeCells: _*) && col(idCol) =!= queryId)
+      .select(col(idCol),
+        (round(cosine(col("__v"), qVecCol), 4) + 0.0).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup pairs at threshold `tau`, exact, via block
     * matrix self-multiply: vectors are L2-normalized once, grouped into
     * blocks of `blockSize`, block *pairs* are joined (each block ships

@@ -87,6 +87,19 @@ class OperatorsSuite extends AnyFunSuite {
     both.collect()
   }
 
+  test("L3 IVF top-k overlaps brute-force top-k and is deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def ivf() = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+        nCells = 8, nProbe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val a = ivf()
+    // probing half the cells on a diffuse corpus: expect solid overlap
+    assert((brute & a.toSet).size >= 5, s"brute=$brute ivf=$a")
+    assert(a == ivf()) // seeded training → same result every run
+  }
+
   test("multimodal decode: batched features are deterministic + unit-norm") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val withPayload = Multimodal.withBinaryPayload(docs, "text")
