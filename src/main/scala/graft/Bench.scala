@@ -9,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune computed columns and under-report). One untimed warmup
   * pass absorbs JIT/classloading so the timed pass measures the engine,
   * not the JVM. Prints exactly ONE JSON line.
+  *
+  * Failure policy: a query that throws is recorded in `"failed"` (its
+  * per-query value is null, it contributes nothing to the total) and the
+  * process exits non-zero — a fast failure must never read as a fast
+  * query. Regression policy: when a baseline file with a `"queries"`
+  * object is available (SPARK_GRAFT_BASELINE, default BENCH_r01.json),
+  * any query slower than 2× its baseline lands in `"regressions"`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,20 +37,60 @@ object Bench {
       try materialize(n)
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n: ${e.getMessage}") }
     }
-    val results = names.map { n =>
+    val results: Seq[(String, Option[Double])] = names.map { n =>
       val t0 = System.nanoTime()
-      // failures must be loud: a swallowed throw would record its (fast)
-      // failure time as a legitimate benchmark number
-      try materialize(n)
+      try { materialize(n); n -> Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] FAILED $n: ${e.getMessage}")
+        n -> None
       }
-      n -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val failed = results.collect { case (n, None) => n }
+    val baseline = loadBaseline(
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "/root/repo/BENCH_r01.json"))
+    // >2× the per-query baseline AND >0.25 s absolute (sub-second queries
+    // jitter well past 2× under driver load; tiny absolutes aren't signal)
+    val regressions = results.collect {
+      case (n, Some(t)) if baseline.get(n).exists(b => t > 2 * b && t - b > 0.25) =>
+        n -> t / baseline(n)
+    }
+    regressions.foreach { case (n, r) =>
+      System.err.println(f"[bench] REGRESSION $n: ${r}%.2fx baseline")
+    }
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + f"\":$v%.3f"
+      case (k, None) => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regJson = regressions.map { case (n, r) => "\"" + n + f"\":$r%.2f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Per-query baseline seconds from any JSON containing a `"queries"`
+    * object (a prior BENCH_r{N}.json works as-is — including the driver's
+    * wrapper, whose bench line sits inside a "tail" string). Absent or
+    * unparsable file → empty map (comparison silently off). */
+  private def loadBaseline(path: String): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return Map.empty
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      // the marker may appear JSON-escaped (\"queries\") when a prior
+      // bench line is embedded in a wrapper's "tail" string
+      val marker = """\\?"queries\\?":""".r
+      val at = marker.findAllMatchIn(text).toSeq.lastOption
+        .map(_.start).getOrElse(return Map.empty)
+      val entry = """\\?"([A-Za-z0-9_]+)\\?":([0-9]+\.?[0-9]*)""".r
+      // scope to the queries object: from the marker to its closing brace
+      val scoped = text.substring(at)
+      val end = scoped.indexOf('}')
+      if (end < 0) return Map.empty
+      entry.findAllMatchIn(scoped.drop(1).take(end + 1))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
   }
 }

@@ -401,12 +401,15 @@ object Queries {
         array_join(split(col("p_name"), " "), "|").as("name_bar"))
       .orderBy("p_partkey")
 
-  /** Q48 (F6): map_keys / map_values over JSON-decoded props. */
+  /** Q48 (F6): map_keys / map_values over JSON-decoded props. kv1 looks
+    * up key "k" explicitly — the oracle extracts '$.k', and a positional
+    * map_values lookup would silently depend on JSON key order the moment
+    * the fixture grows a second key. */
   def q48(s: SparkSession, d: String): DataFrame = {
     val m = from_json(col("props"), "map<string,bigint>", Map.empty[String, String])
     events(s, d).select(col("event_id"),
         array_join(map_keys(m), ",").as("ks"),
-        (element_at(map_values(m), 1) + 1L).as("kv1"))
+        (element_at(m, "k") + 1L).as("kv1"))
       .orderBy("event_id")
   }
 
@@ -525,7 +528,10 @@ object Queries {
     * and read it back aggregated — puts ORC write+read throughput into
     * the bench alongside query throughput. */
   def xOrcSinkRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_bench"
+    // per-application output dir: concurrent Verify/Bench/test processes
+    // on one machine must not overwrite each other's files mid-read
+    val out = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_sink_bench_${s.sparkContext.applicationId}"
     val src = events(s, d).withColumn("c_date",
       date_format(col("ts"), "yyyy-MM-dd"))
     // overwrite (not append): keeps the bench idempotent across runs

@@ -27,14 +27,14 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read nanos as long (legacy conf) and truncate to micros — the same
-    * truncation every micros-precision engine (incl. the DuckDB oracle)
-    * applies to ns data. Integer DIV: ns values exceed double's 2^53. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * nanosAsLong is pinned in [[Engine.configure]] (session conf, not a
+    * loader side effect — a runtime `conf.set` here would race concurrent
+    * suites sharing the session) and the long is truncated to micros — the
+    * same truncation every micros-precision engine (incl. the DuckDB
+    * oracle) applies to ns data. Integer DIV: ns exceeds double's 2^53. */
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

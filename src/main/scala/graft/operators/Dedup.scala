@@ -20,6 +20,7 @@ object Dedup {
     * posture in [[Pipelines]]); without it, dropDuplicates keeps an
     * arbitrary row (cheaper: map-side partial dedup, no window). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String = ""): DataFrame = {
+    Joins.requireFreeColumns("exactDedup", df.columns, "__h", "__rn")
     val hashed = df.withColumn("__h", md5(col(textCol)))
     val kept =
       if (idCol.isEmpty) hashed.dropDuplicates("__h")

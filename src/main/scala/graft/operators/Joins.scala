@@ -11,6 +11,17 @@ import org.apache.spark.sql.types.StructType
   */
 object Joins {
 
+  /** A fixed internal column name would silently shadow (and then drop) a
+    * caller column of the same name — corrupting user data with no error.
+    * Fail fast instead. */
+  private[operators] def requireFreeColumns(op: String, cols: Seq[String],
+                                            internal: String*): Unit = {
+    val clash = internal.intersect(cols)
+    require(clash.isEmpty,
+      s"$op uses internal column(s) ${clash.mkString(", ")}; rename the " +
+        "conflicting input column(s)")
+  }
+
   /** Range join (J7): pairs rows of `left` and `right` sharing a key with
     * `right.ts ∈ (left.ts, left.ts + widthSec]`.
     *
@@ -26,6 +37,8 @@ object Joins {
   def rangeJoin(left: DataFrame, leftKey: String, leftTs: String,
                 right: DataFrame, rightKey: String, rightTs: String,
                 widthSec: Long): DataFrame = {
+    requireFreeColumns("rangeJoin", left.columns ++ right.columns,
+      "__lus", "__b", "__rus", "__rb")
     val w = widthSec * 1000000L // micros
     val l = left
       .withColumn("__lus", unix_micros(col(leftTs)))
@@ -54,6 +67,8 @@ object Joins {
   def asofLatestTs(left: DataFrame, leftKey: String, leftTs: String,
                    right: DataFrame, rightKey: String, rightTs: String,
                    strict: Boolean = true): DataFrame = {
+    requireFreeColumns("asofLatestTs", left.columns :+ "asof_ts",
+      "__key", "__ts", "__side", "__row", "__rts", "__asof")
     val tsType = right.schema(rightTs).dataType
     val rowType = StructType(left.schema.fields)
     val lSide = if (strict) 0 else 1
@@ -100,6 +115,7 @@ object Joins {
         .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left/cross joins, not $joinType " +
         "(the right side is replicated per salt)")
+    requireFreeColumns("saltedJoin", left.columns ++ right.columns, "__salt")
     val l = left.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor.toLong)))
     val r = right.withColumn("__salt",

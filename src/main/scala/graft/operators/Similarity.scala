@@ -62,6 +62,11 @@ object Similarity {
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, planes: Int = 8,
               probeRadius: Int = 1): DataFrame = {
+    // probe enumeration below iterates 1L << planes on the driver; 2^24
+    // (~17M cheap iterations) is the sane ceiling — beyond that the caller
+    // wants a different probing scheme, not a bigger loop
+    require(planes > 0 && planes <= 24,
+      s"annTopK supports 1..24 hyperplanes, got $planes")
     val spark = emb.sparkSession
     // dimension comes from the query vector itself (a mismatched
     // hyperplane length would null out every bucket via zip_with padding)
@@ -90,25 +95,30 @@ object Similarity {
     * Voronoi cells around centroids learned with a few Lloyd iterations,
     * then scan only the `nProbe` cells nearest the query. Complements
     * sign-LSH: IVF adapts to clustered corpora (centroids follow the
-    * data), LSH needs no training. Training here is DataFrame-native and
-    * seeded: centroids init from evenly-spaced sampled rows, each
-    * iteration is one broadcast-join + groupBy (at 100 TB you train on a
-    * sample and broadcast the tiny centroid table, exactly as below).
-    * Final scan is an equi semi-join on cell id + codegen'd cosine +
-    * TakeOrderedAndProject. */
+    * data), LSH needs no training.
+    *
+    * Training is sample-based: one TakeOrdered pass picks `trainCap`
+    * rows by hash rank (deterministic, ~2 MB at the default cap), then
+    * Lloyd runs driver-side over that sample — zero cluster passes per
+    * iteration. The full corpus is touched exactly twice: once to draw
+    * the sample, once for final cell assignment with the trained
+    * centroids broadcast. That is the 100 TB shape — training cost is
+    * bounded by the cap, not by corpus size. Final scan is an equi
+    * semi-join on cell id + codegen'd cosine + TakeOrderedAndProject. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nCells: Int = 16, nProbe: Int = 4,
-              lloydIters: Int = 2): DataFrame = {
+              lloydIters: Int = 2, trainCap: Int = 4096): DataFrame = {
+    require(trainCap >= nCells, s"trainCap ($trainCap) must cover nCells ($nCells)")
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col(idCol).cast("long"), toDouble(col(vecCol)))
       .as[(Long, Array[Double])]
-    // deterministic init: rank rows by xxhash64(id), take nCells
-    val seedRows = vecs.toDF("id", "v")
+    // deterministic sample: top-trainCap by xxhash64(id) (id tie-break) —
+    // TakeOrderedAndProject, so only trainCap rows ever reach the driver
+    val sample: Array[Array[Double]] = vecs.toDF("id", "v")
       .withColumn("__r", xxhash64(col("id")))
-      .orderBy("__r").limit(nCells)
+      .orderBy("__r", "id").limit(trainCap)
       .select("v").as[Array[Double]].collect()
-    var centroids: Array[Array[Double]] = seedRows
     def nearestCell(v: Array[Double], cs: Array[Array[Double]]): Int = {
       var best = 0; var bestD = Double.MaxValue
       var c = 0
@@ -121,21 +131,21 @@ object Similarity {
       }
       best
     }
-    // Lloyd iterations: assign (map over broadcast centroids) + re-mean
+    // init: first nCells sampled rows; Lloyd over the sample, in-process
+    var centroids: Array[Array[Double]] = sample.take(nCells)
     for (_ <- 0 until lloydIters) {
       val cs = centroids
-      val bc = spark.sparkContext.broadcast(cs)
-      val means = vecs.map { case (_, v) => (nearestCell(v, bc.value), v) }
-        .groupByKey(_._1)
-        .mapGroups { (cell: Int, it: Iterator[(Int, Array[Double])]) =>
-          val acc = new Array[Double](cs(0).length)
-          var n = 0L
-          it.foreach { case (_, v) =>
-            var i = 0; while (i < v.length) { acc(i) += v(i); i += 1 }; n += 1
-          }
-          (cell, acc.map(_ / n))
-        }.collect().toMap
-      centroids = Array.tabulate(cs.length)(c => means.getOrElse(c, cs(c)))
+      val dim = cs(0).length
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      sample.foreach { v =>
+        val c = nearestCell(v, cs)
+        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      centroids = Array.tabulate(cs.length) { c =>
+        if (counts(c) == 0) cs(c) else sums(c).map(_ / counts(c))
+      }
     }
     val finalCs = centroids
     val bc = spark.sparkContext.broadcast(finalCs)
@@ -159,54 +169,119 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-dup pairs at threshold `tau`, exact, via block
-    * matrix self-multiply: vectors are L2-normalized once, grouped into
-    * blocks of `blockSize`, block *pairs* are joined (each block ships
-    * once per pair, not once per row pair), and the dot products run as
-    * tight primitive loops inside `flatMap`. A naive pair join would
-    * materialize O(N²) rows each carrying two vectors — ~1 KB per pair —
-    * which is the difference between 117 s and <2 s at 5k vectors, and
-    * between impossible and routine at 100 TB. Norm/threshold pruning and
-    * LSH candidate generation slot in front unchanged when tau is high. */
+  /** Embedding-cosine near-dup pairs at threshold `tau`, via a candidate
+    * block-pair front + exact block kernel.
+    *
+    * Shape: vectors are L2-normalized and hashed into `nBlocks` blocks;
+    * the kernel consumes a DataFrame of *candidate block pairs* — joined
+    * twice by equi-join on block id (never a non-equi join over block
+    * rows) — and runs the dot products as tight primitive loops inside
+    * `flatMap`. Each block ships once per candidate pair, not once per
+    * row pair: a naive row-pair join materializes O(N²) rows each
+    * carrying two vectors, the difference between 117 s and <2 s at 5k
+    * vectors and between impossible and routine at 100 TB.
+    *
+    * Candidate generation (default): sign-LSH banding over the
+    * normalized vectors — `bands` bands of `bitsPerBand` hyperplane-sign
+    * bits each; a block pair is a candidate iff some band-bucket occurs
+    * in both blocks. Row-pair recall for a pair at cosine c is
+    * `1-(1-p^r)^bands` with `p = 1-acos(c)/π`; block-level recall is at
+    * least that (blocks can also collide via other rows). Defaults
+    * (r=2, 64 bands) put recall at ~1-1e-14 for c ≥ 0.4 — effectively
+    * exhaustive — while staying one tiny keyed self-join on (band,
+    * bucket) ints. On clustered corpora at higher tau, raise
+    * `bitsPerBand` so the bucket space actually partitions the blocks;
+    * at low tau on isotropic data the front degenerates to ~all pairs
+    * (information-theoretically there is nothing to prune) but costs
+    * only the summary join extra. `exactAllPairs = true` bypasses LSH
+    * and enumerates every block pair (the oracle form for equivalence
+    * tests).
+    *
+    * At 100 TB: size `nBlocks` ≈ corpus/1024 rows and persist the
+    * upstream (normalized) table if calling repeatedly — the lazy plan
+    * recomputes the scan per join input otherwise. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                         tau: Double, blockSize: Int = 1024): DataFrame = {
+                         tau: Double, nBlocks: Int = 64,
+                         bitsPerBand: Int = 2, bands: Int = 64,
+                         exactAllPairs: Boolean = false): DataFrame = {
+    // the exact path enumerates nBlocks²/2 (ba, bb) ints driver-side
+    require(nBlocks > 0 && nBlocks <= 1024, s"nBlocks in 1..1024, got $nBlocks")
+    require(bitsPerBand >= 1 && bitsPerBand <= 16 && bands >= 1,
+      "bitsPerBand in 1..16, bands >= 1")
     val spark = emb.sparkSession
     import spark.implicits._
+    val planes = bitsPerBand * bands
+    val (nb, r, nbands) = (nBlocks, bitsPerBand, bands)
+    // (blockId, id, normalizedVec, bandKeys): one typed pass; hyperplanes
+    // regenerate per partition from the fixed seed (needs the runtime dim)
     val normed = emb.select(col(idCol).cast("long"), toDouble(col(vecCol)))
       .as[(Long, Array[Double])]
-      .map { case (id, v) =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        (id, if (n == 0.0) v else v.map(_ / n))
-      }
-    val nBlocks = math.max(1L,
-      (emb.count() + blockSize - 1) / blockSize).toInt
-    val blocks = normed
-      .groupByKey { case (id, _) => (math.abs(id) % nBlocks).toInt }
-      .mapGroups((bid: Int, it: Iterator[(Long, Array[Double])]) => (bid, it.toArray))
-    val pairs = blocks.as("a")
-      .joinWith(blocks.as("b"), $"a._1" <= $"b._1")
-      .flatMap { case ((ba, va), (bb, vb)) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var i = 0
-        while (i < va.length) {
-          val (ia, xa) = va(i)
-          var j = if (ba == bb) i + 1 else 0
-          while (j < vb.length) {
-            val (ib, xb) = vb(j)
-            if (ia != ib) {
-              var dot = 0.0
-              var k = 0
-              while (k < xa.length) { dot += xa(k) * xb(k); k += 1 }
-              if (dot >= tau) {
-                out += (if (ia < ib) (ia, ib, dot) else (ib, ia, dot))
-              }
+      .mapPartitions { it =>
+        var hp: Array[Array[Double]] = null
+        it.map { case (id, v) =>
+          val n = math.sqrt(v.map(x => x * x).sum)
+          val nv = if (n == 0.0) v else v.map(_ / n)
+          if (hp == null) hp = hyperplanes(planes, nv.length)
+          val keys = Array.tabulate(nbands) { b =>
+            var bucket = 0L
+            var j = 0
+            while (j < r) {
+              val plane = hp(b * r + j)
+              var dot = 0.0; var i = 0
+              while (i < nv.length) { dot += nv(i) * plane(i); i += 1 }
+              if (dot >= 0) bucket |= (1L << j)
+              j += 1
             }
-            j += 1
+            (b.toLong << 32) | bucket
           }
-          i += 1
+          (((id % nb + nb) % nb).toInt, id, nv, keys)
         }
-        out
       }
+    val blocks = normed.groupByKey(_._1)
+      .mapGroups((bid, it) => (bid, it.map(t => (t._2, t._3)).toArray))
+      .toDF("bid", "rows")
+    val cand: DataFrame =
+      if (exactAllPairs) {
+        val all = for { i <- 0 until nb; j <- i until nb } yield (i, j)
+        all.toDF("ba", "bb")
+      } else {
+        // distinct (block, band-bucket) summaries are ints — the self-join
+        // is an equi hash join on the band key, post-filtered to ba <= bb
+        val summaries = normed
+          .flatMap { case (bid, _, _, keys) => keys.map(k => (bid, k)) }
+          .toDF("bid", "k").distinct()
+        summaries.select(col("bid").as("ba"), col("k"))
+          .join(summaries.select(col("bid").as("bb"), col("k").as("k2")),
+            col("k") === col("k2") && col("ba") <= col("bb"))
+          .select("ba", "bb").distinct()
+      }
+    val paired = cand
+      .join(blocks.select(col("bid").as("ba"), col("rows").as("rowsA")), "ba")
+      .join(blocks.select(col("bid").as("bb"), col("rows").as("rowsB")), "bb")
+      .select((col("ba") === col("bb")).as("same"), col("rowsA"), col("rowsB"))
+      .as[(Boolean, Array[(Long, Array[Double])], Array[(Long, Array[Double])])]
+    val pairs = paired.flatMap { case (same, va, vb) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < va.length) {
+        val (ia, xa) = va(i)
+        var j = if (same) i + 1 else 0
+        while (j < vb.length) {
+          val (ib, xb) = vb(j)
+          if (ia != ib) {
+            var dot = 0.0
+            var k = 0
+            while (k < xa.length) { dot += xa(k) * xb(k); k += 1 }
+            if (dot >= tau) {
+              out += (if (ia < ib) (ia, ib, dot) else (ib, ia, dot))
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
     pairs.toDF("v1", "v2", "__cos")
       .select(col("v1"), col("v2"), round(col("__cos"), 4).as("cos"))
   }

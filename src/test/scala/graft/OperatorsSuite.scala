@@ -100,6 +100,17 @@ class OperatorsSuite extends AnyFunSuite {
     assert(a == ivf()) // seeded training → same result every run
   }
 
+  test("L3 embedding near-dup: LSH candidate front ≡ exact all-block-pairs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      tau = 0.4, exactAllPairs = true)
+    val front = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      tau = 0.4)
+    // defaults (2 bits × 64 bands) put row-pair recall at ~1-1e-14 for
+    // cos ≥ 0.4; candidates are verified exactly, so equality must hold
+    assert(rows(front) == rows(exact))
+  }
+
   test("multimodal decode: batched features are deterministic + unit-norm") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val withPayload = Multimodal.withBinaryPayload(docs, "text")

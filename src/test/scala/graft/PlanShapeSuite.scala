@@ -64,6 +64,13 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!p13.contains("Join"), p13)
   }
 
+  test("embedding near-dup candidate front plans equi-joins only") {
+    // the block kernel must consume candidate block pairs via equi joins —
+    // a non-equi join over block rows is the O(B²) nested loop we removed
+    val p = plan(Queries.xEmbedNearDup(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed tables join without an Exchange (co-located join)") {
     import graft.operators.Joins
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
