@@ -475,9 +475,9 @@ object Queries {
         "doc_id", "text", tau = 0.6)
       .orderBy("d1", "d2")
 
-  /** SimHash-64 fingerprints. */
+  /** SimHash fingerprints (md5-sourced bits → oracle-replicable). */
   def xSimHash(s: SparkSession, d: String): DataFrame =
-    Dedup.simHash64(documents(s, d), "doc_id", "text").orderBy("doc_id")
+    Dedup.simHash(documents(s, d), "doc_id", "text").orderBy("doc_id")
 
   /** Word-3-gram shingle Jaccard near-dup pairs. */
   def xNgramJaccard(s: SparkSession, d: String): DataFrame =
@@ -505,21 +505,27 @@ object Queries {
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
 
-  /** Per-doc token/char/quality/fingerprint stats. */
+  /** Per-doc token/char/quality stats. The rolling xxhash fingerprint is
+    * dropped from this surface (xxhash64 has no portable oracle; it is
+    * covered by OperatorsSuite's order-sensitivity test) so the remaining
+    * columns hash-match the DuckDB oracle. */
   def xTokenStats(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.tokenStats(documents(s, d), "doc_id", "text").orderBy("doc_id")
+    TextAnalysis.tokenStats(documents(s, d), "doc_id", "text")
+      .drop("fp").orderBy("doc_id")
 
-  /** Multimodal plumbing: binary payload + typed meta + batched decode. */
+  /** Multimodal plumbing: binary payload + typed meta + batched decode.
+    * Surface limited to oracle-checkable columns (kind, payload bytes,
+    * decoded feature dim); the xxhash-derived stub width/height are
+    * asserted range+determinism in OperatorsSuite instead. */
   def xMultimodal(s: SparkSession, d: String): DataFrame = {
     val withPayload = Multimodal.withMeta(
       Multimodal.withBinaryPayload(documents(s, d), "text"))
     val feats = Multimodal.decodeFeatures(withPayload, "doc_id", dim = 16)
     withPayload.select(col("doc_id"), col("meta.kind").as("kind"),
-        col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.bytes").as("bytes"))
       .join(feats, "doc_id")
-      .select(col("doc_id"), col("kind"), col("width"), col("height"),
-        col("bytes"), size(col("feature")).cast("bigint").as("feat_dim"))
+      .select(col("doc_id"), col("kind"), col("bytes"),
+        size(col("feature")).cast("bigint").as("feat_dim"))
       .orderBy("doc_id")
   }
 
@@ -537,7 +543,11 @@ object Queries {
     // overwrite (not append): keeps the bench idempotent across runs
     src.write.format("orc").mode("overwrite")
       .partitionBy("c_date").save(out)
-    s.read.orc(out).groupBy("c_date").agg(count(lit(1)).as("n"))
+    // partition discovery type-infers c_date=2024-01-01 dirs as DATE;
+    // cast back to the string form the sink wrote (and the oracle emits)
+    s.read.orc(out)
+      .withColumn("c_date", date_format(col("c_date"), "yyyy-MM-dd"))
+      .groupBy("c_date").agg(count(lit(1)).as("n"))
       .orderBy("c_date")
   }
 

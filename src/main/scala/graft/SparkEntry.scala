@@ -16,6 +16,64 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.q14(spark, "/root/testdata/sf0.001")
 
+  // ---- generated oracle-SQL fragments for the x_* operators ------------
+
+  /** DuckDB fragments for TextAnalysis.langIdGuess: per-language stopword
+    * intersection scores over a `__toks` column (distinct lower-cased
+    * tokens), and the argmax CASE mirroring the (score, lang) struct-max
+    * tie-break — max score wins, score ties break to the lexicographically
+    * greatest lang, all-zero → 'und'. Keep in sync with
+    * TextAnalysis.stopwords. */
+  private val langStopwords = Seq(
+    "de" -> Seq("der", "die", "und", "das", "in", "von", "zu", "mit", "den", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "en", "du", "que"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  private def langScoreCols: String = langStopwords.map { case (lang, ws) =>
+    s"len(list_intersect(__toks, [${ws.map(w => s"'$w'").mkString(",")}])) AS s_$lang"
+  }.mkString(", ")
+
+  private def langPredCase: String = {
+    val m = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+    s"CASE WHEN $m = 0 THEN 'und' WHEN s_zh = $m THEN 'zh' " +
+      s"WHEN s_fr = $m THEN 'fr' WHEN s_es = $m THEN 'es' " +
+      s"WHEN s_en = $m THEN 'en' ELSE 'de' END"
+  }
+
+  /** Spark-side bpeish token count = split at every alnum/non-alnum
+    * boundary, drop empties. RE2 (DuckDB) has no lookarounds, but the
+    * count decomposes exactly: every non-alnum char is its own token +
+    * every maximal alnum run is a token. */
+  private val bpeishCountSql: String =
+    "length(regexp_replace(text, '[a-zA-Z0-9]', '', 'g')) + " +
+      "len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> len(x) > 0))"
+
+  /** TextAnalysis.qualityScore replicated: length band + mean-token-len
+    * band + alpha ratio, same weights and rounding. */
+  private val qualitySql: String =
+    "ROUND((CASE WHEN __nt BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.2 END) * 0.4 + " +
+      "(CASE WHEN (length(text) - __nt + 1) / __nt BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.3 + " +
+      "CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / " +
+      "CAST(greatest(length(text), 1) AS DOUBLE) * 0.3, 4)"
+
+  /** Sign-LSH bucket expression with the exact hyperplanes annTopK uses
+    * (seed-pinned), as DuckDB SQL over a DOUBLE[] column `e`. */
+  private def annBucketSql(planes: Int, dim: Int): String =
+    graft.operators.Similarity.hyperplanes(planes, dim).zipWithIndex.map {
+      case (plane, p) =>
+        val lits = plane.mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(e, $lits) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** Per-bit simhash vote-and-set terms (Dedup.simHash, 60 md5 bits). */
+  private def simhashBitsSql: String =
+    (0 until graft.operators.Dedup.simHashBits).map { b =>
+      s"(CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_json_extract" -> (Queries.q1 _),
     "q02_tz_date" -> (Queries.q2 _),
@@ -191,6 +249,32 @@ object SparkEntry {
     "q52_window_fns2" ->
       "SELECT c_mktsegment, c_custkey, NTILE(4) OVER w AS quartile, ROUND(PERCENT_RANK() OVER w,4) AS pr, ROUND(CUME_DIST() OVER w,4) AS cd, FIRST_VALUE(c_custkey) OVER wf AS top_cust, LAST_VALUE(c_custkey) OVER wf AS bottom_cust FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey), wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY c_mktsegment, c_custkey",
     "q53_chunking" ->
-      "WITH t AS (SELECT doc_id, string_split(text,' ') AS s FROM documents WHERE doc_id < 100), st AS (SELECT doc_id, s, UNNEST(range(1, GREATEST(len(s) - 4, 1) + 1, 12)) AS b FROM t) SELECT doc_id, CAST((b - 1) / 12 AS BIGINT) AS chunk_id, array_to_string(s[b : b + 15], ' ') AS chunk, len(s[b : b + 15]) AS n_tokens FROM st ORDER BY doc_id, chunk_id"
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS s FROM documents WHERE doc_id < 100), st AS (SELECT doc_id, s, UNNEST(range(1, GREATEST(len(s) - 4, 1) + 1, 12)) AS b FROM t) SELECT doc_id, CAST((b - 1) / 12 AS BIGINT) AS chunk_id, array_to_string(s[b : b + 15], ' ') AS chunk, len(s[b : b + 15]) AS n_tokens FROM st ORDER BY doc_id, chunk_id",
+    // ---- x_* oracles (round 2): the former rows-only blind spot --------
+    // minHash-LSH candidates are exact-Jaccard-verified, and recall at
+    // tau=0.6 with 32 bands x r=2 is ~1.0 — the output must equal the
+    // exhaustive q41 form (OperatorsSuite asserts the same equality)
+    "x_minhash_lsh" ->
+      "WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS tok FROM documents WHERE doc_id < 50), p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, len(list_intersect(a.tok,b.tok))/CAST(len(list_distinct(list_concat(a.tok,b.tok))) AS DOUBLE) AS jr FROM t a JOIN t b ON a.doc_id < b.doc_id) SELECT d1, d2, ROUND(jr,4) AS j FROM p WHERE jr >= 0.6 ORDER BY d1, d2",
+    "x_ngram_jaccard" ->
+      "WITH t AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(s) - 2, 0) + 1), i -> array_to_string(s[i : i + 2], ' '))) AS tok FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents WHERE doc_id < 50)), tt AS (SELECT doc_id, tok FROM t WHERE len(tok) > 0), p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, len(list_intersect(a.tok,b.tok))/CAST(len(list_distinct(list_concat(a.tok,b.tok))) AS DOUBLE) AS jr FROM tt a JOIN tt b ON a.doc_id < b.doc_id) SELECT d1, d2, ROUND(jr,4) AS j FROM p WHERE jr >= 0.01 ORDER BY d1, d2",
+    "x_embed_neardup" ->
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), n AS (SELECT vec_id, CASE WHEN sqrt(list_dot_product(e,e)) = 0 THEN e ELSE list_transform(e, x -> x / sqrt(list_dot_product(e,e))) END AS u FROM v), p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, list_dot_product(a.u,b.u) AS d FROM n a JOIN n b ON a.vec_id < b.vec_id) SELECT v1, v2, ROUND(d,4) AS cos FROM p WHERE d >= 0.4 ORDER BY v1, v2",
+    "x_ann_topk" ->
+      s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), b AS (SELECT vec_id, e, ${annBucketSql(8, 64)} AS bucket FROM v), q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0) SELECT b.vec_id, ROUND(list_dot_product(b.e,q.qe)/(sqrt(list_dot_product(b.e,b.e))*sqrt(list_dot_product(q.qe,q.qe))),4) + 0 AS cos FROM b, q WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1 ORDER BY cos DESC, b.vec_id LIMIT 10",
+    "x_simhash" ->
+      s"WITH tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS t FROM documents), h AS (SELECT doc_id, CAST('0x' || substring(md5(t),1,15) AS BIGINT) AS h FROM tok) SELECT doc_id, $simhashBitsSql AS simhash FROM h GROUP BY doc_id ORDER BY doc_id",
+    "x_tfidf" ->
+      "WITH tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf FROM documents, UNNEST(string_split(text,' ')) AS u(t) GROUP BY doc_id, t), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents), s AS (SELECT tf.doc_id, tf.term, ROUND(tf.tf * ln((nd.n + 1.0)/(df.df + 1)),4) AS score FROM tf JOIN df USING(term) CROSS JOIN nd), r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s) SELECT doc_id, term, score, rk FROM r WHERE rk <= 5 ORDER BY doc_id, rk",
+    "x_token_stats" ->
+      s"WITH t AS (SELECT doc_id, text, CAST(len(string_split(text,' ')) AS DOUBLE) AS __nt, list_distinct(string_split(lower(text),' ')) AS __toks FROM documents), s AS (SELECT doc_id, text, __nt, CAST(__nt AS BIGINT) AS ws_tokens, CAST($bpeishCountSql AS BIGINT) AS bpeish_tokens, CAST(length(text) AS BIGINT) AS chars, $langScoreCols FROM t) SELECT doc_id, ws_tokens, bpeish_tokens, chars, $qualitySql AS quality, $langPredCase AS lang_pred FROM s ORDER BY doc_id",
+    "x_lang_id" ->
+      s"WITH t AS (SELECT lang, list_distinct(string_split(lower(text),' ')) AS __toks FROM documents), s AS (SELECT lang, $langScoreCols FROM t) SELECT lang, $langPredCase AS lang_pred, COUNT(*) AS n FROM s GROUP BY lang, lang_pred ORDER BY lang, lang_pred",
+    "x_multimodal" ->
+      "SELECT doc_id, 'image/stub' AS kind, CAST(octet_length(encode(text)) AS BIGINT) AS bytes, CAST(16 AS BIGINT) AS feat_dim FROM documents ORDER BY doc_id",
+    "x_orc_sink" ->
+      "SELECT strftime(ts, '%Y-%m-%d') AS c_date, COUNT(*) AS n FROM events GROUP BY c_date ORDER BY c_date",
+    "x_cdc_ingest" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS ref, CAST(n_regionkey AS BIGINT) AS city_id, LOWER(n_name) AS city_name, strftime(make_timestamp((1704067200000 + CAST(n_nationkey AS BIGINT) * 86400000) * 1000) + INTERVAL 8 HOUR, '%Y-%m-%d') AS c_date FROM nation ORDER BY ref"
   )
 }

@@ -92,17 +92,25 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("__j"), 4).as("j"))
   }
 
-  /** SimHash-64 fingerprint: per-token xxhash64, per-bit ±1 votes, sign of
-    * each vote sum becomes the bit. Near-dup docs differ in few bits
+  /** SimHash fingerprint: per-token 60-bit hash, per-bit ±1 votes, sign
+    * of each vote sum becomes the bit. Near-dup docs differ in few bits
     * (compare via hamming distance on the bigint). Pure column algebra —
-    * explode + 64 conditional sums, one keyed shuffle. */
-  def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * explode + 60 conditional sums, one keyed shuffle.
+    *
+    * The per-token bit source is the first 15 hex chars of md5 (60 bits)
+    * rather than xxhash64: md5 is computable by any engine, which makes
+    * the whole fingerprint differential-testable against the DuckDB
+    * oracle. Any uniform hash works for simhash; 60 vs 64 bits changes
+    * nothing structural. */
+  val simHashBits = 60
+
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokenSet(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val votes = (0 until 64).map { b =>
+      .withColumn("__h", conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until simHashBits).map { b =>
       sum(when(col("__h").bitwiseAND(shiftleft(lit(1L), b)) =!= 0L, 1).otherwise(-1)).as(s"__v$b")
     }
-    val bits = (0 until 64).map { b =>
+    val bits = (0 until simHashBits).map { b =>
       when(col(s"__v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)

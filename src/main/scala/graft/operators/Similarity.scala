@@ -39,8 +39,10 @@ object Similarity {
   }
 
   /** Deterministic hyperplanes for sign-LSH: `planes × dim` gaussian
-    * values from a fixed seed, shipped as literals (tiny). */
-  private def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] = {
+    * values from a fixed seed, shipped as literals (tiny). Visible to
+    * [[graft.SparkEntry]] so the DuckDB oracle SQL can embed the exact
+    * same planes as literals and replicate the bucketing. */
+  private[graft] def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
     Array.fill(planes, dim)(rnd.nextGaussian())
   }
@@ -86,7 +88,8 @@ object Similarity {
     val qVecCol = array(qVec.map(lit).toIndexedSeq: _*)
     bucketed.join(broadcast(probeDf), "__bucket")
       .where(col(idCol) =!= queryId)
-      .select(col(idCol), round(cosine(col("__v"), qVecCol), 4).as("cos"))
+      // "+ 0.0" folds IEEE -0.0 after rounding (see cosineTopK)
+      .select(col(idCol), (round(cosine(col("__v"), qVecCol), 4) + 0.0).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

@@ -55,7 +55,7 @@ class OperatorsSuite extends AnyFunSuite {
       (2L, "alpha beta gamma delta epsilon zeta eta iota"), // 1 token swap
       (3L, "one two three four five six seven eight")
     ).toDF("doc_id", "text")
-    val sh = Dedup.simHash64(docs, "doc_id", "text")
+    val sh = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
@@ -98,6 +98,28 @@ class OperatorsSuite extends AnyFunSuite {
     // probing half the cells on a diffuse corpus: expect solid overlap
     assert((brute & a.toSet).size >= 5, s"brute=$brute ivf=$a")
     assert(a == ivf()) // seeded training → same result every run
+  }
+
+  test("L4 fingerprint is order-sensitive (reordered tokens differ)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val fp = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+        (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) != fp(2L)) // a set-hash would collide these
+    assert(fp(1L) == fp(3L)) // deterministic
+  }
+
+  test("multimodal meta: stub width/height in range and deterministic") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val meta = Multimodal.withMeta(Multimodal.withBinaryPayload(docs, "text"))
+      .select(col("meta.width").as("w"), col("meta.height").as("h"))
+    val rows1 = meta.collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows1.forall { case (w, h) => w >= 1 && w <= 1920 && h >= 1 && h <= 1080 })
+    val rows2 = meta.collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows1.toSeq == rows2.toSeq)
   }
 
   test("L3 embedding near-dup: LSH candidate front ≡ exact all-block-pairs") {
