@@ -30,6 +30,51 @@ object OrcTableSink {
     w2.save(s"$warehouse/$table")
   }
 
+  /** S7 with the reference's *byte* roll semantics (`HiveOrcSink.java:39,
+    * 215-218` rolls at batchSize×10 bytes): Spark's knob is rows
+    * (`maxRecordsPerFile`), so a byte target needs a rows-per-target-bytes
+    * estimate. A bounded sample is written once as ORC and measured —
+    * encoded bytes, so compression/dictionary effects are in the estimate
+    * — then the real write rolls at `targetFileBytes / bytesPerRow` rows.
+    * Default target 256 MB per SCALE.md (the reference's 5 MB is a
+    * small-files antipattern at 100 TB). Returns the derived
+    * maxRecordsPerFile. Small-sample ORC overhead (footer/dictionary)
+    * biases bytesPerRow high → files come out at-or-under target, the
+    * safe side. */
+  def writeBatchTargetBytes(df: DataFrame, warehouse: String, table: String,
+                            partitionCol: String,
+                            targetFileBytes: Long = 256L * 1024 * 1024,
+                            sampleRows: Int = 10000): Long = {
+    require(targetFileBytes > 0 && sampleRows > 0)
+    val bytesPerRow = estimateOrcBytesPerRow(df, sampleRows)
+    val maxRecords = math.max(1L, (targetFileBytes / bytesPerRow).toLong)
+    writeBatch(df, warehouse, table, partitionCol, maxRecords)
+    maxRecords
+  }
+
+  /** Encoded-ORC bytes per row, measured from a `sampleRows`-row probe
+    * file (one small extra job; only runs when a byte target is asked
+    * for). */
+  private[graft] def estimateOrcBytesPerRow(df: DataFrame, sampleRows: Int): Double = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_size_probe").toFile
+    try {
+      df.limit(sampleRows).coalesce(1)
+        .write.mode("overwrite").format("orc").save(tmp.getAbsolutePath)
+      val files = Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-"))
+      val bytes = files.map(_.length).sum
+      // row count from the ORC footer — no second scan of the input
+      val rows = df.sparkSession.read.orc(tmp.getAbsolutePath).count()
+      bytes.toDouble / math.max(rows, 1L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   /** S12: register the warehouse directory as a catalog table (the
     * reference's implicit Hive-metastore registration of
     * `warehouse/tableName`, HiveOrcSink.java:57,66-71) and discover its
