@@ -67,6 +67,45 @@ object SparkEntry {
         s"(CASE WHEN list_dot_product(e, $lits) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
+  /** DuckDB oracle for x_ivf_topk, generated AT DUMP TIME (needs the data:
+    * trained centroids and the probe set depend on the corpus, unlike the
+    * seed-only hyperplanes). Runs the exact `Similarity.ivfTrain` /
+    * `ivfProbes` folds the query runs — deterministic per (sfDir, params)
+    * — and embeds centroids + probe cells as literals. Cell assignment in
+    * SQL uses the monotone form argmin(|c|² − 2·e·c) (row-constant |e|²
+    * dropped); `list_position(ds, list_min(ds))` keeps the first minimum,
+    * matching nearestCell's first-strictly-less tie-break.
+    *
+    * Requires an active SparkSession and readable `graft.oracle.sfDir`
+    * (Verify sets both); anywhere else the Try fails and the entry is
+    * simply omitted → the driver falls back to its rows-only check. */
+  private def ivfOracleSql: Option[(String, String)] = scala.util.Try {
+    val spark = SparkSession.active
+    val sfDir = sys.props.getOrElse("graft.oracle.sfDir", "/root/testdata/sf0.01")
+    val emb = Tables.embeddings(spark, sfDir)
+    val (nCells, nProbe, k) = (16, 4, 10)
+    val cs = graft.operators.Similarity.ivfTrain(
+      emb, "vec_id", "embedding", nCells, lloydIters = 2, trainCap = 4096)
+    val qVec = emb.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select(org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val probes = graft.operators.Similarity.ivfProbes(cs, qVec, nProbe)
+    val dists = cs.map { c =>
+      val cc = c.map(x => x * x).sum
+      s"($cc - 2*list_dot_product(e, ${c.mkString("[", ",", "]")}))"
+    }.mkString("[", ",", "]")
+    val sql =
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"a AS (SELECT vec_id, e, list_position(ds, list_min(ds)) - 1 AS cell " +
+        s"FROM (SELECT vec_id, e, $dists AS ds FROM v)), " +
+        "q AS (SELECT e AS qe FROM v WHERE vec_id = 0) " +
+        "SELECT a.vec_id, ROUND(list_dot_product(a.e,q.qe)/" +
+        "(sqrt(list_dot_product(a.e,a.e))*sqrt(list_dot_product(q.qe,q.qe))),4) + 0 AS cos " +
+        s"FROM a, q WHERE a.cell IN (${probes.mkString(",")}) AND a.vec_id <> 0 " +
+        s"ORDER BY cos DESC, a.vec_id LIMIT $k"
+    "x_ivf_topk" -> sql
+  }.toOption
+
   /** Per-bit simhash vote-and-set terms (Dedup.simHash, 60 md5 bits). */
   private def simhashBitsSql: String =
     (0 until graft.operators.Dedup.simHashBits).map { b =>
@@ -276,5 +315,5 @@ object SparkEntry {
       "SELECT strftime(ts, '%Y-%m-%d') AS c_date, COUNT(*) AS n FROM events GROUP BY c_date ORDER BY c_date",
     "x_cdc_ingest" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS ref, CAST(n_regionkey AS BIGINT) AS city_id, LOWER(n_name) AS city_name, strftime(make_timestamp((1704067200000 + CAST(n_nationkey AS BIGINT) * 86400000) * 1000) + INTERVAL 8 HOUR, '%Y-%m-%d') AS c_date FROM nation ORDER BY ref"
-  )
+  ) ++ ivfOracleSql
 }

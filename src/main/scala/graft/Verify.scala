@@ -14,6 +14,9 @@ object Verify {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // data-dependent oracles (x_ivf_topk's trained centroids) must be
+    // generated against the same sfDir the driver's DuckDB will read
+    sys.props("graft.oracle.sfDir") = sfDir
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -108,32 +108,40 @@ object Similarity {
     * centroids broadcast. That is the 100 TB shape — training cost is
     * bounded by the cap, not by corpus size. Final scan is an equi
     * semi-join on cell id + codegen'd cosine + TakeOrderedAndProject. */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int, nCells: Int = 16, nProbe: Int = 4,
-              lloydIters: Int = 2, trainCap: Int = 4096): DataFrame = {
+  /** Squared-L2 argmin over centroids; ties keep the earliest index
+    * (first-strictly-less). Shared by training, assignment, and probe
+    * selection so all three agree bit-for-bit. */
+  private[graft] def nearestCell(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      val cv = cs(c)
+      while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic IVF training (the first of ivfTopK's two corpus
+    * passes): top-`trainCap` rows by xxhash64(id) rank (id tie-break,
+    * TakeOrderedAndProject — only trainCap rows reach the driver), then
+    * `lloydIters` Lloyd iterations over that sample in-process. Exposed
+    * `private[graft]` so [[graft.SparkEntry]] can run the identical fold
+    * at oracle-dump time and embed the trained centroids as DuckDB
+    * literals — the same pattern [[hyperplanes]] uses for annTopK. */
+  private[graft] def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
+                              nCells: Int, lloydIters: Int,
+                              trainCap: Int): Array[Array[Double]] = {
     require(trainCap >= nCells, s"trainCap ($trainCap) must cover nCells ($nCells)")
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col(idCol).cast("long"), toDouble(col(vecCol)))
-      .as[(Long, Array[Double])]
-    // deterministic sample: top-trainCap by xxhash64(id) (id tie-break) —
-    // TakeOrderedAndProject, so only trainCap rows ever reach the driver
-    val sample: Array[Array[Double]] = vecs.toDF("id", "v")
+    val sample: Array[Array[Double]] = emb
+      .select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("__r", xxhash64(col("id")))
       .orderBy("__r", "id").limit(trainCap)
       .select("v").as[Array[Double]].collect()
-    def nearestCell(v: Array[Double], cs: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        val cv = cs(c)
-        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
     // init: first nCells sampled rows; Lloyd over the sample, in-process
     var centroids: Array[Array[Double]] = sample.take(nCells)
     for (_ <- 0 until lloydIters) {
@@ -150,20 +158,37 @@ object Similarity {
         if (counts(c) == 0) cs(c) else sums(c).map(_ / counts(c))
       }
     }
-    val finalCs = centroids
-    val bc = spark.sparkContext.broadcast(finalCs)
-    val assigned = vecs.map { case (id, v) => (id, v, nearestCell(v, bc.value)) }
-      .toDF(idCol, "__v", "__cell")
-    val qVec = assigned.where(col(idCol) === queryId)
-      .select("__v").as[Array[Double]].head()
-    // probe the nProbe cells whose centroids are nearest the query
-    val probeCells = finalCs.zipWithIndex
+    centroids
+  }
+
+  /** The `nProbe` cells whose centroids are nearest `qVec` (squared L2,
+    * index tie-break via stable sort) — ivfTopK's probe set, exposed for
+    * the oracle to embed as literals. */
+  private[graft] def ivfProbes(centroids: Array[Array[Double]],
+                               qVec: Array[Double], nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex
       .map { case (cv, i) =>
         var d = 0.0; var j = 0
         while (j < qVec.length) { val t = qVec(j) - cv(j); d += t * t; j += 1 }
         (i, d)
       }
       .sortBy(_._2).take(nProbe).map(_._1).toSeq
+
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 2, trainCap: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).cast("long"), toDouble(col(vecCol)))
+      .as[(Long, Array[Double])]
+    val finalCs = ivfTrain(emb, idCol, vecCol, nCells, lloydIters, trainCap)
+    val bc = spark.sparkContext.broadcast(finalCs)
+    val assigned = vecs.map { case (id, v) => (id, v, nearestCell(v, bc.value)) }
+      .toDF(idCol, "__v", "__cell")
+    val qVec = assigned.where(col(idCol) === queryId)
+      .select("__v").as[Array[Double]].head()
+    // probe the nProbe cells whose centroids are nearest the query
+    val probeCells = ivfProbes(finalCs, qVec, nProbe)
     val qVecCol = array(qVec.map(lit).toIndexedSeq: _*)
     assigned.where(col("__cell").isin(probeCells: _*) && col(idCol) =!= queryId)
       .select(col(idCol),
