@@ -225,15 +225,24 @@ object Similarity {
     * and enumerates every block pair (the oracle form for equivalence
     * tests).
     *
-    * At 100 TB: size `nBlocks` ≈ corpus/1024 rows and persist the
-    * upstream (normalized) table if calling repeatedly — the lazy plan
-    * recomputes the scan per join input otherwise. */
+    * At 100 TB: size `nBlocks` ≈ corpus/1024 rows — each block is
+    * materialized as ONE array-typed row inside the kernel, so nBlocks
+    * is what bounds per-task memory (1024 rows × dim 64 ≈ 0.5 MB/block;
+    * at 10⁹ vectors that means nBlocks ≈ 10⁶, NOT the default 64). The
+    * LSH front stays an equi-join on ints at any nBlocks; only
+    * `exactAllPairs` (which enumerates nBlocks²/2 pairs driver-side) is
+    * capped at 1024. Persist the upstream (normalized) table if calling
+    * repeatedly — the lazy plan recomputes the scan per join input
+    * otherwise. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          tau: Double, nBlocks: Int = 64,
                          bitsPerBand: Int = 2, bands: Int = 64,
                          exactAllPairs: Boolean = false): DataFrame = {
-    // the exact path enumerates nBlocks²/2 (ba, bb) ints driver-side
-    require(nBlocks > 0 && nBlocks <= 1024, s"nBlocks in 1..1024, got $nBlocks")
+    require(nBlocks > 0, s"nBlocks must be positive, got $nBlocks")
+    // only the exact path enumerates nBlocks²/2 (ba, bb) ints driver-side;
+    // the LSH front scales to any block count (equi-join on int keys)
+    require(!exactAllPairs || nBlocks <= 1024,
+      s"exactAllPairs enumerates nBlocks^2/2 pairs driver-side: nBlocks in 1..1024, got $nBlocks")
     require(bitsPerBand >= 1 && bitsPerBand <= 16 && bands >= 1,
       "bitsPerBand in 1..16, bands >= 1")
     val spark = emb.sparkSession

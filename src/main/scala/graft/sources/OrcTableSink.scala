@@ -78,17 +78,24 @@ object OrcTableSink {
   /** S12: register the warehouse directory as a catalog table (the
     * reference's implicit Hive-metastore registration of
     * `warehouse/tableName`, HiveOrcSink.java:57,66-71) and discover its
-    * `field=value` partitions — the `MSCK REPAIR` equivalent. */
+    * `field=value` partitions — the `MSCK REPAIR` equivalent.
+    *
+    * Schema-less CREATE: Spark infers data + partition schema from the
+    * location once at creation and persists it to the catalog. This is
+    * deliberate — handing CREATE TABLE an explicit schema over a dir that
+    * carries a streaming `_spark_metadata` log makes Spark treat the
+    * user schema as overlapped data+partition columns, and the table
+    * lands in HMS unpartitioned (RECOVER PARTITIONS then throws
+    * NOT_A_PARTITIONED_TABLE). Inference handles batch and streaming
+    * sink outputs identically. `partitionCol` stays in the signature as
+    * a post-registration contract check. */
   def registerTable(spark: SparkSession, warehouse: String, table: String,
                     partitionCol: String): Unit = {
-    val df = spark.read.orc(s"$warehouse/$table")
-    val dataCols = df.schema.fields
-      .filterNot(_.name == partitionCol)
-      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-    val partType = df.schema(partitionCol).dataType.sql
-    spark.sql(s"""CREATE TABLE IF NOT EXISTS `$table` ($dataCols,
-      `$partitionCol` $partType) USING ORC PARTITIONED BY (`$partitionCol`)
-      LOCATION '$warehouse/$table'""")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$table` USING ORC LOCATION '$warehouse/$table'")
+    val parts = spark.catalog.listColumns(table)
+      .filter(_.isPartition).collect().map(_.name).toSeq
+    require(parts == Seq(partitionCol),
+      s"expected table `$table` partitioned by $partitionCol, got $parts")
     spark.catalog.recoverPartitions(table)
   }
 

@@ -2,7 +2,9 @@ package graft
 
 import graft.sources.OrcTableSink
 import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 /** S12 through a real Hive metastore (local derby): the reference
@@ -51,6 +53,33 @@ class HiveMetastoreSuite extends AnyFunSuite {
       assert(plan.contains("PartitionFilters") && plan.contains("2024-01-01"), plan)
       assert(q.count() == 50L)
     } finally spark.sql("DROP TABLE IF EXISTS t")
+  }
+
+  test("S6×S12: streaming ORC sink composes with HMS registration + pruned read") {
+    // the reference treats sink + metastore as one thing
+    // (HiveOrcSink.java:57,66-71); this is the composed seam: streamWriter
+    // (exactly-once _spark_metadata log) → registerTable/recoverPartitions
+    // through the derby HMS → partition-pruned read off the catalog table
+    val wh = Files.createTempDirectory("graft_hms_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-02"))
+    val q = OrcTableSink.streamWriter(mem.toDF().toDF("id", "c_date"),
+        wh, "hms_stream", "c_date", s"$wh/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.sql("DROP TABLE IF EXISTS hms_stream")
+    OrcTableSink.registerTable(spark, wh, "hms_stream", "c_date")
+    try {
+      val parts = spark.sql("SHOW PARTITIONS hms_stream")
+        .collect().map(_.getString(0)).toSet
+      assert(parts == Set("c_date=2024-01-01", "c_date=2024-01-02"), parts)
+      val pruned = spark.table("hms_stream").where(col("c_date") === "2024-01-01")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("2024-01-01"), plan)
+      assert(pruned.count() == 2L)
+    } finally spark.sql("DROP TABLE IF EXISTS hms_stream")
   }
 
   test("tables survive a session restart against the same metastore (DDL durability)") {

@@ -133,6 +133,22 @@ class OperatorsSuite extends AnyFunSuite {
     assert(rows(front) == rows(exact))
   }
 
+  test("L3 embedding near-dup: LSH front at nBlocks=4096 (past the exact-mode cap)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      tau = 0.4, exactAllPairs = true)
+    // the 100 TB shape: many small blocks (bounded per-task arrays); the
+    // pair set is independent of the blocking, so output must be unchanged
+    val front4k = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      tau = 0.4, nBlocks = 4096)
+    assert(rows(front4k) == rows(exact))
+    // the driver-side enumeration cap only binds the exact mode
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        tau = 0.4, nBlocks = 4096, exactAllPairs = true)
+    }
+  }
+
   test("multimodal decode: batched features are deterministic + unit-norm") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val withPayload = Multimodal.withBinaryPayload(docs, "text")

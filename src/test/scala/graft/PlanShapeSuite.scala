@@ -55,6 +55,34 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(q.count() == 50L)
   }
 
+  test("DPP: date-partitioned fact ⋈ filtered dim gets dynamic partition pruning") {
+    // the 100 TB star-join posture (SURVEY §4.2): a selective dim filter
+    // must prune fact partitions at runtime, not after a full fact scan —
+    // the fact side's PartitionFilters must carry a dynamicpruning
+    // subquery fed by the broadcast dim, so only the matching c_date
+    // directories are ever read
+    val wh = Files.createTempDirectory("graft_dpp").toString
+    import spark.implicits._
+    spark.range(1000)
+      .select(col("id"),
+        concat(lit("2024-01-0"), (col("id") % 5 + 1).cast("string")).as("c_date"))
+      .write.format("orc").partitionBy("c_date").save(s"$wh/fact")
+    // the dim must be file-backed: an in-memory Seq collapses to a
+    // LocalRelation under ConvertToLocalRelation (the filter is folded
+    // away before the DPP rule can see a selective predicate)
+    (1 to 5).map(d => (s"2024-01-0$d", if (d == 3) "hot" else "cold"))
+      .toDF("c_date", "tier")
+      .write.format("orc").save(s"$wh/dim")
+    val fact = spark.read.orc(s"$wh/fact")
+    val dim = spark.read.orc(s"$wh/dim")
+    val joined = fact.join(broadcast(dim), "c_date").where(col("tier") === "hot")
+      .groupBy("c_date").agg(count(lit(1)).as("n"))
+    val p = plan(joined)
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    val rows = joined.collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 200L, rows.toSeq)
+  }
+
   test("J7/J8: custom time joins stay equi-join shaped (never NLJ/cartesian)") {
     val p12 = plan(Queries.q12(spark, sfDir))
     assert(!p12.contains("BroadcastNestedLoopJoin") && !p12.contains("CartesianProduct"), p12)
