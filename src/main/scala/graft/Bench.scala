@@ -10,11 +10,15 @@ import org.apache.spark.sql.SparkSession
   * pass absorbs JIT/classloading so the timed passes measure the engine,
   * not the JVM. Prints exactly ONE JSON line.
   *
-  * Noise policy: each query is timed SPARK_GRAFT_SAMPLES times (default
-  * 3) and the per-query number is the MEDIAN — round 2's driver bench ran
-  * under co-tenant machine load and a single timed sample turned that
-  * into 17 phantom "regressions" (all reversed by a clean re-run); the
-  * median of 3 survives one loaded sample per query.
+  * Noise policy: SPARK_GRAFT_SAMPLES (default 3) timed passes run
+  * round-robin — pass 1 of EVERY query, then pass 2 of every query, … —
+  * and the per-query number is the MEDIAN across passes (the min is
+  * reported alongside as `queries_min`). Consecutive per-query samples
+  * (rounds 2-3) let one sustained co-tenant load burst poison all of a
+  * query's samples at once, manufacturing phantom regressions (r3: a
+  * 28.9× flag on an unchanged projection, reversed by a clean re-run);
+  * with interleaving a burst shorter than a full pass (~40 s) hits each
+  * query at most once and the median discards it.
   *
   * Failure policy: a query that throws is recorded in `"failed"` (its
   * per-query value is null, it contributes nothing to the total) and the
@@ -33,32 +37,47 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val allQueries = SparkEntry.queries ++ SparkEntry.benchOnly
     def materialize(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      allQueries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = allQueries.keys.toSeq.sorted
     // untimed warmup: JIT, codegen cache, file-index warm
     names.foreach { n =>
       try materialize(n)
       catch { case e: Throwable => System.err.println(s"[bench] warmup $n: ${e.getMessage}") }
     }
     val samples = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "3").toInt)
-    // median of `samples` timed passes; any pass throwing marks the query
-    // failed (a partial sample set could hide an intermittent failure)
-    val results: Seq[(String, Option[Double])] = names.map { n =>
+    // interleaved passes: one full round-robin sweep per sample, so each
+    // query's samples land in different load windows; any pass throwing
+    // marks the query failed (a partial sample set could hide an
+    // intermittent failure) and skips its remaining passes
+    val timesByQuery =
+      scala.collection.mutable.Map.empty[String, Vector[Double]]
+        .withDefaultValue(Vector.empty)
+    val failedSet = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (_ <- 0 until samples; n <- names if !failedSet.contains(n)) {
       try {
-        val times = (0 until samples).map { _ =>
-          val t0 = System.nanoTime()
-          materialize(n)
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        n -> Some(times(times.length / 2))
+        val t0 = System.nanoTime()
+        materialize(n)
+        timesByQuery(n) = timesByQuery(n) :+ (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] FAILED $n: ${e.getMessage}")
-        n -> None
+        failedSet += n
       }
     }
+    val results: Seq[(String, Option[Double])] = names.map { n =>
+      if (failedSet.contains(n)) n -> None
+      else {
+        val ts = timesByQuery(n).sorted
+        n -> Some(ts(ts.length / 2))
+      }
+    }
+    val mins: Map[String, Double] = names.flatMap { n =>
+      val ts = timesByQuery(n)
+      if (failedSet.contains(n) || ts.isEmpty) None else Some(n -> ts.min)
+    }.toMap
     val failed = results.collect { case (n, None) => n }
     val baseline = loadBaseline(
       sys.env.getOrElse("SPARK_GRAFT_BASELINE", "/root/repo/BENCH_r01.json"))
@@ -75,11 +94,15 @@ object Bench {
       case (k, Some(v)) => "\"" + k + f"\":$v%.3f"
       case (k, None) => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
+    // min across interleaved passes: the load-burst-resistant floor (a
+    // query's true cost can't exceed its fastest clean sample)
+    val minJson = names.flatMap(n => mins.get(n).map(v => "\"" + n + f"\":$v%.3f"))
+      .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regJson = regressions.map { case (n, r) => "\"" + n + f"\":$r%.2f" }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"regressions":$regJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$minJson,"failed":$failedJson,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -489,9 +489,21 @@ object Queries {
   def xAnnTopK(s: SparkSession, d: String): DataFrame =
     Similarity.annTopK(embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 10)
 
+  /** IVF fixture parameters shared by [[xIvfTopK]] and the dump-time
+    * DuckDB oracle in [[SparkEntry]] — defined once so query and oracle
+    * cannot silently desynchronize (they must train identical centroids
+    * and probe identical cells for the hash compare to hold). */
+  private[graft] object IvfFixture {
+    val nCells = 16; val nProbe = 4; val k = 10
+    val queryId = 0L; val lloydIters = 2; val trainCap = 4096
+  }
+
   /** ANN top-10 via IVF cells (k-means trained, nProbe nearest cells). */
   def xIvfTopK(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 10)
+    Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding",
+      queryId = IvfFixture.queryId, k = IvfFixture.k,
+      nCells = IvfFixture.nCells, nProbe = IvfFixture.nProbe,
+      lloydIters = IvfFixture.lloydIters, trainCap = IvfFixture.trainCap)
 
   /** Embedding-cosine near-dup pairs (threshold fits fixture cosine range). */
   def xEmbedNearDup(s: SparkSession, d: String): DataFrame =
@@ -532,23 +544,50 @@ object Queries {
   /** S6 sink throughput surface: write events as a date-partitioned ORC
     * warehouse table (the reference's entire job, HiveOrcSink.java:34-465)
     * and read it back aggregated — puts ORC write+read throughput into
-    * the bench alongside query throughput. */
+    * the bench alongside query throughput. The write and read phases are
+    * also exposed separately ([[xOrcSinkWrite]]/[[xOrcSinkRead]], bench-
+    * only) so sink throughput is a first-class number, not a blend. */
   def xOrcSinkRoundtrip(s: SparkSession, d: String): DataFrame = {
-    // per-application output dir: concurrent Verify/Bench/test processes
-    // on one machine must not overwrite each other's files mid-read
-    val out = s"${System.getProperty("java.io.tmpdir")}/" +
+    writeEventsOrc(s, d)
+    readSinkAgg(s)
+  }
+
+  /** Per-application sink output dir: concurrent Verify/Bench/test
+    * processes on one machine must not overwrite each other's files
+    * mid-read. */
+  private def sinkDir(s: SparkSession): String =
+    s"${System.getProperty("java.io.tmpdir")}/" +
       s"graft_sink_bench_${s.sparkContext.applicationId}"
+
+  private def writeEventsOrc(s: SparkSession, d: String): Unit = {
     val src = events(s, d).withColumn("c_date",
       date_format(col("ts"), "yyyy-MM-dd"))
     // overwrite (not append): keeps the bench idempotent across runs
     src.write.format("orc").mode("overwrite")
-      .partitionBy("c_date").save(out)
+      .partitionBy("c_date").save(sinkDir(s))
+  }
+
+  private def readSinkAgg(s: SparkSession): DataFrame =
     // partition discovery type-infers c_date=2024-01-01 dirs as DATE;
     // cast back to the string form the sink wrote (and the oracle emits)
-    s.read.orc(out)
+    s.read.orc(sinkDir(s))
       .withColumn("c_date", date_format(col("c_date"), "yyyy-MM-dd"))
       .groupBy("c_date").agg(count(lit(1)).as("n"))
       .orderBy("c_date")
+
+  /** Bench-only write phase: the timed work is the eager partitioned ORC
+    * write; the returned frame is a trivial marker. */
+  def xOrcSinkWrite(s: SparkSession, d: String): DataFrame = {
+    writeEventsOrc(s, d)
+    s.range(1).toDF("ok")
+  }
+
+  /** Bench-only read phase over [[xOrcSinkWrite]]'s output (writes it
+    * first if absent, so the entry also works standalone). */
+  def xOrcSinkRead(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(sinkDir(s))
+    if (!dir.isDirectory) writeEventsOrc(s, d)
+    readSinkAgg(s)
   }
 
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped

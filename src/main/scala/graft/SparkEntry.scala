@@ -76,20 +76,33 @@ object SparkEntry {
     * dropped); `list_position(ds, list_min(ds))` keeps the first minimum,
     * matching nearestCell's first-strictly-less tie-break.
     *
-    * Requires an active SparkSession and readable `graft.oracle.sfDir`
-    * (Verify sets both); anywhere else the Try fails and the entry is
-    * simply omitted → the driver falls back to its rows-only check. */
+    * Requires an active SparkSession and `graft.oracle.sfDir` explicitly
+    * set (only Verify sets it — no default, so a unit test evaluating
+    * `oracleSql` with some other session active can never train against
+    * the wrong corpus); anywhere else the Try fails and the entry is
+    * simply omitted → the driver falls back to its rows-only check.
+    *
+    * All parameters come from [[Queries.IvfFixture]] — the same constants
+    * `Queries.xIvfTopK` passes — so query and oracle cannot silently
+    * desynchronize. Before emitting SQL, the oracle's distance form
+    * (|c|²−2·e·c, DuckDB first-min) is cross-checked against
+    * `Similarity.nearestCell` (Σ(v−c)², first-strictly-less) over the
+    * whole corpus: algebraically equal but not bit-equal, so a vector
+    * near-equidistant between centroids could diverge — that fails
+    * loudly here (entry omitted, stderr note) instead of shipping a
+    * silently divergent oracle. */
   private def ivfOracleSql: Option[(String, String)] = scala.util.Try {
+    import Queries.IvfFixture._
     val spark = SparkSession.active
-    val sfDir = sys.props.getOrElse("graft.oracle.sfDir", "/root/testdata/sf0.01")
+    val sfDir = sys.props("graft.oracle.sfDir") // no default: throws if unset
     val emb = Tables.embeddings(spark, sfDir)
-    val (nCells, nProbe, k) = (16, 4, 10)
     val cs = graft.operators.Similarity.ivfTrain(
-      emb, "vec_id", "embedding", nCells, lloydIters = 2, trainCap = 4096)
-    val qVec = emb.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      emb, "vec_id", "embedding", nCells, lloydIters = lloydIters, trainCap = trainCap)
+    val qVec = emb.where(org.apache.spark.sql.functions.col("vec_id") === queryId)
       .select(org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
     val probes = graft.operators.Similarity.ivfProbes(cs, qVec, nProbe)
+    crossCheckCellAssignment(emb, cs)
     val dists = cs.map { c =>
       val cc = c.map(x => x * x).sum
       s"($cc - 2*list_dot_product(e, ${c.mkString("[", ",", "]")}))"
@@ -98,13 +111,48 @@ object SparkEntry {
       "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
         s"a AS (SELECT vec_id, e, list_position(ds, list_min(ds)) - 1 AS cell " +
         s"FROM (SELECT vec_id, e, $dists AS ds FROM v)), " +
-        "q AS (SELECT e AS qe FROM v WHERE vec_id = 0) " +
+        s"q AS (SELECT e AS qe FROM v WHERE vec_id = $queryId) " +
         "SELECT a.vec_id, ROUND(list_dot_product(a.e,q.qe)/" +
         "(sqrt(list_dot_product(a.e,a.e))*sqrt(list_dot_product(q.qe,q.qe))),4) + 0 AS cos " +
-        s"FROM a, q WHERE a.cell IN (${probes.mkString(",")}) AND a.vec_id <> 0 " +
+        s"FROM a, q WHERE a.cell IN (${probes.mkString(",")}) AND a.vec_id <> $queryId " +
         s"ORDER BY cos DESC, a.vec_id LIMIT $k"
     "x_ivf_topk" -> sql
   }.toOption
+
+  /** Dump-time guard for ivfOracleSql: assert that the SQL's cell
+    * assignment (argmin of |c|²−2·e·c, first minimum — replicated here
+    * with the same left-to-right double arithmetic DuckDB applies)
+    * agrees with `Similarity.nearestCell` for every corpus vector. The
+    * corpus at oracle scale is small (the collect is the same size as
+    * the trainCap sample ivfTrain already draws). */
+  private def crossCheckCellAssignment(emb: DataFrame,
+                                       cs: Array[Array[Double]]): Unit = {
+    val ccs = cs.map(c => c.map(x => x * x).sum)
+    val rows = emb.select(
+      org.apache.spark.sql.functions.col("vec_id").cast("long"),
+      org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val sparkCell = graft.operators.Similarity.nearestCell(v, cs)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var dot = 0.0; var i = 0
+        val cv = cs(c)
+        while (i < v.length) { dot += v(i) * cv(i); i += 1 }
+        val d = ccs(c) - 2 * dot
+        if (d < bestD) { bestD = d; best = c } // strictly-less = first min
+        c += 1
+      }
+      if (best != sparkCell) {
+        System.err.println(s"[oracle] x_ivf_topk cell-assignment divergence " +
+          s"at vec_id=${r.getLong(0)}: spark=$sparkCell sql-form=$best — " +
+          "omitting the hash oracle (driver falls back to rows-only)")
+        throw new IllegalStateException("ivf oracle cell-assignment divergence")
+      }
+    }
+  }
 
   /** Per-bit simhash vote-and-set terms (Dedup.simHash, 60 md5 bits). */
   private def simhashBitsSql: String =
@@ -180,6 +228,16 @@ object SparkEntry {
     "x_cdc_ingest" -> (Queries.xCdcIngest _),
     "x_orc_sink" -> (Queries.xOrcSinkRoundtrip _),
     "x_tfidf" -> (Queries.xTfIdf _)
+  )
+
+  /** Bench-only entries (picked up by [[Bench]], NOT part of the
+    * correctness surface — `x_orc_sink` covers the roundtrip with a real
+    * oracle): the sink's write and read phases timed separately, so sink
+    * throughput — the reference's entire job — is a first-class bench
+    * number instead of a blended roundtrip. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_orc_sink_write" -> (Queries.xOrcSinkWrite _),
+    "x_orc_sink_read" -> (Queries.xOrcSinkRead _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -88,15 +88,61 @@ object OrcTableSink {
     * lands in HMS unpartitioned (RECOVER PARTITIONS then throws
     * NOT_A_PARTITIONED_TABLE). Inference handles batch and streaming
     * sink outputs identically. `partitionCol` stays in the signature as
-    * a post-registration contract check. */
+    * a post-registration contract check.
+    *
+    * Exactly-once caveat closed at this seam: catalog reads LIST files
+    * from partition directories, bypassing the `_spark_metadata` log
+    * that path-based reads filter through — so an orphan file from a
+    * crashed, uncommitted streaming batch would become visible (a
+    * duplicate) through the table even though `spark.read.orc(path)`
+    * hides it (the reference's rename protocol likewise exposes only
+    * committed files to Hive, HiveOrcSink.java:321-345). When the dir
+    * carries a `_spark_metadata` log, registration therefore reconciles
+    * the on-disk data files against the log's committed set and refuses
+    * to register while orphans exist (clean AvailableNow/stop
+    * termination never leaves any; a crash mid-batch can). */
   def registerTable(spark: SparkSession, warehouse: String, table: String,
                     partitionCol: String): Unit = {
-    spark.sql(s"CREATE TABLE IF NOT EXISTS `$table` USING ORC LOCATION '$warehouse/$table'")
+    val location = s"$warehouse/$table"
+    val orphans = uncommittedFiles(spark, location)
+    require(orphans.isEmpty,
+      s"dir $location has ${orphans.size} data file(s) absent from its " +
+        s"_spark_metadata commit log (crashed uncommitted batch?): " +
+        s"${orphans.take(5).mkString(", ")} — remove them (or rerun the " +
+        "stream to completion) before registering, else catalog reads " +
+        "would see uncommitted duplicates")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$table` USING ORC LOCATION '$location'")
     val parts = spark.catalog.listColumns(table)
       .filter(_.isPartition).collect().map(_.name).toSeq
     require(parts == Seq(partitionCol),
       s"expected table `$table` partitioned by $partitionCol, got $parts")
     spark.catalog.recoverPartitions(table)
+  }
+
+  /** Data files under `location` that a path-based read would NOT serve:
+    * empty unless the dir has a streaming `_spark_metadata` log (batch
+    * dirs are committed via FileCommitProtocol rename — nothing to
+    * reconcile). Committed set = `spark.read.orc(location).inputFiles`,
+    * which resolves through MetadataLogFileIndex when the log exists;
+    * on-disk set = recursive Hadoop-FS listing of non-hidden files. */
+  private[graft] def uncommittedFiles(spark: SparkSession,
+                                      location: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "_spark_metadata"))) return Seq.empty
+    val committed = spark.read.orc(location).inputFiles
+      .map(f => new Path(f).toUri.getPath).toSet
+    val onDisk = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath)
+        else onDisk += st.getPath.toUri.getPath
+      }
+    }
+    walk(root)
+    onDisk.toSeq.filterNot(committed.contains).sorted
   }
 
   /** Streaming write with exactly-once file visibility via the

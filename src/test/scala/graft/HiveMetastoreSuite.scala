@@ -82,6 +82,39 @@ class HiveMetastoreSuite extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS hms_stream")
   }
 
+  test("S6×S12: registration refuses a streaming dir with uncommitted orphan files") {
+    // a crashed micro-batch leaves a data file on disk that the
+    // _spark_metadata log never committed; path-based reads filter it via
+    // MetadataLogFileIndex, but catalog reads list directories — so
+    // registerTable must reconcile and refuse until the orphan is gone
+    val wh = Files.createTempDirectory("graft_hms_orphan").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "2024-01-01"), (2L, "2024-01-02"))
+    val q = OrcTableSink.streamWriter(mem.toDF().toDF("id", "c_date"),
+        wh, "hms_orphan", "c_date", s"$wh/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // inject the orphan exactly as a crash would: a part- file in a
+    // partition dir, absent from the commit log (content never read)
+    val orphan = java.nio.file.Paths.get(wh, "hms_orphan",
+      "c_date=2024-01-01", "part-00000-deadbeef-c000.orc")
+    Files.write(orphan, Array[Byte](79, 82, 67))
+    spark.sql("DROP TABLE IF EXISTS hms_orphan")
+    val e = intercept[IllegalArgumentException] {
+      OrcTableSink.registerTable(spark, wh, "hms_orphan", "c_date")
+    }
+    assert(e.getMessage.contains("deadbeef"), e.getMessage)
+    // and the path-based read indeed never served it (committed rows only)
+    assert(spark.read.orc(s"$wh/hms_orphan").count() == 2L)
+    // orphan removed → registration proceeds and the table serves 2 rows
+    Files.delete(orphan)
+    OrcTableSink.registerTable(spark, wh, "hms_orphan", "c_date")
+    try assert(spark.table("hms_orphan").count() == 2L)
+    finally spark.sql("DROP TABLE IF EXISTS hms_orphan")
+  }
+
   test("tables survive a session restart against the same metastore (DDL durability)") {
     val wh = Files.createTempDirectory("graft_hms_dur").toString
     spark.range(10).select(col("id"), lit("2024-01-01").as("c_date"))
