@@ -234,24 +234,19 @@ object Similarity {
     * capped at 1024. Persist the upstream (normalized) table if calling
     * repeatedly — the lazy plan recomputes the scan per join input
     * otherwise. */
-  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                         tau: Double, nBlocks: Int = 64,
-                         bitsPerBand: Int = 2, bands: Int = 64,
-                         exactAllPairs: Boolean = false): DataFrame = {
-    require(nBlocks > 0, s"nBlocks must be positive, got $nBlocks")
-    // only the exact path enumerates nBlocks²/2 (ba, bb) ints driver-side;
-    // the LSH front scales to any block count (equi-join on int keys)
-    require(!exactAllPairs || nBlocks <= 1024,
-      s"exactAllPairs enumerates nBlocks^2/2 pairs driver-side: nBlocks in 1..1024, got $nBlocks")
-    require(bitsPerBand >= 1 && bitsPerBand <= 16 && bands >= 1,
-      "bitsPerBand in 1..16, bands >= 1")
+  /** cosineNearDupPairs' first pass, exposed for candidate-count tests:
+    * (blockId, id, normalizedVec, bandKeys) — one typed pass; hyperplanes
+    * regenerate per partition from the fixed seed (needs the runtime
+    * dim). Band key packs (band index, r sign bits) into one long. */
+  private[graft] def nearDupNormed(emb: DataFrame, idCol: String,
+                                   vecCol: String, nBlocks: Int,
+                                   bitsPerBand: Int, bands: Int)
+      : org.apache.spark.sql.Dataset[(Int, Long, Array[Double], Array[Long])] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val planes = bitsPerBand * bands
     val (nb, r, nbands) = (nBlocks, bitsPerBand, bands)
-    // (blockId, id, normalizedVec, bandKeys): one typed pass; hyperplanes
-    // regenerate per partition from the fixed seed (needs the runtime dim)
-    val normed = emb.select(col(idCol).cast("long"), toDouble(col(vecCol)))
+    emb.select(col(idCol).cast("long"), toDouble(col(vecCol)))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         var hp: Array[Array[Double]] = null
@@ -274,6 +269,42 @@ object Similarity {
           (((id % nb + nb) % nb).toInt, id, nv, keys)
         }
       }
+  }
+
+  /** The LSH candidate front: block pairs (ba ≤ bb) sharing at least one
+    * band bucket. Distinct (block, band-bucket) summaries are ints — the
+    * self-join is an equi hash join on the band key. Exposed so tests can
+    * assert the front actually prunes (count ≪ nBlocks²/2) on clustered
+    * corpora at high tau — the regime the scale path relies on. */
+  private[graft] def lshCandidateBlockPairs(
+      normed: org.apache.spark.sql.Dataset[(Int, Long, Array[Double], Array[Long])])
+      : DataFrame = {
+    val spark = normed.sparkSession
+    import spark.implicits._
+    val summaries = normed
+      .flatMap { case (bid, _, _, keys) => keys.map(k => (bid, k)) }
+      .toDF("bid", "k").distinct()
+    summaries.select(col("bid").as("ba"), col("k"))
+      .join(summaries.select(col("bid").as("bb"), col("k").as("k2")),
+        col("k") === col("k2") && col("ba") <= col("bb"))
+      .select("ba", "bb").distinct()
+  }
+
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         tau: Double, nBlocks: Int = 64,
+                         bitsPerBand: Int = 2, bands: Int = 64,
+                         exactAllPairs: Boolean = false): DataFrame = {
+    require(nBlocks > 0, s"nBlocks must be positive, got $nBlocks")
+    // only the exact path enumerates nBlocks²/2 (ba, bb) ints driver-side;
+    // the LSH front scales to any block count (equi-join on int keys)
+    require(!exactAllPairs || nBlocks <= 1024,
+      s"exactAllPairs enumerates nBlocks^2/2 pairs driver-side: nBlocks in 1..1024, got $nBlocks")
+    require(bitsPerBand >= 1 && bitsPerBand <= 16 && bands >= 1,
+      "bitsPerBand in 1..16, bands >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nb = nBlocks
+    val normed = nearDupNormed(emb, idCol, vecCol, nBlocks, bitsPerBand, bands)
     val blocks = normed.groupByKey(_._1)
       .mapGroups((bid, it) => (bid, it.map(t => (t._2, t._3)).toArray))
       .toDF("bid", "rows")
@@ -281,17 +312,7 @@ object Similarity {
       if (exactAllPairs) {
         val all = for { i <- 0 until nb; j <- i until nb } yield (i, j)
         all.toDF("ba", "bb")
-      } else {
-        // distinct (block, band-bucket) summaries are ints — the self-join
-        // is an equi hash join on the band key, post-filtered to ba <= bb
-        val summaries = normed
-          .flatMap { case (bid, _, _, keys) => keys.map(k => (bid, k)) }
-          .toDF("bid", "k").distinct()
-        summaries.select(col("bid").as("ba"), col("k"))
-          .join(summaries.select(col("bid").as("bb"), col("k").as("k2")),
-            col("k") === col("k2") && col("ba") <= col("bb"))
-          .select("ba", "bb").distinct()
-      }
+      } else lshCandidateBlockPairs(normed)
     val paired = cand
       .join(blocks.select(col("bid").as("ba"), col("rows").as("rowsA")), "ba")
       .join(blocks.select(col("bid").as("bb"), col("rows").as("rowsB")), "bb")

@@ -56,6 +56,46 @@ class GeneratedPropsSuite extends AnyFunSuite {
     }
   }
 
+  test("chunkByTokens: de-overlapped chunks reconstruct the token list exactly") {
+    // Property (any tokens, any 0 <= overlap < chunkSize): chunk 0 plus
+    // every later chunk minus its first `overlap` tokens, concatenated in
+    // chunk_id order, equals the original token list — i.e. full coverage,
+    // exact stride, no dropped or duplicated tail. Guards the index
+    // arithmetic (1-based slice bounds, last-window cutoff) that is easy
+    // to silently regress by one.
+    import graft.operators.Pipelines
+    val genCase = for {
+      chunkSize <- Gen.choose(1, 24)
+      overlap <- Gen.choose(0, chunkSize - 1)
+      nToks <- Gen.choose(1, 120)
+    } yield (chunkSize, overlap, nToks)
+    val cases = sampleN(genCase, 40, seed = 11L).zipWithIndex
+    val tokRnd = new scala.util.Random(5)
+    // group by (chunkSize, overlap): one Spark job per distinct param pair
+    cases.groupBy { case ((cs, ov, _), _) => (cs, ov) }
+      .foreach { case ((chunkSize, overlap), group) =>
+        val docs = group.map { case ((_, _, n), id ) =>
+          (id.toLong, Array.fill(n)(s"t${tokRnd.nextInt(50)}").mkString(" "))
+        }
+        val df = docs.toDF("doc_id", "text")
+        val out = Pipelines.chunkByTokens(df, "doc_id", "text", chunkSize, overlap)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+          .groupBy(_._1)
+        docs.foreach { case (id, text) =>
+          val toks = text.split(" ").toSeq
+          val chunks = out(id).sortBy(_._2)
+          // n_tokens is the real token count of each chunk
+          assert(chunks.forall { case (_, _, c, n) => c.split(" ").length == n },
+            s"doc $id cs=$chunkSize ov=$overlap: n_tokens mismatch")
+          val rebuilt = chunks.head._3.split(" ").toSeq ++
+            chunks.tail.flatMap(_._3.split(" ").drop(overlap).toSeq)
+          assert(rebuilt == toks,
+            s"doc $id cs=$chunkSize ov=$overlap: ${rebuilt.length} != ${toks.length} tokens")
+        }
+      }
+  }
+
   test("CDC parse inverts toEnvelope for arbitrary field values") {
     val genRow = for {
       ref <- Gen.choose(0L, Long.MaxValue / 2)

@@ -149,6 +149,43 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L3 embedding near-dup: LSH front PRUNES on a clustered corpus at tau=0.7") {
+    // The fixture embeddings are near-orthogonal (max cos ≈ 0.51), so the
+    // prior equivalence tests never exercise the regime the docstring
+    // promises: on CLUSTERED data at high tau, raising bitsPerBand makes
+    // the candidate front a small fraction of all block pairs. Corpus:
+    // 100 tight clusters × 20 members (dim 64, noise σ=0.005 → member
+    // cosine ≈ 0.998), seeded and deterministic.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val emb = (0 until 100).flatMap { c =>
+      val center = unit(Array.fill(64)(rnd.nextGaussian()))
+      (0 until 20).map { m =>
+        (c * 20L + m, unit(center.map(_ + 0.005 * rnd.nextGaussian())))
+      }
+    }.toDF("vec_id", "embedding")
+    val (nBlocks, bitsPerBand, bands) = (1024, 16, 16)
+    val normed = Similarity.nearDupNormed(emb, "vec_id", "embedding",
+      nBlocks, bitsPerBand, bands)
+    val candidates = Similarity.lshCandidateBlockPairs(normed).count()
+    val allBlockPairs = nBlocks.toLong * (nBlocks + 1) / 2
+    // the scale-path claim: candidates ≪ nBlocks²/2 (here: under 10%)
+    assert(candidates < allBlockPairs / 10,
+      s"front did not prune: $candidates of $allBlockPairs block pairs")
+    // and pruning must not cost recall: LSH output ≡ exhaustive block pairs
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      tau = 0.7, nBlocks = nBlocks, exactAllPairs = true)
+    val lsh = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      tau = 0.7, nBlocks = nBlocks, bitsPerBand = bitsPerBand, bands = bands)
+    val nExact = exact.count()
+    // all 100·C(20,2) within-cluster pairs clear tau, nothing else does
+    assert(nExact == 100L * 190, s"expected 19000 clustered pairs, got $nExact")
+    assert(rows(lsh) == rows(exact))
+  }
+
   test("multimodal decode: batched features are deterministic + unit-norm") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val withPayload = Multimodal.withBinaryPayload(docs, "text")
