@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke (BASELINE.md methodology): times the heaviest bench
+  * queries at sf0.1 and at a generated 10× replica, printing per-query
+  * ratios — the only check that can catch an accidentally super-linear
+  * path (e.g. an LSH candidate blow-up) that a single-scale bench at
+  * 600 k rows is blind to.
+  *
+  * The 10× replica unions 10 key-shifted copies of the sf0.1 tables
+  * (ids shifted by copy × (max_id + 1), so join keys stay aligned and
+  * per-key group sizes stay constant — the corpus grows in entities,
+  * not in skew). Tables are read RAW (events.ts stays int64 nanos) so
+  * the replica round-trips through `Tables.events` exactly like the
+  * driver-generated fixtures. Replica lives under /tmp and is reused
+  * when present.
+  *
+  * Not part of the driver's per-round bench: run manually via
+  *   sbt -batch "runMain graft.ScaleSmoke"
+  * and record the ratio table in BASELINE.md.
+  */
+object ScaleSmoke {
+
+  /** (query, tables it reads) — the 6 heaviest per VERDICT r3. */
+  private val targets: Seq[(String, Seq[String])] = Seq(
+    "q31_math_fns" -> Seq("lineitem"),
+    "q08_big_join" -> Seq("lineitem", "orders"),
+    "x_tfidf" -> Seq("documents"),
+    "x_orc_sink" -> Seq("events"),
+    "x_token_stats" -> Seq("documents"),
+    "x_embed_neardup" -> Seq("embeddings"))
+
+  /** (column to shift, shared offset key) per table: columns sharing an
+    * offset key (lineitem.l_orderkey ↔ orders.o_orderkey) shift by the
+    * SAME amount, so copy i of lineitem joins copy i of orders and the
+    * q08 join cardinality scales exactly linearly. */
+  private val idCols: Map[String, Seq[(String, String)]] = Map(
+    "lineitem" -> Seq("l_orderkey" -> "orderkey"),
+    "orders" -> Seq("o_orderkey" -> "orderkey"),
+    "events" -> Seq("event_id" -> "event_id", "user_id" -> "user_id"),
+    "documents" -> Seq("doc_id" -> "doc_id"),
+    "embeddings" -> Seq("vec_id" -> "vec_id"))
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"/tmp/graft_scale_${copies}x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Engine.configure(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-scale-smoke"),
+      shufflePartitions = cpus
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tables = targets.flatMap(_._2).distinct
+    buildReplica(spark, baseDir, scaleDir, tables, copies)
+
+    def timeIt(name: String, dir: String, samples: Int): Double =
+      (0 until samples).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    val rows = targets.map { case (name, _) =>
+      timeIt(name, baseDir, 1) // warmup: JIT + file index, both dirs below
+      timeIt(name, scaleDir, 1)
+      val base = timeIt(name, baseDir, 2)
+      val big = timeIt(name, scaleDir, 2)
+      System.err.println(f"[scale] $name%-18s base=$base%7.2fs ${copies}x=$big%8.2fs ratio=${big / base}%6.2f")
+      (name, base, big, big / base)
+    }
+    val json = rows.map { case (n, b, s, r) =>
+      f""""$n":{"base_sec":$b%.3f,"x${copies}_sec":$s%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","copies":$copies,"base":"$baseDir","queries":$json}""")
+    spark.stop()
+  }
+
+  /** Union `copies` key-shifted raw copies of each table into
+    * `scaleDir/<table>.parquet` (skipped when the dir already exists). */
+  private def buildReplica(spark: SparkSession, baseDir: String,
+                           scaleDir: String, tables: Seq[String],
+                           copies: Int): Unit = {
+    // shared offsets: max over every (table, column) bound to the key,
+    // so the orderkey shift is identical on both sides of the q08 join
+    val offsets: Map[String, Long] = tables
+      .flatMap(t => idCols(t).map { case (c, key) => (t, c, key) })
+      .groupBy(_._3)
+      .map { case (key, cols) =>
+        key -> (cols.map { case (t, c, _) =>
+          spark.read.parquet(s"$baseDir/$t.parquet")
+            .agg(max(col(c).cast("long"))).head().getLong(0)
+        }.max + 1L)
+      }
+    tables.foreach { t =>
+      val out = new java.io.File(s"$scaleDir/$t.parquet")
+      if (!out.isDirectory) {
+        val raw = spark.read.parquet(s"$baseDir/$t.parquet")
+        val replica = (0 until copies).map { i =>
+          idCols(t).foldLeft(raw) { case (df, (c, key)) =>
+            df.withColumn(c, (col(c).cast("long") + lit(i * offsets(key)))
+              .cast(raw.schema(c).dataType))
+          }
+        }.reduce(_.unionAll(_))
+        replica.write.mode("overwrite").parquet(out.getAbsolutePath)
+        System.err.println(s"[scale] built $out (${copies}x $t)")
+      }
+    }
+  }
+}
