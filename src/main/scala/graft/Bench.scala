@@ -25,7 +25,8 @@ import org.apache.spark.sql.SparkSession
   * process exits non-zero — a fast failure must never read as a fast
   * query. Regression policy: when a baseline file with a `"queries"`
   * object is available (SPARK_GRAFT_BASELINE, default BENCH_r01.json),
-  * any query slower than 2× its baseline lands in `"regressions"`.
+  * any query whose MIN across passes is both >2× its baseline and
+  * >0.25 s over it lands in `"regressions"` (BASELINE.md methodology).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -81,11 +82,16 @@ object Bench {
     val failed = results.collect { case (n, None) => n }
     val baseline = loadBaseline(
       sys.env.getOrElse("SPARK_GRAFT_BASELINE", "/root/repo/BENCH_r01.json"))
-    // >2× the per-query baseline AND >0.25 s absolute (sub-second queries
-    // jitter well past 2× under driver load; tiny absolutes aren't signal)
+    // gate on the per-query MIN across interleaved passes: a real
+    // regression raises every sample including the fastest, while a load
+    // burst leaves at least one clean sample — so the min can't be faked
+    // slow by co-tenant noise the way the median was in rounds 2-3. Flag
+    // needs >2× the per-query baseline AND >0.25 s absolute (sub-second
+    // queries jitter past 2× under load; tiny absolutes aren't signal)
     val regressions = results.collect {
-      case (n, Some(t)) if baseline.get(n).exists(b => t > 2 * b && t - b > 0.25) =>
-        n -> t / baseline(n)
+      case (n, Some(_)) if mins.get(n).exists(t =>
+          baseline.get(n).exists(b => t > 2 * b && t - b > 0.25)) =>
+        n -> mins(n) / baseline(n)
     }
     regressions.foreach { case (n, r) =>
       System.err.println(f"[bench] REGRESSION $n: ${r}%.2fx baseline")
