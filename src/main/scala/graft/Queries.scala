@@ -479,6 +479,15 @@ object Queries {
   def xSimHash(s: SparkSession, d: String): DataFrame =
     Dedup.simHash(documents(s, d), "doc_id", "text").orderBy("doc_id")
 
+  /** L6: transitive near-dup clusters — LSH pairs at tau=0.8 over
+    * doc_id < 200 (a window with a giant component, several 2-clusters
+    * and singletons), connected components, min-id cluster label +
+    * cluster size per doc. */
+  def xDedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupClusters(documents(s, d).where(col("doc_id") < 200),
+        "doc_id", "text", tau = 0.8)
+      .orderBy("doc_id")
+
   /** Word-3-gram shingle Jaccard near-dup pairs. */
   def xNgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(documents(s, d).where(col("doc_id") < 50),

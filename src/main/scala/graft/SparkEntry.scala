@@ -217,6 +217,7 @@ object SparkEntry {
     "q53_chunking" -> (Queries.q53 _),
     // extras: no portable oracle → rows-only check
     "x_minhash_lsh" -> (Queries.xMinHashLsh _),
+    "x_dedup_clusters" -> (Queries.xDedupClusters _),
     "x_simhash" -> (Queries.xSimHash _),
     "x_ngram_jaccard" -> (Queries.xNgramJaccard _),
     "x_ann_topk" -> (Queries.xAnnTopK _),
@@ -353,6 +354,18 @@ object SparkEntry {
     // exhaustive q41 form (OperatorsSuite asserts the same equality)
     "x_minhash_lsh" ->
       "WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS tok FROM documents WHERE doc_id < 50), p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, len(list_intersect(a.tok,b.tok))/CAST(len(list_distinct(list_concat(a.tok,b.tok))) AS DOUBLE) AS jr FROM t a JOIN t b ON a.doc_id < b.doc_id) SELECT d1, d2, ROUND(jr,4) AS j FROM p WHERE jr >= 0.6 ORDER BY d1, d2",
+    // transitive closure via recursive CTE (reach set per doc, then min);
+    // the Spark side generates pairs with LSH — proven pair-identical to
+    // this exact form at tau=0.8/doc_id<200 (OperatorsSuite recall test)
+    "x_dedup_clusters" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS tok FROM documents WHERE doc_id < 200), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.tok,b.tok))/CAST(len(list_distinct(list_concat(a.tok,b.tok))) AS DOUBLE) >= 0.8), " +
+        "e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p), " +
+        "r AS (SELECT doc_id AS src, doc_id AS dst FROM t UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a), " +
+        "c AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM r GROUP BY src) " +
+        "SELECT c.doc_id, c.cluster_id, CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS csize " +
+        "FROM c ORDER BY c.doc_id"),
     "x_ngram_jaccard" ->
       "WITH t AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(s) - 2, 0) + 1), i -> array_to_string(s[i : i + 2], ' '))) AS tok FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents WHERE doc_id < 50)), tt AS (SELECT doc_id, tok FROM t WHERE len(tok) > 0), p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, len(list_intersect(a.tok,b.tok))/CAST(len(list_distinct(list_concat(a.tok,b.tok))) AS DOUBLE) AS jr FROM tt a JOIN tt b ON a.doc_id < b.doc_id) SELECT d1, d2, ROUND(jr,4) AS j FROM p WHERE jr >= 0.01 ORDER BY d1, d2",
     "x_embed_neardup" ->

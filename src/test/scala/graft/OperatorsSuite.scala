@@ -48,6 +48,70 @@ class OperatorsSuite extends AnyFunSuite {
     assert(exact.exceptAll(lsh).count() == 0L)
   }
 
+  /** In-test reference: plain union-find over an edge list. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to the component MIN (union always kept the min root)
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("L6 connectedComponents equals union-find on seeded random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(42, 7)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 300
+      val edges = Seq.fill(250)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(n, edges)
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // operator labels only vertices that appear in an edge
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == touched)
+      touched.foreach(v => assert(got(v) == expected(v), s"seed=$seed v=$v"))
+    }
+  }
+
+  test("L6 connectedComponents collapses a 200-node path in O(log n) rounds") {
+    import spark.implicits._
+    // worst-case diameter: naive min-propagation needs 200 rounds; the
+    // hub phase must collapse it within the maxIter=50 budget (the
+    // require() inside the operator fails the test otherwise)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(chain, "a", "b").collect()
+    assert(got.length == 200 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("L6 LSH pair recall holds at the x_dedup_clusters fixture (tau=0.8, 200 docs)") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 200)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8).select("d1", "d2")
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8).select("d1", "d2")
+    assert(lsh.exceptAll(exact).count() == 0L)
+    assert(exact.exceptAll(lsh).count() == 0L)
+  }
+
+  test("L6 nearDupClusters equals union-find over exact pairs (incl. singletons)") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 200)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val uf = unionFind(ids.max.toInt + 1, pairs)
+    val expLabel = ids.map(i => i -> uf(i)).toMap
+    val expSize = expLabel.values.groupBy(identity).map { case (c, vs) => c -> vs.size.toLong }
+    val got = Dedup.nearDupClusters(docs, "doc_id", "text", tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == ids.length)
+    got.foreach { case (id, c, sz) =>
+      assert(c == expLabel(id), s"doc $id cluster")
+      assert(sz == expSize(c), s"doc $id csize")
+    }
+  }
+
   test("L2 SimHash: near-identical docs collide, disjoint docs differ") {
     import spark.implicits._
     val docs = Seq(
