@@ -27,6 +27,10 @@ import org.apache.spark.sql.SparkSession
   * object is available (SPARK_GRAFT_BASELINE, default BENCH_r01.json),
   * any query whose MIN across passes is both >2× its baseline and
   * >0.25 s over it lands in `"regressions"` (BASELINE.md methodology).
+  * A clean min with a median >3× baseline gets a non-fatal TAIL-WARN
+  * stderr line — variance regressions (GC pressure, intermittent spill)
+  * raise the tail without touching the best-case pass, so the min gate
+  * alone can't see them.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -95,6 +99,23 @@ object Bench {
     }
     regressions.foreach { case (n, r) =>
       System.err.println(f"[bench] REGRESSION $n: ${r}%.2fx baseline")
+    }
+    // non-fatal tail watch: a clean min with a blown median is either a
+    // load burst (usual) or a real variance regression — GC pressure or
+    // intermittent spill raises the tail while the best-case pass stays
+    // flat, which the min gate alone would never surface. Warn, don't
+    // gate: one stderr line per offender, no JSON impact.
+    results.foreach {
+      case (n, Some(med)) =>
+        baseline.get(n).foreach { b =>
+          val minClean = mins.get(n).exists(t => t <= 2 * b || t - b <= 0.25)
+          if (minClean && med > 3 * b && med - b > 0.25)
+            System.err.println(
+              f"[bench] TAIL-WARN $n: median ${med}%.2fs is ${med / b}%.2fx " +
+                f"baseline while min ${mins(n)}%.2fs is clean — load burst " +
+                "or variance regression (GC/spill); not gated")
+        }
+      case _ => ()
     }
     val qs = results.map {
       case (k, Some(v)) => "\"" + k + f"\":$v%.3f"

@@ -46,8 +46,12 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    // replica dir keyed by BOTH baseDir and copy count — a dir keyed by
+    // count alone would be silently reused after SPARK_GRAFT_SF_DIR
+    // changes, ratio-ing against a replica of a different base
+    val baseTag = baseDir.replaceAll("[^A-Za-z0-9]+", "_").dropWhile(_ == '_')
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
-      s"/tmp/graft_scale_${copies}x")
+      s"/tmp/graft_scale_${baseTag}_${copies}x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Engine.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-scale-smoke"),
@@ -82,7 +86,10 @@ object ScaleSmoke {
   }
 
   /** Union `copies` key-shifted raw copies of each table into
-    * `scaleDir/<table>.parquet` (skipped when the dir already exists). */
+    * `scaleDir/<table>.parquet`. An existing replica is reused only
+    * after validating `replica rows == copies × base rows` (belt and
+    * braces on top of the baseDir-keyed dir name — an explicit
+    * SPARK_GRAFT_SCALE_DIR can still point at a stale replica). */
   private def buildReplica(spark: SparkSession, baseDir: String,
                            scaleDir: String, tables: Seq[String],
                            copies: Int): Unit = {
@@ -99,8 +106,15 @@ object ScaleSmoke {
       }
     tables.foreach { t =>
       val out = new java.io.File(s"$scaleDir/$t.parquet")
-      if (!out.isDirectory) {
-        val raw = spark.read.parquet(s"$baseDir/$t.parquet")
+      val raw = spark.read.parquet(s"$baseDir/$t.parquet")
+      val reusable = out.isDirectory && {
+        val expected = raw.count() * copies
+        val actual = spark.read.parquet(out.getAbsolutePath).count()
+        if (actual != expected) System.err.println(
+          s"[scale] stale replica $out ($actual rows, expected $expected) — rebuilding")
+        actual == expected
+      }
+      if (!reusable) {
         val replica = (0 until copies).map { i =>
           idCols(t).foldLeft(raw) { case (df, (c, key)) =>
             df.withColumn(c, (col(c).cast("long") + lit(i * offsets(key)))

@@ -120,18 +120,31 @@ object SparkEntry {
   }.toOption
 
   /** Dump-time guard for ivfOracleSql: assert that the SQL's cell
-    * assignment (argmin of |c|²−2·e·c, first minimum — replicated here
-    * with the same left-to-right double arithmetic DuckDB applies)
-    * agrees with `Similarity.nearestCell` for every corpus vector. The
-    * corpus at oracle scale is small (the collect is the same size as
-    * the trainCap sample ivfTrain already draws). */
+    * assignment (argmin of |c|²−2·e·c, first minimum) agrees with
+    * `Similarity.nearestCell` for every corpus vector. The local
+    * replica sums left-to-right; this ASSUMES DuckDB's
+    * `list_dot_product` accumulates in the same order — if DuckDB ever
+    * reorders the summation (e.g. SIMD pairwise), a near-equidistant
+    * vector could pass this guard yet land in a different cell in the
+    * SQL. The failure mode stays loud either way (a Verify hash
+    * mismatch, never a false pass); the guard just narrows it to
+    * dump time under that assumption. Collect is capped: oracle dumps
+    * run at sf≤0.1 (≤5 k vectors), and a corpus past the cap throws →
+    * the Try in ivfOracleSql omits the entry (driver falls back to
+    * rows-only) instead of materializing an unbounded corpus on the
+    * driver. */
   private def crossCheckCellAssignment(emb: DataFrame,
                                        cs: Array[Array[Double]]): Unit = {
+    val cap = 100000
     val ccs = cs.map(c => c.map(x => x * x).sum)
     val rows = emb.select(
       org.apache.spark.sql.functions.col("vec_id").cast("long"),
       org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .limit(cap + 1)
       .collect()
+    require(rows.length <= cap,
+      s"x_ivf_topk oracle cross-check: corpus exceeds $cap vectors — " +
+        "refusing the driver-side collect; entry falls back to rows-only")
     rows.foreach { r =>
       val v = r.getSeq[Double](1).toArray
       val sparkCell = graft.operators.Similarity.nearestCell(v, cs)

@@ -149,6 +149,11 @@ object Dedup {
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
       .localCheckpoint(true)
+    // the checkpointed frame whose storage blocks back `labels`; freed
+    // each round once the next checkpoint is materialized — without
+    // this, blocks from all O(log d) rounds stay pinned in the block
+    // manager until session end
+    var prevCkpt = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -160,14 +165,29 @@ object Dedup {
         .join(jump, col("m") === col("__jid"))
         .select(col("id"), least(col("m"), col("__jc")).as("next"),
           col("cluster").as("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: prior round's blocks now unreferenced
+      uncheckpoint(prevCkpt)
+      prevCkpt = stepped
       converged = stepped.where(col("next") =!= col("prev")).isEmpty
       labels = stepped.select(col("id"), col("next").as("cluster"))
       iter += 1
     }
+    uncheckpoint(sym) // returned labels depend only on the last checkpoint
     require(converged, s"connectedComponents: not converged after $maxIter rounds")
     labels
   }
+
+  /** Drop the block-manager storage behind a `localCheckpoint(true)`ed
+    * frame once no live plan references it: an eager local checkpoint
+    * persists its RDD (MEMORY_AND_DISK) and nothing unpins it until
+    * session end. Pattern-matches the checkpoint's `LogicalRDD` leaf —
+    * a no-op on frames that aren't checkpoints. */
+  private def uncheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /** L6 end-to-end: near-dup *clusters* over `docs` — MinHash-LSH pair
     * generation at `tau` ([[minHashLshPairs]]), transitive closure

@@ -90,17 +90,28 @@ object OrcTableSink {
     * sink outputs identically. `partitionCol` stays in the signature as
     * a post-registration contract check.
     *
-    * Exactly-once caveat closed at this seam: catalog reads LIST files
-    * from partition directories, bypassing the `_spark_metadata` log
-    * that path-based reads filter through — so an orphan file from a
-    * crashed, uncommitted streaming batch would become visible (a
-    * duplicate) through the table even though `spark.read.orc(path)`
-    * hides it (the reference's rename protocol likewise exposes only
-    * committed files to Hive, HiveOrcSink.java:321-345). When the dir
-    * carries a `_spark_metadata` log, registration therefore reconciles
-    * the on-disk data files against the log's committed set and refuses
-    * to register while orphans exist (clean AvailableNow/stop
-    * termination never leaves any; a crash mid-batch can). */
+    * Exactly-once caveat closed AT REGISTRATION TIME only: catalog
+    * reads LIST files from partition directories, bypassing the
+    * `_spark_metadata` log that path-based reads filter through — so an
+    * orphan file from a crashed, uncommitted streaming batch would
+    * become visible (a duplicate) through the table even though
+    * `spark.read.orc(path)` hides it (the reference's rename protocol
+    * likewise exposes only committed files to Hive,
+    * HiveOrcSink.java:321-345). When the dir carries a `_spark_metadata`
+    * log, registration therefore reconciles the on-disk data files
+    * against the log's committed set and refuses to register while
+    * orphans exist (clean AvailableNow/stop termination never leaves
+    * any; a crash mid-batch can).
+    *
+    * The guarantee does NOT extend past this call: unlike the
+    * reference's continuous rename protocol, a stream that keeps
+    * running — or restarts and crashes — AFTER registration can leave
+    * new orphans that catalog reads will serve. Operate the table in
+    * one of two regimes: (a) register only after stream termination
+    * (the tested composition, HiveMetastoreSuite), or (b) if a stream
+    * keeps writing to a registered table, audit with
+    * [[uncommittedDataFiles]] before trusting catalog reads after any
+    * non-clean shutdown. */
   def registerTable(spark: SparkSession, warehouse: String, table: String,
                     partitionCol: String): Unit = {
     val location = s"$warehouse/$table"
@@ -118,6 +129,19 @@ object OrcTableSink {
       s"expected table `$table` partitioned by $partitionCol, got $parts")
     spark.catalog.recoverPartitions(table)
   }
+
+  /** Public reconcile audit for an already-registered streaming table:
+    * data files under `warehouse/table` that the `_spark_metadata`
+    * commit log does not cover (empty for batch-written dirs, which
+    * commit via FileCommitProtocol rename and can't orphan). Call after
+    * a non-clean stream shutdown, before trusting catalog reads —
+    * non-empty means those files are uncommitted duplicates that
+    * catalog (file-listing) reads would serve; remove them or rerun the
+    * stream to completion. [[registerTable]] runs this check once at
+    * registration; it cannot see orphans created later. */
+  def uncommittedDataFiles(spark: SparkSession, warehouse: String,
+                           table: String): Seq[String] =
+    uncommittedFiles(spark, s"$warehouse/$table")
 
   /** Data files under `location` that a path-based read would NOT serve:
     * empty unless the dir has a streaming `_spark_metadata` log (batch

@@ -115,6 +115,35 @@ class HiveMetastoreSuite extends AnyFunSuite {
     finally spark.sql("DROP TABLE IF EXISTS hms_orphan")
   }
 
+  test("uncommittedDataFiles audits orphans created AFTER registration") {
+    // registerTable's reconcile is registration-time only: a stream that
+    // keeps writing (or crashes) after the table is registered can still
+    // leave orphans that catalog reads would serve. The public audit is
+    // the runtime check for that regime — clean dir → empty; orphan
+    // appears post-registration → reported; removed → empty again.
+    val wh = Files.createTempDirectory("graft_hms_audit").toString
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "2024-01-01"), (2L, "2024-01-02"))
+    val q = OrcTableSink.streamWriter(mem.toDF().toDF("id", "c_date"),
+        wh, "hms_audit", "c_date", s"$wh/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.sql("DROP TABLE IF EXISTS hms_audit")
+    OrcTableSink.registerTable(spark, wh, "hms_audit", "c_date")
+    try {
+      assert(OrcTableSink.uncommittedDataFiles(spark, wh, "hms_audit").isEmpty)
+      val orphan = java.nio.file.Paths.get(wh, "hms_audit",
+        "c_date=2024-01-02", "part-00000-cafebabe-c000.orc")
+      Files.write(orphan, Array[Byte](79, 82, 67))
+      val found = OrcTableSink.uncommittedDataFiles(spark, wh, "hms_audit")
+      assert(found.size == 1 && found.head.contains("cafebabe"), found)
+      Files.delete(orphan)
+      assert(OrcTableSink.uncommittedDataFiles(spark, wh, "hms_audit").isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS hms_audit")
+  }
+
   test("tables survive a session restart against the same metastore (DDL durability)") {
     val wh = Files.createTempDirectory("graft_hms_dur").toString
     spark.range(10).select(col("id"), lit("2024-01-01").as("c_date"))

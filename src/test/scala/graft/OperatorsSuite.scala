@@ -83,8 +83,14 @@ class OperatorsSuite extends AnyFunSuite {
     // hub phase must collapse it within the maxIter=50 budget (the
     // require() inside the operator fails the test otherwise)
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.size
     val got = Dedup.connectedComponents(chain, "a", "b").collect()
     assert(got.length == 200 && got.forall(_.getLong(1) == 0L))
+    // each round localCheckpoints; the loop must unpersist as it goes —
+    // only the final labels checkpoint may stay pinned, not O(log d) of
+    // them (the 200-node path runs the most rounds of any test here)
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 1, s"connectedComponents leaked $leaked persistent RDDs")
   }
 
   test("L6 LSH pair recall holds at the x_dedup_clusters fixture (tau=0.8, 200 docs)") {
