@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Joins}
 import graft.sources.CdcIngest
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
@@ -94,6 +94,78 @@ class GeneratedPropsSuite extends AnyFunSuite {
             s"doc $id cs=$chunkSize ov=$overlap: ${rebuilt.length} != ${toks.length} tokens")
         }
       }
+  }
+
+  test("saltedJoin equals the plain join on generated skewed data (inner + left)") {
+    // heavy skew: ~half the fact rows share key 0 (the regime the salt
+    // exists for), the rest spread over 50 keys; dim covers only some
+    // keys so left-join null-padding is exercised
+    val rnd = new scala.util.Random(13)
+    val fact = (0 until 400).map { i =>
+      val k = if (rnd.nextBoolean()) 0L else rnd.nextInt(50).toLong
+      (k, i.toLong)
+    }.toDF("k", "fact_val")
+    val dim = (0 until 50 by 2).map(k => (k.toLong, s"d$k")).toDF("k", "dim_val")
+    for (jt <- Seq("inner", "left")) {
+      val plain = fact.join(dim, Seq("k"), jt)
+        .select("k", "fact_val", "dim_val").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted.toSeq
+      val salted = Joins.saltedJoin(fact, dim, "k", saltFactor = 8, joinType = jt)
+        .select("k", "fact_val", "dim_val").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted.toSeq
+      assert(salted == plain, s"joinType=$jt")
+    }
+  }
+
+  test("rangeJoin equals the naive theta join on generated timestamps") {
+    // dense ts range so bucket boundaries, exact-width hits (rts ==
+    // lts + w, included) and same-instant pairs (rts == lts, excluded)
+    // all occur; micros kept multiple-of-1s to make boundary hits likely
+    val rnd = new scala.util.Random(17)
+    def gen(n: Int, tag: String) = (0 until n).map { i =>
+      (rnd.nextInt(4).toLong, 1_700_000_000L + rnd.nextInt(600), s"$tag$i")
+    }
+    val left = gen(150, "l").toDF("lk", "lsec", "lval")
+      .select(col("lk"), timestamp_seconds(col("lsec")).as("lts"), col("lval"))
+    val right = gen(150, "r").toDF("rk", "rsec", "rval")
+      .select(col("rk"), timestamp_seconds(col("rsec")).as("rts"), col("rval"))
+    for (widthSec <- Seq(1L, 7L, 60L)) {
+      val naive = left.join(right,
+          col("lk") === col("rk") && col("rts") > col("lts") &&
+            col("rts") <= col("lts") + expr(s"INTERVAL $widthSec SECONDS"))
+        .select("lval", "rval").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val bucketed = Joins.rangeJoin(left, "lk", "lts", right, "rk", "rts", widthSec)
+        .select("lval", "rval").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(bucketed == naive, s"widthSec=$widthSec")
+      assert(naive.nonEmpty, s"widthSec=$widthSec: generator produced no pairs")
+    }
+  }
+
+  test("asofLatestTs equals the naive correlated max on generated data (strict + non-strict)") {
+    // small ts range → plenty of exact left-ts == right-ts ties, the
+    // one case where strict and non-strict must differ
+    val rnd = new scala.util.Random(19)
+    val left = (0 until 200).map { i =>
+      (rnd.nextInt(5).toLong, 1_700_000_000L + rnd.nextInt(50), i.toLong)
+    }.toDF("k", "lsec", "lid")
+      .select(col("k"), timestamp_seconds(col("lsec")).as("lts"), col("lid"))
+    val right = (0 until 200).map { _ =>
+      (rnd.nextInt(5).toLong, 1_700_000_000L + rnd.nextInt(50))
+    }.toDF("rk", "rsec")
+      .select(col("rk"), timestamp_seconds(col("rsec")).as("rts"))
+    for (strict <- Seq(true, false)) {
+      val cmp = if (strict) col("rts") < col("lts") else col("rts") <= col("lts")
+      val naive = left.join(right, col("k") === col("rk") && cmp, "left")
+        .groupBy("lid").agg(max(col("rts")).as("expect"))
+        .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+      val got = Joins.asofLatestTs(left, "k", "lts", right, "rk", "rts", strict)
+        .collect().map(r => r.getLong(2) -> Option(r.getTimestamp(3))).toMap
+      assert(got == naive, s"strict=$strict")
+      assert(naive.values.exists(_.isEmpty) && naive.values.exists(_.nonEmpty),
+        s"strict=$strict: generator should produce matched AND unmatched rows")
+    }
   }
 
   test("CDC parse inverts toEnvelope for arbitrary field values") {
