@@ -43,6 +43,23 @@ object CdcIngest {
           "yyyy-MM-dd").as("c_date"))
   }
 
+  /** Dead-letter filter for [[parse]]: the input rows whose envelope does
+    * NOT decode — malformed JSON at either nesting level, a non-object
+    * `value`, or a missing `after` — plus null payloads. `from_json`
+    * nulls these out silently (its PERMISSIVE default, which [[parse]]
+    * deliberately keeps: one poison record must not kill a 100 TB
+    * ingest), so a production job splits the stream once:
+    * `parse(df.except-ish good)` to the warehouse, `corruptRecords(df)`
+    * to a quarantine sink for replay. Rows that decode but carry null
+    * FIELDS (e.g. `after.ref: null`) are data, not corruption, and are
+    * not flagged. */
+  def corruptRecords(df: DataFrame, payloadCol: String): DataFrame = {
+    val outer = from_json(lower(col(payloadCol)), outerSchema)
+    val after = from_json(outer.getField("value"), innerSchema).getField("after")
+    df.where(col(payloadCol).isNull || outer.isNull ||
+      outer.getField("value").isNull || after.isNull)
+  }
+
   def parseTyped(df: DataFrame, payloadCol: String): Dataset[City] = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -69,6 +69,38 @@ class ReferenceJobSuite extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS t1")
   }
 
+  test("S2/S3 poison records: parse nulls them, corruptRecords quarantines exactly them") {
+    import graft.sources.CdcIngest
+    // one good record among every decode-failure class a CDC feed
+    // produces: truncated JSON, non-JSON garbage, value not an object,
+    // missing `after`, null payload — plus a decodable record carrying a
+    // null FIELD, which is data (not corruption) and must NOT be flagged
+    val good = envelope(1, 10, "beijing", 1704067200000L)
+    val nullField =
+      """{"value": "{\"after\": {\"ref\": null, \"city_id\": 12, \"city_name\": \"tianjin\", \"c_time\": 1704067200000}}"}"""
+    val bad = Seq(
+      """{"value": "{\"after\": {\"ref\": 7""", // truncated
+      "not json at all",
+      """{"value": "42"}""", // value decodes but is not an object
+      """{"value": "{\"other\": 1}"}""", // no `after`
+      null)
+    val df = (Seq(good, nullField) ++ bad).toDF("payload")
+    // a poison batch must not kill the job: every row still comes out...
+    val parsed = CdcIngest.parse(df, "payload")
+    assert(parsed.count() == 7)
+    // ...good rows typed and correct, poison rows all-null
+    assert(parsed.where(col("ref") === 1 && col("city_name") === "beijing" &&
+      col("c_date") === "2024-01-01").count() == 1)
+    assert(parsed.where(col("ref").isNull && col("city_id").isNull &&
+      col("city_name").isNull).count() == bad.size.toLong)
+    // the quarantine filter returns exactly the five undecodable rows —
+    // not the null-field row, which parse surfaces with city_id=12
+    val dead = CdcIngest.corruptRecords(df, "payload")
+    assert(dead.count() == bad.size.toLong)
+    assert(dead.where(col("payload").contains("tianjin")).count() == 0)
+    assert(parsed.where(col("city_id") === 12).count() == 1)
+  }
+
   test("T7 custom state: flatMapGroupsWithState accumulates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
