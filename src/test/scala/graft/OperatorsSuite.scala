@@ -256,6 +256,48 @@ class OperatorsSuite extends AnyFunSuite {
     assert(rows(lsh) == rows(exact))
   }
 
+  test("L3 embedding near-dup: candidate front grows ~linearly when nBlocks tracks corpus size") {
+    // The 100 TB sizing rule (Similarity scaladoc) is nBlocks ∝ corpus,
+    // keeping per-block size — and so per-candidate cost — constant. Under
+    // that rule the candidate BLOCK-PAIR count must grow ~linearly with
+    // the corpus on clustered data; quadratic growth here is exactly the
+    // blow-up ScaleSmoke can't see (its fixture is isotropic, where
+    // pruning is impossible by semantics). 4× corpus with 4× blocks:
+    // linear ⇒ ~4× candidates; assert <8× (quadratic would be ~16×).
+    import spark.implicits._
+    def clustered(nClusters: Int, seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      def unit(v: Array[Double]) = {
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+      (0 until nClusters).flatMap { c =>
+        val center = unit(Array.fill(64)(rnd.nextGaussian()))
+        (0 until 20).map { m =>
+          (c * 20L + m, unit(center.map(_ + 0.005 * rnd.nextGaussian())))
+        }
+      }.toDF("vec_id", "embedding")
+    }
+    def candidates(nClusters: Int, nBlocks: Int): (Long, Long) = {
+      val emb = clustered(nClusters, seed = 13)
+      val normed = Similarity.nearDupNormed(emb, "vec_id", "embedding",
+        nBlocks, bitsPerBand = 16, bands = 16)
+      val cand = Similarity.lshCandidateBlockPairs(normed).count()
+      // output pair count doubles as a recall check: every within-cluster
+      // pair clears tau=0.7, nothing else does, and the exact post-filter
+      // admits no false positives — a lossy front would come up short
+      val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        tau = 0.7, nBlocks = nBlocks, bitsPerBand = 16, bands = 16).count()
+      (cand, pairs)
+    }
+    val (cSmall, pSmall) = candidates(50, 512)
+    val (cBig, pBig) = candidates(200, 2048)
+    assert(pSmall == 50L * 190, s"recall gap at 1x: $pSmall")
+    assert(pBig == 200L * 190, s"recall gap at 4x: $pBig")
+    val growth = cBig.toDouble / cSmall
+    assert(growth < 8.0,
+      s"candidate front grew ${growth}x on 4x corpus ($cSmall -> $cBig): super-linear")
+  }
+
   test("multimodal decode: batched features are deterministic + unit-norm") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val withPayload = Multimodal.withBinaryPayload(docs, "text")
