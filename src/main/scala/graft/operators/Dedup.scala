@@ -180,10 +180,12 @@ object Dedup {
   /** Drop the block-manager storage behind a `localCheckpoint(true)`ed
     * frame once no live plan references it: an eager local checkpoint
     * persists its RDD (MEMORY_AND_DISK) and nothing unpins it until
-    * session end. Pattern-matches the checkpoint's `LogicalRDD` leaf —
-    * a no-op on frames that aren't checkpoints. */
+    * session end. Matches only a ROOT `LogicalRDD` — i.e. a frame that
+    * IS a checkpoint — so it's a true no-op on anything else; a plan
+    * traversal would also unpersist caller-owned RDD-backed inputs
+    * buried inside derived frames. */
   private def uncheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false); ()
       case _ => ()

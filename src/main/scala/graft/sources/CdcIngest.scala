@@ -29,11 +29,20 @@ object CdcIngest {
       StructField("city_name", StringType),
       StructField("c_time", LongType))))))
 
+  /** The full decode chain as one expression: payload → outer envelope →
+    * double-encoded `value` string → `after` struct (null when any level
+    * fails to decode). Shared by [[parse]] and [[corruptRecords]] so the
+    * quarantine invariant — flagged ⟺ parse nulls the row — can't drift
+    * out of sync between two hand-maintained copies. */
+  private def afterExpr(payloadCol: String) = {
+    val outer = from_json(lower(col(payloadCol)), outerSchema)
+    from_json(outer.getField("value"), innerSchema).getField("after")
+  }
+
   /** payload string column → typed City frame (columns ref, city_id,
     * city_name, c_date). */
   def parse(df: DataFrame, payloadCol: String): DataFrame = {
-    val outer = from_json(lower(col(payloadCol)), outerSchema)
-    df.select(from_json(outer.getField("value"), innerSchema).getField("after").as("a"))
+    df.select(afterExpr(payloadCol).as("a"))
       .select(
         col("a.ref").as("ref"),
         col("a.city_id").as("city_id"),
@@ -53,12 +62,10 @@ object CdcIngest {
     * to a quarantine sink for replay. Rows that decode but carry null
     * FIELDS (e.g. `after.ref: null`) are data, not corruption, and are
     * not flagged. */
-  def corruptRecords(df: DataFrame, payloadCol: String): DataFrame = {
-    val outer = from_json(lower(col(payloadCol)), outerSchema)
-    val after = from_json(outer.getField("value"), innerSchema).getField("after")
-    df.where(col(payloadCol).isNull || outer.isNull ||
-      outer.getField("value").isNull || after.isNull)
-  }
+  def corruptRecords(df: DataFrame, payloadCol: String): DataFrame =
+    // null propagates through every decode stage, so a null `after` is
+    // exactly "some level failed" (incl. a null payload itself)
+    df.where(afterExpr(payloadCol).isNull)
 
   def parseTyped(df: DataFrame, payloadCol: String): Dataset[City] = {
     val spark = df.sparkSession
