@@ -168,6 +168,67 @@ class GeneratedPropsSuite extends AnyFunSuite {
     }
   }
 
+  test("nearDupClusters equals local union-find over its own pair set (labels, singletons, csize)") {
+    // corpus: near-dup pairs (mutated copies) + isolated docs that must
+    // come out as singleton clusters of themselves
+    val vocab = (0 until 400).map(i => s"w$i")
+    val rnd = new scala.util.Random(23)
+    def doc() = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val paired = (0 until 25).flatMap { i =>
+      val base = doc().split(" ")
+      val mut = base.map(t =>
+        if (rnd.nextDouble() < 0.1) vocab(rnd.nextInt(vocab.size)) else t)
+      Seq((i * 2L, base.mkString(" ")), (i * 2L + 1, mut.mkString(" ")))
+    }
+    val isolated = (0 until 20).map(i => (1000L + i, doc()))
+    val docs = (paired ++ isolated).toDF("doc_id", "text")
+    val tau = 0.6
+    // ground truth: union-find over the operator's OWN pair set (the pair
+    // generation is differentially tested elsewhere; this pins the CC +
+    // labeling + singleton + csize composition on top of it)
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", tau)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = (paired ++ isolated).map(_._1)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expectLabel = ids.map(i => i -> find(i)).toMap
+    val expectSize = expectLabel.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.nearDupClusters(docs, "doc_id", "text", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == ids.size)
+    got.foreach { case (id, cluster, csize) =>
+      assert(cluster == expectLabel(id), s"doc $id: cluster $cluster != ${expectLabel(id)}")
+      assert(csize == expectSize(expectLabel(id)), s"doc $id: csize")
+    }
+    // the generator must actually exercise both regimes
+    assert(expectSize.values.exists(_ >= 2) && expectSize.values.exists(_ == 1L))
+  }
+
+  test("WeightedMean equals the local weighted mean on random data (incl. zero-weight group)") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 500).map { _ =>
+      (rnd.nextInt(10).toLong, rnd.nextDouble() * 200 - 100, rnd.nextDouble() * 10)
+    } ++ (0 until 5).map(i => (99L, rnd.nextDouble(), 0.0)) // all-zero weights
+    val df = rows.toDF("g", "x", "w")
+    val wavg = udaf(new graft.functions.WeightedMean)
+    val got = df.groupBy("g").agg(wavg(col("x"), col("w")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = rows.groupBy(_._1).view.mapValues { g =>
+      val sw = g.map(_._3).sum
+      if (sw == 0.0) Double.NaN else g.map(t => t._2 * t._3).sum / sw
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (g, e) =>
+      if (e.isNaN) assert(got(g).isNaN, s"group $g: expected NaN, got ${got(g)}")
+      // partial/merge order differs from the local fold — compare to 1e-9 rel
+      else assert(math.abs(got(g) - e) <= 1e-9 * math.max(1.0, math.abs(e)), s"group $g")
+    }
+  }
+
   test("CDC parse inverts toEnvelope for arbitrary field values") {
     val genRow = for {
       ref <- Gen.choose(0L, Long.MaxValue / 2)
