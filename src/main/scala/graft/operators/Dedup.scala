@@ -146,8 +146,14 @@ object Dedup {
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .where(col("a") =!= col("b")).distinct()
       .localCheckpoint(true) // reused every round
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
+    // init at min(id, min neighbor) — one groupBy instead of the
+    // identity labeling's distinct (same shuffle), and it pre-runs the
+    // loop's first min-propagation: shallow graphs (the near-dup norm,
+    // star-shaped clusters) then converge a full round earlier. The loop
+    // invariants hold unchanged: labels start within the component's id
+    // set, ≥ the component min, and monotonically non-increasing.
+    var labels = sym.groupBy("a").agg(min("b").as("__mb"))
+      .select(col("a").as("id"), least(col("a"), col("__mb")).as("cluster"))
       .localCheckpoint(true)
     // the checkpointed frame whose storage blocks back `labels`; freed
     // each round once the next checkpoint is materialized — without
