@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{Dedup, Joins}
 import graft.sources.CdcIngest
+import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -227,6 +228,46 @@ class GeneratedPropsSuite extends AnyFunSuite {
       // partial/merge order differs from the local fold — compare to 1e-9 rel
       else assert(math.abs(got(g) - e) <= 1e-9 * math.max(1.0, math.abs(e)), s"group $g")
     }
+  }
+
+  test("sessionAgg equals a local sessionizer on random event times (boundary-inclusive)") {
+    // ts drawn on a coarse grid around multiples of the gap so exact
+    // prev+gap boundary hits occur — the case where Spark's
+    // session_window merges (inclusive) and a naive `>=` oracle would
+    // split; local ground truth replicates gaps-and-islands with > gap
+    val gapSec = 60L
+    val rnd = new scala.util.Random(31)
+    val events = (0 until 400).map { i =>
+      (rnd.nextInt(6).toLong, 1_700_000_000L + rnd.nextInt(40) * 30L,
+        math.round(rnd.nextDouble() * 100) / 10.0)
+    }
+    val df = events.toDF("user_id", "sec", "value")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"), col("value"))
+    val got = StreamOps.sessionAgg(df, s"$gapSec seconds")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val expect = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val sorted = evs.map(e => (e._2, e._3)).sorted
+      val sessions = sorted.tail.foldLeft(Vector(Vector(sorted.head))) {
+        case (acc, e) =>
+          if (e._1 - acc.last.last._1 > gapSec) acc :+ Vector(e) // strict >: boundary merges
+          else acc.init :+ (acc.last :+ e)
+      }
+      sessions.zipWithIndex.map { case (s, i) =>
+        (u, i + 1L) -> (s.size.toLong,
+          BigDecimal(s.map(_._2).sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, (c, v)) =>
+      assert(got(k)._1 == c, s"key $k count")
+      assert(math.abs(got(k)._2 - v) < 1e-6, s"key $k sum")
+    }
+    // the grid must actually produce boundary hits for this to test them
+    val boundaryHits = events.groupBy(_._1).values.map { evs =>
+      val ts = evs.map(_._2).distinct.sorted
+      ts.sliding(2).count { case Seq(a, b) => b - a == gapSec; case _ => false }
+    }.sum
+    assert(boundaryHits > 0, "generator produced no exact prev+gap boundary events")
   }
 
   test("CDC parse inverts toEnvelope for arbitrary field values") {
