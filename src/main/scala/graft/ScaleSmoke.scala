@@ -59,7 +59,15 @@ object ScaleSmoke {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tables = targets.flatMap(_._2).distinct
+    // optional filter (comma-separated names): e.g. exclude the
+    // by-semantics-quadratic x_embed_neardup when pushing to 30x+, where
+    // its exact all-pairs work would dominate the whole run
+    val selected = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+      .map(keep => targets.filter(t => keep(t._1)))
+      .getOrElse(targets)
+    require(selected.nonEmpty, "SPARK_GRAFT_SCALE_QUERIES matched no target")
+    val tables = selected.flatMap(_._2).distinct
     buildReplica(spark, baseDir, scaleDir, tables, copies)
 
     def timeIt(name: String, dir: String, samples: Int): Double =
@@ -70,7 +78,7 @@ object ScaleSmoke {
         (System.nanoTime() - t0) / 1e9
       }.min
 
-    val rows = targets.map { case (name, _) =>
+    val rows = selected.map { case (name, _) =>
       timeIt(name, baseDir, 1) // warmup: JIT + file index, both dirs below
       timeIt(name, scaleDir, 1)
       val base = timeIt(name, baseDir, 2)

@@ -136,4 +136,26 @@ class PlanShapeSuite extends AnyFunSuite {
     val p = plan(df)
     assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
   }
+
+  test("CDC decode chain stays a codegen'd projection — no UDF in the ingest hot path") {
+    // from_json×2 + date math must compile into one WholeStageCodegen
+    // projection: at 100 TB the ingest path runs on every record, so a
+    // non-codegen expression (or an accidental UDF) here taxes the whole
+    // pipeline. Both the keep side and the dead-letter side are checked.
+    import graft.sources.CdcIngest
+    // parquet-backed payloads: a literal local table would be constant-
+    // folded to a LocalTableScan, leaving nothing to assert codegen on
+    val src = CdcIngest.toEnvelope(
+      Tables.customer(spark, sfDir).limit(100).select(
+        col("c_custkey").as("ref"), col("c_nationkey").as("city_id"),
+        col("c_name").as("city_name"),
+        (col("c_custkey") * 1000L + 1704067200000L).as("c_ms")), "c_ms")
+    for (df <- Seq(CdcIngest.parse(src, "payload"),
+                   CdcIngest.corruptRecords(src, "payload"))) {
+      df.collect()
+      val p = plan(df)
+      assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
+      assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("udf"), p)
+    }
+  }
 }
