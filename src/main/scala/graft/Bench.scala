@@ -105,10 +105,13 @@ object Bench {
     // intermittent spill raises the tail while the best-case pass stays
     // flat, which the min gate alone would never surface. Warn, don't
     // gate: one stderr line per offender, no JSON impact.
+    val regressed = regressions.map(_._1).toSet
     results.foreach {
       case (n, Some(med)) =>
         baseline.get(n).foreach { b =>
-          val minClean = mins.get(n).exists(t => t <= 2 * b || t - b <= 0.25)
+          // "clean" = exactly "not flagged above" — one source of truth,
+          // so tuning the gate thresholds can't desync the warn window
+          val minClean = !regressed.contains(n)
           if (minClean && med > 3 * b && med - b > 0.25)
             System.err.println(
               f"[bench] TAIL-WARN $n: median ${med}%.2fs is ${med / b}%.2fx " +

@@ -64,9 +64,14 @@ object ScaleSmoke {
     // its exact all-pairs work would dominate the whole run
     val selected = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-      .map(keep => targets.filter(t => keep(t._1)))
+      .map { keep =>
+        val unknown = keep -- targets.map(_._1).toSet
+        require(unknown.isEmpty, // a typo must not silently shrink coverage
+          s"SPARK_GRAFT_SCALE_QUERIES names no target: ${unknown.mkString(", ")} " +
+            s"(known: ${targets.map(_._1).mkString(", ")})")
+        targets.filter(t => keep(t._1))
+      }
       .getOrElse(targets)
-    require(selected.nonEmpty, "SPARK_GRAFT_SCALE_QUERIES matched no target")
     val tables = selected.flatMap(_._2).distinct
     buildReplica(spark, baseDir, scaleDir, tables, copies)
 
@@ -103,9 +108,14 @@ object ScaleSmoke {
                            copies: Int): Unit = {
     // shared offsets: max over every (table, column) bound to the key,
     // so the orderkey shift is identical on both sides of the q08 join.
-    // lazy: only the rebuild branch reads it — a warm run with valid
-    // replicas must not pay ~one aggregation job per id column
-    lazy val offsets: Map[String, Long] = tables
+    // Computed over ALL tables in idCols — not just the selected ones —
+    // because replicas are cached per table: a filtered run must not
+    // build (say) lineitem with a different orderkey offset than a later
+    // unfiltered run gives orders, or cross-copy join matches silently
+    // vanish and ratios under-report. lazy: only the rebuild branch
+    // reads it — a warm run with valid replicas must not pay ~one
+    // aggregation job per id column
+    lazy val offsets: Map[String, Long] = idCols.keys.toSeq
       .flatMap(t => idCols(t).map { case (c, key) => (t, c, key) })
       .groupBy(_._3)
       .map { case (key, cols) =>

@@ -58,14 +58,24 @@ object CdcIngest {
     * nulls these out silently (its PERMISSIVE default, which [[parse]]
     * deliberately keeps: one poison record must not kill a 100 TB
     * ingest), so a production job splits the stream once:
-    * `parse(df.except-ish good)` to the warehouse, `corruptRecords(df)`
-    * to a quarantine sink for replay. Rows that decode but carry null
+    * `parse(goodRecords(df, c), c)` to the warehouse,
+    * `corruptRecords(df, c)` to a quarantine sink for replay. Rows
+    * that decode but carry null
     * FIELDS (e.g. `after.ref: null`) are data, not corruption, and are
     * not flagged. */
   def corruptRecords(df: DataFrame, payloadCol: String): DataFrame =
     // null propagates through every decode stage, so a null `after` is
     // exactly "some level failed" (incl. a null payload itself)
     df.where(afterExpr(payloadCol).isNull)
+
+  /** Exact complement of [[corruptRecords]]: the input rows whose
+    * envelope decodes. The split is expressible only pre-[[parse]] —
+    * parse output can't distinguish a corrupt row from a valid record
+    * whose `after` fields are all null — so a production job filters
+    * here first, then parses the survivors:
+    * `parse(goodRecords(df, "payload"), "payload")`. */
+  def goodRecords(df: DataFrame, payloadCol: String): DataFrame =
+    df.where(afterExpr(payloadCol).isNotNull)
 
   def parseTyped(df: DataFrame, payloadCol: String): Dataset[City] = {
     val spark = df.sparkSession

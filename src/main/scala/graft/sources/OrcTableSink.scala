@@ -155,8 +155,14 @@ object OrcTableSink {
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(root, "_spark_metadata"))) return Seq.empty
-    val committed = spark.read.orc(location).inputFiles
-      .map(f => new Path(f).toUri.getPath).toSet
+    // a crash before the FIRST batch commits leaves the log dir present
+    // but with zero committed files — the metadata-filtered read then
+    // can't infer a schema and throws. That's still a valid audit state:
+    // committed set is empty, every data file on disk is an orphan.
+    val committed = scala.util.Try {
+      spark.read.orc(location).inputFiles
+        .map(f => new Path(f).toUri.getPath).toSet
+    }.getOrElse(Set.empty[String])
     val onDisk = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
       val name = st.getPath.getName

@@ -144,6 +144,20 @@ class HiveMetastoreSuite extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS hms_audit")
   }
 
+  test("uncommittedDataFiles handles a crash before the first batch commit") {
+    // FileStreamSink creates _spark_metadata eagerly, so a first-batch
+    // crash leaves the log present but EMPTY plus orphan part files; the
+    // audit must report every data file as an orphan, not crash on the
+    // unreadable (zero committed files) metadata-filtered read
+    val wh = Files.createTempDirectory("graft_hms_firstcrash").toString
+    val dir = java.nio.file.Paths.get(wh, "crashed", "c_date=2024-01-01")
+    Files.createDirectories(dir.getParent.resolve("_spark_metadata"))
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("part-00000-feedface-c000.orc"), Array[Byte](79, 82, 67))
+    val found = OrcTableSink.uncommittedDataFiles(spark, wh, "crashed")
+    assert(found.size == 1 && found.head.contains("feedface"), found)
+  }
+
   test("tables survive a session restart against the same metastore (DDL durability)") {
     val wh = Files.createTempDirectory("graft_hms_dur").toString
     spark.range(10).select(col("id"), lit("2024-01-01").as("c_date"))

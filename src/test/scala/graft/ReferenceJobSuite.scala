@@ -99,6 +99,11 @@ class ReferenceJobSuite extends AnyFunSuite {
     assert(dead.count() == bad.size.toLong)
     assert(dead.where(col("payload").contains("tianjin")).count() == 0)
     assert(parsed.where(col("city_id") === 12).count() == 1)
+    // goodRecords is the exact complement: the two sides partition the input
+    val goodSide = CdcIngest.goodRecords(df, "payload")
+    assert(goodSide.count() == 2L)
+    assert(goodSide.intersect(dead).count() == 0L)
+    assert(goodSide.count() + dead.count() == df.count())
   }
 
   test("T7 custom state: flatMapGroupsWithState accumulates across batches") {
