@@ -27,11 +27,20 @@ object CdcToOrcJob {
       warehouse, table, checkpoint, trigger)
 
   /** Wire the job from any streaming frame with a `payload` string column
-    * (MemoryStream in tests — the S1 batch-equivalence seam). */
+    * (MemoryStream in tests — the S1 batch-equivalence seam).
+    *
+    * Undecodable payloads are dropped at the source ([[CdcIngest
+    * .goodRecords]]) rather than landing as all-null rows in a
+    * `c_date=__HIVE_DEFAULT_PARTITION__` dir. The reference is
+    * stricter-but-worse here: its `JSON.parseObject` map throws on
+    * malformed input and, with `noRestart` (App.txt:45), one poison
+    * record kills the whole job — unacceptable at 100 TB. Callers that
+    * need the rejects route `CdcIngest.corruptRecords(payloads, c)` to
+    * their own quarantine sink. */
   def run(payloads: DataFrame, warehouse: String, table: String,
           checkpoint: String,
           trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
-    val cities = CdcIngest.parse(payloads, "payload")
+    val cities = CdcIngest.parse(CdcIngest.goodRecords(payloads, "payload"), "payload")
     OrcTableSink.streamWriter(cities, warehouse, table, "c_date", checkpoint)
       .trigger(trigger)
       .start()

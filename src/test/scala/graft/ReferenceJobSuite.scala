@@ -106,6 +106,31 @@ class ReferenceJobSuite extends AnyFunSuite {
     assert(goodSide.count() + dead.count() == df.count())
   }
 
+  test("App.txt job survives poison records: good rows land, no null-partition dir") {
+    // the reference's JSON.parseObject map + noRestart means one
+    // malformed record kills the job; ours must drop it at the source —
+    // neither crashing nor writing an all-null row into a
+    // c_date=__HIVE_DEFAULT_PARTITION__ dir
+    val dir = Files.createTempDirectory("graft_job_poison").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(
+      envelope(1, 10, "beijing", 1704067200000L),
+      """{"value": "{\"after\": {\"ref\": 7""", // truncated JSON
+      "not json at all",
+      envelope(2, 11, "shanghai", 1704139200000L))
+    val q = CdcToOrcJob.run(mem.toDF().toDF("payload"), dir, "flink_orc",
+      s"$dir/ckpt", Trigger.AvailableNow())
+    q.awaitTermination()
+    val out = spark.read.orc(s"$dir/flink_orc")
+    assert(out.count() == 2L)
+    assert(out.select("city_name").collect().map(_.getString(0)).toSet ==
+      Set("beijing", "shanghai"))
+    val partDirs = Files.list(Paths.get(dir, "flink_orc")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("c_date=")).toSet
+    assert(partDirs == Set("c_date=2024-01-01", "c_date=2024-01-02"), partDirs)
+  }
+
   test("T7 custom state: flatMapGroupsWithState accumulates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
