@@ -71,15 +71,8 @@ object Dedup {
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       tau: Double, numHashes: Int = 64, bands: Int = 32): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
     val toks = docs.select(col(idCol).as("__id"), tokenSet(col(textCol)).as("__tok"))
-    val sig = toks.withColumn("__sig", minHashSig(col("__tok"), numHashes))
-    val banded = sig.select(col("__id"),
-      explode(array((0 until bands).map { b =>
-        // band key = hash of (band index, signature slice)
-        hash(lit(b) +: (0 until r).map(i => element_at(col("__sig"), b * r + i + 1)): _*)
-      }: _*)).as("__bkey"))
+    val banded = bandKeys(docs, idCol, textCol, numHashes, bands)
     val a = banded.select(col("__bkey"), col("__id").as("d1"))
     val b = banded.select(col("__bkey").as("__bkey2"), col("__id").as("d2"))
     val cand = a.join(b, col("__bkey") === col("__bkey2") && col("d1") < col("d2"))
@@ -90,6 +83,42 @@ object Dedup {
       .withColumn("__j", jaccard(col("t1"), col("t2")))
       .where(col("__j") >= tau)
       .select(col("d1"), col("d2"), round(col("__j"), 4).as("j"))
+  }
+
+  /** (doc id, band key) rows: `bands` LSH keys per doc, each a hash of
+    * (band index, its `numHashes/bands`-value signature slice). Shared
+    * by the verified pair path and the LSH-only star-edge path — at
+    * equal params both see the SAME buckets, which is what makes the
+    * approx clustering a provable coarsening of the verified one. */
+  private def bandKeys(docs: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sig = docs
+      .select(col(idCol).as("__id"), tokenSet(col(textCol)).as("__tok"))
+      .withColumn("__sig", minHashSig(col("__tok"), numHashes))
+    sig.select(col("__id"),
+      explode(array((0 until bands).map { b =>
+        // band key = hash of (band index, signature slice)
+        hash(lit(b) +: (0 until r).map(i => element_at(col("__sig"), b * r + i + 1)): _*)
+      }: _*)).as("__bkey"))
+  }
+
+  /** LSH-only spanning edges: within each band bucket, every member
+    * connects to the bucket's minimum id — O(bucket size) edges where
+    * the all-pairs candidate form is O(bucket size²). For connectivity
+    * (clustering) a spanning star per bucket carries exactly the same
+    * information as the bucket's full clique, so nothing is lost vs the
+    * candidate graph; what IS dropped is the exact-Jaccard verify step.
+    * One shuffle (window min over the band key) + a pair-keyed distinct. */
+  def minHashLshStarEdges(docs: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__bkey")
+    bandKeys(docs, idCol, textCol, numHashes, bands)
+      .withColumn("__m", min("__id").over(w))
+      .where(col("__id") =!= col("__m"))
+      .select(col("__m").as("d1"), col("__id").as("d2"))
+      .distinct()
   }
 
   /** SimHash fingerprint: per-token 60-bit hash, per-bit ±1 votes, sign
@@ -207,8 +236,44 @@ object Dedup {
                       tau: Double, numHashes: Int = 64, bands: Int = 32): DataFrame = {
     Joins.requireFreeColumns("nearDupClusters", docs.columns,
       "cluster_id", "csize", "__ccid", "__cc")
-    val pairs = minHashLshPairs(docs, idCol, textCol, tau, numHashes, bands)
-    val cc = connectedComponents(pairs, "d1", "d2")
+    labelClusters(docs, idCol,
+      minHashLshPairs(docs, idCol, textCol, tau, numHashes, bands))
+  }
+
+  /** L6 at corpus scale: LSH-only near-dup clusters — [[minHashLshStarEdges]]
+    * (no exact-Jaccard verify) into the same transitive closure + labeling
+    * as [[nearDupClusters]]. This is the mode large LLM-corpus dedup
+    * pipelines actually run: on a dup-dense corpus the verified path is
+    * inherently quadratic inside clusters (this repo's fixture measures
+    * ~25% of ALL pairs above j=0.8 — ≥3M true pairs at sf0.1, and any
+    * verify stage must score each one), while the star-edge graph stays
+    * O(bands × docs) no matter how dup-dense the data is.
+    *
+    * Precision/recall vs the verified path: clustering is by shared-bucket
+    * connectivity, so the effective threshold is the band S-curve
+    * P(share a bucket | j) = 1-(1-j^r)^bands, r = numHashes/bands —
+    * defaults (128, 16 ⇒ r=8) put the 50% point at j ≈ (1/16)^(1/8) ≈ 0.71
+    * with a sharp transition; there is no post-hoc tau. False-positive
+    * bucket collisions merge clusters that exact verification would keep
+    * apart, so at EQUAL (numHashes, bands) every verified cluster is
+    * contained in one approx cluster (a coarsening — asserted in
+    * OperatorsSuite). Use the verified path when precision is the
+    * contract; use this when the corpus is web-scale or dup-dense. */
+  def nearDupClustersApprox(docs: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    Joins.requireFreeColumns("nearDupClustersApprox", docs.columns,
+      "cluster_id", "csize", "__ccid", "__cc")
+    labelClusters(docs, idCol,
+      minHashLshStarEdges(docs, idCol, textCol, numHashes, bands))
+  }
+
+  /** Shared labeling tail: transitive closure over `edges` (d1, d2),
+    * then every doc labeled with its component's min id (docs in no edge
+    * become singletons of themselves) and the cluster size. Downstream
+    * dedup keeps `idCol == cluster_id` rows. */
+  private def labelClusters(docs: DataFrame, idCol: String,
+                            edges: DataFrame): DataFrame = {
+    val cc = connectedComponents(edges, "d1", "d2")
       .select(col("id").as("__ccid"), col("cluster").as("__cc"))
     val lbl = docs.select(col(idCol))
       .join(cc, col(idCol) === col("__ccid"), "left")

@@ -118,6 +118,28 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L6 approx (LSH-only) clusters coarsen verified clusters at equal banding") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 200)
+    val nDocs = docs.count()
+    val edges = Dedup.minHashLshStarEdges(docs, "doc_id", "text",
+      numHashes = 128, bands = 16)
+    assert(edges.count() <= 16 * nDocs, "star edges must be O(bands × docs)")
+    val approx = Dedup.nearDupClustersApprox(docs, "doc_id", "text",
+        numHashes = 128, bands = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.size == nDocs)
+    // every pair the verified path emits at the SAME banding shares a
+    // band bucket, so the star graph connects it through that bucket's
+    // min — the approx labeling may merge more, never split
+    val verified = Dedup.minHashLshPairs(docs, "doc_id", "text", tau = 0.8,
+        numHashes = 128, bands = 16)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(verified.nonEmpty) // fixture sanity: property must not pass vacuously
+    verified.foreach { case (a, b) =>
+      assert(approx(a) == approx(b), s"verified pair ($a,$b) split across approx clusters")
+    }
+  }
+
   test("L2 SimHash: near-identical docs collide, disjoint docs differ") {
     import spark.implicits._
     val docs = Seq(
