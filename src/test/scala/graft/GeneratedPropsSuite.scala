@@ -209,6 +209,45 @@ class GeneratedPropsSuite extends AnyFunSuite {
     assert(expectSize.values.exists(_ >= 2) && expectSize.values.exists(_ == 1L))
   }
 
+  test("nearDupClustersApprox: recall on mutated pairs, precision on isolated docs, coarsening") {
+    // same corpus shape as the verified-path property: 25 (base, mutated)
+    // near-dup pairs (replacement rate 0.1 → j ≈ 0.82) + 20 isolated docs
+    val vocab = (0 until 400).map(i => s"w$i")
+    val rnd = new scala.util.Random(31)
+    def doc() = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val paired = (0 until 25).flatMap { i =>
+      val base = doc().split(" ")
+      val mut = base.map(t =>
+        if (rnd.nextDouble() < 0.1) vocab(rnd.nextInt(vocab.size)) else t)
+      Seq((i * 2L, base.mkString(" ")), (i * 2L + 1, mut.mkString(" ")))
+    }
+    val isolated = (0 until 20).map(i => (1000L + i, doc()))
+    val docs = (paired ++ isolated).toDF("doc_id", "text")
+    val label = Dedup.nearDupClustersApprox(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recall: P(pair at j≈0.82 shares a bucket) = 1-(1-j^8)^16 ≈ 0.96 per
+    // pair at the (128, 16) defaults; with the pinned seed ≥ 23/25 pairs
+    // must co-cluster
+    val coClustered = (0 until 25).count(i => label(i * 2L) == label(i * 2L + 1))
+    assert(coClustered >= 23, s"only $coClustered/25 near-dup pairs co-clustered")
+    // precision: independent random docs share j ≈ 0.04 pairwise —
+    // bucket-collision odds are negligible, so isolated docs must stay
+    // singletons of themselves (allow 2 seed-luck collisions)
+    val singleton = isolated.count { case (id, _) =>
+      label(id) == id && label.values.count(_ == id) == 1
+    }
+    assert(singleton >= 18, s"only $singleton/20 isolated docs stayed singletons")
+    // coarsening vs the verified path at the SAME banding (any tau):
+    // a verified pair shares a bucket by construction, so approx must
+    // never split it
+    Dedup.minHashLshPairs(docs, "doc_id", "text", tau = 0.6,
+        numHashes = 128, bands = 16)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case (a, b) =>
+        assert(label(a) == label(b), s"verified pair ($a,$b) split by approx")
+      }
+  }
+
   test("WeightedMean equals the local weighted mean on random data (incl. zero-weight group)") {
     val rnd = new scala.util.Random(29)
     val rows = (0 until 500).map { _ =>
