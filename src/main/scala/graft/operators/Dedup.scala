@@ -110,12 +110,18 @@ object Dedup {
     * (clustering) a spanning star per bucket carries exactly the same
     * information as the bucket's full clique, so nothing is lost vs the
     * candidate graph; what IS dropped is the exact-Jaccard verify step.
-    * One shuffle (window min over the band key) + a pair-keyed distinct. */
+    *
+    * Skew posture: the bucket min comes from a `groupBy` (map-side
+    * partial agg — a mega-bucket of near-identical docs contributes one
+    * partial min per map task, never a single hot reducer; a window
+    * `min over partitionBy(bkey)` would pin the whole bucket to one
+    * task) joined back on the band key, where AQE's skew-join split
+    * applies. Then a pair-keyed distinct. */
   def minHashLshStarEdges(docs: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 128, bands: Int = 16): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__bkey")
-    bandKeys(docs, idCol, textCol, numHashes, bands)
-      .withColumn("__m", min("__id").over(w))
+    val banded = bandKeys(docs, idCol, textCol, numHashes, bands)
+    val mins = banded.groupBy("__bkey").agg(min("__id").as("__m"))
+    banded.join(mins, "__bkey")
       .where(col("__id") =!= col("__m"))
       .select(col("__m").as("d1"), col("__id").as("d2"))
       .distinct()

@@ -158,4 +158,16 @@ class PlanShapeSuite extends AnyFunSuite {
       assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("udf"), p)
     }
   }
+
+  test("L6b: star-edge bucket min is a partial agg, never a per-bucket window") {
+    // a window min over partitionBy(bkey) would pin a mega-bucket (100M
+    // near-identical docs sharing a band key) to ONE task; the groupBy
+    // form partial-aggregates map-side and leaves the join to AQE's
+    // skew split — assert the plan never regresses to the window shape
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 100)
+    val p = plan(graft.operators.Dedup.minHashLshStarEdges(docs, "doc_id", "text"))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial_min") || p.contains("partial"), p)
+  }
 }
