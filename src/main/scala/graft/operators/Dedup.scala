@@ -273,6 +273,44 @@ object Dedup {
       minHashLshStarEdges(docs, idCol, textCol, numHashes, bands))
   }
 
+  /** Exact-collapse front for verified near-dup clustering: collapse
+    * verbatim duplicates (same `md5(text)`) to their min-id
+    * representative, run the verified LSH + Jaccard + CC path over
+    * representatives only, then propagate labels back to every doc.
+    *
+    * Output-IDENTICAL to [[nearDupClusters]] on the full corpus, not an
+    * approximation: members of an exact group share the same token set,
+    * so (a) every within-group pair has Jaccard 1 ≥ tau — a clique the
+    * closure would collapse anyway — and (b) any cross-group pair
+    * (a, b) has J(rep(a), rep(b)) = J(a, b), so rep connectivity equals
+    * doc connectivity, and the min-id label lifts unchanged because
+    * each rep IS its group's min id. What's saved: the verify stage
+    * never sees a within-group pair — on web corpora, where verbatim
+    * boilerplate dominates dup mass, that's most of the quadratic
+    * within-cluster cost of the verified path (a group of m verbatim
+    * copies contributes m²/2 candidate pairs but only 1 rep).
+    * One extra groupBy + one join vs [[nearDupClusters]]; the join back
+    * on the text hash is skew-split by AQE when a group is huge. */
+  def nearDupClustersCollapsed(docs: DataFrame, idCol: String, textCol: String,
+                               tau: Double, numHashes: Int = 64,
+                               bands: Int = 32): DataFrame = {
+    Joins.requireFreeColumns("nearDupClustersCollapsed", docs.columns,
+      "cluster_id", "csize", "__h", "__rep", "__cc")
+    val withH = docs.select(col(idCol), col(textCol), md5(col(textCol)).as("__h"))
+    val groupRep = withH.groupBy("__h").agg(min(col(idCol)).as("__rep"))
+    val tagged = withH.join(groupRep, "__h") // (id, text, __h, __rep)
+    val reps = tagged.where(col(idCol) === col("__rep"))
+      .select(col(idCol), col(textCol))
+    val cc = connectedComponents(
+        minHashLshPairs(reps, idCol, textCol, tau, numHashes, bands), "d1", "d2")
+      .select(col("id").as("__rep"), col("cluster").as("__cc"))
+    val lbl = tagged.select(col(idCol), col("__rep"))
+      .join(cc, Seq("__rep"), "left")
+      .select(col(idCol), coalesce(col("__cc"), col("__rep")).as("cluster_id"))
+    val sizes = lbl.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    lbl.join(sizes, "cluster_id").select(col(idCol), col("cluster_id"), col("csize"))
+  }
+
   /** Shared labeling tail: transitive closure over `edges` (d1, d2),
     * then every doc labeled with its component's min id (docs in no edge
     * become singletons of themselves) and the cluster size. Downstream

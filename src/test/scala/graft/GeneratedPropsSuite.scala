@@ -248,6 +248,36 @@ class GeneratedPropsSuite extends AnyFunSuite {
       }
   }
 
+  test("nearDupClustersCollapsed ≡ nearDupClusters on corpora with verbatim dup groups") {
+    // corpus: verbatim groups (3-5 exact copies), one mutated near-dup
+    // per group (bridges a group to a non-member), isolated docs —
+    // exercises within-group cliques, cross-group closure, singletons
+    val vocab = (0 until 400).map(i => s"w$i")
+    val rnd = new scala.util.Random(47)
+    def doc() = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    var nextId = 0L
+    def id() = { nextId += 1; nextId }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    (0 until 10).foreach { _ =>
+      val base = doc()
+      (0 until 3 + rnd.nextInt(3)).foreach(_ => rows += ((id(), base)))
+      val mut = base.split(" ").map(t =>
+        if (rnd.nextDouble() < 0.1) vocab(rnd.nextInt(vocab.size)) else t)
+      rows += ((id(), mut.mkString(" ")))
+    }
+    (0 until 15).foreach(_ => rows += ((id(), doc())))
+    val docs = rows.toSeq.toDF("doc_id", "text")
+    val tau = 0.6
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val full = collect(Dedup.nearDupClusters(docs, "doc_id", "text", tau))
+    val collapsed = collect(Dedup.nearDupClustersCollapsed(docs, "doc_id", "text", tau))
+    assert(collapsed == full)
+    // generator sanity: collapsing must actually have removed work
+    val nReps = docs.select(md5(col("text"))).distinct().count()
+    assert(nReps < rows.size, s"no verbatim groups generated ($nReps reps of ${rows.size})")
+  }
+
   test("WeightedMean equals the local weighted mean on random data (incl. zero-weight group)") {
     val rnd = new scala.util.Random(29)
     val rows = (0 until 500).map { _ =>
