@@ -159,6 +159,43 @@ class PlanShapeSuite extends AnyFunSuite {
     }
   }
 
+  test("AQE skew-join split engages at runtime on a hot-key SMJ (Engine posture)") {
+    // SCALE.md claims "AQE skew split on" — demonstrate it fires, not
+    // just that the conf is set. One hot key carrying 100k rows vs a
+    // uniform tail; thresholds lowered so toy-scale partitions qualify,
+    // broadcast disabled so the join stays SMJ/shuffled-hash. Restored
+    // in finally — TestSpark's session is shared across suites.
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+      val hot = (0 until 100000).map(i => (0L, s"payload_left_$i"))
+      val tail = (1L to 2000L).map(k => (k, s"left_$k"))
+      val left = (hot ++ tail).toDF("k", "lv")
+      val right = (0L to 2000L).map(k => (k, s"right_$k")).toDF("k", "rv")
+      val joined = left.join(right, "k")
+      // materialize THIS dataset's own QueryExecution — a count() would
+      // execute a derived plan and leave joined's AQE plan un-finalized
+      assert(joined.collect().length == 100000 + 2000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.toLowerCase.contains("skew"), // AQEShuffleRead skewed marker
+        s"skew split did not engage:\n$p")
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("L6b: star-edge bucket min is a partial agg, never a per-bucket window") {
     // a window min over partitionBy(bkey) would pin a mega-bucket (100M
     // near-identical docs sharing a band key) to ONE task; the groupBy
