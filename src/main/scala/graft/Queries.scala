@@ -479,6 +479,12 @@ object Queries {
   def xSimHash(s: SparkSession, d: String): DataFrame =
     Dedup.simHash(documents(s, d), "doc_id", "text").orderBy("doc_id")
 
+  /** SimHash banded hamming pairs (exact at maxHamming=3 < 4 bands by
+    * pigeonhole — the DuckDB oracle is the brute all-pairs form). */
+  def xSimHashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashNearDupPairs(documents(s, d), "doc_id", "text")
+      .orderBy("d1", "d2")
+
   /** L6: transitive near-dup clusters — LSH pairs at tau=0.8 over
     * doc_id < 200 (a window with a giant component, several 2-clusters
     * and singletons), connected components, min-id cluster label +

@@ -232,6 +232,7 @@ object SparkEntry {
     "x_minhash_lsh" -> (Queries.xMinHashLsh _),
     "x_dedup_clusters" -> (Queries.xDedupClusters _),
     "x_simhash" -> (Queries.xSimHash _),
+    "x_simhash_pairs" -> (Queries.xSimHashPairs _),
     "x_ngram_jaccard" -> (Queries.xNgramJaccard _),
     "x_ann_topk" -> (Queries.xAnnTopK _),
     "x_ivf_topk" -> (Queries.xIvfTopK _),
@@ -387,6 +388,10 @@ object SparkEntry {
       s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), b AS (SELECT vec_id, e, ${annBucketSql(8, 64)} AS bucket FROM v), q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0) SELECT b.vec_id, ROUND(list_dot_product(b.e,q.qe)/(sqrt(list_dot_product(b.e,b.e))*sqrt(list_dot_product(q.qe,q.qe))),4) + 0 AS cos FROM b, q WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1 ORDER BY cos DESC, b.vec_id LIMIT 10",
     "x_simhash" ->
       s"WITH tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS t FROM documents), h AS (SELECT doc_id, CAST('0x' || substring(md5(t),1,15) AS BIGINT) AS h FROM tok) SELECT doc_id, $simhashBitsSql AS simhash FROM h GROUP BY doc_id ORDER BY doc_id",
+    // brute all-pairs hamming over the same simhash CTE — the banded
+    // Spark form is exact at maxHamming 3 < 4 bands, so outputs match
+    "x_simhash_pairs" ->
+      s"WITH tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS t FROM documents), h AS (SELECT doc_id, CAST('0x' || substring(md5(t),1,15) AS BIGINT) AS h FROM tok), s AS (SELECT doc_id, $simhashBitsSql AS sh FROM h GROUP BY doc_id) SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hd FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY d1, d2",
     "x_tfidf" ->
       "WITH tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf FROM documents, UNNEST(string_split(text,' ')) AS u(t) GROUP BY doc_id, t), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents), s AS (SELECT tf.doc_id, tf.term, ROUND(tf.tf * ln((nd.n + 1.0)/(df.df + 1)),4) AS score FROM tf JOIN df USING(term) CROSS JOIN nd), r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s) SELECT doc_id, term, score, rk FROM r WHERE rk <= 5 ORDER BY doc_id, rk",
     "x_token_stats" ->

@@ -152,6 +152,46 @@ object Dedup {
       .select(col(idCol), bits.as("simhash"))
   }
 
+  /** L2 SimHash near-dup pairs at scale: banded hamming search over the
+    * 60-bit [[simHash]] fingerprint. The fingerprint splits into `bands`
+    * equal-width chunks; docs sharing ANY chunk value become candidates
+    * (equi-join on (chunk index, chunk value) — one keyed shuffle, bucket
+    * sizes bounded by fingerprint collision rate), then the true hamming
+    * distance filters at `maxHamming`.
+    *
+    * EXACT, not probabilistic, whenever `maxHamming < bands` (the
+    * default 3 < 4): a pair differing in ≤ maxHamming bits cannot
+    * differ in every one of `bands` chunks (pigeonhole), so it shares
+    * at least one chunk and is always a candidate. That determinism is
+    * what lets the whole operator hash-match a DuckDB all-pairs oracle
+    * while running as a banded equi-join at scale. */
+  def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      "exactness needs maxHamming < bands (pigeonhole recall guarantee)")
+    require(simHashBits % bands == 0, s"bands must divide $simHashBits")
+    val w = simHashBits / bands
+    val mask = (1L << w) - 1
+    val chunks = simHash(docs, idCol, textCol).select(
+      col(idCol).as("__id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("b"),
+          shiftright(col("simhash"), b * w).bitwiseAND(lit(mask)).as("v"))
+      }: _*)).as("__c"))
+      .select(col("__id"), col("simhash"),
+        col("__c.b").as("__b"), col("__c.v").as("__v"))
+    val a = chunks.select(col("__b"), col("__v"),
+      col("__id").as("d1"), col("simhash").as("__h1"))
+    val b = chunks.select(col("__b").as("__b2"), col("__v").as("__v2"),
+      col("__id").as("d2"), col("simhash").as("__h2"))
+    a.join(b, col("__b") === col("__b2") && col("__v") === col("__v2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("__h1").bitwiseXOR(col("__h2"))).cast("long").as("hd"))
+      .where(col("hd") <= maxHamming)
+      .dropDuplicates("d1", "d2")
+  }
+
   /** L6: connected components over an undirected pair graph — the
     * transitive-closure step every production dedup pipeline runs after
     * pair generation (a near-dup of a near-dup is a dup; keeping one doc

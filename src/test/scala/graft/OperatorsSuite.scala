@@ -140,6 +140,19 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L2 SimHash banded pairs ≡ brute all-pairs hamming (pigeonhole exactness)") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 150)
+    val banded = rows(Dedup.simHashNearDupPairs(docs, "doc_id", "text"))
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (d1, h1) <- sh; (d2, h2) <- sh if d1 < d2
+      hd = java.lang.Long.bitCount(h1 ^ h2) if hd <= 3
+    } yield org.apache.spark.sql.Row(d1, d2, hd.toLong).toString).sorted.toSeq
+    assert(banded.nonEmpty, "fixture sanity: some near-identical docs expected")
+    assert(banded == brute)
+  }
+
   test("L2 SimHash: near-identical docs collide, disjoint docs differ") {
     import spark.implicits._
     val docs = Seq(
