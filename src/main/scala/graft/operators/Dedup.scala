@@ -164,7 +164,14 @@ object Dedup {
     * differ in every one of `bands` chunks (pigeonhole), so it shares
     * at least one chunk and is always a candidate. That determinism is
     * what lets the whole operator hash-match a DuckDB all-pairs oracle
-    * while running as a banded equi-join at scale. */
+    * while running as a banded equi-join at scale.
+    *
+    * Dedup across bands is a first-match-band FILTER, not a shuffle: a
+    * pair colliding in k bands comes out of the join k times, but both
+    * fingerprints are in hand post-join, so each copy can locally check
+    * "is my band the lowest-index band whose chunks agree?" and all but
+    * one copy drop. A `dropDuplicates(d1,d2)` here would re-shuffle the
+    * entire candidate-pair stream — strictly worse at scale. */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(maxHamming < bands,
@@ -184,12 +191,18 @@ object Dedup {
       col("__id").as("d1"), col("simhash").as("__h1"))
     val b = chunks.select(col("__b").as("__b2"), col("__v").as("__v2"),
       col("__id").as("d2"), col("simhash").as("__h2"))
+    val xor = col("__h1").bitwiseXOR(col("__h2"))
+    val firstMatchBand = (bands - 1 until 0 by -1).foldLeft(lit(bands - 1)) {
+      (acc, bnd) => when(
+        shiftright(xor, (bnd - 1) * w).bitwiseAND(lit(mask)) === 0L,
+        lit(bnd - 1)).otherwise(acc)
+    }
     a.join(b, col("__b") === col("__b2") && col("__v") === col("__v2") &&
         col("d1") < col("d2"))
+      .where(col("__b") === firstMatchBand)
       .select(col("d1"), col("d2"),
-        bit_count(col("__h1").bitwiseXOR(col("__h2"))).cast("long").as("hd"))
+        bit_count(xor).cast("long").as("hd"))
       .where(col("hd") <= maxHamming)
-      .dropDuplicates("d1", "d2")
   }
 
   /** L6: connected components over an undirected pair graph — the

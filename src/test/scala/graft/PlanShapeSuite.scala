@@ -159,6 +159,16 @@ class PlanShapeSuite extends AnyFunSuite {
     }
   }
 
+  test("L2: SimHash banded self-join computes the fingerprint map side once (AQE ReusedExchange)") {
+    // simHashNearDupPairs self-joins the fingerprint relation; the
+    // tokenize+md5+60-vote partial agg below the doc_id shuffle is the
+    // dominant cost at corpus scale, so AQE's stage cache must dedup it
+    // (the second side reads a ReusedExchange, never rescans the corpus).
+    val df = Queries.xSimHashPairs(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    assert(plan(df).contains("ReusedExchange"), plan(df))
+  }
+
   test("AQE skew-join split engages at runtime on a hot-key SMJ (Engine posture)") {
     // SCALE.md claims "AQE skew split on" — demonstrate it fires, not
     // just that the conf is set. One hot key carrying 100k rows vs a
