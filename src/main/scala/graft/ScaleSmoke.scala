@@ -49,6 +49,12 @@ object ScaleSmoke {
       ("x_cc_approx_full", Seq("documents"), (s: SparkSession, d: String) =>
         graft.operators.Dedup.nearDupClustersApprox(
           Tables.documents(s, d), "doc_id", "text")))
+      // NOT here: x_simhash_pairs. Cross-copy replica twins (same text,
+      // different c<copy> tag) are TRUE near-dups under hamming ≤ 3, so
+      // the replica's verified-pair output grows as copies² by workload
+      // semantics — same class as the verified-Jaccard path above. Its
+      // scale evidence is the synthetic candidate-front growth test in
+      // OperatorsSuite (random docs, no true dups → front ∝ corpus).
   }
 
   /** (column to shift, shared offset key) per table: columns sharing an

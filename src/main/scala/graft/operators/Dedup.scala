@@ -152,57 +152,88 @@ object Dedup {
       .select(col(idCol), bits.as("simhash"))
   }
 
-  /** L2 SimHash near-dup pairs at scale: banded hamming search over the
-    * 60-bit [[simHash]] fingerprint. The fingerprint splits into `bands`
-    * equal-width chunks; docs sharing ANY chunk value become candidates
-    * (equi-join on (chunk index, chunk value) — one keyed shuffle, bucket
-    * sizes bounded by fingerprint collision rate), then the true hamming
-    * distance filters at `maxHamming`.
+  /** L2 SimHash near-dup pairs at scale: multi-index hamming search over
+    * the 60-bit [[simHash]] fingerprint, after the block-combination
+    * scheme of Manku, Jain & Sarma, "Detecting Near-Duplicates for Web
+    * Crawling" (WWW 2007, §3). The fingerprint splits into `blocks`
+    * equal-width blocks; each of the C(blocks, blocks-maxHamming) ways
+    * to choose (blocks-maxHamming) blocks becomes a probe table whose
+    * key is those blocks' concatenated bits. Docs sharing any table key
+    * become candidates (one equi-join on (table id, key)), then the true
+    * hamming distance filters at `maxHamming`.
     *
-    * EXACT, not probabilistic, whenever `maxHamming < bands` (the
-    * default 3 < 4): a pair differing in ≤ maxHamming bits cannot
-    * differ in every one of `bands` chunks (pigeonhole), so it shares
-    * at least one chunk and is always a candidate. That determinism is
-    * what lets the whole operator hash-match a DuckDB all-pairs oracle
-    * while running as a banded equi-join at scale.
+    * EXACT, not probabilistic, whenever `maxHamming < blocks` (default
+    * 3 < 6): ≤ maxHamming differing bits touch ≤ maxHamming blocks, so
+    * some (blocks-maxHamming)-subset of blocks is entirely clean and
+    * that table's keys agree (pigeonhole). That determinism is what lets
+    * the operator hash-match a DuckDB all-pairs oracle while running as
+    * a keyed equi-join at scale.
     *
-    * Dedup across bands is a first-match-band FILTER, not a shuffle: a
-    * pair colliding in k bands comes out of the join k times, but both
-    * fingerprints are in hand post-join, so each copy can locally check
-    * "is my band the lowest-index band whose chunks agree?" and all but
-    * one copy drop. A `dropDuplicates(d1,d2)` here would re-shuffle the
-    * entire candidate-pair stream — strictly worse at scale. */
+    * Why combinations and not single-block tables (the blocks=4,
+    * maxHamming=3 special case, where blocks-maxHamming=1): key WIDTH is
+    * what bounds bucket sizes, and single-block keys of 60/4 = 15 bits
+    * collapse at web scale — at 10⁹ docs every 15-bit bucket holds ~n/2¹⁵
+    * ≈ 30 k docs and the per-bucket join work is quadratic. The default
+    * 6 blocks give C(6,3) = 20 tables keyed on 30 bits: 5 × the explode
+    * factor buys 2¹⁵ × smaller random-collision buckets, which is the
+    * difference between "runs on a crawl" and "doesn't". This table/key
+    * trade is exactly Manku §3's design point.
+    *
+    * Dedup across tables is a first-match FILTER, not a shuffle: a pair
+    * whose fingerprints agree on k tables exits the join k times, but
+    * both fingerprints are in hand post-join, so each copy locally
+    * checks "is my table the lowest-index table whose key blocks all
+    * agree?" and all but one copy drop. A `dropDuplicates(d1,d2)` here
+    * would re-shuffle the entire candidate-pair stream. */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    require(maxHamming < bands,
-      "exactness needs maxHamming < bands (pigeonhole recall guarantee)")
-    require(simHashBits % bands == 0, s"bands must divide $simHashBits")
-    val w = simHashBits / bands
+                          maxHamming: Int = 3, blocks: Int = 6): DataFrame =
+    simHashCandidatePairs(docs, idCol, textCol, maxHamming, blocks)
+      .where(col("hd") <= maxHamming)
+
+  /** Candidate pairs (post table-dedup, PRE hamming threshold) — the
+    * front whose size governs the join cost. Package-visible so tests
+    * can assert it grows ~linearly on a corpus with no true near-dups
+    * (random-collision rate 2^-(key width) per table). */
+  private[graft] def simHashCandidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, blocks: Int): DataFrame = {
+    require(maxHamming < blocks,
+      "exactness needs maxHamming < blocks (pigeonhole recall guarantee)")
+    require(simHashBits % blocks == 0, s"blocks must divide $simHashBits")
+    val w = simHashBits / blocks
     val mask = (1L << w) - 1
-    val chunks = simHash(docs, idCol, textCol).select(
+    def block(h: Column, j: Int): Column =
+      shiftright(h, j * w).bitwiseAND(lit(mask))
+    // probe tables: every (blocks-maxHamming)-subset of block indices,
+    // key = that subset's blocks packed into one long (subsets of a
+    // 60-bit fingerprint always pack: width ≤ 60-maxHamming·w < 64)
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toVector
+    def key(h: Column, c: Seq[Int]): Column =
+      c.foldLeft(lit(0L)) { (acc, j) =>
+        shiftleft(acc, w).bitwiseOR(block(h, j)) }
+    val tables = simHash(docs, idCol, textCol).select(
       col(idCol).as("__id"), col("simhash"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("b"),
-          shiftright(col("simhash"), b * w).bitwiseAND(lit(mask)).as("v"))
-      }: _*)).as("__c"))
+      explode(array(combos.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("t"), key(col("simhash"), c).as("k"))
+      }: _*)).as("__p"))
       .select(col("__id"), col("simhash"),
-        col("__c.b").as("__b"), col("__c.v").as("__v"))
-    val a = chunks.select(col("__b"), col("__v"),
+        col("__p.t").as("__t"), col("__p.k").as("__k"))
+    val a = tables.select(col("__t"), col("__k"),
       col("__id").as("d1"), col("simhash").as("__h1"))
-    val b = chunks.select(col("__b").as("__b2"), col("__v").as("__v2"),
+    val b = tables.select(col("__t").as("__t2"), col("__k").as("__k2"),
       col("__id").as("d2"), col("simhash").as("__h2"))
+    // first clean table: lowest i whose key blocks are all zero in xor
     val xor = col("__h1").bitwiseXOR(col("__h2"))
-    val firstMatchBand = (bands - 1 until 0 by -1).foldLeft(lit(bands - 1)) {
-      (acc, bnd) => when(
-        shiftright(xor, (bnd - 1) * w).bitwiseAND(lit(mask)) === 0L,
-        lit(bnd - 1)).otherwise(acc)
-    }
-    a.join(b, col("__b") === col("__b2") && col("__v") === col("__v2") &&
+    def clean(c: Seq[Int]): Column =
+      c.map(j => block(xor, j) === 0L).reduce(_ && _)
+    val firstClean = combos.zipWithIndex.reverse.tail
+      .foldLeft(lit(combos.size - 1)) { case (acc, (c, i)) =>
+        when(clean(c), lit(i)).otherwise(acc) }
+    a.join(b, col("__t") === col("__t2") && col("__k") === col("__k2") &&
         col("d1") < col("d2"))
-      .where(col("__b") === firstMatchBand)
+      .where(col("__t") === firstClean)
       .select(col("d1"), col("d2"),
         bit_count(xor).cast("long").as("hd"))
-      .where(col("hd") <= maxHamming)
   }
 
   /** L6: connected components over an undirected pair graph — the

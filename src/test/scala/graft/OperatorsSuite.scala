@@ -140,6 +140,31 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L2 SimHash multi-index: 30-bit table keys collapse the random-collision front") {
+    // The scale story of the Manku block-combination scheme is the KEY
+    // WIDTH: random collisions run at ~n²·tables/2^(key bits), so the
+    // 6-block default (C(6,3)=20 tables on 30-bit keys) pays 5x the
+    // explode of the 4-block degenerate case (4 tables on 15-bit keys)
+    // to cut the collision rate 2^15/5 ≈ 6500x — the difference between
+    // a front that saturates at ~10^5 docs and one good to web scale.
+    // Corpus: random-token docs, fingerprints ~uniform, NO true dups —
+    // every candidate is a random collision. At n=4000, 15-bit keys
+    // expect ~n²·4/2^16 ≈ 980 candidates; 30-bit keys expect ~0.15.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 4000).map { i =>
+      (i.toLong, Seq.fill(40)(rnd.nextLong().toHexString).mkString(" "))
+    }.toDF("doc_id", "text")
+    def front(blocks: Int): Long =
+      Dedup.simHashCandidatePairs(docs, "doc_id", "text",
+        maxHamming = 3, blocks = blocks).count()
+    val (narrow, wide) = (front(4), front(6))
+    assert(narrow > 100,
+      s"fixture sanity: 15-bit keys should collide plenty, got $narrow")
+    assert(wide < narrow / 20,
+      s"30-bit keys should shrink the front >20x: $narrow -> $wide")
+  }
+
   test("L2 SimHash banded pairs ≡ brute all-pairs hamming (pigeonhole exactness)") {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 150)
     val banded = rows(Dedup.simHashNearDupPairs(docs, "doc_id", "text"))
