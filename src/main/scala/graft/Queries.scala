@@ -479,8 +479,9 @@ object Queries {
   def xSimHash(s: SparkSession, d: String): DataFrame =
     Dedup.simHash(documents(s, d), "doc_id", "text").orderBy("doc_id")
 
-  /** SimHash banded hamming pairs (exact at maxHamming=3 < 4 bands by
-    * pigeonhole — the DuckDB oracle is the brute all-pairs form). */
+  /** SimHash multi-index hamming pairs (Manku block-combination tables;
+    * exact at maxHamming=3 < 6 blocks by pigeonhole — the DuckDB oracle
+    * is the brute all-pairs form). */
   def xSimHashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simHashNearDupPairs(documents(s, d), "doc_id", "text")
       .orderBy("d1", "d2")

@@ -70,14 +70,19 @@ object ScaleSmoke {
 
   /** Text columns made copy-distinct in the replica (a leading
     * `c<copy>` token on copies 1..n-1; copy 0 stays byte-identical to
-    * the base). Without this, every doc's text appears `copies` times
-    * verbatim, so the true near-dup pair count grows as copies² — the
-    * smoke would read the resulting super-linear runtime as an engine
-    * defect when it's the workload's own output size. Prepending one
-    * shared token to BOTH sides of a within-copy pair can only raise
-    * its Jaccard ((i+1)/(u+1) ≥ i/u), so each copy keeps at least the
-    * base corpus's cluster structure and the corpus grows in entities,
-    * not in duplicated content. */
+    * the base). What the tag does: breaks VERBATIM duplication, so
+    * exact-dedup can't collapse copies and content-derived term spaces
+    * (tfidf, token stats) grow with the replica. What it does NOT do:
+    * break near-dup linkage across copies — a cross-copy twin keeps
+    * J = |T|/(|T|+2) ≈ 0.92 at the fixture's ~23-token docs, well above
+    * the LSH S-curve, so copies of one doc still merge into one
+    * cross-copy cluster. Prepending one shared token to BOTH sides of a
+    * within-copy pair can only raise its Jaccard ((i+1)/(u+1) ≥ i/u),
+    * so each copy keeps at least the base cluster structure.
+    * x_cc_approx_full's linearity therefore does NOT rest on this tag:
+    * star edges are O(bands × docs) whatever the dup structure — that
+    * invariance under a dup-saturated replica is exactly what the smoke
+    * demonstrates. */
   private val textCols: Map[String, Seq[String]] = Map(
     "documents" -> Seq("text"))
 

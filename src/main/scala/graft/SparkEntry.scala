@@ -389,7 +389,8 @@ object SparkEntry {
     "x_simhash" ->
       s"WITH tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS t FROM documents), h AS (SELECT doc_id, CAST('0x' || substring(md5(t),1,15) AS BIGINT) AS h FROM tok) SELECT doc_id, $simhashBitsSql AS simhash FROM h GROUP BY doc_id ORDER BY doc_id",
     // brute all-pairs hamming over the same simhash CTE — the banded
-    // Spark form is exact at maxHamming 3 < 4 bands, so outputs match
+    // Spark form is exact at maxHamming 3 < 6 blocks (pigeonhole over
+    // the Manku combination tables), so outputs match
     "x_simhash_pairs" ->
       s"WITH tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS t FROM documents), h AS (SELECT doc_id, CAST('0x' || substring(md5(t),1,15) AS BIGINT) AS h FROM tok), s AS (SELECT doc_id, $simhashBitsSql AS sh FROM h GROUP BY doc_id) SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hd FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY d1, d2",
     "x_tfidf" ->

@@ -215,6 +215,6 @@ class PlanShapeSuite extends AnyFunSuite {
     val p = plan(graft.operators.Dedup.minHashLshStarEdges(docs, "doc_id", "text"))
     assert(!p.contains("Window"), p)
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
-    assert(p.contains("partial_min") || p.contains("partial"), p)
+    assert(p.contains("partial_min"), p)
   }
 }
