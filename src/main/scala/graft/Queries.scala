@@ -486,6 +486,14 @@ object Queries {
     Dedup.simHashNearDupPairs(documents(s, d), "doc_id", "text")
       .orderBy("d1", "d2")
 
+  /** L6 over hamming: SimHash multi-index pairs → connected components,
+    * min-id label + cluster size (doc_id < 200 keeps the DuckDB
+    * recursive-CTE oracle tractable, same cap as x_dedup_clusters). */
+  def xSimHashClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashClusters(documents(s, d).where(col("doc_id") < 200),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** L6: transitive near-dup clusters — LSH pairs at tau=0.8 over
     * doc_id < 200 (a window with a giant component, several 2-clusters
     * and singletons), connected components, min-id cluster label +

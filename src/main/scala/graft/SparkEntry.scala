@@ -233,6 +233,7 @@ object SparkEntry {
     "x_dedup_clusters" -> (Queries.xDedupClusters _),
     "x_simhash" -> (Queries.xSimHash _),
     "x_simhash_pairs" -> (Queries.xSimHashPairs _),
+    "x_simhash_clusters" -> (Queries.xSimHashClusters _),
     "x_ngram_jaccard" -> (Queries.xNgramJaccard _),
     "x_ann_topk" -> (Queries.xAnnTopK _),
     "x_ivf_topk" -> (Queries.xIvfTopK _),
@@ -393,6 +394,18 @@ object SparkEntry {
     // the Manku combination tables), so outputs match
     "x_simhash_pairs" ->
       s"WITH tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS t FROM documents), h AS (SELECT doc_id, CAST('0x' || substring(md5(t),1,15) AS BIGINT) AS h FROM tok), s AS (SELECT doc_id, $simhashBitsSql AS sh FROM h GROUP BY doc_id) SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hd FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY d1, d2",
+    // hamming clusters: simhash CTE (as x_simhash_pairs, capped at 200
+    // docs) + the same recursive transitive closure as x_dedup_clusters
+    "x_simhash_clusters" ->
+      (s"WITH RECURSIVE tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS t FROM documents WHERE doc_id < 200), " +
+        s"h AS (SELECT doc_id, CAST('0x' || substring(md5(t),1,15) AS BIGINT) AS h FROM tok), " +
+        s"s AS (SELECT doc_id, $simhashBitsSql AS sh FROM h GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh,b.sh)) <= 3), " +
+        "e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p), " +
+        "r AS (SELECT doc_id AS src, doc_id AS dst FROM s UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a), " +
+        "c AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM r GROUP BY src) " +
+        "SELECT c.doc_id, c.cluster_id, CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS csize " +
+        "FROM c ORDER BY doc_id"),
     "x_tfidf" ->
       "WITH tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf FROM documents, UNNEST(string_split(text,' ')) AS u(t) GROUP BY doc_id, t), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents), s AS (SELECT tf.doc_id, tf.term, ROUND(tf.tf * ln((nd.n + 1.0)/(df.df + 1)),4) AS score FROM tf JOIN df USING(term) CROSS JOIN nd), r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s) SELECT doc_id, term, score, rk FROM r WHERE rk <= 5 ORDER BY doc_id, rk",
     "x_token_stats" ->

@@ -395,6 +395,23 @@ object Dedup {
     lbl.join(sizes, "cluster_id").select(col(idCol), col("cluster_id"), col("csize"))
   }
 
+  /** L6 over the hamming metric: [[simHashNearDupPairs]] edges (exact at
+    * `maxHamming` by the multi-index pigeonhole) into the shared
+    * transitive-closure + labeling tail. The hamming analog of
+    * [[nearDupClusters]]: same output contract (every doc labeled with
+    * its component's min id + cluster size, singletons of themselves),
+    * different similarity metric — fingerprint hamming distance instead
+    * of verified Jaccard, which prices each pair at O(1) bit-ops rather
+    * than a token-set intersection. */
+  def simHashClusters(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
+    Joins.requireFreeColumns("simHashClusters", docs.columns,
+      "cluster_id", "csize", "__ccid", "__cc")
+    labelClusters(docs, idCol,
+      simHashNearDupPairs(docs, idCol, textCol, maxHamming, blocks)
+        .select(col("d1"), col("d2")))
+  }
+
   /** Shared labeling tail: transitive closure over `edges` (d1, d2),
     * then every doc labeled with its component's min id (docs in no edge
     * become singletons of themselves) and the cluster size. Downstream
