@@ -25,6 +25,14 @@ object Engine {
       // dims (region/nation/customer at tested SFs) stay broadcast-able
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.orc.impl", "native")
+      // runtime bloom-filter semi-join reduction: a selectively-filtered
+      // dim side builds a bloom filter that prunes the fact scan BEFORE
+      // its shuffle — the big lever on selective star joins too large to
+      // broadcast. Spark's default application-side gate (≥10 GB scan)
+      // is right for the 100 TB target; pinned here (at its default) so
+      // the posture is explicit config, and PlanShapeSuite demonstrates
+      // the rewrite engages when the gate clears.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // fixture events.parquet carries TIMESTAMP(NANOS); pinned here so
       // the behavior is explicit session config, not a loader side effect
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

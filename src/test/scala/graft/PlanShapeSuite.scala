@@ -206,6 +206,37 @@ class PlanShapeSuite extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom-filter semi-join reduction fires on a selective dim→fact SMJ (Engine posture)") {
+    // Spark 4's InjectRuntimeFilter builds a bloom filter from a
+    // selectively-filtered dim side and pushes might-contain onto the
+    // fact scan — at 100 TB this prunes fact rows BEFORE the shuffle,
+    // the single biggest lever on selective star joins that are too big
+    // to broadcast. Defaults gate it on a ≥10 GB application-side scan,
+    // so at test SF it silently never fires; lower the gates and
+    // demonstrate the rewrite actually engages under Engine config
+    // (file-sourced fact side — the injection needs scan stats).
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val fact = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.orders(spark, sfDir)
+        .where(col("o_totalprice") > 500000) // selective, non-key filter
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloom"),
+        s"runtime bloom filter not injected:\n$p")
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("L6b: star-edge bucket min is a partial agg, never a per-bucket window") {
     // a window min over partitionBy(bkey) would pin a mega-bucket (100M
     // near-identical docs sharing a band key) to ONE task; the groupBy
