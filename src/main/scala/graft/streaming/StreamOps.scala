@@ -46,6 +46,21 @@ object StreamOps {
   def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 
+  /** T6 × L2: streaming near-dup drop by SimHash fingerprint — keep the
+    * first document per 60-bit fingerprint (fingerprint equality ≈
+    * near-identical text; the streaming analog of collapsing hamming-0
+    * pairs). The fingerprint is [[graft.operators.Dedup.simHashExpr]],
+    * a stateless per-row projection — the only SimHash form legal in a
+    * streaming select (the batch explode + groupBy would demand its own
+    * aggregation state) — so the query's ONLY state is dropDuplicates'
+    * fingerprint set, TTL-bounded by the caller's `withWatermark`.
+    * Batch-equivalence (same drops as a batch min-id collapse) is
+    * asserted in StreamingSuite. */
+  def simHashDedup(docs: DataFrame, textCol: String): DataFrame =
+    docs.where(size(graft.operators.Dedup.tokenSet(col(textCol))) > 0)
+      .withColumn("simhash", graft.operators.Dedup.simHashExpr(col(textCol)))
+      .dropDuplicates("simhash")
+
   /** T7: per-key running aggregate (update-mode friendly). */
   def runningTotals(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))

@@ -107,6 +107,37 @@ class StreamingSuite extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("T6×L2: streaming SimHash dedup — kept fingerprint set equals batch distinct") {
+    // simHashDedup's fingerprint is a stateless projection, so the
+    // streamed result must keep exactly one doc per fingerprint that a
+    // batch pass over the same rows produces. Which doc survives a
+    // within-batch tie is execution-order-dependent; the SET of
+    // surviving fingerprints (and its size) is deterministic.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 300)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = StreamOps.simHashDedup(
+        mem.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("t6l2").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("t6l2").select("simhash").as[Long].collect().sorted.toSeq
+    val batch = graft.operators.Dedup.simHash(
+        Tables.documents(spark, sfDir).where(col("doc_id") < 300), "doc_id", "text")
+      .select("simhash").distinct().as[Long].collect().sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // and the expression form agrees with the batch groupBy form per-doc
+    val exprForm = Tables.documents(spark, sfDir).where(col("doc_id") < 300)
+      .where(size(graft.operators.Dedup.tokenSet(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.operators.Dedup.simHashExpr(col("text")).as("simhash"))
+    val aggForm = graft.operators.Dedup.simHash(
+      Tables.documents(spark, sfDir).where(col("doc_id") < 300), "doc_id", "text")
+    assert(sortedRows(exprForm) == sortedRows(aggForm))
+  }
+
   test("T1/S9/S10: ORC file sink is exactly-once across restart") {
     val dir = Files.createTempDirectory("graft_stream").toString
     val src = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
