@@ -402,7 +402,10 @@ object SparkEntry {
         s"s AS (SELECT doc_id, $simhashBitsSql AS sh FROM h GROUP BY doc_id), " +
         "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh,b.sh)) <= 3), " +
         "e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p), " +
-        "r AS (SELECT doc_id AS src, doc_id AS dst FROM s UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a), " +
+        // vertex base = ALL docs under the cap (labelClusters labels every
+        // input doc), NOT the simhash CTE `s` — a token-less doc has no
+        // fingerprint rows but must still appear as a singleton
+        "r AS (SELECT doc_id AS src, doc_id AS dst FROM documents WHERE doc_id < 200 UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a), " +
         "c AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM r GROUP BY src) " +
         "SELECT c.doc_id, c.cluster_id, CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS csize " +
         "FROM c ORDER BY doc_id"),

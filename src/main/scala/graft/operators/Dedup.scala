@@ -157,7 +157,7 @@ object Dedup {
     * token array, bit b set iff tokens with bit b set outnumber those
     * without (2·count > n ⇔ the ±1 vote sum is positive — same rule as
     * [[simHash]], counts instead of votes; equality is asserted on the
-    * fixture in OperatorsSuite).
+    * fixture in StreamingSuite's T6×L2 test).
     *
     * NOT the batch path: measured ~40% slower than the explode +
     * codegen'd partial-sum groupBy at sf0.1 (nested higher-order
@@ -178,7 +178,9 @@ object Dedup {
         transform(masks,
           m => when(h.bitwiseAND(m) =!= 0L, 1).otherwise(0)),
         _ + _))
-    val n = size(tokenSet(text))
+    // token count from the already-built hash array (transform preserves
+    // length) — size(tokenSet(text)) would re-split + re-distinct per row
+    val n = size(hashes)
     (0 until simHashBits).map { b =>
       when(element_at(counts, b + 1) * 2 > n, shiftleft(lit(1L), b))
         .otherwise(0L)
@@ -441,8 +443,7 @@ object Dedup {
     Joins.requireFreeColumns("simHashClusters", docs.columns,
       "cluster_id", "csize", "__ccid", "__cc")
     labelClusters(docs, idCol,
-      simHashNearDupPairs(docs, idCol, textCol, maxHamming, blocks)
-        .select(col("d1"), col("d2")))
+      simHashNearDupPairs(docs, idCol, textCol, maxHamming, blocks))
   }
 
   /** Shared labeling tail: transitive closure over `edges` (d1, d2),

@@ -14,7 +14,7 @@ object Joins {
   /** A fixed internal column name would silently shadow (and then drop) a
     * caller column of the same name — corrupting user data with no error.
     * Fail fast instead. */
-  private[operators] def requireFreeColumns(op: String, cols: Iterable[String],
+  private[graft] def requireFreeColumns(op: String, cols: Iterable[String],
                                             internal: String*): Unit = {
     val clash = internal.intersect(cols.toSeq)
     require(clash.isEmpty,

@@ -52,14 +52,30 @@ object StreamOps {
     * pairs). The fingerprint is [[graft.operators.Dedup.simHashExpr]],
     * a stateless per-row projection — the only SimHash form legal in a
     * streaming select (the batch explode + groupBy would demand its own
-    * aggregation state) — so the query's ONLY state is dropDuplicates'
-    * fingerprint set, TTL-bounded by the caller's `withWatermark`.
-    * Batch-equivalence (same drops as a batch min-id collapse) is
-    * asserted in StreamingSuite. */
-  def simHashDedup(docs: DataFrame, textCol: String): DataFrame =
-    docs.where(size(graft.operators.Dedup.tokenSet(col(textCol))) > 0)
+    * aggregation state) — so the query's ONLY state is the fingerprint
+    * set.
+    *
+    * State boundedness: the streaming path uses
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates` — plain
+    * dropDuplicates only watermark-evicts when the event-time column is
+    * among the dedup keys, which a fingerprint key never is, so its
+    * state would grow one entry per distinct fingerprint FOREVER. The
+    * WithinWatermark form evicts each fingerprint once the watermark
+    * passes its last-seen event time; Spark rejects it at analysis if
+    * the caller set no watermark, so unbounded state is unrepresentable.
+    * The trade every production stream dedup makes: two near-identical
+    * docs arriving further apart than the watermark delay are BOTH
+    * kept. Batch frames take the plain distinct-by-fingerprint path.
+    * Streamed-set ≡ batch-distinct is asserted in StreamingSuite. */
+  def simHashDedup(docs: DataFrame, textCol: String): DataFrame = {
+    graft.operators.Joins.requireFreeColumns("simHashDedup", docs.columns,
+      "simhash")
+    val fp = docs
+      .where(size(graft.operators.Dedup.tokenSet(col(textCol))) > 0)
       .withColumn("simhash", graft.operators.Dedup.simHashExpr(col(textCol)))
-      .dropDuplicates("simhash")
+    if (fp.isStreaming) fp.dropDuplicatesWithinWatermark("simhash")
+    else fp.dropDuplicates("simhash")
+  }
 
   /** T7: per-key running aggregate (update-mode friendly). */
   def runningTotals(events: DataFrame): DataFrame =

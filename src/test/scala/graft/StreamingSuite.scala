@@ -112,14 +112,19 @@ class StreamingSuite extends AnyFunSuite {
     // streamed result must keep exactly one doc per fingerprint that a
     // batch pass over the same rows produces. Which doc survives a
     // within-batch tie is execution-order-dependent; the SET of
-    // surviving fingerprints (and its size) is deterministic.
+    // surviving fingerprints (and its size) is deterministic. The
+    // stream path is dropDuplicatesWithinWatermark (bounded state), so
+    // the input must carry a watermark — one event-time for all rows
+    // keeps every doc inside one dedup window, i.e. batch semantics.
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 300)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
     val mem = MemoryStream[(Long, String)]
     mem.addData(docs: _*)
-    val q = StreamOps.simHashDedup(
-        mem.toDF().toDF("doc_id", "text"), "text")
+    val src = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+    val q = StreamOps.simHashDedup(src, "text")
       .writeStream.format("memory").queryName("t6l2").outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
