@@ -42,6 +42,38 @@ class GeneratedPropsSuite extends AnyFunSuite {
     assert(missed.toDouble / nExact <= 0.05, s"missed $missed of $nExact")
   }
 
+  test("SimHash multi-index pairs ≡ brute hamming on generated corpora (3 seeds)") {
+    // Generated corpora with planted structure: base docs + light
+    // mutations (near-identical → tiny hamming), heavier mutations and
+    // independent docs (hamming straddles and exceeds the threshold).
+    // The multi-index join must return EXACTLY the brute ≤3 pair set —
+    // the pigeonhole recall guarantee, exercised off the fixture across
+    // random corpora where near-boundary (hd ∈ {2,3,4}) pairs abound.
+    for (seed <- Seq(11, 23, 47)) {
+      val vocab = (0 until 400).map(i => s"t$i")
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 25).flatMap { i =>
+        val toks = Seq.fill(30)(vocab(rnd.nextInt(vocab.size)))
+        def mut(rate: Double) = toks.map(t =>
+          if (rnd.nextDouble() < rate) vocab(rnd.nextInt(vocab.size)) else t)
+        Seq((i * 3L, toks.mkString(" ")),
+            (i * 3L + 1, mut(0.03).mkString(" ")),   // near-identical
+            (i * 3L + 2, mut(0.12).mkString(" ")))   // boundary-ish
+      }.toDF("doc_id", "text")
+      val banded = Dedup.simHashNearDupPairs(docs, "doc_id", "text")
+        .orderBy("d1", "d2").collect().map(_.toString).toSeq
+      val sh = Dedup.simHash(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (d1, h1) <- sh; (d2, h2) <- sh if d1 < d2
+        hd = java.lang.Long.bitCount(h1 ^ h2) if hd <= 3
+      } yield (d1, d2, hd.toLong)).sortBy(p => (p._1, p._2))
+        .map(p => org.apache.spark.sql.Row(p._1, p._2, p._3).toString).toSeq
+      assert(brute.nonEmpty, s"seed $seed: generator should plant ≤3-hamming pairs")
+      assert(banded == brute, s"seed $seed")
+    }
+  }
+
   test("S5 epoch-ms → UTC+8 date matches java.time for arbitrary instants") {
     // range: 2001..2090 — leap years, century boundary, month/year edges
     val ms = sampleN(Gen.choose(1_000_000_000_000L, 3_800_000_000_000L), 300)
