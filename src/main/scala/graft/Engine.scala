@@ -37,6 +37,14 @@ object Engine {
       // the behavior is explicit session config, not a loader side effect
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // NOTE on parquet timestamps: Spark's INT96 default carries no
+      // usable min/max stats, so time predicates prune ZERO row groups.
+      // A production deployment should pin outputTimestampType =
+      // TIMESTAMP_MICROS globally; here it stays default because the t2
+      // oracle canonicalizes INT96 as naive and micros as tz-aware
+      // (hash-breaking), and there is no per-write parquet option —
+      // sources.Layout.writeRangeClustered scopes the conf around its
+      // own writes instead (SinkLayoutSuite measures the 12x win).
       .config("spark.ui.enabled", "false")
 
   def session(appName: String = "graft", cores: Int = 32): SparkSession = {

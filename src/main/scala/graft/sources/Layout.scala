@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Warehouse layout management: physical clustering for scan pruning.
+  *
+  * At 100 TB the fastest row is the one never read. Partition dirs
+  * (`partitionBy`) prune at partition granularity, but WITHIN a
+  * partition, row-group min/max stats only help when the writer
+  * clustered the data — under Spark's default shuffle placement, every
+  * row group spans nearly the full value range of every column and a
+  * pushed predicate prunes nothing.
+  *
+  * `writeRangeClustered` is the layout half of that contract:
+  * `repartitionByRange` puts disjoint key ranges in separate files
+  * (file-level pruning via footer stats) and `sortWithinPartitions`
+  * makes each row group's min/max tight (row-group-level pruning).
+  * SinkLayoutSuite measures the effect: a time-range filter over the
+  * events fixture reads 100% of rows on a shuffle-placed layout vs ~8%
+  * on the clustered one — same files-count, same data, same query.
+  *
+  * One-time layout cost: the range shuffle (plus its sampling pass) —
+  * the same trade as [[graft.operators.Joins.writeBucketed]], paid at
+  * write time, repaid on every scan. Clustering key choice follows the
+  * dominant predicate column (event time for append-mostly fact
+  * tables).
+  */
+object Layout {
+
+  /** Write `df` as parquet range-clustered on `key`: `numFiles` files
+    * covering disjoint key ranges, rows sorted by `key` within each.
+    *
+    * Timestamp stats caveat: Spark's default parquet timestamp encoding
+    * is INT96, which writes NO usable min/max stats — clustering a ts
+    * key would then buy nothing. Parquet has no per-write option for
+    * this, so the session conf `outputTimestampType=TIMESTAMP_MICROS`
+    * is scoped (set + restored) around the write; the engine leaves the
+    * global default untouched because the t2 oracle canonicalizes INT96
+    * (naive) and micros (tz-aware) differently. */
+  def writeRangeClustered(df: DataFrame, path: String, key: Column,
+                          numFiles: Int): Unit = {
+    val conf = df.sparkSession.conf
+    val k = "spark.sql.parquet.outputTimestampType"
+    val prev = conf.getOption(k)
+    conf.set(k, "TIMESTAMP_MICROS")
+    try
+      df.repartitionByRange(numFiles, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite").parquet(path)
+    finally prev.fold(conf.unset(k))(conf.set(k, _))
+  }
+}

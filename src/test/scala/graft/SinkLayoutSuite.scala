@@ -41,6 +41,56 @@ class SinkLayoutSuite extends AnyFunSuite {
     assert(back.toSeq == rows)
   }
 
+  test("Layout: range-clustered write prunes row groups a shuffle-placed layout cannot") {
+    // Same rows, same query, two layouts. Small parquet.block.size makes
+    // the 100k-row fixture produce ~60 row groups per file, so pruning
+    // granularity exists at test scale; the clustered layout's tight
+    // per-group ts min/max must let the pushed range predicate skip the
+    // bulk of them, while the random layout (every group spans the full
+    // ts range) reads everything. numOutputRows on the scan node counts
+    // rows surviving row-group pruning — the rows actually READ.
+    import graft.sources.Layout
+    // sf0.1 (100k events): the default test SF's 1k rows fit one row
+    // group, leaving nothing to prune at any layout
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val dir = Files.createTempDirectory("graft_layout").toString
+    // micros timestamps for the manual writes (INT96 has no stats; the
+    // Layout helper scopes this itself) — restored after
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsPrev = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      ev.orderBy(rand(7)).coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024).parquet(s"$dir/rand")
+      ev.repartitionByRange(1, col("ts")).sortWithinPartitions("ts")
+        .write.option("parquet.block.size", 64 * 1024).parquet(s"$dir/clust")
+    } finally tsPrev.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
+    val cut = (ev.agg(min(col("ts")).cast("long") * 0.9
+      + max(col("ts")).cast("long") * 0.1).head.getDouble(0)).toLong
+    def run(path: String): (Long, Seq[Long]) = {
+      // collect df ITSELF — a derived select would execute its own
+      // QueryExecution and leave df's scan metrics untouched
+      val df = spark.read.parquet(path)
+        .where(col("ts") < timestamp_seconds(lit(cut)))
+      val ids = df.collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+      val scanned = df.queryExecution.executedPlan.collectLeaves()
+        .head.metrics("numOutputRows").value
+      (scanned, ids)
+    }
+    val (randScanned, randIds) = run(s"$dir/rand")
+    val (clustScanned, clustIds) = run(s"$dir/clust")
+    assert(randIds == clustIds && randIds.nonEmpty) // layout never changes answers
+    assert(randScanned >= ev.count(), // random layout: stats prune nothing
+      s"expected full scan on random layout, read $randScanned")
+    assert(clustScanned < randScanned / 4, // clustered: bulk of groups skipped
+      s"clustered layout read $clustScanned of $randScanned")
+    // the writer helper produces the same pruning behavior end-to-end
+    Layout.writeRangeClustered(ev, s"$dir/helper", col("ts"), numFiles = 2)
+    val (helperScanned, helperIds) = run(s"$dir/helper")
+    assert(helperIds == randIds && helperScanned < randScanned / 4)
+  }
+
   test("S7: maxRecordsPerFile bounds file sizes (roll policy)") {
     val warehouse = Files.createTempDirectory("graft_wh2").toString
     val df = spark.range(100).select(
