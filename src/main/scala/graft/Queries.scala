@@ -355,6 +355,16 @@ object Queries {
   def q42(s: SparkSession, d: String): DataFrame =
     Similarity.cosineTopK(embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 10)
 
+  /** L3 batch form: k-NN join — top-5 cosine neighbors for each of the
+    * first 5 vectors (the small query side broadcasts; two-phase
+    * skew-safe top-k per query). */
+  def xKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.knnJoin(emb.where(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 5)
+      .orderBy("qid", "rk")
+  }
+
   /** Q43 (L4): per-language corpus stats. */
   def q43(s: SparkSession, d: String): DataFrame =
     documents(s, d).groupBy("lang")

@@ -3,6 +3,7 @@ package graft.operators
 import graft.expressions.VectorExpressions.fastDot
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (SURVEY §2.9 L3).
@@ -36,6 +37,45 @@ object Similarity {
         (round(fastCosine(col("__v"), col("__qv")), 4) + 0.0).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** L3 batch form: top-k cosine neighbors for EVERY query vector — the
+    * k-NN join a training pipeline runs for eval-set retrieval, label
+    * propagation, or embedding-dedup sweeps ([[cosineTopK]] is its
+    * single-query special case). Contract: `queries` is the SMALL side
+    * (an eval/probe set); it broadcasts, so the corpus is read once with
+    * no shuffle of the raw vectors.
+    *
+    * Skew posture — the part a naive window gets wrong: one window over
+    * `partitionBy(qid)` funnels each query's FULL score set (the whole
+    * corpus) through one task. Instead, two-phase top-k: phase 1 takes
+    * each query's top-k within each corpus partition (groups keyed by
+    * (qid, partition id) — bounded by the scan's partition size), phase
+    * 2 reduces the surviving |queries| × partitions × k rows. Same
+    * result by dominance: every global top-k row is in its partition's
+    * top-k under the same (cos desc, id) order.
+    *
+    * Output: (qid, vec_id, cos, rk), rk = 1..k, ties broken by id;
+    * self-matches (qid == vec_id) excluded. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"),
+      toDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("__v"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (round(fastCosine(col("__v"), col("__qv")), 4) + 0.0).as("cos"))
+      .withColumn("__p", spark_partition_id())
+    val byScore = Seq(col("cos").desc, col("vec_id").asc)
+    val local = Window.partitionBy("qid", "__p").orderBy(byScore: _*)
+    val global = Window.partitionBy("qid").orderBy(byScore: _*)
+    scored
+      .withColumn("__lr", row_number().over(local)).where(col("__lr") <= k)
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rk"))
   }
 
   /** Deterministic hyperplanes for sign-LSH: `planes × dim` gaussian

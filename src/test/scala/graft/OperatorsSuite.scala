@@ -192,6 +192,19 @@ class OperatorsSuite extends AnyFunSuite {
     assert(hamming(sh(1L), sh(2L)) <= 16)
   }
 
+  test("L3 knnJoin per query ≡ single-query cosineTopK (two-phase dominance)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val knn = Similarity.knnJoin(emb.where(col("vec_id") < 3), emb,
+      "vec_id", "embedding", k = 7)
+    for (qid <- 0L until 3L) {
+      val perQuery = knn.where(col("qid") === qid).orderBy("rk")
+        .select("vec_id", "cos").collect().map(_.toString).toSeq
+      val single = Similarity.cosineTopK(emb, "vec_id", "embedding", qid, 7)
+        .collect().map(_.toString).toSeq
+      assert(perQuery == single, s"qid=$qid")
+    }
+  }
+
   test("L3 ANN top-k overlaps brute-force top-k") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
