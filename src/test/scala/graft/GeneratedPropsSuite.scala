@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Joins}
+import graft.operators.{Dedup, Joins, Similarity}
 import graft.sources.CdcIngest
 import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
@@ -40,6 +40,41 @@ class GeneratedPropsSuite extends AnyFunSuite {
     assert(lsh.exceptAll(exact).count() == 0)
     // … and ≥95% recall at τ=0.6 with 32 bands × r=2
     assert(missed.toDouble / nExact <= 0.05, s"missed $missed of $nExact")
+  }
+
+  test("knnJoin ≡ local brute top-k on generated vectors with forced cosine ties") {
+    // corpus: random gaussians plus scalar multiples (cos(v, 2v) = 1, and
+    // a multiple ties with its base against EVERY query) — the tie-break
+    // (cos desc, id asc) is exercised on every query, not by luck.
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 60).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val all: Seq[(Long, Array[Double])] =
+      base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+        base.take(20).zipWithIndex.map { case (v, i) =>
+          (60L + i, v.map(_ * 2.0)) }
+    val df = spark.createDataFrame(all.map { case (id, v) => (id, v.toSeq) })
+      .toDF("vec_id", "embedding")
+    val k = 6
+    val got = Similarity.knnJoin(df.where(col("vec_id") < 8), df,
+        "vec_id", "embedding", k)
+      .orderBy("qid", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      // same rounding (HALF_UP, 4 dp) and -0.0 fold as the operator
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    }
+    val want = (0L until 8L).flatMap { qid =>
+      val qv = all.find(_._1 == qid).get._2
+      all.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, c), i) => (qid, id, c, i + 1L) }
+    }
+    assert(got == want)
   }
 
   test("SimHash multi-index pairs ≡ brute hamming on generated corpora (3 seeds)") {
