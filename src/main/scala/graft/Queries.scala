@@ -365,6 +365,16 @@ object Queries {
       .orderBy("qid", "rk")
   }
 
+  /** L3 scale path of the k-NN join: sign-LSH bucketed, multi-probe at
+    * hamming ≤ 1 over 8 planes (deterministic — seed-pinned planes are
+    * embedded in the oracle SQL too). */
+  def xAnnKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.annKnnJoin(emb.where(col("vec_id") < 3), emb,
+        "vec_id", "embedding", k = 5)
+      .orderBy("qid", "rk")
+  }
+
   /** Q43 (L4): per-language corpus stats. */
   def q43(s: SparkSession, d: String): DataFrame =
     documents(s, d).groupBy("lang")

@@ -237,6 +237,7 @@ object SparkEntry {
     "x_ngram_jaccard" -> (Queries.xNgramJaccard _),
     "x_ann_topk" -> (Queries.xAnnTopK _),
     "x_knn_join" -> (Queries.xKnnJoin _),
+    "x_ann_knn_join" -> (Queries.xAnnKnnJoin _),
     "x_ivf_topk" -> (Queries.xIvfTopK _),
     "x_embed_neardup" -> (Queries.xEmbedNearDup _),
     "x_lang_id" -> (Queries.xLangId _),
@@ -390,6 +391,10 @@ object SparkEntry {
       s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), b AS (SELECT vec_id, e, ${annBucketSql(8, 64)} AS bucket FROM v), q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0) SELECT b.vec_id, ROUND(list_dot_product(b.e,q.qe)/(sqrt(list_dot_product(b.e,b.e))*sqrt(list_dot_product(q.qe,q.qe))),4) + 0 AS cos FROM b, q WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1 ORDER BY cos DESC, b.vec_id LIMIT 10",
     "x_knn_join" ->
       "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5), s AS (SELECT q.qid, v.vec_id, ROUND(list_dot_product(v.e,q.qe)/(SQRT(list_dot_product(v.e,v.e))*SQRT(list_dot_product(q.qe,q.qe))),4) + 0 AS cos FROM v CROSS JOIN q WHERE v.vec_id <> q.qid), r AS (SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM s) SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk",
+    // ANN knn join: same seed-pinned hyperplane buckets as x_ann_topk
+    // (annBucketSql), probe at hamming <= 1, exact re-rank per query
+    "x_ann_knn_join" ->
+      s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), b AS (SELECT vec_id, e, ${annBucketSql(8, 64)} AS bucket FROM v), q AS (SELECT vec_id AS qid, e AS qe, bucket AS qb FROM b WHERE vec_id < 3), s AS (SELECT q.qid, b.vec_id, ROUND(list_dot_product(b.e,q.qe)/(SQRT(list_dot_product(b.e,b.e))*SQRT(list_dot_product(q.qe,q.qe))),4) + 0 AS cos FROM b, q WHERE b.vec_id <> q.qid AND bit_count(xor(b.bucket, q.qb)) <= 1), r AS (SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM s) SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 5 ORDER BY qid, rk",
     "x_simhash" ->
       s"WITH tok AS (SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS t FROM documents), h AS (SELECT doc_id, CAST('0x' || substring(md5(t),1,15) AS BIGINT) AS h FROM tok) SELECT doc_id, $simhashBitsSql AS simhash FROM h GROUP BY doc_id ORDER BY doc_id",
     // brute all-pairs hamming over the same simhash CTE — the banded

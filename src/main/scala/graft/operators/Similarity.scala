@@ -67,15 +67,63 @@ object Similarity {
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         (round(fastCosine(col("__v"), col("__qv")), 4) + 0.0).as("cos"))
-      .withColumn("__p", spark_partition_id())
+    topKPerQuery(scored, k)
+  }
+
+  /** Shared two-phase top-k tail over (qid, vec_id, cos) rows: phase 1
+    * prunes to k within each (qid, upstream partition), phase 2 reduces
+    * the survivors — no task ever holds one query's full score set. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val byScore = Seq(col("cos").desc, col("vec_id").asc)
     val local = Window.partitionBy("qid", "__p").orderBy(byScore: _*)
     val global = Window.partitionBy("qid").orderBy(byScore: _*)
-    scored
+    scored.withColumn("__p", spark_partition_id())
       .withColumn("__lr", row_number().over(local)).where(col("__lr") <= k)
       .withColumn("rk", row_number().over(global).cast("long"))
       .where(col("rk") <= k)
       .select(col("qid"), col("vec_id"), col("cos"), col("rk"))
+  }
+
+  /** ANN k-NN join — [[knnJoin]]'s scale path when the query set itself
+    * is too large to score exhaustively: both sides bucket by the same
+    * seed-pinned hyperplane signs, each query row explodes into its
+    * multi-probe buckets (all masks with ≤ `probeRadius` bits — a probe
+    * factor of C(planes,≤r), 9 at the defaults), and candidates come
+    * from an EQUI-join on the bucket id — broadcast when the expanded
+    * query side is small, plain bucket-keyed shuffle otherwise (left to
+    * Catalyst/AQE). Exact cosine re-rank through the same two-phase
+    * top-k tail. A corpus row has exactly one bucket and probe buckets
+    * are distinct per query, so no candidate dedup is needed.
+    *
+    * Deterministic given (planes, probeRadius) — the hyperplanes are
+    * seed-pinned literals — which is what makes the x_ann_knn DuckDB
+    * oracle possible (same planes embedded in SQL). Recall follows the
+    * sign-LSH S-curve exactly as [[annTopK]]; output schema matches
+    * [[knnJoin]]. */
+  def annKnnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int, planes: Int = 8,
+                 probeRadius: Int = 1): DataFrame = {
+    require(planes > 0 && planes <= 24,
+      s"annKnnJoin supports 1..24 hyperplanes, got $planes")
+    val dim = queries.select(toDouble(col(vecCol)))
+      .head().getSeq[Double](0).length
+    val hp = hyperplanes(planes, dim)
+    val c = corpus.select(col(idCol).as("vec_id"),
+        toDouble(col(vecCol)).as("__v"))
+      .withColumn("__b", bucketExpr(col("__v"), hp))
+    val masks = (0L until (1L << planes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val q = queries.select(col(idCol).as("qid"),
+        toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qb", bucketExpr(col("__qv"), hp))
+      .withColumn("__probe", explode(array(masks.map(lit).toIndexedSeq: _*)))
+      .select(col("qid"), col("__qv"),
+        col("__qb").bitwiseXOR(col("__probe")).as("__pb"))
+    val scored = c.join(q,
+        col("__b") === col("__pb") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (round(fastCosine(col("__v"), col("__qv")), 4) + 0.0).as("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic hyperplanes for sign-LSH: `planes × dim` gaussian

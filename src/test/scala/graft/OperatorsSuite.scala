@@ -205,6 +205,25 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L3 annKnnJoin: candidates are a bucket-pruned subset; re-rank order matches brute on the overlap") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // wide probing for the near-orthogonal fixture (see annTopK test)
+    val ann = Similarity.annKnnJoin(emb.where(col("vec_id") < 3), emb,
+      "vec_id", "embedding", k = 10, planes = 4, probeRadius = 2)
+    val brute = Similarity.knnJoin(emb.where(col("vec_id") < 3), emb,
+      "vec_id", "embedding", k = 10)
+    for (qid <- 0L until 3L) {
+      val a = ann.where(col("qid") === qid).orderBy("rk")
+        .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val b = brute.where(col("qid") === qid).orderBy("rk")
+        .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert((a.map(_._1).toSet & b.map(_._1).toSet).size >= 5, s"qid=$qid recall")
+      // every ANN hit scores no better than the brute hit of the same rank
+      a.zip(b).foreach { case ((_, ac), (_, bc)) =>
+        assert(ac <= bc, s"qid=$qid ann cos $ac beat brute $bc") }
+    }
+  }
+
   test("L3 ANN top-k overlaps brute-force top-k") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
