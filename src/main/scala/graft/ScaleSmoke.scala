@@ -150,6 +150,13 @@ object ScaleSmoke {
     * after validating `replica rows == copies × base rows` (belt and
     * braces on top of the baseDir-keyed dir name — an explicit
     * SPARK_GRAFT_SCALE_DIR can still point at a stale replica). */
+  /** Copy-i text tag. NULL-preserving: concat_ws skips nulls, so an
+    * unguarded tag would turn a NULL base value into the non-null
+    * "c<i>", making null handling differ between copy 0 and the tagged
+    * copies. */
+  private[graft] def copyTag(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+    when(c.isNull, c).otherwise(concat_ws(" ", lit(s"c$i"), c))
+
   private def buildReplica(spark: SparkSession, baseDir: String,
                            scaleDir: String, tables: Seq[String],
                            copies: Int): Unit = {
@@ -194,7 +201,7 @@ object ScaleSmoke {
           }
           if (i == 0) shifted // copy 0 byte-identical to the base
           else textCols.getOrElse(t, Nil).foldLeft(shifted) { case (df, c) =>
-            df.withColumn(c, concat_ws(" ", lit(s"c$i"), col(c)))
+            df.withColumn(c, copyTag(col(c), i))
           }
         }.reduce(_.unionAll(_))
         replica.write.mode("overwrite").parquet(out.getAbsolutePath)

@@ -450,8 +450,8 @@ object Dedup {
     * then every doc labeled with its component's min id (docs in no edge
     * become singletons of themselves) and the cluster size. Downstream
     * dedup keeps `idCol == cluster_id` rows. */
-  private def labelClusters(docs: DataFrame, idCol: String,
-                            edges: DataFrame): DataFrame = {
+  private[operators] def labelClusters(docs: DataFrame, idCol: String,
+                                       edges: DataFrame): DataFrame = {
     val cc = connectedComponents(edges, "d1", "d2")
       .select(col("id").as("__ccid"), col("cluster").as("__cc"))
     val lbl = docs.select(col(idCol))

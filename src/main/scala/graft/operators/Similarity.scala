@@ -102,12 +102,20 @@ object Similarity {
     * [[knnJoin]]. */
   def annKnnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, k: Int, planes: Int = 8,
-                 probeRadius: Int = 1): DataFrame = {
+                 probeRadius: Int = 1, dim: Int = 0): DataFrame = {
     require(planes > 0 && planes <= 24,
       s"annKnnJoin supports 1..24 hyperplanes, got $planes")
-    val dim = queries.select(toDouble(col(vecCol)))
-      .head().getSeq[Double](0).length
-    val hp = hyperplanes(planes, dim)
+    // Hyperplane construction needs the vector dimension. Callers that
+    // know it pass `dim` and skip the probe; otherwise one take(1) runs
+    // the query-side plan once up front (in addition to the join run).
+    val vecDim = if (dim > 0) dim else {
+      val first = queries.select(toDouble(col(vecCol))).take(1)
+      require(first.nonEmpty,
+        "annKnnJoin needs a non-empty query side to infer the vector " +
+          "dimension (or pass dim explicitly)")
+      first(0).getSeq[Double](0).length
+    }
+    val hp = hyperplanes(planes, vecDim)
     val c = corpus.select(col(idCol).as("vec_id"),
         toDouble(col(vecCol)).as("__v"))
       .withColumn("__b", bucketExpr(col("__v"), hp))

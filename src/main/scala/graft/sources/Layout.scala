@@ -33,20 +33,19 @@ object Layout {
     * Timestamp stats caveat: Spark's default parquet timestamp encoding
     * is INT96, which writes NO usable min/max stats — clustering a ts
     * key would then buy nothing. Parquet has no per-write option for
-    * this, so the session conf `outputTimestampType=TIMESTAMP_MICROS`
-    * is scoped (set + restored) around the write; the engine leaves the
-    * global default untouched because the t2 oracle canonicalizes INT96
-    * (naive) and micros (tz-aware) differently. */
+    * this, so the write runs on a FRESH session (isolated SQLConf, same
+    * shared context/catalog) with `outputTimestampType=TIMESTAMP_MICROS`
+    * set there; the caller's session conf is never touched, so a
+    * concurrent parquet write on the shared session — notably the
+    * t2-oracle dumps whose hash canonicalization depends on the INT96
+    * default — can never observe the micros setting. */
   def writeRangeClustered(df: DataFrame, path: String, key: Column,
                           numFiles: Int): Unit = {
-    val conf = df.sparkSession.conf
-    val k = "spark.sql.parquet.outputTimestampType"
-    val prev = conf.getOption(k)
-    conf.set(k, "TIMESTAMP_MICROS")
-    try
-      df.repartitionByRange(numFiles, key)
-        .sortWithinPartitions(key)
-        .write.mode("overwrite").parquet(path)
-    finally prev.fold(conf.unset(k))(conf.set(k, _))
+    val fresh = org.apache.spark.sql.graftbridge.SessionBridge.onFreshSession(df)
+    fresh.sparkSession.conf
+      .set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    fresh.repartitionByRange(numFiles, key)
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
   }
 }

@@ -66,15 +66,28 @@ object StreamOps {
     * The trade every production stream dedup makes: two near-identical
     * docs arriving further apart than the watermark delay are BOTH
     * kept. Batch frames take the plain distinct-by-fingerprint path.
-    * Streamed-set ≡ batch-distinct is asserted in StreamingSuite. */
+    * Streamed-set ≡ batch-distinct is asserted in StreamingSuite.
+    *
+    * Token-less rows (null text or no tokens) have no meaningful
+    * fingerprint, so they pass through UNFINGERPRINTED (`simhash` null)
+    * and are never deduped against anything — a dedup operator must not
+    * lose rows it cannot fingerprint. */
   def simHashDedup(docs: DataFrame, textCol: String): DataFrame = {
     graft.operators.Joins.requireFreeColumns("simHashDedup", docs.columns,
       "simhash")
-    val fp = docs
-      .where(size(graft.operators.Dedup.tokenSet(col(textCol))) > 0)
+    // three-valued logic: null text → null predicate → false on both
+    // branches unless coalesced, which is exactly the silent-drop bug
+    val hasTokens =
+      coalesce(size(graft.operators.Dedup.tokenSet(col(textCol))) > 0,
+        lit(false))
+    val fp = docs.where(hasTokens)
       .withColumn("simhash", graft.operators.Dedup.simHashExpr(col(textCol)))
-    if (fp.isStreaming) fp.dropDuplicatesWithinWatermark("simhash")
-    else fp.dropDuplicates("simhash")
+    val deduped =
+      if (fp.isStreaming) fp.dropDuplicatesWithinWatermark("simhash")
+      else fp.dropDuplicates("simhash")
+    val passthrough = docs.where(!hasTokens)
+      .withColumn("simhash", lit(null).cast("long"))
+    deduped.unionByName(passthrough)
   }
 
   /** T7: per-key running aggregate (update-mode friendly). */

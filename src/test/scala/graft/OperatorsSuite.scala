@@ -224,6 +224,29 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L3 annKnnJoin: empty query side fails fast; explicit dim equals inferred") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annKnnJoin(emb.where(col("vec_id") < 0), emb,
+        "vec_id", "embedding", k = 3)
+    }
+    assert(ex.getMessage.contains("non-empty query side"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val inferred = Similarity.annKnnJoin(emb.where(col("vec_id") < 2), emb,
+      "vec_id", "embedding", k = 5, planes = 4, probeRadius = 2)
+    val explicit = Similarity.annKnnJoin(emb.where(col("vec_id") < 2), emb,
+      "vec_id", "embedding", k = 5, planes = 4, probeRadius = 2, dim = dim)
+    assert(rows(inferred).nonEmpty && rows(inferred) == rows(explicit))
+  }
+
+  test("scale-replica copyTag preserves nulls and prefixes non-nulls") {
+    import spark.implicits._
+    val tagged = Seq(Some("hello world"), None).toDF("text")
+      .select(ScaleSmoke.copyTag(col("text"), 2).as("text"))
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(tagged == Set(Some("c2 hello world"), None))
+  }
+
   test("L3 ANN top-k overlaps brute-force top-k") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)

@@ -67,7 +67,7 @@ class SinkLayoutSuite extends AnyFunSuite {
         .write.option("parquet.block.size", 64 * 1024).parquet(s"$dir/clust")
     } finally tsPrev.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
     val cut = (ev.agg(min(col("ts")).cast("long") * 0.9
-      + max(col("ts")).cast("long") * 0.1).head.getDouble(0)).toLong
+      + max(col("ts")).cast("long") * 0.1).head().getDouble(0)).toLong
     def run(path: String): (Long, Seq[Long]) = {
       // collect df ITSELF — a derived select would execute its own
       // QueryExecution and leave df's scan metrics untouched
@@ -89,6 +89,10 @@ class SinkLayoutSuite extends AnyFunSuite {
     Layout.writeRangeClustered(ev, s"$dir/helper", col("ts"), numFiles = 2)
     val (helperScanned, helperIds) = run(s"$dir/helper")
     assert(helperIds == randIds && helperScanned < randScanned / 4)
+    // the helper's micros-timestamp conf lives on its own fresh session —
+    // the shared session conf must come back exactly as it went in
+    assert(spark.conf.getOption(tsKey) == tsPrev,
+      "writeRangeClustered must not touch the shared session conf")
   }
 
   test("S7: maxRecordsPerFile bounds file sizes (roll policy)") {

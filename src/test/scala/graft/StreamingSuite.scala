@@ -107,6 +107,31 @@ class StreamingSuite extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("T6×L2: token-less rows pass through simHashDedup unfingerprinted (batch + stream)") {
+    import spark.implicits._
+    // batch: dup texts collapse, the null-text row survives with a null
+    // fingerprint (a dedup operator must not LOSE rows it can't hash)
+    val batch = StreamOps.simHashDedup(
+      Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+        (3L, null.asInstanceOf[String])).toDF("doc_id", "text"), "text")
+    assert(batch.count() == 2)
+    val nullRows = batch.where(col("text").isNull).collect()
+    assert(nullRows.length == 1 && nullRows(0).getAs[Any]("simhash") == null)
+    // streaming: same contract through the WithinWatermark path
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, null))
+    val src = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+    val q = StreamOps.simHashDedup(src, "text")
+      .writeStream.format("memory").queryName("t6nulls").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("t6nulls")
+    assert(streamed.count() == 2 && streamed.where(col("text").isNull).count() == 1)
+  }
+
   test("T6×L2: streaming SimHash dedup — kept fingerprint set equals batch distinct") {
     // simHashDedup's fingerprint is a stateless projection, so the
     // streamed result must keep exactly one doc per fingerprint that a
