@@ -554,6 +554,20 @@ object Queries {
     Similarity.cosineNearDupPairs(embeddings(s, d), "vec_id", "embedding", tau = 0.4)
       .orderBy("v1", "v2")
 
+  /** L6 over cosine: embedding near-dup pairs at tau=0.4 → connected
+    * components, min-id cluster label + cluster size per vector —
+    * semantic dedup over the embedding space. */
+  def xCosineClusters(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineClusters(embeddings(s, d), "vec_id", "embedding", tau = 0.4)
+      .orderBy("vec_id")
+
+  /** BM25 top-10 documents for a fixed 3-term query (lexical retrieval
+    * over the corpus — seed expansion / contamination checks). */
+  def xBm25(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25TopDocs(documents(s, d), "doc_id", "text",
+        Seq("vector", "stream", "merge"), k = 10)
+      .orderBy("rk")
+
   /** Language-ID heuristic vs labeled lang (per-language confusion counts). */
   def xLangId(s: SparkSession, d: String): DataFrame =
     documents(s, d)

@@ -240,6 +240,8 @@ object SparkEntry {
     "x_ann_knn_join" -> (Queries.xAnnKnnJoin _),
     "x_ivf_topk" -> (Queries.xIvfTopK _),
     "x_embed_neardup" -> (Queries.xEmbedNearDup _),
+    "x_cosine_clusters" -> (Queries.xCosineClusters _),
+    "x_bm25" -> (Queries.xBm25 _),
     "x_lang_id" -> (Queries.xLangId _),
     "x_token_stats" -> (Queries.xTokenStats _),
     "x_multimodal" -> (Queries.xMultimodal _),
@@ -387,6 +389,31 @@ object SparkEntry {
       "WITH t AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(s) - 2, 0) + 1), i -> array_to_string(s[i : i + 2], ' '))) AS tok FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents WHERE doc_id < 50)), tt AS (SELECT doc_id, tok FROM t WHERE len(tok) > 0), p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, len(list_intersect(a.tok,b.tok))/CAST(len(list_distinct(list_concat(a.tok,b.tok))) AS DOUBLE) AS jr FROM tt a JOIN tt b ON a.doc_id < b.doc_id) SELECT d1, d2, ROUND(jr,4) AS j FROM p WHERE jr >= 0.01 ORDER BY d1, d2",
     "x_embed_neardup" ->
       "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), n AS (SELECT vec_id, CASE WHEN sqrt(list_dot_product(e,e)) = 0 THEN e ELSE list_transform(e, x -> x / sqrt(list_dot_product(e,e))) END AS u FROM v), p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, list_dot_product(a.u,b.u) AS d FROM n a JOIN n b ON a.vec_id < b.vec_id) SELECT v1, v2, ROUND(d,4) AS cos FROM p WHERE d >= 0.4 ORDER BY v1, v2",
+    // cosine clusters: brute pairs at the same tau (as x_embed_neardup)
+    // + the same recursive transitive closure as x_dedup_clusters;
+    // vertex base = ALL vectors (singletons label themselves)
+    "x_cosine_clusters" ->
+      ("WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "n AS (SELECT vec_id, CASE WHEN sqrt(list_dot_product(e,e)) = 0 THEN e ELSE list_transform(e, x -> x / sqrt(list_dot_product(e,e))) END AS u FROM v), " +
+        "p AS (SELECT a.vec_id AS d1, b.vec_id AS d2 FROM n a JOIN n b ON a.vec_id < b.vec_id WHERE list_dot_product(a.u,b.u) >= 0.4), " +
+        "e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p), " +
+        "r AS (SELECT vec_id AS src, vec_id AS dst FROM v UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a), " +
+        "c AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM r GROUP BY src) " +
+        "SELECT c.vec_id, c.cluster_id, CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS csize " +
+        "FROM c ORDER BY vec_id"),
+    // BM25: same whitespace split as x_tfidf; constants inline the
+    // Scala defaults k1=1.2, b=0.75 (so k1+1 = 2.2); idf is the
+    // always-positive ln(1 + (N-df+0.5)/(df+0.5)) form
+    "x_bm25" ->
+      ("WITH d AS (SELECT doc_id, string_split(text,' ') AS s FROM documents), " +
+        "l AS (SELECT doc_id, CAST(len(s) AS DOUBLE) AS dl FROM d), " +
+        "g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM l), " +
+        "tf AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS DOUBLE) AS tf FROM d, UNNEST(s) AS u(t) WHERE t IN ('vector','stream','merge') GROUP BY doc_id, t), " +
+        "df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term), " +
+        "c AS (SELECT tf.doc_id, ln(1 + (g.n - df.df + 0.5)/(df.df + 0.5)) * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / g.avgdl)) AS c FROM tf JOIN df USING(term) JOIN l USING(doc_id) CROSS JOIN g), " +
+        "r AS (SELECT doc_id, ROUND(SUM(c),4) AS score FROM c GROUP BY doc_id), " +
+        "rr AS (SELECT doc_id, score, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM r) " +
+        "SELECT doc_id, score, rr.rk FROM rr WHERE rk <= 10 ORDER BY rk"),
     "x_ann_topk" ->
       s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), b AS (SELECT vec_id, e, ${annBucketSql(8, 64)} AS bucket FROM v), q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0) SELECT b.vec_id, ROUND(list_dot_product(b.e,q.qe)/(sqrt(list_dot_product(b.e,b.e))*sqrt(list_dot_product(q.qe,q.qe))),4) + 0 AS cos FROM b, q WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1 ORDER BY cos DESC, b.vec_id LIMIT 10",
     "x_knn_join" ->

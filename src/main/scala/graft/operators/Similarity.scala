@@ -439,4 +439,32 @@ object Similarity {
     pairs.toDF("v1", "v2", "__cos")
       .select(col("v1"), col("v2"), round(col("__cos"), 4).as("cos"))
   }
+
+  /** L6 over the cosine metric: [[cosineNearDupPairs]] edges (LSH-fronted
+    * block kernel, per-pair recall ~1-1e-14 at the defaults for c ≥ 0.4)
+    * into the shared transitive-closure + labeling tail
+    * ([[Dedup.connectedComponents]]). Every vector is labeled with its
+    * component's min id plus the cluster size; vectors in no pair become
+    * singletons of themselves. The embedding analog of
+    * [[Dedup.nearDupClusters]] (token Jaccard) and
+    * [[Dedup.simHashClusters]] (fingerprint hamming) — SEMANTIC dedup
+    * for training corpora, catching paraphrases that share no tokens:
+    * keep the `idCol == cluster_id` rows.
+    *
+    * 100 TB posture inherits from its two parts: the pair front is a
+    * banded equi-join + caller-sized block kernel (size `nBlocks` so a
+    * block is ~1k rows), and the closure is O(log diameter) keyed
+    * shuffles. Near-dup graphs are shallow (star-shaped around
+    * canonical texts), so the closure typically converges in 2-3
+    * rounds. */
+  def cosineClusters(emb: DataFrame, idCol: String, vecCol: String,
+                     tau: Double, nBlocks: Int = 64, bitsPerBand: Int = 2,
+                     bands: Int = 64): DataFrame = {
+    graft.operators.Joins.requireFreeColumns("cosineClusters", emb.columns,
+      "cluster_id", "csize")
+    val edges = cosineNearDupPairs(emb, idCol, vecCol, tau, nBlocks,
+        bitsPerBand, bands)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    Dedup.labelClusters(emb, idCol, edges)
+  }
 }

@@ -76,4 +76,55 @@ object TextAnalysis {
       qualityScore(col(textCol)).as("quality"),
       langIdGuess(col(textCol)).as("lang_pred"),
       fingerprint(col(textCol)).as("fp"))
+
+  /** Okapi BM25 top-k documents for a bag-of-words query — the lexical
+    * retrieval scorer every corpus-curation pipeline keeps next to its
+    * embedding ANN (seed-document expansion, contamination checks,
+    * "find more like this" sampling). Standard formula per query term:
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))` with the
+    * always-positive idf `ln(1 + (N-df+0.5)/(df+0.5))`; a document's
+    * score sums its matching terms', rounded to 4 decimals, ties broken
+    * by id. Only documents containing ≥1 query term are candidates.
+    *
+    * Scale shape: the token explode filters to the query's terms BEFORE
+    * the tf groupBy, so the shuffled stream is |matching postings|, not
+    * the corpus token count; the df and corpus-stats sides are ≤|query|
+    * and 1 row (broadcast); the doc-length join is the one keyed
+    * shuffle; the final top-k is TakeOrderedAndProject, never a global
+    * sort. */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+                  query: Seq[String], k: Int, k1: Double = 1.2,
+                  b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25TopDocs needs at least one query term")
+    val lens = docs.select(col(idCol),
+      size(whitespaceTokens(col(textCol))).cast("double").as("__dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val tf = docs.select(col(idCol),
+        explode(whitespaceTokens(col(textCol))).as("__term"))
+      .where(col("__term").isInCollection(query))
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val df = tf.groupBy(col("__term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val contrib = tf
+      .join(broadcast(df), "__term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__c",
+        col("__idf") * col("__tf") * (k1 + 1.0)
+          / (col("__tf") + (col("__dl") / col("__avgdl") * b + (1.0 - b)) * k1))
+    val topk = contrib.groupBy(col(idCol))
+      .agg(round(sum(col("__c")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+    // rank the k survivors (k rows — the window's single partition is
+    // fine here and only here; the corpus-wide ordering above is the
+    // TakeOrdered path)
+    topk.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col(idCol))).cast("long"))
+  }
 }

@@ -118,6 +118,54 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L6 cosineClusters equals union-find over cosine near-dup pairs (incl. singletons)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", tau = 0.4)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, "fixture must produce at least one cosine pair at tau=0.4")
+    val uf = unionFind(ids.max.toInt + 1, pairs)
+    val expLabel = ids.map(i => i -> uf(i)).toMap
+    val expSize = expLabel.values.groupBy(identity).map { case (c, vs) => c -> vs.size.toLong }
+    val got = Similarity.cosineClusters(emb, "vec_id", "embedding", tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == ids.length)
+    got.foreach { case (id, c, sz) =>
+      assert(c == expLabel(id), s"vec $id cluster")
+      assert(sz == expSize(c), s"vec $id csize")
+    }
+  }
+
+  test("L4 bm25TopDocs equals local brute-force BM25 (scores, order, ranks)") {
+    import graft.operators.TextAnalysis
+    val query = Seq("vector", "stream", "merge")
+    val k1 = 1.2; val b = 0.75
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    // same token semantics as the operator: split keeps empty tokens
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val n = docs.size.toDouble
+    val avgdl = toks.values.map(_.length.toDouble).sum / n
+    val df = query.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+    def score(id: Long): Double = {
+      val raw = query.map { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * tf * (k1 + 1.0) /
+          (tf + (toks(id).length / avgdl * b + (1.0 - b)) * k1)
+      }.sum
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = docs.map(_._1).filter(id => query.exists(toks(id).contains))
+      .map(id => (id, score(id))).sortBy { case (id, s) => (-s, id) }
+      .take(10).zipWithIndex.map { case ((id, s), i) => (id, s, i + 1L) }
+    val got = TextAnalysis.bm25TopDocs(
+        Tables.documents(spark, sfDir), "doc_id", "text", query, k = 10)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("L6 approx (LSH-only) clusters coarsen verified clusters at equal banding") {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 200)
     val nDocs = docs.count()
