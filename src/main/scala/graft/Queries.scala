@@ -370,8 +370,10 @@ object Queries {
     * embedded in the oracle SQL too). */
   def xAnnKnnJoin(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
+    // dim=64 matches the fixture (and the annBucketSql(8, 64) literals in
+    // the oracle) — passing it skips the query-side dimension probe job
     Similarity.annKnnJoin(emb.where(col("vec_id") < 3), emb,
-        "vec_id", "embedding", k = 5)
+        "vec_id", "embedding", k = 5, dim = 64)
       .orderBy("qid", "rk")
   }
 

@@ -296,10 +296,16 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
+    // checkpoint the raw edges BEFORE symmetrizing: the union references
+    // the edge plan twice, and for the expensive pair fronts feeding
+    // this (LSH banding, block kernels) an un-materialized plan would
+    // execute its whole upstream once per reference
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .where(col("a") =!= col("b")).distinct()
       .localCheckpoint(true) // reused every round
+    uncheckpoint(e) // sym materialized — the raw edge blocks are dead
     // init at min(id, min neighbor) — one groupBy instead of the
     // identity labeling's distinct (same shuffle), and it pre-runs the
     // loop's first min-propagation: shallow graphs (the near-dup norm,

@@ -32,6 +32,19 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(plan(Queries.q26(spark, sfDir)).contains("TakeOrderedAndProject"))
   }
 
+  test("L4r: BM25 plans broadcast df/stats joins and a TakeOrdered top-k, no global sort") {
+    val p = plan(graft.operators.TextAnalysis.bm25TopDocs(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      Seq("vector", "stream", "merge"), k = 10))
+    // df (≤|query| rows) and the 1-row corpus stats must broadcast; the
+    // corpus-wide top-k must be TakeOrderedAndProject (the window ranks
+    // only the k survivors); nothing may nested-loop over postings
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), // the 1-row stats crossJoin
+      "expected the broadcast stats crossJoin in:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("P2: predicate pushdown reaches the parquet scan (Q4)") {
     val p = plan(Queries.q4(spark, sfDir))
     assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"), p)
