@@ -650,6 +650,92 @@ object Queries {
     readSinkAgg(s)
   }
 
+  /** Deterministic md5-prefix train/val/test split — per-row assignment
+    * (the strongest checkable surface: every doc's split, not just the
+    * ratio). The xxhash64 scale variant is differentially tested against
+    * this one in PipelinesSuite. */
+  def xSplit(s: SparkSession, d: String): DataFrame =
+    Pipelines.splitByMd5Prefix(documents(s, d).select("doc_id"), "doc_id")
+      .orderBy("doc_id")
+
+  /** PII scrub over synthetic-but-deterministic dirty text: each doc's
+    * text is prefixed with a doc-keyed email, URL, phone and SSN, then
+    * scrubbed — exercises all four patterns on every row (the corpus
+    * itself contains no PII, which would make the scrub a no-op). */
+  def xPiiScrub(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+        Pipelines.scrubPii(concat(
+          lit("contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or https://ex.example/p/"),
+          col("doc_id").cast("string"),
+          lit("?q=1 call 555-123-4567 ssn 123-45-6789 :: "),
+          substring(col("text"), 1, 40))).as("clean"))
+      .orderBy("doc_id")
+
+  /** Corpus-wide top-20 token bigrams — the n-gram frequency profile a
+    * contamination / boilerplate audit starts from. Bigrams via
+    * zip_with over two shifted slices (no UDF, no sequence-descending
+    * edge case), one explode + one groupBy, TakeOrdered top-k. */
+  def xBigramTopK(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    documents(s, d).select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bigram")).limit(20)
+  }
+
+  /** Symmetric int8 embedding quantization QA: per-vector max-abs scale,
+    * q = round(x·scale) ∈ [-127,127], reporting the quantized extremes,
+    * checksum, scale and max dequantization error — the compression
+    * step before an ANN index ships, with its error bound measured
+    * rather than assumed. Pure HOF column algebra, no shuffle. */
+  def xEmbedQuant(s: SparkSession, d: String): DataFrame = {
+    // each intermediate staged in its own projection: inlined, the
+    // nested HOF lambdas re-derive scale (and under it the max-abs
+    // array pass) PER ELEMENT — O(dim²) work per row; staged, each is
+    // one array pass (CollapseProject keeps multiply-referenced
+    // non-cheap aliases staged)
+    val (e, sc, q) = (col("__e"), col("__sc"), col("__q"))
+    embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("__e"))
+      .withColumn("__ma", array_max(transform(e, x => abs(x))))
+      .withColumn("__sc",
+        when(col("__ma") === 0d, lit(1.0)).otherwise(lit(127.0) / col("__ma")))
+      .withColumn("__q", transform(e, x => round(x * sc, 0).cast("long")))
+      .select(col("vec_id"),
+        aggregate(q, lit(0L), (acc, v) => acc + v).as("qsum"),
+        array_min(q).as("qmin"), array_max(q).as("qmax"),
+        round(sc, 4).as("scale_r"),
+        round(array_max(zip_with(e, q, (x, qq) => abs(x - qq / sc))), 4)
+          .as("maxerr"))
+      .orderBy("vec_id")
+  }
+
+  /** Winnowing fingerprints (k=8, w=4) over doc_id < 100 — one row per
+    * (doc, distinct window-min gram hash); equal fingerprints across
+    * docs witness a shared substring of length ≥ k+w-1 = 11 chars. */
+  def xWinnow(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.winnowFingerprints(
+        documents(s, d).where(col("doc_id") < 100), "doc_id", "text")
+      .orderBy("doc_id", "fp")
+
+  /** L6 curation tail: near-dup clusters at tau=0.8 (the x_dedup_clusters
+    * graph), each cluster reduced to its best-quality representative —
+    * keep-the-cleanest-copy dedup instead of min-id convention. */
+  def xDedupBest(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).where(col("doc_id") < 200)
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", tau = 0.8)
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    Dedup.keepBestPerCluster(clusters, scored, "doc_id", "q")
+      .withColumnRenamed("rep_score", "rep_q")
+      .orderBy("cluster_id")
+  }
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

@@ -247,7 +247,13 @@ object SparkEntry {
     "x_multimodal" -> (Queries.xMultimodal _),
     "x_cdc_ingest" -> (Queries.xCdcIngest _),
     "x_orc_sink" -> (Queries.xOrcSinkRoundtrip _),
-    "x_tfidf" -> (Queries.xTfIdf _)
+    "x_tfidf" -> (Queries.xTfIdf _),
+    "x_split" -> (Queries.xSplit _),
+    "x_pii_scrub" -> (Queries.xPiiScrub _),
+    "x_bigram_topk" -> (Queries.xBigramTopK _),
+    "x_embed_quant" -> (Queries.xEmbedQuant _),
+    "x_winnow" -> (Queries.xWinnow _),
+    "x_dedup_best" -> (Queries.xDedupBest _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -455,6 +461,44 @@ object SparkEntry {
     "x_orc_sink" ->
       "SELECT strftime(ts, '%Y-%m-%d') AS c_date, COUNT(*) AS n FROM events GROUP BY c_date ORDER BY c_date",
     "x_cdc_ingest" ->
-      "SELECT CAST(n_nationkey AS BIGINT) AS ref, CAST(n_regionkey AS BIGINT) AS city_id, LOWER(n_name) AS city_name, strftime(make_timestamp((1704067200000 + CAST(n_nationkey AS BIGINT) * 86400000) * 1000) + INTERVAL 8 HOUR, '%Y-%m-%d') AS c_date FROM nation ORDER BY ref"
+      "SELECT CAST(n_nationkey AS BIGINT) AS ref, CAST(n_regionkey AS BIGINT) AS city_id, LOWER(n_name) AS city_name, strftime(make_timestamp((1704067200000 + CAST(n_nationkey AS BIGINT) * 86400000) * 1000) + INTERVAL 8 HOUR, '%Y-%m-%d') AS c_date FROM nation ORDER BY ref",
+    // md5-prefix split: first hex nibble → bucket, same '0x'||hex cast
+    // trick as the simhash oracle; cut-points inline the Scala defaults
+    "x_split" ->
+      "SELECT doc_id, CASE WHEN b < 14 THEN 'train' WHEN b < 15 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,1) AS BIGINT) AS b FROM documents) ORDER BY doc_id",
+    // PII scrub: same four patterns, same order (email, url, phone,
+    // ssn) as Pipelines.piiPatterns — innermost regexp applies first;
+    // 'g' flag matches Spark's replace-all default
+    "x_pii_scrub" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or https://ex.example/p/' || CAST(doc_id AS VARCHAR) || '?q=1 call 555-123-4567 ssn 123-45-6789 :: ' || substr(text,1,40), " +
+        "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), " +
+        "'https?://[^\\s]+', '<URL>', 'g'), " +
+        "'\\b(?:\\+?\\d{1,3}[ -]?)?(?:\\(\\d{2,4}\\)[ -]?)?\\d{3,4}[ -]\\d{3,4}\\b', '<PHONE>', 'g'), " +
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS clean FROM documents ORDER BY doc_id"),
+    "x_bigram_topk" ->
+      "WITH t AS (SELECT string_split(text,' ') AS s FROM documents), b AS (SELECT UNNEST(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS bigram FROM t) SELECT bigram, COUNT(*) AS c FROM b GROUP BY bigram ORDER BY c DESC, bigram LIMIT 20",
+    // int8 quantization: identical IEEE expression structure on both
+    // sides (cast-to-double first, then maxabs/scale/round) so every
+    // intermediate double is bit-equal and the 4-decimal rounds agree
+    "x_embed_quant" ->
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS ma FROM v), s AS (SELECT vec_id, e, CASE WHEN ma = 0 THEN 1.0 ELSE 127.0 / ma END AS sc FROM m), q AS (SELECT vec_id, e, sc, list_transform(e, x -> CAST(round(x * sc) AS BIGINT)) AS q FROM s) SELECT vec_id, CAST(list_sum(q) AS BIGINT) AS qsum, CAST(list_min(q) AS BIGINT) AS qmin, CAST(list_max(q) AS BIGINT) AS qmax, ROUND(sc, 4) AS scale_r, ROUND(list_max(list_transform(range(1, len(e)+1), i -> abs(e[i] - q[i] / sc))), 4) AS maxerr FROM q ORDER BY vec_id",
+    // winnowing: k=8 char grams md5'd, w=4 window minima (lexicographic
+    // min over lowercase-hex md5 = binary min on both engines)
+    "x_winnow" ->
+      "WITH g AS (SELECT doc_id, list_transform(range(1, GREATEST(length(text) - 7, 1) + 1), i -> md5(substr(text, i, 8))) AS gr FROM documents WHERE doc_id < 100), w AS (SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(len(gr) - 3, 1) + 1), j -> list_min(gr[j : j + 3]))) AS fps FROM g) SELECT doc_id, UNNEST(fps) AS fp FROM w ORDER BY doc_id, fp",
+    // keep-best dedup: x_dedup_clusters' recursive closure + the shared
+    // qualitySql replica, argmax(quality, min id) per cluster
+    "x_dedup_best" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, text, list_distinct(string_split(text,' ')) AS tok FROM documents WHERE doc_id < 200), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM t a JOIN t b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.tok,b.tok))/CAST(len(list_distinct(list_concat(a.tok,b.tok))) AS DOUBLE) >= 0.8), " +
+        "e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p), " +
+        "r AS (SELECT doc_id AS src, doc_id AS dst FROM t UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a), " +
+        "c AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM r GROUP BY src), " +
+        "qq AS (SELECT doc_id, text, CAST(len(string_split(text,' ')) AS DOUBLE) AS __nt FROM t), " +
+        s"qs AS (SELECT doc_id, $qualitySql AS q FROM qq), " +
+        "j AS (SELECT c.doc_id, c.cluster_id, qs.q, CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS csize FROM c JOIN qs USING(doc_id)), " +
+        "rr AS (SELECT cluster_id, doc_id AS rep_id, q AS rep_q, csize, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rk FROM j) " +
+        "SELECT cluster_id, rep_id, rep_q, csize FROM rr WHERE rk = 1 ORDER BY cluster_id")
   ) ++ ivfOracleSql
 }

@@ -467,6 +467,28 @@ object Dedup {
     lbl.join(sizes, "cluster_id").select(col(idCol), col("cluster_id"), col("csize"))
   }
 
+  /** Curation tail for any L6 clustering: pick each cluster's canonical
+    * representative by highest score, ties broken by min id — "keep the
+    * best copy" instead of [[labelClusters]]'s min-id convention, which
+    * is how a corpus pipeline actually dedups (drop the low-quality
+    * mirrors, keep the cleanest). `clusters` follows the labelClusters
+    * contract (`idCol`, cluster_id, csize); `scored` maps `idCol` → a
+    * `scoreCol`. One keyed join + a per-cluster window — the window's
+    * partition is the cluster, so skew is bounded by the largest dup
+    * cluster, not the corpus. Output: one row per cluster
+    * (cluster_id, rep_id, rep_score, csize). */
+  def keepBestPerCluster(clusters: DataFrame, scored: DataFrame,
+                         idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    clusters.join(scored, idCol)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("cluster_id"), col(idCol).as("rep_id"),
+        col(scoreCol).as("rep_score"), col("csize"))
+  }
+
   /** Word n-gram (shingle) Jaccard pairs — contiguous n-token shingles,
     * then exact Jaccard at `tau` (test-scale exact form; the LSH path
     * applies unchanged by swapping token sets for shingle sets). */

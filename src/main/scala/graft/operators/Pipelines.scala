@@ -27,6 +27,28 @@ object Pipelines {
     df.withColumn("split", expr)
   }
 
+  /** Oracle-portable deterministic split: the first hex nibble of
+    * `md5(id)` → 16 equal buckets, mapped to named splits by cumulative
+    * nibble upper-bounds (default 14/15/16 ≈ 87.5/6.25/6.25%). Same
+    * fixed-point property as [[splitByHash]] — row → split is a pure
+    * function of the id, stable under re-runs and appends — but
+    * reproducible on any engine with md5, which is what a train/val
+    * contamination audit outside Spark needs. [[splitByHash]] (xxhash64
+    * mod 100) stays the in-engine default: percent-granular cuts and a
+    * cheaper non-cryptographic hash. */
+  def splitByMd5Prefix(df: DataFrame, idCol: String,
+                       cuts: Seq[(String, Int)] =
+                         Seq("train" -> 14, "val" -> 15, "test" -> 16)): DataFrame = {
+    val uppers = cuts.map(_._2)
+    require(uppers.nonEmpty && uppers.last == 16 && uppers == uppers.sorted.distinct,
+      "cuts must be strictly increasing hex-nibble upper bounds ending at 16")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 1), 16, 10).cast("long")
+    val splitExpr = cuts.foldRight(lit(null).cast("string")) {
+      case ((name, upper), els) => when(bucket < upper, name).otherwise(els)
+    }
+    df.withColumn("split", splitExpr)
+  }
+
   /** Stratified sample: per-stratum fractions via seeded `sampleBy` —
     * e.g. downsample over-represented languages. Executor-local RNG per
     * row, no shuffle. */

@@ -66,6 +66,38 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(whitespaceTokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS scheme): hash every k-char gram of the text (the rolling-hash
+    * shingle set — md5 here so any engine reproduces it), then keep the
+    * minimum hash of each w-gram window and emit the distinct window
+    * minima as the document's fingerprint set. Guarantees: any shared
+    * substring of length ≥ k+w-1 contributes ≥1 shared fingerprint, so
+    * near-verbatim overlap (plagiarism / boilerplate / contamination)
+    * is caught by a fingerprint-equality join instead of a quadratic
+    * text compare. Pure column algebra — sequence/transform/slice HOFs,
+    * no UDF, no shuffle; output one row per (doc, fingerprint), ~|text|/w
+    * fingerprints per doc. Docs shorter than k fingerprint their whole
+    * text (one gram, one window). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "winnowFingerprints needs k >= 1 and w >= 1")
+    val txt = col(textCol)
+    val grams = transform(
+      sequence(lit(1), greatest(length(txt) - (k - 1), lit(1))),
+      i => md5(txt.substr(i, lit(k))))
+    // staged projection: the gram array MUST be materialized per row
+    // before the window pass — inlined into the window lambda it would
+    // re-hash the entire text once per window (O(len²) md5 calls; 16×
+    // wall-clock at sf0.01). CollapseProject keeps the stage because
+    // __g is referenced more than once and is non-cheap.
+    val g = col("__g")
+    val wins = transform(
+      sequence(lit(1), greatest(size(g) - (w - 1), lit(1))),
+      j => array_min(slice(g, j, lit(w))))
+    df.select(col(idCol), grams.as("__g"))
+      .select(col(idCol), explode(array_distinct(wins)).as("fp"))
+  }
+
   /** Per-doc token/char stats frame used by quality dashboards. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

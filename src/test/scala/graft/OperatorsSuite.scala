@@ -345,6 +345,54 @@ class OperatorsSuite extends AnyFunSuite {
     assert(fp(1L) == fp(3L)) // deterministic
   }
 
+  test("L4 winnowing: shared substring >= k+w-1 shares a fingerprint; identical docs share all") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val shared = "SHAREDSUBSTRINGXYZ" // 18 chars >= k+w-1 = 11
+    val docs = Seq(
+      (1L, s"aaaa quick brown $shared lazy dog"),
+      (2L, s"zzzz other prefix text $shared different tail"),
+      (3L, s"aaaa quick brown $shared lazy dog"), // verbatim copy of 1
+      (4L, "completely unrelated content with no overlap at all"),
+      (5L, "tiny")) // shorter than k=8: one gram, one window
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee: a window of w grams inside the shared region
+    // exists in both docs, so its min gram hash appears in both
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert(fps(1L) == fps(3L)) // deterministic, content-addressed
+    assert((fps(1L) & fps(4L)).isEmpty) // disjoint texts, disjoint fps
+    assert(fps(5L).size == 1) // whole-text fingerprint for short docs
+  }
+
+  test("L6 keepBestPerCluster picks argmax score, ties to min id, one row per cluster") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L, 3L), (2L, 1L, 3L), (5L, 1L, 3L), (7L, 7L, 1L))
+      .toDF("doc_id", "cluster_id", "csize")
+    val scored = Seq((1L, 0.5), (2L, 0.9), (5L, 0.9), (7L, 0.3))
+      .toDF("doc_id", "q")
+    val reps = Dedup.keepBestPerCluster(clusters, scored, "doc_id", "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    // cluster 1: docs 2 and 5 tie at 0.9 → min id 2 wins; singleton keeps itself
+    assert(reps.toSeq == Seq((1L, 2L, 0.9, 3L), (7L, 7L, 0.3, 1L)))
+  }
+
+  test("L3 int8 quantization: |q| <= 127 and dequant error within the half-step bound") {
+    val rows = Queries.xEmbedQuant(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qmin, qmax) = (r.getLong(2), r.getLong(3))
+      val scaleR = r.getDouble(4); val maxerr = r.getDouble(5)
+      assert(qmin >= -127 && qmax <= 127, r.toString)
+      // err <= half a quantization step (1/(2*scale)); 1e-4 absolute
+      // slack because the reported maxerr is itself rounded to 4 decimals
+      assert(maxerr <= 0.5 / scaleR + 1e-4, r.toString)
+    }
+  }
+
   test("multimodal meta: stub width/height in range and deterministic") {
     val docs = Tables.documents(spark, sfDir).limit(50)
     val meta = Multimodal.withMeta(Multimodal.withBinaryPayload(docs, "text"))

@@ -21,6 +21,27 @@ class PipelinesSuite extends AnyFunSuite {
     assert(s1.select("doc_id", "split").exceptAll(s2.select("doc_id", "split")).count() == 0)
   }
 
+  test("splitByMd5Prefix: total, deterministic, nibble-proportioned, cuts validated") {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = Pipelines.splitByMd5Prefix(docs, "doc_id")
+    assert(s1.where(col("split").isNull).count() == 0)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 14/16 expected train share = 87.5%; the nibble is md5-uniform
+    assert(counts("train") > 380 && counts("train") < 480, counts.toString)
+    // per-row agreement with an independently computed nibble bucket
+    val mismatch = s1.withColumn("b",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10).cast("long"))
+      .where((col("b") < 14 && col("split") =!= "train") ||
+        (col("b") === 14 && col("split") =!= "val") ||
+        (col("b") === 15 && col("split") =!= "test"))
+    assert(mismatch.count() == 0)
+    intercept[IllegalArgumentException] {
+      Pipelines.splitByMd5Prefix(docs, "doc_id", Seq("a" -> 10, "b" -> 15))
+    }
+  }
+
   test("stratifiedSample: per-stratum downsampling is deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val langs = docs.select("lang").distinct().as[String].collect()

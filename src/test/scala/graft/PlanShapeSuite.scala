@@ -45,6 +45,23 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("corpus-prep projections are shuffle-free; bigram top-k is TakeOrdered") {
+    import graft.operators.{Pipelines, TextAnalysis}
+    val docs = Tables.documents(spark, sfDir)
+    // split, scrub, winnow: pure per-row column algebra — at 100 TB these
+    // must stream through the scan with zero Exchanges
+    for (df <- Seq(
+        Pipelines.splitByMd5Prefix(docs, "doc_id"),
+        docs.select(Pipelines.scrubPii(col("text")).as("t")),
+        TextAnalysis.winnowFingerprints(docs, "doc_id", "text"))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), p)
+    }
+    // the corpus n-gram profile's top-k must never be a global sort
+    val pb = plan(Queries.xBigramTopK(spark, sfDir))
+    assert(pb.contains("TakeOrderedAndProject"), pb)
+  }
+
   test("P2: predicate pushdown reaches the parquet scan (Q4)") {
     val p = plan(Queries.q4(spark, sfDir))
     assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"), p)
