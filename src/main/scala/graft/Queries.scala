@@ -570,10 +570,15 @@ object Queries {
         Seq("vector", "stream", "merge"), k = 10)
       .orderBy("rk")
 
-  /** Language-ID heuristic vs labeled lang (per-language confusion counts). */
+  /** Language-ID heuristic vs labeled lang (per-language confusion
+    * counts); the distinct-token array is staged so the per-language
+    * intersects share one split+distinct per row. */
   def xLangId(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("lang"), TextAnalysis.langIdGuess(col("text")).as("lang_pred"))
+      .select(col("lang"), array_distinct(
+        TextAnalysis.whitespaceTokens(lower(col("text")))).as("__lt"))
+      .select(col("lang"),
+        TextAnalysis.langIdGuessFromTokens(col("__lt")).as("lang_pred"))
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
 
@@ -722,6 +727,15 @@ object Queries {
     TextAnalysis.winnowFingerprints(
         documents(s, d).where(col("doc_id") < 100), "doc_id", "text")
       .orderBy("doc_id", "fp")
+
+  /** Winnowing contamination pairs over doc_id < 100: docs sharing ≥ 3
+    * fingerprints after dropping boilerplate fps seen in > 50 docs —
+    * substring-overlap detection as a pure fingerprint equi-join. */
+  def xWinnowPairs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.winnowNearDupPairs(
+        documents(s, d).where(col("doc_id") < 100), "doc_id", "text",
+        minShared = 3, maxDocFreq = 50)
+      .orderBy("d1", "d2")
 
   /** L6 curation tail: near-dup clusters at tau=0.8 (the x_dedup_clusters
     * graph), each cluster reduced to its best-quality representative —

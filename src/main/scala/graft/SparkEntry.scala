@@ -253,6 +253,7 @@ object SparkEntry {
     "x_bigram_topk" -> (Queries.xBigramTopK _),
     "x_embed_quant" -> (Queries.xEmbedQuant _),
     "x_winnow" -> (Queries.xWinnow _),
+    "x_winnow_pairs" -> (Queries.xWinnowPairs _),
     "x_dedup_best" -> (Queries.xDedupBest _)
   )
 
@@ -487,6 +488,16 @@ object SparkEntry {
     // min over lowercase-hex md5 = binary min on both engines)
     "x_winnow" ->
       "WITH g AS (SELECT doc_id, list_transform(range(1, GREATEST(length(text) - 7, 1) + 1), i -> md5(substr(text, i, 8))) AS gr FROM documents WHERE doc_id < 100), w AS (SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(len(gr) - 3, 1) + 1), j -> list_min(gr[j : j + 3]))) AS fps FROM g) SELECT doc_id, UNNEST(fps) AS fp FROM w ORDER BY doc_id, fp",
+    // winnow pairs: same fingerprint CTE as x_winnow, stop-gram cut at
+    // doc-freq 50, pair counts via fingerprint self-join, n_shared >= 3
+    "x_winnow_pairs" ->
+      ("WITH g AS (SELECT doc_id, list_transform(range(1, GREATEST(length(text) - 7, 1) + 1), i -> md5(substr(text, i, 8))) AS gr FROM documents WHERE doc_id < 100), " +
+        "w AS (SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(len(gr) - 3, 1) + 1), j -> list_min(gr[j : j + 3]))) AS fps FROM g), " +
+        "f AS (SELECT doc_id, UNNEST(fps) AS fp FROM w), " +
+        "r AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 50), " +
+        "fr AS (SELECT f.doc_id, f.fp FROM f JOIN r USING(fp)), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT d1, d2, n_shared FROM p WHERE n_shared >= 3 ORDER BY d1, d2"),
     // keep-best dedup: x_dedup_clusters' recursive closure + the shared
     // qualitySql replica, argmax(quality, min id) per cluster
     "x_dedup_best" ->

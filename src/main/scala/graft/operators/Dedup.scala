@@ -494,11 +494,17 @@ object Dedup {
     * applies unchanged by swapping token sets for shingle sets). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val shingles = array_distinct(
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-    val t = docs.select(col(idCol).as("__id"), shingles.as("__tok"))
+    // token array staged in its own projection: inlined into the shingle
+    // lambda it would re-split the text once PER SHINGLE (O(tokens²) per
+    // row); the size guard keeps docs shorter than n tokens shingle-free
+    // instead of feeding `sequence` a descending (1, size-n+1) range
+    val toks = col("__toks")
+    val shingles = when(size(toks) >= n, array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val t = docs.select(col(idCol).as("__id"), split(col(textCol), " ").as("__toks"))
+      .select(col("__id"), shingles.as("__tok"))
       .where(size(col("__tok")) > 0)
     val a = t.select(col("__id").as("d1"), col("__tok").as("t1"))
     val b = t.select(col("__id").as("d2"), col("__tok").as("t2"))

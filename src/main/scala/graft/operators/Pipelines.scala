@@ -85,7 +85,9 @@ object Pipelines {
                     chunkSize: Int, overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkSize, "0 <= overlap < chunkSize")
     val step = chunkSize - overlap
-    val toks = split(col(textCol), " ")
+    // token array staged in its own projection — inlined into the chunk
+    // lambda it would re-split the text once per chunk
+    val toks = col("__toks")
     // window starts: 1, 1+step, … up to numToks - overlap (1-based): a
     // start past that bound would yield a window fully contained in the
     // previous chunk's overlap. The last window may be partial.
@@ -93,7 +95,8 @@ object Pipelines {
     val chunks = transform(starts, s => struct(
       concat_ws(" ", slice(toks, s, lit(chunkSize))).as("chunk"),
       size(slice(toks, s, lit(chunkSize))).cast("bigint").as("n_tokens")))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
       .select(col(idCol), col("chunk_id").cast("bigint").as("chunk_id"),
         col("c.chunk").as("chunk"), col("c.n_tokens").as("n_tokens"))
   }

@@ -36,8 +36,13 @@ object TextAnalysis {
   /** n-gram/stopword language-ID heuristic: score = |tokens ∩ stopwords_L|
     * per language, argmax wins ("und" = no stopword hit at all). Pure
     * column algebra — argmax via array_max over (score, lang) structs. */
-  def langIdGuess(text: Column): Column = {
-    val toks = array_distinct(whitespaceTokens(lower(text)))
+  def langIdGuess(text: Column): Column =
+    langIdGuessFromTokens(array_distinct(whitespaceTokens(lower(text))))
+
+  /** [[langIdGuess]] over a pre-built distinct-lowercased token array —
+    * use when the token array is staged as its own projection (the
+    * inline form re-splits + re-distincts the text once per language). */
+  def langIdGuessFromTokens(toks: Column): Column = {
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       val wl = array(words.map(lit): _*)
       struct(size(array_intersect(toks, wl)).as("score"), lit(lang).as("lang"))
@@ -49,8 +54,11 @@ object TextAnalysis {
   /** Heuristic quality score in [0,1]: length band + alpha ratio +
     * mean-token-length band — the usual cheap pre-filters before
     * expensive model scoring. Deterministic. */
-  def qualityScore(text: Column): Column = {
-    val toks = whitespaceTokens(text)
+  def qualityScore(text: Column): Column =
+    qualityScore(text, whitespaceTokens(text))
+
+  /** [[qualityScore]] over a pre-built token array (staging variant). */
+  def qualityScore(text: Column, toks: Column): Column = {
     val nToks = size(toks).cast("double")
     val meanTokLen = (length(text) - nToks + 1) / nToks
     val alphaRatio = (length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double")
@@ -63,8 +71,11 @@ object TextAnalysis {
   /** Rolling fingerprint over the token stream: left-fold of
     * xxhash64(acc, token). Order-sensitive — unlike a set hash, catches
     * reorderings — and overflow-free under ANSI mode. */
-  def fingerprint(text: Column): Column =
-    aggregate(whitespaceTokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+  def fingerprint(text: Column): Column = fingerprintOfTokens(whitespaceTokens(text))
+
+  /** [[fingerprint]] over a pre-built token array (staging variant). */
+  def fingerprintOfTokens(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     * MOSS scheme): hash every k-char gram of the text (the rolling-hash
@@ -98,16 +109,48 @@ object TextAnalysis {
       .select(col(idCol), explode(array_distinct(wins)).as("fp"))
   }
 
-  /** Per-doc token/char stats frame used by quality dashboards. */
+  /** Near-dup / contamination pairs via winnowing fingerprints: docs
+    * sharing ≥ `minShared` fingerprints, with the shared count. This is
+    * the reason winnowing exists at scale — substring-overlap detection
+    * becomes a fingerprint equi-join (shuffle keyed on the fingerprint,
+    * partial-agg'd pair counts) instead of any pairwise text compare.
+    * Fingerprint-frequency skew (boilerplate grams shared by half the
+    * corpus) is the classic hazard: `maxDocFreq` drops fingerprints
+    * appearing in more than that many docs before the join — exactly
+    * the stop-gram cut MOSS applies — bounding any single join key's
+    * fan-out at maxDocFreq². */
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4, minShared: Int = 3,
+                         maxDocFreq: Int = 1000): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val rare = fps.groupBy("fp")
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDocFreq)
+      .select("fp")
+    val pruned = fps.join(rare, "fp")
+    pruned.as("a").join(pruned.as("b"), Seq("fp"))
+      .where(col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Per-doc token/char stats frame used by quality dashboards. The
+    * whitespace-token and langid-token arrays are each built once per
+    * row in a staged projection; the inline forms would split the text
+    * three times (count, quality, fingerprint) plus once per language. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol),
-      size(whitespaceTokens(col(textCol))).cast("long").as("ws_tokens"),
-      size(bpeishTokens(col(textCol))).cast("long").as("bpeish_tokens"),
-      length(col(textCol)).cast("long").as("chars"),
-      qualityScore(col(textCol)).as("quality"),
-      langIdGuess(col(textCol)).as("lang_pred"),
-      fingerprint(col(textCol)).as("fp"))
+    docs.select(col(idCol), col(textCol),
+        whitespaceTokens(col(textCol)).as("__t"),
+        array_distinct(whitespaceTokens(lower(col(textCol)))).as("__lt"))
+      .select(
+        col(idCol),
+        size(col("__t")).cast("long").as("ws_tokens"),
+        size(bpeishTokens(col(textCol))).cast("long").as("bpeish_tokens"),
+        length(col(textCol)).cast("long").as("chars"),
+        qualityScore(col(textCol), col("__t")).as("quality"),
+        langIdGuessFromTokens(col("__lt")).as("lang_pred"),
+        fingerprintOfTokens(col("__t")).as("fp"))
 
   /** Okapi BM25 top-k documents for a bag-of-words query — the lexical
     * retrieval scorer every corpus-curation pipeline keeps next to its

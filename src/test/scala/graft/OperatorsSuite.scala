@@ -367,6 +367,28 @@ class OperatorsSuite extends AnyFunSuite {
     assert(fps(5L).size == 1) // whole-text fingerprint for short docs
   }
 
+  test("L4 winnowNearDupPairs: overlap pairs found, boilerplate prune drops universal fps") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val shared = "COMMONBOILERPLATEHEADER" // in every doc → pruned at maxDocFreq 2
+    val overlap = "UNIQUESHAREDPASSAGEHERE" // in docs 1,2 only
+    val docs = Seq(
+      (1L, s"$shared alpha $overlap tail one"),
+      (2L, s"$shared beta $overlap tail two"),
+      (3L, s"$shared gamma wholly different content here")).toDF("doc_id", "text")
+    // maxDocFreq=2: fps from the 3-doc boilerplate are dropped, the
+    // 2-doc overlap passage survives → only (1,2) pairs up
+    val pairs = TextAnalysis.winnowNearDupPairs(docs, "doc_id", "text",
+        minShared = 1, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)), pairs.mkString(","))
+    // without the prune, the boilerplate links all three docs
+    val all = TextAnalysis.winnowNearDupPairs(docs, "doc_id", "text",
+        minShared = 1, maxDocFreq = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L)), all.mkString(","))
+  }
+
   test("L6 keepBestPerCluster picks argmax score, ties to min id, one row per cluster") {
     import spark.implicits._
     val clusters = Seq((1L, 1L, 3L), (2L, 1L, 3L), (5L, 1L, 3L), (7L, 7L, 1L))
