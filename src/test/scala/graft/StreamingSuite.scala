@@ -84,6 +84,30 @@ class StreamingSuite extends AnyFunSuite {
     assert(got == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 5.0)))
   }
 
+  test("corpus-prep ops are streaming-safe: split/scrub/winnow stream equals batch") {
+    // stateless projections (split, scrub) and a generate (winnow) are
+    // legal in a streaming select with no watermark/state — the corpus
+    // pipeline's per-row stages run unchanged on a stream
+    import graft.operators.{Pipelines, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(50)
+    val rows = docs.as[(Long, String)].collect().toSeq
+    def prep(df: DataFrame): DataFrame =
+      TextAnalysis.winnowFingerprints(
+        Pipelines.splitByMd5Prefix(df, "doc_id")
+          .withColumn("clean", Pipelines.scrubPii(col("text")))
+          .select(col("doc_id"), concat(col("split"), lit(" "), col("clean")).as("text")),
+        "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val q = prep(mem.toDF().toDF("doc_id", "text")).writeStream
+      .format("memory").queryName("prep_stream").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(sortedRows(spark.table("prep_stream")) == sortedRows(prep(docs)))
+  }
+
   test("T5/T6: watermark drops late rows; dedup drops repeats") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
