@@ -663,6 +663,13 @@ object Queries {
     Pipelines.splitByMd5Prefix(documents(s, d).select("doc_id"), "doc_id")
       .orderBy("doc_id")
 
+  /** Deterministic 25% sample (first md5 byte < 64) — content-addressed
+    * row survival, reproducible outside Spark. */
+  def xSample(s: SparkSession, d: String): DataFrame =
+    Pipelines.sampleByMd5(documents(s, d).select("doc_id", "lang"),
+        "doc_id", keep256 = 64)
+      .orderBy("doc_id")
+
   /** PII scrub over synthetic-but-deterministic dirty text: each doc's
     * text is prefixed with a doc-keyed email, URL, phone and SSN, then
     * scrubbed — exercises all four patterns on every row (the corpus

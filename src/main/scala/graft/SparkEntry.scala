@@ -249,6 +249,7 @@ object SparkEntry {
     "x_orc_sink" -> (Queries.xOrcSinkRoundtrip _),
     "x_tfidf" -> (Queries.xTfIdf _),
     "x_split" -> (Queries.xSplit _),
+    "x_sample" -> (Queries.xSample _),
     "x_pii_scrub" -> (Queries.xPiiScrub _),
     "x_bigram_topk" -> (Queries.xBigramTopK _),
     "x_embed_quant" -> (Queries.xEmbedQuant _),
@@ -467,6 +468,8 @@ object SparkEntry {
     // trick as the simhash oracle; cut-points inline the Scala defaults
     "x_split" ->
       "SELECT doc_id, CASE WHEN b < 14 THEN 'train' WHEN b < 15 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,1) AS BIGINT) AS b FROM documents) ORDER BY doc_id",
+    "x_sample" ->
+      "SELECT doc_id, lang FROM documents WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,2) AS BIGINT) < 64 ORDER BY doc_id",
     // PII scrub: same four patterns, same order (email, url, phone,
     // ssn) as Pipelines.piiPatterns — innermost regexp applies first;
     // 'g' flag matches Spark's replace-all default

@@ -49,6 +49,17 @@ object Pipelines {
     df.withColumn("split", splitExpr)
   }
 
+  /** Deterministic content-addressed sample: keep a row iff its first
+    * md5 byte (of the id) falls under `keep256`/256 — a pure filter, no
+    * RNG state, the same rows survive on every engine, every run, and
+    * every append (the property an eval/holdout set needs; `sampleBy`'s
+    * executor-local RNG can't promise any of that outside Spark). */
+  def sampleByMd5(df: DataFrame, idCol: String, keep256: Int): DataFrame = {
+    require(keep256 >= 0 && keep256 <= 256, "keep256 must be in [0, 256]")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10).cast("long")
+    df.where(bucket < keep256)
+  }
+
   /** Stratified sample: per-stratum fractions via seeded `sampleBy` —
     * e.g. downsample over-represented languages. Executor-local RNG per
     * row, no shuffle. */

@@ -42,6 +42,26 @@ class PipelinesSuite extends AnyFunSuite {
     }
   }
 
+  test("sampleByMd5: deterministic, append-stable, ~keep256/256 proportioned") {
+    val docs = Tables.documents(spark, sfDir)
+    val s64 = Pipelines.sampleByMd5(docs, "doc_id", 64)
+    val n = s64.count()
+    assert(n > 80 && n < 170, s"expected ~125 of 500 at 64/256, got $n")
+    // content-addressed: the same rows survive on a re-run and the
+    // sample of a subset is the subset of the sample (append stability)
+    assert(s64.select("doc_id").exceptAll(
+      Pipelines.sampleByMd5(docs, "doc_id", 64).select("doc_id")).count() == 0)
+    val sub = Pipelines.sampleByMd5(docs.where(col("doc_id") < 100), "doc_id", 64)
+    assert(sub.select("doc_id").exceptAll(
+      s64.where(col("doc_id") < 100).select("doc_id")).count() == 0)
+    // monotone in keep256: the 64-sample is contained in the 128-sample
+    assert(s64.select("doc_id").exceptAll(
+      Pipelines.sampleByMd5(docs, "doc_id", 128).select("doc_id")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Pipelines.sampleByMd5(docs, "doc_id", 300)
+    }
+  }
+
   test("stratifiedSample: per-stratum downsampling is deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val langs = docs.select("lang").distinct().as[String].collect()
