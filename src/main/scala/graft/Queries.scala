@@ -744,6 +744,18 @@ object Queries {
         minShared = 3, maxDocFreq = 50)
       .orderBy("d1", "d2")
 
+  /** Decontamination: eval slice (doc_id < 20) probed against the
+    * training slice (20 ≤ doc_id < 200) — eval docs sharing ≥ 3 winnow
+    * fingerprints with a training doc are contaminated. */
+  def xDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    TextAnalysis.decontaminationJoin(
+        docs.where(col("doc_id") < 20),
+        docs.where(col("doc_id") >= 20 && col("doc_id") < 200),
+        "doc_id", "text")
+      .orderBy("eval_id", "corpus_id")
+  }
+
   /** L6 curation tail: near-dup clusters at tau=0.8 (the x_dedup_clusters
     * graph), each cluster reduced to its best-quality representative —
     * keep-the-cleanest-copy dedup instead of min-id convention. */

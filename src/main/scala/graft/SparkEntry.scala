@@ -255,6 +255,7 @@ object SparkEntry {
     "x_embed_quant" -> (Queries.xEmbedQuant _),
     "x_winnow" -> (Queries.xWinnow _),
     "x_winnow_pairs" -> (Queries.xWinnowPairs _),
+    "x_decontam" -> (Queries.xDecontam _),
     "x_dedup_best" -> (Queries.xDedupBest _)
   )
 
@@ -501,6 +502,16 @@ object SparkEntry {
         "fr AS (SELECT f.doc_id, f.fp FROM f JOIN r USING(fp)), " +
         "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
         "SELECT d1, d2, n_shared FROM p WHERE n_shared >= 3 ORDER BY d1, d2"),
+    // decontamination: winnow fps of eval (id<20) vs train (20<=id<200)
+    // slices, fingerprint join, n_shared >= 3
+    "x_decontam" ->
+      ("WITH g AS (SELECT doc_id, list_transform(range(1, GREATEST(length(text) - 7, 1) + 1), i -> md5(substr(text, i, 8))) AS gr FROM documents WHERE doc_id < 200), " +
+        "w AS (SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(len(gr) - 3, 1) + 1), j -> list_min(gr[j : j + 3]))) AS fps FROM g), " +
+        "f AS (SELECT doc_id, UNNEST(fps) AS fp FROM w), " +
+        "e AS (SELECT doc_id AS eval_id, fp FROM f WHERE doc_id < 20), " +
+        "c AS (SELECT doc_id AS corpus_id, fp FROM f WHERE doc_id >= 20), " +
+        "p AS (SELECT eval_id, corpus_id, COUNT(*) AS n_shared FROM e JOIN c USING(fp) GROUP BY eval_id, corpus_id) " +
+        "SELECT eval_id, corpus_id, n_shared FROM p WHERE n_shared >= 3 ORDER BY eval_id, corpus_id"),
     // keep-best dedup: x_dedup_clusters' recursive closure + the shared
     // qualitySql replica, argmax(quality, min id) per cluster
     "x_dedup_best" ->

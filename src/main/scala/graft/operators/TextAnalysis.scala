@@ -135,6 +135,28 @@ object TextAnalysis {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Train/eval decontamination: winnow-fingerprint the eval set and the
+    * training corpus, equi-join on fingerprint, report each eval doc
+    * that shares ≥ `minShared` fingerprints with any training doc. The
+    * asymmetric two-corpus form of [[winnowNearDupPairs]] — the check
+    * every benchmark-hygiene pipeline runs before training. The small
+    * (eval) side's fingerprint set broadcasts when it fits; the corpus
+    * side streams through the join — no pairwise compare, no corpus
+    * self-join. Output: (eval id, corpus id, n_shared). */
+  def decontaminationJoin(eval: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 8, w: Int = 4,
+                          minShared: Int = 3): DataFrame = {
+    val evalFps = winnowFingerprints(eval, idCol, textCol, k, w)
+      .withColumnRenamed(idCol, "eval_id")
+    val corpusFps = winnowFingerprints(corpus, idCol, textCol, k, w)
+      .withColumnRenamed(idCol, "corpus_id")
+    evalFps.join(corpusFps, "fp")
+      .groupBy("eval_id", "corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Per-doc token/char stats frame used by quality dashboards. The
     * whitespace-token and langid-token arrays are each built once per
     * row in a staged projection; the inline forms would split the text

@@ -389,6 +389,21 @@ class OperatorsSuite extends AnyFunSuite {
     assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L)), all.mkString(","))
   }
 
+  test("L4 decontaminationJoin flags the leaked eval doc and only it") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val leaked = "THISEXACTEVALPASSAGELEAKEDINTOTRAINING"
+    val eval = Seq(
+      (1L, s"eval question one $leaked end"),
+      (2L, "a clean eval item with original content")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, s"scraped page blah $leaked blah footer"),
+      (11L, "unrelated training document text")).toDF("doc_id", "text")
+    val hits = TextAnalysis.decontaminationJoin(eval, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSet == Set((1L, 10L)), hits.mkString(","))
+  }
+
   test("L6 keepBestPerCluster picks argmax score, ties to min id, one row per cluster") {
     import spark.implicits._
     val clusters = Seq((1L, 1L, 3L), (2L, 1L, 3L), (5L, 1L, 3L), (7L, 7L, 1L))

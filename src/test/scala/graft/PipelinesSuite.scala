@@ -127,4 +127,21 @@ class PipelinesSuite extends AnyFunSuite {
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
     assert(r.getDouble(0) == 11.0)
   }
+
+  test("composed column fns are callable from SQL and equal the Column API (GraftExtensions)") {
+    import graft.operators.{Dedup, TextAnalysis}
+    Tables.documents(spark, sfDir).limit(50).createOrReplaceTempView("sqlfn_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, quality_score(text) AS q, lang_id_guess(text) AS l,
+        |token_fingerprint(text) AS f, scrub_pii(text) AS s, simhash60(text) AS h
+        |FROM sqlfn_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaCols = spark.table("sqlfn_docs").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.langIdGuess(col("text")).as("l"),
+        TextAnalysis.fingerprint(col("text")).as("f"),
+        Pipelines.scrubPii(col("text")).as("s"),
+        Dedup.simHashExpr(col("text")).as("h"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.toString).toSeq == viaCols.map(_.toString).toSeq)
+  }
 }
