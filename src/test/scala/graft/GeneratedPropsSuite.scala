@@ -109,6 +109,36 @@ class GeneratedPropsSuite extends AnyFunSuite {
     }
   }
 
+  test("winnowFingerprints ≡ local reference on random strings (several k/w, incl. short/empty docs)") {
+    import graft.operators.TextAnalysis
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def localWinnow(text: String, k: Int, w: Int): Set[String] = {
+      val nG = math.max(text.length - (k - 1), 1)
+      val grams = (1 to nG).map(i =>
+        md5hex(text.substring(i - 1, math.min(i - 1 + k, text.length))))
+      val nW = math.max(grams.length - (w - 1), 1)
+      (1 to nW).map(j => grams.slice(j - 1, j - 1 + w).min).toSet
+    }
+    val rnd = new scala.util.Random(41)
+    // small alphabet forces repeated grams (real min-collisions in
+    // windows); lengths 0..29 cover empty, shorter-than-k, and long
+    val alpha = "abcde "
+    val docs = (0 until 60).map { i =>
+      val len = rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 4), (5, 3), (3, 1), (1, 2))) {
+      val got = TextAnalysis.winnowFingerprints(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = docs.map { case (id, t) => id -> localWinnow(t, k, w) }.toMap
+      assert(got == want, s"k=$k w=$w")
+    }
+  }
+
   test("S5 epoch-ms → UTC+8 date matches java.time for arbitrary instants") {
     // range: 2001..2090 — leap years, century boundary, month/year edges
     val ms = sampleN(Gen.choose(1_000_000_000_000L, 3_800_000_000_000L), 300)
