@@ -24,6 +24,47 @@ object CorpusPipelineJob {
       minQuality: Double = 0.5,
       shards: Int = 64)
 
+  /** The curated variant — same shape, stronger policies at every stage:
+    *
+    *   raw docs → exact dedup → verified near-dup CLUSTERS (transitive,
+    *   not greedy pairs) → keep the BEST-quality copy per cluster →
+    *   decontaminate against an eval set (winnow-fingerprint join) →
+    *   quality filter → PII scrub → deterministic split → sharded frame.
+    *
+    * Differences vs [[run]]: (a) cluster-transitive dedup — a dup of a
+    * dup is a dup, where the greedy pair drop can leave chains behind;
+    * (b) the survivor of each cluster is its highest-quality member
+    * ([[Dedup.keepBestPerCluster]]), not the lowest id; (c) any doc
+    * sharing ≥ 3 winnow fingerprints with an eval doc is dropped
+    * ([[TextAnalysis.decontaminationJoin]]) — benchmark hygiene as a
+    * pipeline stage, not an afterthought. */
+  def runCurated(docs: DataFrame, evalDocs: Option[DataFrame],
+                 cfg: Config = Config()): DataFrame = {
+    val exact = Dedup.exactDedup(docs, cfg.textCol, cfg.idCol)
+    val scored = exact.withColumn("quality",
+      TextAnalysis.qualityScore(col(cfg.textCol)))
+    val clusters = Dedup.nearDupClusters(exact, cfg.idCol, cfg.textCol, cfg.nearDupTau)
+    val reps = Dedup.keepBestPerCluster(clusters,
+      scored.select(col(cfg.idCol), col("quality")), cfg.idCol, "quality")
+    val kept = scored.join(
+      reps.select(col("rep_id").as(cfg.idCol)), Seq(cfg.idCol))
+    val decontaminated = evalDocs match {
+      case Some(ev) =>
+        val contaminated = TextAnalysis.decontaminationJoin(
+            ev, kept, cfg.idCol, cfg.textCol)
+          .select(col("corpus_id").as(cfg.idCol)).distinct()
+        kept.join(contaminated, Seq(cfg.idCol), "left_anti")
+      case None => kept
+    }
+    val filtered = decontaminated
+      .where(col("quality") >= cfg.minQuality)
+      .withColumn("lang_pred", TextAnalysis.langIdGuess(col(cfg.textCol)))
+    val scrubbed = filtered.withColumn(cfg.textCol,
+      Pipelines.scrubPii(col(cfg.textCol)))
+    Pipelines.shardForOutput(
+      Pipelines.splitByHash(scrubbed, cfg.idCol), cfg.idCol, cfg.shards)
+  }
+
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     // min-id representative → deterministic across partitionings
     val exact = Dedup.exactDedup(docs, cfg.textCol, cfg.idCol)
