@@ -735,6 +735,21 @@ object Queries {
         documents(s, d).where(col("doc_id") < 100), "doc_id", "text")
       .orderBy("doc_id", "fp")
 
+  /** Incremental exact dedup: a delta of fresh docs (doc_id ≥ 400) plus
+    * verbatim re-crawls (copies of docs 100-149 under new ids) against
+    * the seen corpus (doc_id < 400) — re-crawls drop, fresh survive.
+    * Bloom prefilter + exact anti-join verify (output is exact). */
+  def xIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val seen = docs.where(col("doc_id") < 400)
+    val fresh = docs.where(col("doc_id") >= 400).select("doc_id", "text")
+    val recrawls = docs.where(col("doc_id").between(100, 149))
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    Dedup.incrementalExactDedup(fresh.unionByName(recrawls), seen,
+        "text", "text", expectedSeen = 10000L)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Winnowing contamination pairs over doc_id < 100: docs sharing ≥ 3
     * fingerprints after dropping boilerplate fps seen in > 50 docs —
     * substring-overlap detection as a pure fingerprint equi-join. */

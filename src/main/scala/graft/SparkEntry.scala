@@ -256,6 +256,7 @@ object SparkEntry {
     "x_winnow" -> (Queries.xWinnow _),
     "x_winnow_pairs" -> (Queries.xWinnowPairs _),
     "x_decontam" -> (Queries.xDecontam _),
+    "x_incremental_dedup" -> (Queries.xIncrementalDedup _),
     "x_dedup_best" -> (Queries.xDedupBest _)
   )
 
@@ -502,6 +503,13 @@ object SparkEntry {
         "fr AS (SELECT f.doc_id, f.fp FROM f JOIN r USING(fp)), " +
         "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
         "SELECT d1, d2, n_shared FROM p WHERE n_shared >= 3 ORDER BY d1, d2"),
+    // incremental dedup: delta (fresh >= 400 + re-crawled copies of
+    // 100-149) anti-joined on content hash against seen (< 400); the
+    // Spark side's bloom prefilter is output-invisible (exact verify)
+    "x_incremental_dedup" ->
+      ("WITH seen AS (SELECT md5(text) AS h FROM documents WHERE doc_id < 400), " +
+        "delta AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400 UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id BETWEEN 100 AND 149) " +
+        "SELECT doc_id FROM delta WHERE md5(text) NOT IN (SELECT h FROM seen) ORDER BY doc_id"),
     // decontamination: winnow fps of eval (id<20) vs train (20<=id<200)
     // slices, fingerprint join, n_shared >= 3
     "x_decontam" ->
