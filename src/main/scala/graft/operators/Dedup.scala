@@ -524,6 +524,9 @@ object Dedup {
   def keepBestPerCluster(clusters: DataFrame, scored: DataFrame,
                          idCol: String, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    Joins.requireFreeColumns("keepBestPerCluster", scored.columns, "__rk",
+      "cluster_id", "csize")
+    Joins.requireFreeColumns("keepBestPerCluster", clusters.columns, "__rk")
     val w = Window.partitionBy("cluster_id")
       .orderBy(col(scoreCol).desc, col(idCol))
     clusters.join(scored, idCol)

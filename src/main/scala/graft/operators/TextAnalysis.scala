@@ -92,6 +92,7 @@ object TextAnalysis {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "winnowFingerprints needs k >= 1 and w >= 1")
+    Joins.requireFreeColumns("winnowFingerprints", df.columns, "__g", "fp")
     val txt = col(textCol)
     val grams = transform(
       sequence(lit(1), greatest(length(txt) - (k - 1), lit(1))),
