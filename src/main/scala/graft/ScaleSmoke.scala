@@ -48,7 +48,17 @@ object ScaleSmoke {
       // and CC work scale linearly in copies.
       ("x_cc_approx_full", Seq("documents"), (s: SparkSession, d: String) =>
         graft.operators.Dedup.nearDupClustersApprox(
-          Tables.documents(s, d), "doc_id", "text")))
+          Tables.documents(s, d), "doc_id", "text")),
+      // incremental dedup with a FIXED 500-doc delta against the growing
+      // corpus: isolates the seen-side cost (hash scan + bloom build),
+      // which must be linear in corpus size; the delta-side probe and
+      // verify join are constant here by construction
+      ("x_incr_dedup_full", Seq("documents"), (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Dedup.incrementalExactDedup(
+          docs.where(col("doc_id") < 500).select(col("doc_id"), col("text")),
+          docs, "text", "text", expectedSeen = 1000000L)
+      }))
       // NOT here: x_simhash_pairs. Cross-copy replica twins (same text,
       // different c<copy> tag) are TRUE near-dups under hamming ≤ 3, so
       // the replica's verified-pair output grows as copies² by workload
