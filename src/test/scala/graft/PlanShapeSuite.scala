@@ -62,6 +62,13 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(pb.contains("TakeOrderedAndProject"), pb)
   }
 
+  test("decontamination fp join: equi-join with map-side pair-count combine, never NLJ") {
+    val p = plan(Queries.xDecontam(spark, sfDir))
+    assert(!p.contains("NestedLoop"), p)
+    // the (eval, corpus) pair counts partial-aggregate before shuffling
+    assert(p.contains("partial_count"), p)
+  }
+
   test("P2: predicate pushdown reaches the parquet scan (Q4)") {
     val p = plan(Queries.q4(spark, sfDir))
     assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"), p)

@@ -32,6 +32,29 @@ class SketchPropsSuite extends AnyFunSuite {
       s"exact=$exact approx=$approx")
   }
 
+  test("A3+: count-min token sketch never under-counts, over-counts within eps·N, deterministic") {
+    import graft.functions.CountMinTokens
+    val docs = Tables.documents(spark, sfDir)
+    val eps = 0.01
+    val cms = CountMinTokens.tokenSketch(docs, "text", eps, confidence = 0.99)
+    val exact = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(cms.totalCount() == n, s"sketch saw ${cms.totalCount()} of $n tokens")
+    // CMS guarantee: est >= true always; est <= true + eps*N w.p. >= conf
+    // (bound checked for EVERY vocab token — the margin at this eps is
+    // vast, so even the 1% tail cannot plausibly cross it)
+    exact.foreach { case (tok, c) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= c, s"under-count: $tok est=$est true=$c")
+      assert(est <= c + (eps * n).toLong, s"over-count: $tok est=$est true=$c")
+    }
+    // seeded → same sketch, same estimates on a rebuild
+    val cms2 = CountMinTokens.tokenSketch(docs, "text", eps, confidence = 0.99)
+    assert(exact.keys.forall(t => cms.estimateCount(t) == cms2.estimateCount(t)))
+  }
+
   test("A8: WeightedMean Aggregator equals the SQL formulation (Q20)") {
     val viaAgg = Queries.q20(spark, sfDir).collect().map(_.toString).sorted.toSeq
     val li = Tables.lineitem(spark, sfDir)
