@@ -45,36 +45,65 @@ object Dedup {
     * anti-join shuffle. Definite misses — the overwhelming majority of
     * a typical delta against a deduped corpus — never shuffle at all.
     * Output is EXACT: the bloom only prunes the verify join's input,
-    * false positives are settled by the anti-join. `expectedSeen` sizes
-    * the filter (~1.2 GB of bits per 10^9 hashes at the default fpp —
-    * on a cluster, prefer persisting the hash set bucketed by `__h` so
-    * the verify join is co-located).
+    * false positives are settled by the anti-join. The verify join is
+    * pruned from BOTH directions: the delta's maybe-hit hashes build a
+    * second bloom that filters the SEEN side before it shuffles — at a
+    * 100 TB seen corpus, the verify join's right side is then
+    * ~|maybe-hits| rows, not a full corpus rescan (a bidirectional
+    * bloom join; dropping seen rows that match nothing in the delta
+    * cannot change which delta rows have matches, so output stays
+    * exact). `expectedSeen` sizes the seen filter (~1.2 GB of bits per
+    * 10^9 hashes at the default fpp — on a cluster, prefer persisting
+    * the hash set bucketed by `__h` so the verify join is co-located);
+    * `expectedDelta` sizes the delta-side filter.
     */
   def incrementalExactDedup(delta: DataFrame, seen: DataFrame,
                             textCol: String, seenTextCol: String,
-                            expectedSeen: Long): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
+                            expectedSeen: Long,
+                            expectedDelta: Long = 1L << 20): DataFrame = {
     Joins.requireFreeColumns("incrementalExactDedup", delta.columns, "__h")
-    require(expectedSeen > 0, "expectedSeen must be positive")
+    require(expectedSeen > 0 && expectedDelta > 0,
+      "expectedSeen and expectedDelta must be positive")
     val seenH = seen.select(md5(col(seenTextCol)).as("__h"))
-    val bfBytes = seenH.select(ColumnBridge.column(
-        new BloomFilterAggregate(
-          new XxHash64(Seq(ColumnBridge.loweredExpression(col("__h")))),
-          expectedSeen).toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    val bfBytes = bloomOf(seenH, expectedSeen)
     val hashed = delta.withColumn("__h", md5(col(textCol)))
     if (bfBytes == null) hashed.drop("__h") // empty seen corpus: all-new
     else {
-      val might = ColumnBridge.column(BloomFilterMightContain(
-        Literal.create(bfBytes, BinaryType),
-        new XxHash64(Seq(ColumnBridge.loweredExpression(col("__h"))))))
+      val might = mightContain(bfBytes)
       val definiteNew = hashed.where(!might)
-      val verified = hashed.where(might).join(seenH, Seq("__h"), "left_anti")
-      definiteNew.unionByName(verified).drop("__h")
+      val maybe = hashed.where(might)
+      val deltaBfBytes = bloomOf(maybe.select(col("__h")), expectedDelta)
+      if (deltaBfBytes == null) definiteNew.drop("__h") // no maybe-hits
+      else {
+        val verified = maybe.join(
+          seenH.where(mightContain(deltaBfBytes)), Seq("__h"), "left_anti")
+        definiteNew.unionByName(verified).drop("__h")
+      }
     }
+  }
+
+  /** Serialized bloom filter over a one-column frame of hashes (null
+    * when the frame is empty). */
+  private def bloomOf(hashes: DataFrame, expectedItems: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val h = hashes.columns.head
+    hashes.select(ColumnBridge.column(
+        new BloomFilterAggregate(
+          new XxHash64(Seq(ColumnBridge.loweredExpression(col(h)))),
+          expectedItems).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+  }
+
+  /** Probe predicate for [[bloomOf]]'s serialized filter over `__h`. */
+  private def mightContain(bfBytes: Array[Byte]): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bfBytes, BinaryType),
+      new XxHash64(Seq(ColumnBridge.loweredExpression(col("__h"))))))
   }
 
   private def jaccard(t1: Column, t2: Column): Column =

@@ -131,6 +131,44 @@ object StreamOps {
       }
       .toDF()
   }
+
+  /** Streaming heavy-hitter estimates: a count-min sketch held as
+    * flatMapGroupsWithState state, folded over the token stream, with
+    * the watchlist's estimated counts re-emitted every batch (T7 ×
+    * A3+: the frequency analog of the HLL family — per-key state is
+    * ONE fixed-size sketch, never the vocabulary). CMS adds are
+    * cell-wise increments, so the streamed sketch is value-identical
+    * to a batch [[graft.functions.CountMinTokens.tokenSketch]] over
+    * the same rows regardless of batch boundaries or row order
+    * (StreamingSuite asserts the equality).
+    *
+    * `shardKey` partitions the state: the default single shard serves a
+    * per-tenant/per-topic stream (one task owns one sketch); for a
+    * global sketch over a fat stream, shard by a hash and merge the
+    * shards downstream (`CountMinSketch.mergeInPlace` — associative). */
+  def streamingTokenCounts(docs: DataFrame, textCol: String,
+                           watch: Seq[String], eps: Double = 0.001,
+                           confidence: Double = 0.99,
+                           shardKey: String => Int = _ => 0): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.util.sketch.CountMinSketch
+    require(watch.nonEmpty, "streamingTokenCounts needs a watchlist")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val cmsEnc = org.apache.spark.sql.Encoders.kryo[CountMinSketch]
+    docs.select(explode(split(col(textCol), " ")).as("t")).as[String]
+      .groupByKey(shardKey)
+      .flatMapGroupsWithState[CountMinSketch, (Int, String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, toks: Iterator[String], state: GroupState[CountMinSketch]) =>
+          val cms = state.getOption.getOrElse(
+            CountMinSketch.create(eps, confidence, 42))
+          toks.foreach(t => if (t != null) cms.addString(t))
+          state.update(cms)
+          watch.iterator.map(w => (shard, w, cms.estimateCount(w)))
+      }
+      .toDF("shard", "token", "est")
+  }
 }
 
 case class UserTotals(user_id: Long, n: Long, total: Double)

@@ -108,6 +108,33 @@ class StreamingSuite extends AnyFunSuite {
     assert(sortedRows(spark.table("prep_stream")) == sortedRows(prep(docs)))
   }
 
+  test("T7×A3+: streamed count-min estimates equal the batch sketch, across batch splits") {
+    import graft.functions.CountMinTokens
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(100)
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val watch = Seq("table", "data", "value", "nosuchtokenanywhere")
+    val batchCms = CountMinTokens.tokenSketch(docs, "text", 0.001, 0.99)
+    val want = watch.map(w => w -> batchCms.estimateCount(w)).toMap
+    // feed in two uneven batches: the final estimates must not care
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows.take(30): _*)
+    mem.addData(rows.drop(30): _*)
+    val q = StreamOps.streamingTokenCounts(
+        mem.toDF().toDF("doc_id", "text"), "text", watch, 0.001, 0.99)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update mode emits once per batch; counts only grow, so the final
+    // estimate per token is the max (robust to sink row order)
+    val got = spark.table("cms_stream").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(got == want, s"got=$got want=$want")
+    assert(got("nosuchtokenanywhere") == 0L)
+  }
+
   test("T5/T6: watermark drops late rows; dedup drops repeats") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
