@@ -606,6 +606,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling (L5): every 2nd 64-byte frame of the payload as its
+    * own row, base64'd for the oracle — keyframe extraction as pure
+    * column algebra over the binary column. */
+  def xFrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.withBinaryPayload(
+          documents(s, d).where(col("doc_id") < 50), "text"),
+        "doc_id", frameBytes = 64, stride = 2)
+      .select(col("doc_id"), col("frame_idx"),
+        hex(col("frame")).as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+
   /** S6 sink throughput surface: write events as a date-partitioned ORC
     * warehouse table (the reference's entire job, HiveOrcSink.java:34-465)
     * and read it back aggregated — puts ORC write+read throughput into

@@ -257,6 +257,7 @@ object SparkEntry {
     "x_winnow_pairs" -> (Queries.xWinnowPairs _),
     "x_decontam" -> (Queries.xDecontam _),
     "x_incremental_dedup" -> (Queries.xIncrementalDedup _),
+    "x_frame_sample" -> (Queries.xFrameSample _),
     "x_dedup_best" -> (Queries.xDedupBest _)
   )
 
@@ -503,6 +504,14 @@ object SparkEntry {
         "fr AS (SELECT f.doc_id, f.fp FROM f JOIN r USING(fp)), " +
         "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
         "SELECT d1, d2, n_shared FROM p WHERE n_shared >= 3 ORDER BY d1, d2"),
+    // frame sampling: payload = utf8 bytes of text (as x_multimodal),
+    // 64-byte frames, every 2nd full frame; DuckDB can't slice BLOBs,
+    // so both sides compare the frame as hex (2 chars per byte)
+    "x_frame_sample" ->
+      ("WITH p AS (SELECT doc_id, hex(encode(text)) AS ph FROM documents WHERE doc_id < 50), " +
+        "n AS (SELECT doc_id, ph, CAST(FLOOR(length(ph) / 128) AS INT) AS nf FROM p), " +
+        "i AS (SELECT doc_id, ph, CAST(UNNEST(range(0, nf, 2)) AS INT) AS frame_idx FROM n WHERE nf > 0) " +
+        "SELECT doc_id, frame_idx, substring(ph, frame_idx * 128 + 1, 128) AS frame_hex FROM i ORDER BY doc_id, frame_idx"),
     // incremental dedup: delta (fresh >= 400 + re-crawled copies of
     // 100-149) anti-joined on content hash against seen (< 400); the
     // Spark side's bloom prefilter is output-invisible (exact verify)

@@ -48,6 +48,53 @@ object Multimodal {
     if (n == 0.0) acc else acc.map(_ / n)
   }
 
+  /** Frame sampling over a video-shaped payload: the payload is treated
+    * as contiguous `frameBytes`-sized frames and every `stride`-th full
+    * frame becomes its own row (id, frame_idx, frame) — the standard
+    * keyframe-extraction shape before per-frame decode/embed. Pure
+    * column algebra: offsets via `sequence`, byte slices via `substr`
+    * on the binary column, one explode — no UDF, no decode, so the
+    * frame fan-out runs inside the scan stage at any corpus size.
+    * Payloads shorter than one frame yield no rows. */
+  def sampleFrames(df: DataFrame, idCol: String,
+                   frameBytes: Int = 64, stride: Int = 2): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be > 0")
+    val nFrames = floor(length(col("payload")) / frameBytes).cast("int")
+    val idxs = when(nFrames > lit(0),
+        sequence(lit(0), nFrames - 1, lit(stride)))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    df.select(col(idCol), col("payload"), explode(idxs).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
+  }
+
+  /** STUB resize: nearest-neighbor byte subsample to exactly
+    * `targetBytes` (empty stays empty) — deterministic stand-in for a
+    * real image resample; swap the body for the codec call. */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (payload.isEmpty || targetBytes <= 0) Array.emptyByteArray
+    else Array.tabulate(targetBytes) { i =>
+      payload(((i.toLong * payload.length) / targetBytes).toInt
+        .min(payload.length - 1))
+    }
+
+  /** Batched per-partition resize — same integration shape as
+    * [[decodeFeatures]] (one codec init per partition, declared output
+    * schema): payload replaced by its resized bytes, meta left to the
+    * caller to re-derive. */
+  def resizePayloads(df: DataFrame, idCol: String, targetBytes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // codec init would go here (once per partition)
+        it.map { case (id, payload) => (id, resizeStub(payload, targetBytes)) }
+      }
+      .toDF(idCol, "payload")
+  }
+
   /** Batched per-partition decode — the `mapInPandas`-shaped integration
     * point: one decoder init per partition, rows processed in a tight
     * loop, output schema declared up front. Partition-parallel, no

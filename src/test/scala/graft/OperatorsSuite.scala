@@ -460,6 +460,27 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L5 sampleFrames slices exact frame windows; resize hits target length deterministically") {
+    import spark.implicits._
+    val docs = Seq((1L, "a" * 200), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+        Multimodal.withBinaryPayload(docs, "text"), "doc_id",
+        frameBytes = 64, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    // 200 bytes → 3 full frames (0,1,2), stride 2 → frames 0 and 2;
+    // docs shorter than one frame yield nothing
+    assert(frames.map(f => (f._1, f._2)).toSeq.sorted == Seq((1L, 0), (1L, 2)))
+    assert(frames.forall(_._3.length == 64))
+    assert(frames.find(f => f._2 == 2).get._3.toSeq ==
+      ("a" * 200).getBytes("UTF-8").slice(128, 192).toSeq)
+    val resized = Multimodal.resizePayloads(
+        Multimodal.withBinaryPayload(docs, "text"), "doc_id", targetBytes = 32)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(resized(1L).length == 32 && resized(2L).length == 32)
+    assert(resized(3L).length == 0) // empty stays empty
+    assert(resized(2L).toSeq == Multimodal.resizeStub("xy".getBytes, 32).toSeq)
+  }
+
   test("multimodal meta: stub width/height in range and deterministic") {
     val docs = Tables.documents(spark, sfDir).limit(50)
     val meta = Multimodal.withMeta(Multimodal.withBinaryPayload(docs, "text"))
