@@ -796,6 +796,60 @@ object Queries {
       .orderBy("cluster_id")
   }
 
+  /** Gopher-style repetition stats (L4) over synthesized multi-line
+    * docs: the corpus text re-lined as 4-token lines plus a boilerplate
+    * line repeated top and bottom (the web-page template pattern) — so
+    * dup-line / dup-char / n-gram repetition measures carry real signal
+    * on every row instead of trivially zeroing on the one-line fixture
+    * text. The lining is deterministic token arithmetic replicated by
+    * the oracle. */
+  def xRepetition(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val chunkLines = transform(
+      sequence(lit(1), greatest(size(toks), lit(1)), lit(4)),
+      i => concat_ws(" ", slice(toks, i, lit(4))))
+    val lined = documents(s, d).where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        concat(lit("boilerplate header line\n"),
+          concat_ws("\n", chunkLines),
+          lit("\nboilerplate header line")).as("lined"))
+    TextAnalysis.repetitionStats(lined, "doc_id", "lined").orderBy("doc_id")
+  }
+
+  /** Gopher quality-rule flags (L4) over the corpus: raw signals + the
+    * per-rule booleans + the conjunction. minWords lowered to 20 so the
+    * fixture's short docs split the flag both ways (sf docs run ~25-90
+    * words; the production default 50 stays in the operator). */
+  def xGopher(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.gopherQualityFlags(documents(s, d), "doc_id", "text",
+        minWords = 20)
+      .orderBy("doc_id")
+
+  /** Sequence packing (corpus prep): docs laid end-to-end per md5 shard
+    * in id order and cut into 256-token context windows — every doc's
+    * window span and offset checked row-by-row. The md5 shard keeps the
+    * whole packing engine-portable; production uses the xxhash64 shard
+    * via [[graft.operators.Pipelines.packSequences]]. */
+  def xPack(s: SparkSession, d: String): DataFrame = {
+    val withShard = documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).as("nt"),
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long"), lit(8L)).as("sh"))
+    Pipelines.packSequencesByShard(withShard, "doc_id", "nt",
+        capacity = 256, shardCol = "sh")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic domain-mixture sampling: per-language keep rates
+    * (en all, de half, zh quarter, default 3/4) as content-addressed
+    * md5 thresholds — the temperature re-weighting step of a training
+    * mixture, append-stable and engine-portable. */
+  def xMixture(s: SparkSession, d: String): DataFrame =
+    Pipelines.mixtureSampleByMd5(documents(s, d).select("doc_id", "lang"),
+        "lang", "doc_id",
+        rates = Map("en" -> 256, "zh" -> 64, "de" -> 128), default = 192)
+      .orderBy("doc_id")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

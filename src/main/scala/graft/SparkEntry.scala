@@ -258,7 +258,11 @@ object SparkEntry {
     "x_decontam" -> (Queries.xDecontam _),
     "x_incremental_dedup" -> (Queries.xIncrementalDedup _),
     "x_frame_sample" -> (Queries.xFrameSample _),
-    "x_dedup_best" -> (Queries.xDedupBest _)
+    "x_dedup_best" -> (Queries.xDedupBest _),
+    "x_repetition" -> (Queries.xRepetition _),
+    "x_gopher" -> (Queries.xGopher _),
+    "x_pack" -> (Queries.xPack _),
+    "x_mixture" -> (Queries.xMixture _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -541,6 +545,68 @@ object SparkEntry {
         s"qs AS (SELECT doc_id, $qualitySql AS q FROM qq), " +
         "j AS (SELECT c.doc_id, c.cluster_id, qs.q, CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS csize FROM c JOIN qs USING(doc_id)), " +
         "rr AS (SELECT cluster_id, doc_id AS rep_id, q AS rep_q, csize, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rk FROM j) " +
-        "SELECT cluster_id, rep_id, rep_q, csize FROM rr WHERE rk = 1 ORDER BY cluster_id")
+        "SELECT cluster_id, rep_id, rep_q, csize FROM rr WHERE rk = 1 ORDER BY cluster_id"),
+    // Gopher repetition stats over re-lined docs (4-token lines + a
+    // boilerplate line top and bottom). Lining arithmetic and every
+    // repetition measure are replicated as list lambdas; count ties in
+    // the top-bigram argmax break to the lexicographically greatest
+    // bigram on both engines (list_max / array_max on VARCHAR).
+    "x_repetition" ->
+      ("WITH base AS (SELECT doc_id, string_split(text,' ') AS t FROM documents WHERE doc_id < 200), " +
+        "ln AS (SELECT doc_id, 'boilerplate header line' || chr(10) || " +
+        "array_to_string(list_transform(range(1, greatest(len(t),1)+1, 4), i -> array_to_string(t[i:i+3], ' ')), chr(10)) || " +
+        "chr(10) || 'boilerplate header line' AS lined FROM base), " +
+        "st AS (SELECT doc_id, lined, list_filter(string_split(lined, chr(10)), l -> len(l) > 0) AS lines, " +
+        "list_filter(regexp_split_to_array(lined, '\\s+'), x -> len(x) > 0) AS tk FROM ln), " +
+        "ng AS (SELECT *, CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) ELSE CAST([] AS VARCHAR[]) END AS b, " +
+        "CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk)-3), i -> array_to_string(tk[i:i+4], ' ')) ELSE CAST([] AS VARCHAR[]) END AS f FROM st), " +
+        "mx AS (SELECT *, list_distinct(b) AS dbg, list_distinct(f) AS df5 FROM ng), " +
+        "m2 AS (SELECT *, list_max(list_transform(dbg, g -> len(list_filter(b, x -> x = g)))) AS maxc FROM mx), " +
+        "sel AS (SELECT *, list_max(list_filter(dbg, g -> len(list_filter(b, x -> x = g)) = maxc)) AS topg FROM m2) " +
+        "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, " +
+        "ROUND((len(lines) - len(list_distinct(lines))) / CAST(greatest(len(lines),1) AS DOUBLE), 4) AS dup_line_frac, " +
+        "ROUND(COALESCE(list_sum(list_transform(lines, l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1 THEN length(l) ELSE 0 END)),0) / CAST(greatest(COALESCE(list_sum(list_transform(lines, l -> length(l))),0),1) AS DOUBLE), 4) AS dup_line_char_frac, " +
+        "ROUND(COALESCE(maxc * length(topg), 0) / CAST(greatest(length(lined),1) AS DOUBLE), 4) AS top2_char_frac, " +
+        "ROUND(COALESCE(list_sum(list_transform(df5, g -> (len(list_filter(f, x -> x = g)) - 1) * length(g))),0) / CAST(greatest(length(lined),1) AS DOUBLE), 4) AS dup5_char_frac " +
+        "FROM sel ORDER BY doc_id"),
+    // Gopher quality flags: same signals, same unrounded values inside
+    // the rule comparisons (rounding only decorates the report columns)
+    "x_gopher" ->
+      ("WITH t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "s AS (SELECT doc_id, text, CAST(len(tk) AS DOUBLE) AS nw, " +
+        "COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS wc, " +
+        "length(text) - length(replace(text, '#', '')) AS hashes, " +
+        "(length(text) - length(replace(text, '...', ''))) / 3 AS ell, " +
+        "len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha, " +
+        "len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))), ['the','be','to','of','and','that','have','with'])) AS nstop FROM t) " +
+        "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, " +
+        "ROUND(wc / greatest(nw, 1.0), 4) AS mean_word_len, " +
+        "ROUND((hashes + ell) / greatest(nw, 1.0), 4) AS symbol_ratio, " +
+        "ROUND(alpha / greatest(nw, 1.0), 4) AS alpha_word_frac, " +
+        "CAST(nstop AS BIGINT) AS n_stop, " +
+        "(nw BETWEEN 20 AND 100000 AND wc / greatest(nw, 1.0) BETWEEN 3.0 AND 10.0 " +
+        "AND (hashes + ell) / greatest(nw, 1.0) <= 0.1 AND alpha / greatest(nw, 1.0) >= 0.8 " +
+        "AND nstop >= 2) AS passes FROM s ORDER BY doc_id"),
+    // sequence packing: md5-byte shard % 8, per-shard running token sum
+    // in id order, 256-token window arithmetic — window sums cast from
+    // DuckDB's HUGEINT back to BIGINT
+    "x_pack" ->
+      ("WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS nt, " +
+        "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,2) AS BIGINT) % 8 AS shard FROM documents), " +
+        "c AS (SELECT doc_id, shard, CAST(nt AS BIGINT) AS n_tokens, " +
+        "SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+        "FROM t WHERE nt > 0) " +
+        "SELECT doc_id, shard, n_tokens, CAST(cum - n_tokens AS BIGINT) AS gstart, " +
+        "CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) AS start_bin, " +
+        "CAST(FLOOR((cum - 1) / 256.0) AS BIGINT) AS end_bin, " +
+        "CAST((cum - n_tokens) % 256 AS BIGINT) AS bin_offset " +
+        "FROM c ORDER BY doc_id"),
+    // mixture sampling: same md5-byte threshold as x_sample, rate keyed
+    // per language (en 256, de 128, zh 64, else 192)
+    "x_mixture" ->
+      ("SELECT doc_id, lang FROM documents WHERE " +
+        "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,2) AS BIGINT) < " +
+        "(CASE WHEN lang = 'en' THEN 256 WHEN lang = 'de' THEN 128 " +
+        "WHEN lang = 'zh' THEN 64 ELSE 192 END) ORDER BY doc_id")
   ) ++ ivfOracleSql
 }

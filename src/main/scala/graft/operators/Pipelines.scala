@@ -112,6 +112,80 @@ object Pipelines {
         col("c.chunk").as("chunk"), col("c.n_tokens").as("n_tokens"))
   }
 
+  /** Sequence packing for fixed-context training (the concatenate-and-
+    * chunk construction): documents are laid end-to-end in deterministic
+    * (shard, id) order and the token stream is cut every `capacity`
+    * tokens; each document records which context window(s) it lands in.
+    * Output per input row: `shard`, `n_tokens`, `gstart` (the doc's
+    * offset in its shard's token stream), `start_bin`/`end_bin` (first/
+    * last context window the doc touches — a doc may straddle windows,
+    * exactly like the standard pretraining pack), and `bin_offset` (the
+    * doc's offset inside its first window).
+    *
+    * Scale shape: one hash shuffle on the shard key + a per-shard
+    * running-sum window — each shard's stream is independent, so
+    * parallelism is `shards` regardless of corpus size; pick shards ≈
+    * cluster cores. Deterministic: same rows → same packing on every
+    * run/engine (xxhash shard + id order), which is what makes packed
+    * corpora reproducible across rebuilds. Rows with no tokens are
+    * dropped up front (they would alias onto the next doc's offset and
+    * contribute nothing to any window). */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+                    capacity: Int, shards: Int): DataFrame = {
+    require(shards >= 1, "packSequences needs shards >= 1")
+    Joins.requireFreeColumns("packSequences", df.columns, "shard")
+    packSequencesByShard(
+      df.withColumn("shard", pmod(xxhash64(col(idCol)), lit(shards.toLong))),
+      idCol, nTokensCol, capacity, "shard")
+  }
+
+  /** [[packSequences]] over a caller-provided shard column — the seam
+    * that lets an engine-portable shard assignment (e.g. an md5-derived
+    * bucket, reproducible outside Spark) drive the same packing; the
+    * xxhash64 default stays the in-engine fast path. */
+  def packSequencesByShard(df: DataFrame, idCol: String, nTokensCol: String,
+                           capacity: Int, shardCol: String): DataFrame = {
+    require(capacity >= 1, "packSequences needs capacity >= 1")
+    Joins.requireFreeColumns("packSequences",
+      df.columns.filterNot(_ == shardCol),
+      "__cum", "n_tokens", "gstart", "start_bin", "end_bin", "bin_offset")
+    import org.apache.spark.sql.expressions.Window
+    val n = col(nTokensCol).cast("long")
+    val w = Window.partitionBy(shardCol).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.where(n > 0)
+      .withColumn("__cum", sum(n).over(w))
+      .select(col(idCol), col(shardCol).cast("long").as("shard"),
+        n.as("n_tokens"),
+        (col("__cum") - n).as("gstart"),
+        floor((col("__cum") - n) / capacity).as("start_bin"),
+        floor((col("__cum") - 1) / capacity).as("end_bin"),
+        pmod(col("__cum") - n, lit(capacity.toLong)).as("bin_offset"))
+  }
+
+  /** Deterministic domain-mixture sampling: per-stratum keep rates (the
+    * temperature re-weighting step that balances a training mixture —
+    * e.g. downsample an over-crawled language toward target proportions)
+    * applied as content-addressed md5 thresholds, so survival is a pure
+    * function of the row id: append-stable, engine-portable, and
+    * monotone in the rate (raising a stratum's rate only ADDS rows —
+    * the property that lets a mixture be re-tuned without resampling
+    * everything). `rates` maps stratum value → keep-numerator out of
+    * 256 (first md5 byte of the id); strata not listed use `default`. */
+  def mixtureSampleByMd5(df: DataFrame, stratumCol: String, idCol: String,
+                         rates: Map[String, Int],
+                         default: Int = 256): DataFrame = {
+    (rates.values.toSeq :+ default).foreach(r =>
+      require(r >= 0 && r <= 256, s"keep rate $r outside [0, 256]"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10)
+      .cast("long")
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(default)) {
+      case ((stratum, r), els) =>
+        when(col(stratumCol) === stratum, lit(r)).otherwise(els)
+    }
+    df.where(bucket < rate)
+  }
+
   /** TF-IDF top terms per document — the classic two-pass relevance
     * scorer. One explode+groupBy produces tf; docFreq derives from tf
     * (one row per (doc, term) already) with no second scan of the input;

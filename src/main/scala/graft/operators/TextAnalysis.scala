@@ -175,6 +175,115 @@ object TextAnalysis {
         langIdGuessFromTokens(col("__lt")).as("lang_pred"),
         fingerprintOfTokens(col("__t")).as("fp"))
 
+  /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1): the
+    * cheap structural signals web-scale pipelines filter on before any
+    * model scoring. Per document:
+    *   - `n_lines`, `dup_line_frac`: fraction of non-empty lines (split
+    *     at `\n`) that are repeats of an earlier-or-later line;
+    *   - `dup_line_char_frac`: fraction of line characters inside lines
+    *     occurring more than once;
+    *   - `top2_char_frac`: characters covered by the most frequent word
+    *     bigram / total chars (count ties break to the lexicographically
+    *     greatest bigram — deterministic on any engine);
+    *   - `dup5_char_frac`: characters in 5-gram occurrences beyond each
+    *     gram's first / total chars (the standard approximation of
+    *     "chars inside duplicated n-grams" that needs no positional
+    *     coverage union).
+    *
+    * Pure HOF column algebra: no UDF, no shuffle, one row in → one row
+    * out. Per-row cost is O(tokens²) (each distinct n-gram counts its
+    * occurrences with a list scan) — bounded by document length, never
+    * corpus size, so it parallelizes embarrassingly; for corpora of
+    * book-length documents (10⁵+ tokens) explode the n-grams into an
+    * (id, gram) frame and groupBy instead — same outputs, one keyed
+    * shuffle. Tokens split on whitespace runs (`\s+`) so line breaks
+    * separate words for the n-gram measures too. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Joins.requireFreeColumns("repetitionStats", df.columns,
+      "__lines", "__toks", "__b", "__f", "__db", "__maxc",
+      "n_lines", "dup_line_frac", "dup_line_char_frac",
+      "top2_char_frac", "dup5_char_frac")
+    val txt = col(textCol)
+    def ngrams(toks: Column, n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    def occurrences(hay: Column, needle: Column): Column =
+      size(filter(hay, x => x === needle))
+    val (lines, toks, b, f) = (col("__lines"), col("__toks"), col("__b"), col("__f"))
+    val lineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l).cast("long"))
+    val dupLineChars = aggregate(lines, lit(0L), (acc, l) =>
+      acc + when(occurrences(lines, l) > 1, length(l).cast("long")).otherwise(0L))
+    val db = col("__db")
+    val maxCnt = array_max(transform(db, g => occurrences(b, g)))
+    val topBigram = array_max(filter(db, g => occurrences(b, g) === col("__maxc")))
+    val dup5Chars = aggregate(array_distinct(f), lit(0L), (acc, g) =>
+      acc + ((occurrences(f, g) - 1) * length(g)).cast("long"))
+    df.select(col(idCol), txt,
+        filter(split(txt, "\n"), l => length(l) > 0).as("__lines"),
+        filter(split(txt, "\\s+"), t => length(t) > 0).as("__toks"))
+      .withColumn("__b", ngrams(toks, 2))
+      .withColumn("__f", ngrams(toks, 5))
+      .withColumn("__db", array_distinct(b))
+      .withColumn("__maxc", maxCnt)
+      .select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        round((size(lines) - size(array_distinct(lines)))
+          / greatest(size(lines), lit(1)).cast("double"), 4).as("dup_line_frac"),
+        round(dupLineChars / greatest(lineChars, lit(1)).cast("double"), 4)
+          .as("dup_line_char_frac"),
+        round(coalesce(col("__maxc") * length(topBigram), lit(0))
+          / greatest(length(txt), lit(1)).cast("double"), 4).as("top2_char_frac"),
+        round(dup5Chars / greatest(length(txt), lit(1)).cast("double"), 4)
+          .as("dup5_char_frac"))
+  }
+
+  /** Gopher-style document quality flags (Rae et al. 2021 §A1.1): the
+    * rule set web-scale English pipelines apply before model-based
+    * scoring, as one codegen-eligible projection. Raw signals plus the
+    * boolean each rule implies, plus the conjunction:
+    *   - `n_words` in [minWords, maxWords] (whitespace tokens);
+    *   - `mean_word_len` in [3, 10];
+    *   - `symbol_ratio` (`#` chars + `...` occurrences per word) ≤ 0.1;
+    *   - `alpha_word_frac` (words containing ≥1 ASCII letter) ≥ 0.8;
+    *   - `n_stop` ≥ 2 distinct hits in the 8-word Gopher stop list.
+    * No shuffle, no UDF — pure column algebra over one staged token
+    * array, so Catalyst keeps the whole thing in one codegen stage. */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    Joins.requireFreeColumns("gopherQualityFlags", df.columns,
+      "__toks", "n_words", "mean_word_len", "symbol_ratio",
+      "alpha_word_frac", "n_stop", "passes")
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val txt = col(textCol)
+    val toks = col("__toks")
+    val nWords = size(toks).cast("double")
+    val wordChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val meanLen = wordChars / greatest(nWords, lit(1.0))
+    val hashes = length(txt) - length(regexp_replace(txt, "#", ""))
+    val ellipses = (length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (hashes + ellipses) / greatest(nWords, lit(1.0))
+    val alphaFrac =
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))) / greatest(nWords, lit(1.0))
+    val nStop = size(array_intersect(
+      array_distinct(transform(toks, t => lower(t))),
+      array(gopherStops.map(lit): _*)))
+    df.select(col(idCol), txt,
+        filter(split(txt, "\\s+"), t => length(t) > 0).as("__toks"))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(symbolRatio, 4).as("symbol_ratio"),
+        round(alphaFrac, 4).as("alpha_word_frac"),
+        nStop.cast("long").as("n_stop"),
+        (size(toks).between(minWords, maxWords) &&
+          meanLen.between(3.0, 10.0) &&
+          (symbolRatio <= 0.1) &&
+          (alphaFrac >= 0.8) &&
+          (nStop >= 2)).as("passes"))
+  }
+
   /** Okapi BM25 top-k documents for a bag-of-words query — the lexical
     * retrieval scorer every corpus-curation pipeline keeps next to its
     * embedding ANN (seed-document expansion, contamination checks,

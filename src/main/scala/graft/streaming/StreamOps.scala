@@ -90,6 +90,36 @@ object StreamOps {
     deduped.unionByName(passthrough)
   }
 
+  /** Stream-stream event-time interval join (the T-family's join leg):
+    * each left event matched to same-key right events with `r.ts` in
+    * `(l.ts, l.ts + within]` — the enrich-a-click-with-its-impressions
+    * shape. The join condition carries the event-time bound, which is
+    * what lets Structured Streaming bound BOTH buffers: with a
+    * watermark on each side (applied by the streaming caller), a
+    * buffered left row is droppable once the watermark passes
+    * `l.ts + within`, a right row once it passes `r.ts` — without the
+    * time bound Spark would have to buffer both streams forever (and
+    * rejects the inner join at analysis when neither side is
+    * constrained). On batch frames the identical plan is a plain range
+    * join; StreamingSuite asserts stream ≡ batch row sets.
+    *
+    * Output: left columns prefixed `l_`, right's event columns
+    * `r_event_id`/`r_ts` — explicit projection so the joined schema is
+    * stable for downstream sinks. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCol: String = "user_id",
+                   within: String = "10 minutes"): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    l.join(r,
+        col(s"l.$keyCol") === col(s"r.$keyCol") &&
+          col("r.ts") > col("l.ts") &&
+          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
+      .select(col(s"l.$keyCol").as(keyCol),
+        col("l.event_id").as("l_event_id"), col("l.ts").as("l_ts"),
+        col("r.event_id").as("r_event_id"), col("r.ts").as("r_ts"))
+  }
+
   /** T7: per-key running aggregate (update-mode friendly). */
   def runningTotals(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))

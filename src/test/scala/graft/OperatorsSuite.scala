@@ -618,4 +618,55 @@ class OperatorsSuite extends AnyFunSuite {
     // +16 days later: UTC date 2024-01-17, +8h stays 17th
     assert(out(16).getString(3) == "2024-01-17")
   }
+
+  test("L4 repetitionStats measures crafted repetition exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb\naa bb\ncc dd"),
+      (2L, "x y x y x y z"),
+      (3L, "one two three four five one two three four five six")
+    ).toDF("id", "t")
+    val out = graft.operators.TextAnalysis.repetitionStats(docs, "id", "t")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 3 lines, "aa bb" twice → 1/3 dup lines, 10/15 dup line chars;
+    // bigram "aa bb" occurs 2× (5 chars) over 17 text chars; no dup 5-gram
+    assert(out(1L).getLong(1) == 3L)
+    assert(out(1L).getDouble(2) == 0.3333)
+    assert(out(1L).getDouble(3) == 0.6667)
+    assert(out(1L).getDouble(4) == math.rint(10.0 / 17 * 1e4) / 1e4)
+    assert(out(1L).getDouble(5) == 0.0)
+    // doc 2: one line; "x y" 3× of 6 bigrams → 9/13 chars; all three
+    // 5-grams are distinct (x y x y x / y x y x y / x y x y z)
+    assert(out(2L).getLong(1) == 1L)
+    assert(out(2L).getDouble(2) == 0.0)
+    assert(out(2L).getDouble(4) == math.rint(9.0 / 13 * 1e4) / 1e4)
+    assert(out(2L).getDouble(5) == 0.0)
+    // doc 3: four bigrams tie at 2 → argmax breaks to the
+    // lexicographically greatest ("two three", 9 chars → 18/51);
+    // 5-gram "one two three four five" repeats (23 chars / 51)
+    assert(out(3L).getDouble(4) == math.rint(18.0 / 51 * 1e4) / 1e4)
+    assert(out(3L).getDouble(5) == math.rint(23.0 / 51 * 1e4) / 1e4)
+  }
+
+  test("L4 gopherQualityFlags: each rule flips on its crafted violator") {
+    import spark.implicits._
+    val pass = (Seq.fill(25)("hello") ++ Seq("the", "and")).mkString(" ")
+    val tooShort = "the and cat"
+    val symbols = (Seq.fill(24)("aaaa") ++ Seq("#", "#", "#", "#")).mkString(" ")
+    val shortWords = Seq.fill(21)("ab").mkString(" ")
+    val docs = Seq((1L, pass), (2L, tooShort), (3L, symbols), (4L, shortWords))
+      .toDF("id", "t")
+    val out = graft.operators.TextAnalysis
+      .gopherQualityFlags(docs, "id", "t", minWords = 20)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 27L && out(1L).getBoolean(6))
+    assert(out(1L).getLong(5) == 2L) // the, and
+    assert(out(2L).getLong(1) == 3L && !out(2L).getBoolean(6))
+    // 4 '#' over 28 words → 0.1429 > 0.1; alpha frac 24/28 ≥ 0.8 still
+    assert(out(3L).getDouble(3) == 0.1429)
+    assert(out(3L).getDouble(4) == math.rint(24.0 / 28 * 1e4) / 1e4)
+    assert(!out(3L).getBoolean(6))
+    // mean word length 2 < 3
+    assert(out(4L).getDouble(2) == 2.0 && !out(4L).getBoolean(6))
+  }
 }

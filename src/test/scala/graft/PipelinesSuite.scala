@@ -144,4 +144,66 @@ class PipelinesSuite extends AnyFunSuite {
       .orderBy("doc_id").collect()
     assert(viaSql.map(_.toString).toSeq == viaCols.map(_.toString).toSeq)
   }
+
+  test("packSequences: windows are exactly filled, spans consistent, xxhash ≡ byShard") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+    val packed = Pipelines.packSequences(docs, "doc_id", "nt",
+      capacity = 100, shards = 4)
+    val rowsOut = packed.collect().map(r => (r.getLong(1), r.getLong(0),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rowsOut.length == docs.where(col("nt") > 0).count())
+    rowsOut.groupBy(_._1).foreach { case (_, shardRows) =>
+      val sorted = shardRows.sortBy(_._2)
+      // gstart is the running sum of earlier docs' tokens (id order)
+      var cum = 0L
+      sorted.foreach { case (_, _, nt, gstart, sb, eb, off) =>
+        assert(gstart == cum)
+        assert(sb == gstart / 100 && off == gstart % 100)
+        assert(eb == (gstart + nt - 1) / 100)
+        cum += nt
+      }
+      // every window before the shard's last is exactly filled: token
+      // mass overlapping window b is `capacity` for all b < lastBin
+      val lastBin = (cum - 1) / 100
+      (0L until lastBin).foreach { b =>
+        val mass = sorted.map { case (_, _, nt, gstart, _, _, _) =>
+          val lo = math.max(gstart, b * 100)
+          val hi = math.min(gstart + nt, (b + 1) * 100)
+          math.max(0L, hi - lo)
+        }.sum
+        assert(mass == 100L, s"window $b holds $mass tokens")
+      }
+    }
+    // the caller-shard seam reproduces the xxhash path bit-for-bit when
+    // handed the same shard assignment
+    val preSharded = docs.withColumn("shard",
+      pmod(xxhash64(col("doc_id")), lit(4L)))
+    val viaSeam = Pipelines.packSequencesByShard(preSharded, "doc_id", "nt",
+      capacity = 100, shardCol = "shard")
+    assert(packed.exceptAll(viaSeam).count() == 0 &&
+      viaSeam.exceptAll(packed).count() == 0)
+  }
+
+  test("mixtureSampleByMd5: per-stratum rates, monotone, deterministic") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    val full = Pipelines.mixtureSampleByMd5(docs, "lang", "doc_id",
+      rates = Map(langs.head -> 256), default = 256)
+    assert(full.count() == docs.count()) // rate 256 keeps everything
+    val none = Pipelines.mixtureSampleByMd5(docs, "lang", "doc_id",
+      rates = Map(langs.head -> 0), default = 256)
+    assert(none.where(col("lang") === langs.head).count() == 0)
+    assert(none.where(col("lang") =!= langs.head).count() ==
+      docs.where(col("lang") =!= langs.head).count())
+    // monotone: raising a rate only adds rows
+    val lo = Pipelines.mixtureSampleByMd5(docs, "lang", "doc_id",
+      rates = Map(langs.head -> 64), default = 128)
+    val hi = Pipelines.mixtureSampleByMd5(docs, "lang", "doc_id",
+      rates = Map(langs.head -> 128), default = 192)
+    assert(lo.exceptAll(hi).count() == 0)
+    // deterministic across runs
+    assert(lo.exceptAll(Pipelines.mixtureSampleByMd5(docs, "lang", "doc_id",
+      rates = Map(langs.head -> 64), default = 128)).count() == 0)
+  }
 }

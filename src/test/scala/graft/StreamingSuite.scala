@@ -244,4 +244,26 @@ class StreamingSuite extends AnyFunSuite {
     runOnce()
     assert(spark.read.orc(out).count() == 100L)
   }
+
+  test("T-join: stream-stream interval join equals the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows
+    val batch = StreamOps.intervalJoin(
+      Tables.events(spark, sfDir), Tables.events(spark, sfDir))
+    val memL = MemoryStream[Ev]
+    val memR = MemoryStream[Ev]
+    memL.addData(rows: _*)
+    memR.addData(rows: _*)
+    // inner stream-stream joins emit on match (the watermark only gates
+    // state cleanup), so one AvailableNow pass yields the full result
+    val joined = StreamOps.intervalJoin(
+      memL.toDF().withWatermark("ts", "1 minute"),
+      memR.toDF().withWatermark("ts", "1 minute"))
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("tjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(sortedRows(spark.table("tjoin")) == sortedRows(batch))
+    assert(batch.count() > 0)
+  }
 }
