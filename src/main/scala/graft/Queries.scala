@@ -551,6 +551,22 @@ object Queries {
       nCells = IvfFixture.nCells, nProbe = IvfFixture.nProbe,
       lloydIters = IvfFixture.lloydIters, trainCap = IvfFixture.trainCap)
 
+  /** PQ fixture parameters shared by [[xPqTopK]] and the dump-time
+    * DuckDB oracle in [[SparkEntry]] (same one-source-of-truth contract
+    * as [[IvfFixture]]). */
+  private[graft] object PqFixture {
+    val m = 4; val ks = 16; val k = 10
+    val queryId = 0L; val lloydIters = 2; val trainCap = 4096
+  }
+
+  /** ANN top-10 via product quantization: m=4 subspaces × 16-centroid
+    * codebooks, ADC cosine scoring. */
+  def xPqTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.pqTopK(embeddings(s, d), "vec_id", "embedding",
+      queryId = PqFixture.queryId, k = PqFixture.k,
+      m = PqFixture.m, ks = PqFixture.ks,
+      lloydIters = PqFixture.lloydIters, trainCap = PqFixture.trainCap)
+
   /** Embedding-cosine near-dup pairs (threshold fits fixture cosine range). */
   def xEmbedNearDup(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupPairs(embeddings(s, d), "vec_id", "embedding", tau = 0.4)

@@ -58,7 +58,26 @@ object ScaleSmoke {
         graft.operators.Dedup.incrementalExactDedup(
           docs.where(col("doc_id") < 500).select(col("doc_id"), col("text")),
           docs, "text", "text", expectedSeen = 1000000L)
-      }))
+      }),
+      // per-row HOF repetition stats over the full corpus — a pure
+      // projection whose per-row cost is O(doc tokens²); corpus growth
+      // in ROWS (same doc lengths) must scale linearly
+      ("x_repetition_full", Seq("documents"), (s: SparkSession, d: String) =>
+        graft.operators.TextAnalysis.repetitionStats(
+          Tables.documents(s, d), "doc_id", "text")),
+      // sequence packing over the full corpus — one shard-key shuffle +
+      // per-shard running-sum window; window state is a running scalar,
+      // so time must track rows
+      ("x_pack_full", Seq("documents"), (s: SparkSession, d: String) =>
+        graft.operators.Pipelines.packSequences(
+          Tables.documents(s, d).select(col("doc_id"),
+            size(split(col("text"), " ")).as("nt")),
+          "doc_id", "nt", capacity = 256, shards = 32)),
+      // PQ ANN end-to-end: trainCap bounds the sample collect, so the
+      // corpus-size-dependent work is exactly one encode+ADC-score pass
+      ("x_pq_full", Seq("embeddings"), (s: SparkSession, d: String) =>
+        graft.operators.Similarity.pqTopK(Tables.embeddings(s, d),
+          "vec_id", "embedding", queryId = 0L, k = 10)))
       // NOT here: x_simhash_pairs. Cross-copy replica twins (same text,
       // different c<copy> tag) are TRUE near-dups under hamming ≤ 3, so
       // the replica's verified-pair output grows as copies² by workload

@@ -167,6 +167,111 @@ object SparkEntry {
     }
   }
 
+  /** DuckDB oracle for x_pq_topk, generated AT DUMP TIME under the same
+    * contract as [[ivfOracleSql]] (active session + explicit
+    * `graft.oracle.sfDir`, Try-omitted anywhere else → rows-only
+    * fallback): the deterministic `Similarity.pqTrain` fold runs
+    * against the dump corpus, and the per-subspace codebooks, the
+    * query's ADC lookup tables (`q_s · c`, `|c|²`) and `|q|` are
+    * embedded as literals. Per-subspace cell assignment uses the same
+    * monotone `|c|² − 2·e_s·c` first-min form the IVF oracle proved out,
+    * cross-checked against `Similarity.nearestCell` on every corpus
+    * vector before the SQL is emitted (same loud-failure posture and
+    * the same documented list_dot_product accumulation-order
+    * assumption). All parameters come from [[Queries.PqFixture]]. */
+  private def pqOracleSql: Option[(String, String)] = scala.util.Try {
+    import Queries.PqFixture._
+    val spark = SparkSession.active
+    val sfDir = sys.props("graft.oracle.sfDir") // no default: throws if unset
+    val emb = Tables.embeddings(spark, sfDir)
+    val cbs = graft.operators.Similarity.pqTrain(
+      emb, "vec_id", "embedding", m, ks, lloydIters = lloydIters,
+      trainCap = trainCap)
+    val qVec = emb.where(org.apache.spark.sql.functions.col("vec_id") === queryId)
+      .select(org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val sub = qVec.length / m
+    // ADC lookup tables, identical construction to pqTopK's
+    val qDots = Array.tabulate(m) { s =>
+      cbs(s).map { c =>
+        var d = 0.0; var i = 0
+        while (i < sub) { d += qVec(s * sub + i) * c(i); i += 1 }
+        d
+      }
+    }
+    val cNorm2 = Array.tabulate(m)(s => cbs(s).map(c => c.map(x => x * x).sum))
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    crossCheckPqAssignment(emb, cbs)
+    def dists(s: Int): String = cbs(s).map { c =>
+      val cc = c.map(x => x * x).sum
+      s"($cc - 2*list_dot_product(e[${s * sub + 1}:${(s + 1) * sub}], ${c.mkString("[", ",", "]")}))"
+    }.mkString("[", ",", "]")
+    val dsCols = (0 until m).map(s => s"${dists(s)} AS ds$s").mkString(", ")
+    val cellCols = (0 until m)
+      .map(s => s"list_position(ds$s, list_min(ds$s)) - 1 AS c$s").mkString(", ")
+    val num = (0 until m)
+      .map(s => s"list_extract(${qDots(s).mkString("[", ",", "]")}, c$s + 1)")
+      .mkString(" + ")
+    val n2 = (0 until m)
+      .map(s => s"list_extract(${cNorm2(s).mkString("[", ",", "]")}, c$s + 1)")
+      .mkString(" + ")
+    val sql =
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"d AS (SELECT vec_id, $dsCols FROM v), " +
+        s"a AS (SELECT vec_id, $cellCols FROM d) " +
+        s"SELECT vec_id, ROUND(CASE WHEN $qNorm * sqrt($n2) = 0 THEN 0.0 " +
+        s"ELSE ($num) / ($qNorm * sqrt($n2)) END, 4) + 0 AS cos " +
+        s"FROM a WHERE vec_id <> $queryId ORDER BY cos DESC, vec_id LIMIT $k"
+    "x_pq_topk" -> sql
+  }.toOption
+
+  /** Dump-time guard for [[pqOracleSql]]: per subspace, the SQL's
+    * first-min `|c|²−2·e_s·c` assignment must agree with
+    * `Similarity.nearestCell` on every corpus vector (same capped
+    * collect and same loud-omission behavior as
+    * [[crossCheckCellAssignment]]). */
+  private def crossCheckPqAssignment(emb: DataFrame,
+                                     cbs: Array[Array[Array[Double]]]): Unit = {
+    val cap = 100000
+    val rows = emb.select(
+      org.apache.spark.sql.functions.col("vec_id").cast("long"),
+      org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .limit(cap + 1)
+      .collect()
+    require(rows.length <= cap,
+      s"x_pq_topk oracle cross-check: corpus exceeds $cap vectors — " +
+        "refusing the driver-side collect; entry falls back to rows-only")
+    val m = cbs.length
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val sub = v.length / m
+      var s = 0
+      while (s < m) {
+        val vs = java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)
+        val sparkCell = graft.operators.Similarity.nearestCell(vs, cbs(s))
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < cbs(s).length) {
+          val c = cbs(s)(ci)
+          var dot = 0.0; var i = 0
+          while (i < sub) { dot += vs(i) * c(i); i += 1 }
+          var cc = 0.0; i = 0
+          while (i < sub) { cc += c(i) * c(i); i += 1 }
+          val d = cc - 2 * dot
+          if (d < bestD) { bestD = d; best = ci } // strictly-less = first min
+          ci += 1
+        }
+        if (best != sparkCell) {
+          System.err.println(s"[oracle] x_pq_topk cell-assignment divergence " +
+            s"at vec_id=${r.getLong(0)} subspace=$s: spark=$sparkCell " +
+            s"sql-form=$best — omitting the hash oracle")
+          throw new IllegalStateException("pq oracle cell-assignment divergence")
+        }
+        s += 1
+      }
+    }
+  }
+
   /** Per-bit simhash vote-and-set terms (Dedup.simHash, 60 md5 bits). */
   private def simhashBitsSql: String =
     (0 until graft.operators.Dedup.simHashBits).map { b =>
@@ -262,7 +367,8 @@ object SparkEntry {
     "x_repetition" -> (Queries.xRepetition _),
     "x_gopher" -> (Queries.xGopher _),
     "x_pack" -> (Queries.xPack _),
-    "x_mixture" -> (Queries.xMixture _)
+    "x_mixture" -> (Queries.xMixture _),
+    "x_pq_topk" -> (Queries.xPqTopK _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -608,5 +714,5 @@ object SparkEntry {
         "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,2) AS BIGINT) < " +
         "(CASE WHEN lang = 'en' THEN 256 WHEN lang = 'de' THEN 128 " +
         "WHEN lang = 'zh' THEN 64 ELSE 192 END) ORDER BY doc_id")
-  ) ++ ivfOracleSql
+  ) ++ ivfOracleSql ++ pqOracleSql
 }

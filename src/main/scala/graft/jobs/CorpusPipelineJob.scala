@@ -22,7 +22,17 @@ object CorpusPipelineJob {
       idCol: String = "doc_id",
       nearDupTau: Double = 0.8,
       minQuality: Double = 0.5,
-      shards: Int = 64)
+      shards: Int = 64,
+      // runCurated structural gates (Gopher rules): minimum words for
+      // the flag set, and the dup-line/dup-n-gram ceilings a doc may
+      // carry before it is dropped as template/boilerplate spam
+      gopherMinWords: Int = 20,
+      gopherMinStop: Int = 2,
+      maxDupLineFrac: Double = 0.5,
+      maxDup5CharFrac: Double = 0.5,
+      // context-packing stage: tokens per training window (0 = skip)
+      packCapacity: Int = 0,
+      packShards: Int = 64)
 
   /** The curated variant — same shape, stronger policies at every stage:
     *
@@ -37,7 +47,14 @@ object CorpusPipelineJob {
     * ([[Dedup.keepBestPerCluster]]), not the lowest id; (c) any doc
     * sharing ≥ 3 winnow fingerprints with an eval doc is dropped
     * ([[TextAnalysis.decontaminationJoin]]) — benchmark hygiene as a
-    * pipeline stage, not an afterthought. */
+    * pipeline stage, not an afterthought; (d) structural gates on top
+    * of the scalar quality score — the Gopher rule conjunction
+    * ([[TextAnalysis.gopherQualityFlags]]) and repetition ceilings
+    * ([[TextAnalysis.repetitionStats]]: dup-line and dup-5-gram char
+    * fractions) drop template/boilerplate spam that a length/alpha
+    * score alone passes; (e) optionally ends with sequence packing
+    * ([[Pipelines.packSequences]], `cfg.packCapacity > 0`) so the
+    * output frame carries each doc's training-window assignment. */
   def runCurated(docs: DataFrame, evalDocs: Option[DataFrame],
                  cfg: Config = Config()): DataFrame = {
     val exact = Dedup.exactDedup(docs, cfg.textCol, cfg.idCol)
@@ -56,13 +73,38 @@ object CorpusPipelineJob {
         kept.join(contaminated, Seq(cfg.idCol), "left_anti")
       case None => kept
     }
+    // structural gates: Gopher rule conjunction + repetition ceilings —
+    // both semi-join prunes on id, so the kept frame's columns are
+    // untouched and the gates compose with any upstream schema
+    val gopherPass = TextAnalysis.gopherQualityFlags(
+        decontaminated, cfg.idCol, cfg.textCol,
+        minWords = cfg.gopherMinWords, minStop = cfg.gopherMinStop)
+      .where(col("passes")).select(cfg.idCol)
+    val repetitionPass = TextAnalysis.repetitionStats(
+        decontaminated, cfg.idCol, cfg.textCol)
+      .where(col("dup_line_frac") <= cfg.maxDupLineFrac &&
+        col("dup5_char_frac") <= cfg.maxDup5CharFrac)
+      .select(cfg.idCol)
     val filtered = decontaminated
       .where(col("quality") >= cfg.minQuality)
+      .join(gopherPass, Seq(cfg.idCol), "left_semi")
+      .join(repetitionPass, Seq(cfg.idCol), "left_semi")
       .withColumn("lang_pred", TextAnalysis.langIdGuess(col(cfg.textCol)))
     val scrubbed = filtered.withColumn(cfg.textCol,
       Pipelines.scrubPii(col(cfg.textCol)))
-    Pipelines.shardForOutput(
+    val out = Pipelines.shardForOutput(
       Pipelines.splitByHash(scrubbed, cfg.idCol), cfg.idCol, cfg.shards)
+    if (cfg.packCapacity <= 0) out
+    else {
+      // final stage: each surviving doc's context-window assignment —
+      // the packed-corpus manifest a trainer consumes
+      val packed = Pipelines.packSequences(
+        out.select(col(cfg.idCol),
+          size(split(col(cfg.textCol), " ")).as("__nt")),
+        cfg.idCol, "__nt", cfg.packCapacity, cfg.packShards)
+      out.join(packed.select(col(cfg.idCol), col("shard").as("pack_shard"),
+        col("start_bin"), col("end_bin"), col("bin_offset")), Seq(cfg.idCol))
+    }
   }
 
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {

@@ -293,6 +293,131 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic product-quantization training (Jégou/Douze/Schmid,
+    * PAMI 2011): the vector space is split into `m` contiguous
+    * subspaces and a `ks`-centroid codebook is Lloyd-trained per
+    * subspace over ONE hash-capped sample — the same sample draw as
+    * [[ivfTrain]] (top-`trainCap` rows by xxhash64(id), TakeOrdered),
+    * collected once and sliced driver-side, so training cost is bounded
+    * by the cap at any corpus size. Returns `m × ks × (dim/m)`
+    * codebooks. Exposed `private[graft]` so the oracle dump can run the
+    * identical fold and embed the codebooks as SQL literals. */
+  private[graft] def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+                             m: Int, ks: Int, lloydIters: Int,
+                             trainCap: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ks >= 1, "pqTrain needs m >= 1 and ks >= 1")
+    require(trainCap >= ks, s"trainCap ($trainCap) must cover ks ($ks)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Double]] = emb
+      .select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("__r", xxhash64(col("id")))
+      .orderBy("__r", "id").limit(trainCap)
+      .select("v").as[Array[Double]].collect()
+    require(sample.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val slice = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      var cs: Array[Array[Double]] = slice.take(ks)
+      for (_ <- 0 until lloydIters) {
+        val cur = cs
+        val sums = Array.fill(cur.length)(new Array[Double](sub))
+        val counts = new Array[Long](cur.length)
+        slice.foreach { v =>
+          val c = nearestCell(v, cur)
+          var i = 0; while (i < sub) { sums(c)(i) += v(i); i += 1 }
+          counts(c) += 1
+        }
+        cs = Array.tabulate(cur.length) { c =>
+          if (counts(c) == 0) cur(c) else sums(c).map(_ / counts(c))
+        }
+      }
+      cs
+    }
+  }
+
+  /** PQ-encode + ADC score against one query vector, shared by
+    * [[pqTopK]] and the oracle cross-check: per subspace the vector's
+    * code is its nearest codebook centroid ([[nearestCell]] — the same
+    * argmin everywhere), and the asymmetric-distance cosine is computed
+    * from two m×ks lookup tables built once from the query:
+    * `qDots(s)(j) = q_s · c_s(j)` and `cNorm2(s)(j) = |c_s(j)|²`, giving
+    * `cos ≈ Σ_s qDots(s)(code_s) / (|q| · √Σ_s cNorm2(s)(code_s))`. */
+  private[graft] def adcCosine(v: Array[Double],
+                               cbs: Array[Array[Array[Double]]],
+                               qDots: Array[Array[Double]],
+                               cNorm2: Array[Array[Double]],
+                               qNorm: Double): Double = {
+    val m = cbs.length
+    val sub = v.length / m
+    var dotSum = 0.0; var n2Sum = 0.0
+    var s = 0
+    while (s < m) {
+      val code = nearestCell(
+        java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub), cbs(s))
+      dotSum += qDots(s)(code); n2Sum += cNorm2(s)(code)
+      s += 1
+    }
+    val denom = qNorm * math.sqrt(n2Sum)
+    if (denom == 0.0) 0.0 else dotSum / denom
+  }
+
+  /** Product-quantization ANN top-k: corpus vectors are compressed to
+    * `m` small codes (m bytes at ks ≤ 256 — a 32× memory cut at dim 64
+    * float32) and scored against the query with asymmetric distance
+    * computation: the query stays exact, each subvector contributes via
+    * a precomputed m×ks lookup table, so scoring is m table lookups per
+    * vector instead of a dim-length dot product.
+    *
+    * 100 TB shape: training is one capped TakeOrdered sample (driver
+    * Lloyd, cost independent of corpus size); the corpus is then
+    * touched exactly once more — encode + score + TakeOrdered top-k in
+    * a single pass with the codebooks and lookup tables broadcast. In a
+    * standing deployment the codes table is written once and every
+    * later query pays only the m-lookup scan over codes (64× less IO
+    * than raw vectors); compose with [[ivfTopK]]'s cell routing for
+    * IVFADC. Exact re-rank: join the PQ top-`R` ids back to the raw
+    * vectors and run [[cosineTopK]] over that candidate slice.
+    *
+    * Output: (idCol, cos) — ADC-approximate cosine rounded to 4 dp,
+    * ties broken by id, query row excluded. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int, m: Int = 4, ks: Int = 16,
+             lloydIters: Int = 2, trainCap: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cbs = pqTrain(emb, idCol, vecCol, m, ks, lloydIters, trainCap)
+    val qVec = emb.where(col(idCol) === queryId)
+      .select(toDouble(col(vecCol))).as[Array[Double]].head()
+    val dim = qVec.length
+    require(dim % m == 0, s"query dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val qDots = Array.tabulate(m) { s =>
+      cbs(s).map { c =>
+        var d = 0.0; var i = 0
+        while (i < sub) { d += qVec(s * sub + i) * c(i); i += 1 }
+        d
+      }
+    }
+    val cNorm2 = Array.tabulate(m)(s => cbs(s).map(c => c.map(x => x * x).sum))
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    val bcCbs = spark.sparkContext.broadcast(cbs)
+    val bcQd = spark.sparkContext.broadcast(qDots)
+    val bcCn = spark.sparkContext.broadcast(cNorm2)
+    emb.select(col(idCol).cast("long"), toDouble(col(vecCol)))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        (id, adcCosine(v, bcCbs.value, bcQd.value, bcCn.value, qNorm))
+      }
+      .toDF(idCol, "__cos")
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), (round(col("__cos"), 4) + 0.0).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup pairs at threshold `tau`, via a candidate
     * block-pair front + exact block kernel.
     *

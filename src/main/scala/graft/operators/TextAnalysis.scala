@@ -239,6 +239,38 @@ object TextAnalysis {
           .as("dup5_char_frac"))
   }
 
+  /** The duplicated-n-gram character fraction of [[repetitionStats]] in
+    * its explode + groupBy form — the swap for corpora of book-length
+    * documents, where the HOF form's per-row O(tokens²) gram-counting
+    * scan stops being cheap. One keyed shuffle on (doc, gram) replaces
+    * the in-row scans; outputs are IDENTICAL to the HOF measure
+    * (OperatorsSuite asserts it), so callers choose purely on document
+    * length. Docs with fewer than `n` tokens surface with fraction 0,
+    * like the HOF form. */
+  def dupNgramCharFrac(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5): DataFrame = {
+    require(n >= 1, "dupNgramCharFrac needs n >= 1")
+    Joins.requireFreeColumns("dupNgramCharFrac", df.columns,
+      "__len", "__toks", "__g", "__cnt", "dup_char_frac")
+    val toks = col("__toks")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), length(col(textCol)).as("__len"),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
+      .select(col(idCol), col("__len"), explode_outer(grams).as("__g"))
+      .groupBy(col(idCol), col("__len"), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol), col("__len"))
+      .agg(sum(when(col("__g").isNotNull,
+          (col("__cnt") - 1) * length(col("__g"))).otherwise(0L))
+        .as("__dup"))
+      .select(col(idCol),
+        round(col("__dup") / greatest(col("__len"), lit(1)).cast("double"), 4)
+          .as("dup_char_frac"))
+  }
+
   /** Gopher-style document quality flags (Rae et al. 2021 §A1.1): the
     * rule set web-scale English pipelines apply before model-based
     * scoring, as one codegen-eligible projection. Raw signals plus the
@@ -247,11 +279,15 @@ object TextAnalysis {
     *   - `mean_word_len` in [3, 10];
     *   - `symbol_ratio` (`#` chars + `...` occurrences per word) ≤ 0.1;
     *   - `alpha_word_frac` (words containing ≥1 ASCII letter) ≥ 0.8;
-    *   - `n_stop` ≥ 2 distinct hits in the 8-word Gopher stop list.
+    *   - `n_stop` ≥ `minStop` distinct hits in the 8-word Gopher stop
+    *     list (2 is the published rule for natural English; lower it
+    *     for corpora whose register is stop-word-poor — code, logs,
+    *     synthetic fixtures).
     * No shuffle, no UDF — pure column algebra over one staged token
     * array, so Catalyst keeps the whole thing in one codegen stage. */
   def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
-                         minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minStop: Int = 2): DataFrame = {
     Joins.requireFreeColumns("gopherQualityFlags", df.columns,
       "__toks", "n_words", "mean_word_len", "symbol_ratio",
       "alpha_word_frac", "n_stop", "passes")
@@ -281,7 +317,7 @@ object TextAnalysis {
           meanLen.between(3.0, 10.0) &&
           (symbolRatio <= 0.1) &&
           (alphaFrac >= 0.8) &&
-          (nStop >= 2)).as("passes"))
+          (nStop >= minStop)).as("passes"))
   }
 
   /** Okapi BM25 top-k documents for a bag-of-words query — the lexical

@@ -33,8 +33,13 @@ class CorpusPipelineSuite extends AnyFunSuite {
     val eval = Tables.documents(spark, sfDir)
       .where(col("doc_id").isin(5L, 17L))
       .select(col("doc_id") + 10000L as "doc_id", col("text"))
+    // gopherMinStop = 1: the synthetic fixture vocabulary carries only
+    // one Gopher stop word ("the"), so the published floor of 2 would
+    // empty the corpus — exactly the stop-word-poor-register case the
+    // knob exists for
     val out = CorpusPipelineJob.runCurated(docs, Some(eval),
-      CorpusPipelineJob.Config(nearDupTau = 0.8, minQuality = 0.0, shards = 4))
+      CorpusPipelineJob.Config(nearDupTau = 0.8, minQuality = 0.0,
+        shards = 4, gopherMinStop = 1))
     val rows = out.cache()
     assert(rows.count() > 0)
     // transitive: no near-dup pair at tau survives
@@ -60,5 +65,37 @@ class CorpusPipelineSuite extends AnyFunSuite {
     def ids() = CorpusPipelineJob.run(docs).select("doc_id", "split")
       .collect().map(_.toString).sorted.toSeq
     assert(ids() == ids())
+  }
+
+  test("curated gates: repetition spam and Gopher violators drop; packing stage annotates windows") {
+    // base corpus + two crafted violators: a boilerplate-spam doc (one
+    // 5-gram repeated — dup5_char_frac ≈ 1) and a two-word doc (fails
+    // the Gopher word-count floor); both carry unique ids
+    // stopwords ("the", "of") keep it past the Gopher gate so ONLY the
+    // repetition ceiling is what drops it
+    val spam = (1 to 12).map(_ => "the spam of one two").mkString(" ")
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 100)
+      .select("doc_id", "text")
+      .unionByName(Seq((8001L, spam), (8002L, "too short"))
+        .toDF("doc_id", "text"))
+    val cfg = CorpusPipelineJob.Config(nearDupTau = 0.8, minQuality = 0.0,
+      shards = 4, gopherMinStop = 1, packCapacity = 64, packShards = 4)
+    val out = CorpusPipelineJob.runCurated(docs, None, cfg).cache()
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(8001L), "repetition gate must drop the spam doc")
+    assert(!ids.contains(8002L), "Gopher word-count gate must drop it")
+    assert(ids.nonEmpty)
+    // packing stage: every surviving doc carries a window assignment
+    // consistent with its token count
+    val packedCols = Set("pack_shard", "start_bin", "end_bin", "bin_offset")
+    assert(packedCols.subsetOf(out.columns.toSet))
+    out.select(col("doc_id"), size(split(col("text"), " ")).as("nt"),
+        col("start_bin"), col("end_bin"), col("bin_offset")).collect()
+      .foreach { r =>
+        val (nt, sb, eb, off) = (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(off >= 0 && off < 64)
+        assert(eb >= sb && eb - sb <= nt / 64 + 1)
+      }
+    out.unpersist()
   }
 }

@@ -669,4 +669,67 @@ class OperatorsSuite extends AnyFunSuite {
     // mean word length 2 < 3
     assert(out(4L).getDouble(2) == 2.0 && !out(4L).getBoolean(6))
   }
+
+  test("L4 dupNgramCharFrac (explode form) ≡ repetitionStats' HOF measure") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), col("text").as("t"))
+      .unionByName(Seq((9001L, "tiny doc"), (9002L, "a b c d e a b c d e"))
+        .toDF("id", "t"))
+    val hof = TextAnalysis.repetitionStats(corpus, "id", "t")
+      .select(col("id"), col("dup5_char_frac").as("dup_char_frac"))
+    val exploded = TextAnalysis.dupNgramCharFrac(corpus, "id", "t", n = 5)
+    assert(hof.exceptAll(exploded).count() == 0 &&
+      exploded.exceptAll(hof).count() == 0)
+  }
+
+  test("L3 pqTopK equals a local PQ reference (train, encode, ADC score)") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val (m, ks, iters, cap, qId, k) = (4, 16, 2, 4096, 0L, 10)
+    val out = Similarity.pqTopK(emb, "vec_id", "embedding", qId, k,
+        m, ks, iters, cap)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // local reference: same sample rule (xxhash64 rank — read back from
+    // Spark so the draw matches), then an independent Lloyd + encode +
+    // ADC fold written from the PAMI'11 description
+    val byHash = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"), xxhash64(col("vec_id")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    val sample = byHash.sortBy(t => (t._3, t._1)).take(cap).map(_._2)
+    val dim = sample(0).length; val sub = dim / m
+    def near(v: Array[Double], cs: Array[Array[Double]]): Int =
+      cs.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (b - a) * (b - a) }.sum, i)
+      }.reduceLeft((x, y) => if (y._1 < x._1) y else x)._2
+    val codebooks = (0 until m).map { s =>
+      val sl = sample.map(_.slice(s * sub, (s + 1) * sub))
+      var cs = sl.take(ks)
+      (0 until iters).foreach { _ =>
+        val groups = sl.groupBy(v => near(v, cs))
+        cs = cs.zipWithIndex.map { case (c, i) =>
+          groups.get(i).map(g =>
+            g.transpose.map(xs => xs.sum / g.length).toArray).getOrElse(c)
+        }
+      }
+      cs
+    }
+    val qv = byHash.find(_._1 == qId).get._2
+    val qNorm = math.sqrt(qv.map(x => x * x).sum)
+    val expected = byHash.filter(_._1 != qId).map { case (id, v, _) =>
+      val codes = (0 until m).map(s =>
+        near(v.slice(s * sub, (s + 1) * sub), codebooks(s)))
+      val numSum = (0 until m).map { s =>
+        val c = codebooks(s)(codes(s))
+        c.indices.map(i => qv(s * sub + i) * c(i)).sum
+      }.sum
+      val n2 = (0 until m).map(s =>
+        codebooks(s)(codes(s)).map(x => x * x).sum).sum
+      val cos = if (qNorm * math.sqrt(n2) == 0) 0.0
+        else numSum / (qNorm * math.sqrt(n2))
+      (id, math.rint(cos * 1e4) / 1e4 + 0.0)
+    }.sortBy { case (id, c) => (-c, id) }.take(k).toSeq
+    assert(out == expected)
+  }
 }

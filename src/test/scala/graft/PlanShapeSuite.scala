@@ -62,6 +62,32 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(pb.contains("TakeOrderedAndProject"), pb)
   }
 
+  test("L4g/L4q: repetition stats and quality flags are shuffle-free projections") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+    for (df <- Seq(
+        TextAnalysis.repetitionStats(docs, "doc_id", "text"),
+        TextAnalysis.gopherQualityFlags(docs, "doc_id", "text"),
+        graft.operators.Pipelines.mixtureSampleByMd5(
+          docs.select("doc_id", "lang"), "lang", "doc_id",
+          rates = Map("en" -> 128)))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), p)
+    }
+  }
+
+  test("sequence packing plans exactly one shuffle (the shard key) + one window") {
+    import graft.operators.Pipelines
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+    val p = plan(Pipelines.packSequences(docs, "doc_id", "nt",
+      capacity = 256, shards = 8))
+    // one hashpartitioning Exchange on the shard key feeds the running-sum
+    // window; a second Exchange would mean the window re-partitioned
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("decontamination fp join: equi-join with map-side pair-count combine, never NLJ") {
     val p = plan(Queries.xDecontam(spark, sfDir))
     assert(!p.contains("NestedLoop"), p)
