@@ -567,6 +567,17 @@ object Queries {
       m = PqFixture.m, ks = PqFixture.ks,
       lloydIters = PqFixture.lloydIters, trainCap = PqFixture.trainCap)
 
+  /** ANN top-10 via IVFADC: IVF cell routing ([[IvfFixture]] coarse
+    * params) composed with PQ ADC scoring ([[PqFixture]] code params) —
+    * both fixture objects stay the single source of truth so the three
+    * ANN oracles can never train different structures. */
+  def xIvfAdcTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfadcTopK(embeddings(s, d), "vec_id", "embedding",
+      queryId = PqFixture.queryId, k = PqFixture.k,
+      nCells = IvfFixture.nCells, nProbe = IvfFixture.nProbe,
+      m = PqFixture.m, ks = PqFixture.ks,
+      lloydIters = PqFixture.lloydIters, trainCap = PqFixture.trainCap)
+
   /** Embedding-cosine near-dup pairs (threshold fits fixture cosine range). */
   def xEmbedNearDup(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupPairs(embeddings(s, d), "vec_id", "embedding", tau = 0.4)
@@ -864,6 +875,13 @@ object Queries {
     Pipelines.mixtureSampleByMd5(documents(s, d).select("doc_id", "lang"),
         "lang", "doc_id",
         rates = Map("en" -> 256, "zh" -> 64, "de" -> 128), default = 192)
+      .orderBy("doc_id")
+
+  /** Deterministic training-order shuffle: per-row content-addressed
+    * (shard, position) — the reproducible curriculum order, checked
+    * row-by-row. */
+  def xShuffle(s: SparkSession, d: String): DataFrame =
+    Pipelines.orderForTraining(documents(s, d).select("doc_id"), "doc_id")
       .orderBy("doc_id")
 
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped

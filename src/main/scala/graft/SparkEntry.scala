@@ -225,6 +225,70 @@ object SparkEntry {
     "x_pq_topk" -> sql
   }.toOption
 
+  /** DuckDB oracle for x_ivfadc_topk: the [[ivfOracleSql]] coarse-cell
+    * routing composed with the [[pqOracleSql]] ADC scoring, generated
+    * at dump time under the same contract — both training folds re-run
+    * against the dump corpus, both cross-checks applied, all literals
+    * embedded. A vector scores iff its coarse cell is probed. */
+  private def ivfadcOracleSql: Option[(String, String)] = scala.util.Try {
+    val spark = SparkSession.active
+    val sfDir = sys.props("graft.oracle.sfDir") // no default: throws if unset
+    val emb = Tables.embeddings(spark, sfDir)
+    val coarse = graft.operators.Similarity.ivfTrain(
+      emb, "vec_id", "embedding", Queries.IvfFixture.nCells,
+      lloydIters = Queries.IvfFixture.lloydIters,
+      trainCap = Queries.IvfFixture.trainCap)
+    val cbs = graft.operators.Similarity.pqTrain(
+      emb, "vec_id", "embedding", Queries.PqFixture.m, Queries.PqFixture.ks,
+      lloydIters = Queries.PqFixture.lloydIters,
+      trainCap = Queries.PqFixture.trainCap)
+    val qVec = emb.where(org.apache.spark.sql.functions.col("vec_id") === Queries.PqFixture.queryId)
+      .select(org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val m = Queries.PqFixture.m
+    val sub = qVec.length / m
+    val probes = graft.operators.Similarity.ivfProbes(
+      coarse, qVec, Queries.IvfFixture.nProbe)
+    crossCheckCellAssignment(emb, coarse)
+    crossCheckPqAssignment(emb, cbs)
+    val qDots = Array.tabulate(m) { s =>
+      cbs(s).map { c =>
+        var d = 0.0; var i = 0
+        while (i < sub) { d += qVec(s * sub + i) * c(i); i += 1 }
+        d
+      }
+    }
+    val cNorm2 = Array.tabulate(m)(s => cbs(s).map(c => c.map(x => x * x).sum))
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    val coarseDists = coarse.map { c =>
+      val cc = c.map(x => x * x).sum
+      s"($cc - 2*list_dot_product(e, ${c.mkString("[", ",", "]")}))"
+    }.mkString("[", ",", "]")
+    def pqDists(s: Int): String = cbs(s).map { c =>
+      val cc = c.map(x => x * x).sum
+      s"($cc - 2*list_dot_product(e[${s * sub + 1}:${(s + 1) * sub}], ${c.mkString("[", ",", "]")}))"
+    }.mkString("[", ",", "]")
+    val dsCols = (0 until m).map(s => s"${pqDists(s)} AS ds$s").mkString(", ")
+    val cellCols = (0 until m)
+      .map(s => s"list_position(ds$s, list_min(ds$s)) - 1 AS c$s").mkString(", ")
+    val num = (0 until m)
+      .map(s => s"list_extract(${qDots(s).mkString("[", ",", "]")}, c$s + 1)")
+      .mkString(" + ")
+    val n2 = (0 until m)
+      .map(s => s"list_extract(${cNorm2(s).mkString("[", ",", "]")}, c$s + 1)")
+      .mkString(" + ")
+    val sql =
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"d AS (SELECT vec_id, $coarseDists AS cds, $dsCols FROM v), " +
+        s"a AS (SELECT vec_id, list_position(cds, list_min(cds)) - 1 AS ccell, $cellCols FROM d) " +
+        s"SELECT vec_id, ROUND(CASE WHEN $qNorm * sqrt($n2) = 0 THEN 0.0 " +
+        s"ELSE ($num) / ($qNorm * sqrt($n2)) END, 4) + 0 AS cos " +
+        s"FROM a WHERE ccell IN (${probes.mkString(",")}) " +
+        s"AND vec_id <> ${Queries.PqFixture.queryId} " +
+        s"ORDER BY cos DESC, vec_id LIMIT ${Queries.PqFixture.k}"
+    "x_ivfadc_topk" -> sql
+  }.toOption
+
   /** Dump-time guard for [[pqOracleSql]]: per subspace, the SQL's
     * first-min `|c|²−2·e_s·c` assignment must agree with
     * `Similarity.nearestCell` on every corpus vector (same capped
@@ -368,7 +432,9 @@ object SparkEntry {
     "x_gopher" -> (Queries.xGopher _),
     "x_pack" -> (Queries.xPack _),
     "x_mixture" -> (Queries.xMixture _),
-    "x_pq_topk" -> (Queries.xPqTopK _)
+    "x_pq_topk" -> (Queries.xPqTopK _),
+    "x_ivfadc_topk" -> (Queries.xIvfAdcTopK _),
+    "x_shuffle" -> (Queries.xShuffle _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -713,6 +779,14 @@ object SparkEntry {
       ("SELECT doc_id, lang FROM documents WHERE " +
         "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,2) AS BIGINT) < " +
         "(CASE WHEN lang = 'en' THEN 256 WHEN lang = 'de' THEN 128 " +
-        "WHEN lang = 'zh' THEN 64 ELSE 192 END) ORDER BY doc_id")
-  ) ++ ivfOracleSql ++ pqOracleSql
+        "WHEN lang = 'zh' THEN 64 ELSE 192 END) ORDER BY doc_id"),
+    // training-order shuffle: md5-byte shard + rank of the md5 within
+    // the shard (lowercase-hex lexicographic = binary order on both
+    // engines, id tie-break for identical hashes)
+    "x_shuffle" ->
+      ("SELECT doc_id, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,2) AS BIGINT) AS shuffle_shard, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY substring(md5(CAST(doc_id AS VARCHAR)),1,2) " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_pos " +
+        "FROM documents ORDER BY doc_id")
+  ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
 }

@@ -163,6 +163,33 @@ object Pipelines {
         pmod(col("__cum") - n, lit(capacity.toLong)).as("bin_offset"))
   }
 
+  /** Deterministic training-order shuffle: every row gets a
+    * content-addressed position — `shuffle_shard` (first md5 byte of
+    * the id, 0..255) and `shuffle_pos` (rank of md5(id) within the
+    * shard) — so (shuffle_shard, shuffle_pos) is a total order that is
+    * (a) statistically shuffled w.r.t. any natural key order, (b)
+    * identical on every run, engine, and cluster layout (the property
+    * "same corpus ⇒ same training curriculum" that seeded RNG shuffles
+    * lose the moment partitioning changes), and (c) append-stable in
+    * the shard assignment. Scale shape: one hash shuffle keyed on the
+    * 256 shards + a per-shard sort — a distributed sort whose
+    * parallelism is the shard count, never a single-task global
+    * window. Writers emit shards in order and a trainer streams them
+    * shard-by-shard. */
+  def orderForTraining(df: DataFrame, idCol: String): DataFrame = {
+    Joins.requireFreeColumns("orderForTraining", df.columns,
+      "__md5", "shuffle_shard", "shuffle_pos")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(idCol).cast("string"))
+    val shard = conv(substring(h, 1, 2), 16, 10).cast("long")
+    val w = Window.partitionBy("shuffle_shard")
+      .orderBy(col("__md5"), col(idCol))
+    df.withColumn("__md5", h)
+      .withColumn("shuffle_shard", shard)
+      .withColumn("shuffle_pos", row_number().over(w).cast("long"))
+      .drop("__md5")
+  }
+
   /** Deterministic domain-mixture sampling: per-stratum keep rates (the
     * temperature re-weighting step that balances a training mixture —
     * e.g. downsample an over-crawled language toward target proportions)

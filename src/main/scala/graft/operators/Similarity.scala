@@ -418,6 +418,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVFADC ANN top-k (Jégou/Douze/Schmid PAMI 2011 §IV — the layout
+    * billion-scale ANN deployments run): coarse IVF cell routing
+    * composed with PQ code scoring. Vectors are assigned to
+    * [[ivfTrain]] Voronoi cells; within the `nProbe` cells nearest the
+    * query, candidates are scored by ADC cosine over their PQ codes
+    * instead of exact dot products — so vs [[pqTopK]] the scan touches
+    * only the probed fraction of the corpus, and vs [[ivfTopK]] each
+    * candidate costs `m` table lookups, not a dim-length dot product.
+    *
+    * This is the flat-PQ variant: codes quantize the vectors
+    * themselves, not the per-cell residuals (the residual refinement
+    * trades one more centroid subtraction per encode for tighter
+    * quantization; flat codes keep the code table cell-independent,
+    * which is what lets one codes column serve both [[pqTopK]] full
+    * scans and routed scans here). Training = two capped driver folds
+    * over the SAME hash-drawn sample rule; the corpus is touched twice
+    * (sample, assign+encode+score in one pass with everything
+    * broadcast). Output schema matches [[pqTopK]]. */
+  def ivfadcTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                 m: Int = 4, ks: Int = 16, lloydIters: Int = 2,
+                 trainCap: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coarse = ivfTrain(emb, idCol, vecCol, nCells, lloydIters, trainCap)
+    val cbs = pqTrain(emb, idCol, vecCol, m, ks, lloydIters, trainCap)
+    val qVec = emb.where(col(idCol) === queryId)
+      .select(toDouble(col(vecCol))).as[Array[Double]].head()
+    val sub = qVec.length / m
+    require(qVec.length % m == 0, s"query dim ${qVec.length} not divisible by m=$m")
+    val probes = ivfProbes(coarse, qVec, nProbe).toSet
+    val qDots = Array.tabulate(m) { s =>
+      cbs(s).map { c =>
+        var d = 0.0; var i = 0
+        while (i < sub) { d += qVec(s * sub + i) * c(i); i += 1 }
+        d
+      }
+    }
+    val cNorm2 = Array.tabulate(m)(s => cbs(s).map(c => c.map(x => x * x).sum))
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcCbs = spark.sparkContext.broadcast(cbs)
+    val bcQd = spark.sparkContext.broadcast(qDots)
+    val bcCn = spark.sparkContext.broadcast(cNorm2)
+    val bcProbes = spark.sparkContext.broadcast(probes)
+    emb.select(col(idCol).cast("long"), toDouble(col(vecCol)))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        if (!bcProbes.value.contains(nearestCell(v, bcCoarse.value))) None
+        else Some((id, adcCosine(v, bcCbs.value, bcQd.value, bcCn.value, qNorm)))
+      }
+      .toDF(idCol, "__cos")
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), (round(col("__cos"), 4) + 0.0).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup pairs at threshold `tau`, via a candidate
     * block-pair front + exact block kernel.
     *

@@ -449,4 +449,41 @@ class GeneratedPropsSuite extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(out == rows.map(r => (r._1, r._2, r._3)).toSet)
   }
+
+  test("packSequences ≡ local sequential pack on generated token counts") {
+    // random (id, nTokens) corpora incl. nt=1 and nt >> capacity;
+    // property: the operator's window arithmetic equals a literal local
+    // fold that lays docs end-to-end per shard in id order
+    import graft.operators.Pipelines
+    val genRow = for {
+      id <- Gen.choose(0L, 100000L)
+      nt <- Gen.frequency(3 -> Gen.choose(1, 40), 1 -> Gen.const(1),
+        1 -> Gen.choose(300, 700))
+    } yield (id, nt)
+    for (seed <- Seq(3L, 19L)) {
+      val rows = sampleN(genRow, 150, seed).distinctBy(_._1)
+      val capacity = 256
+      val df = rows.toDF("doc_id", "nt")
+      val out = Pipelines.packSequences(df, "doc_id", "nt", capacity, shards = 4)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      // local reference: shard via the same xxhash (read back from Spark),
+      // then a plain sequential fold per shard
+      val shardOf = df.select(col("doc_id"),
+          pmod(xxhash64(col("doc_id")), lit(4L)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.groupBy(r => shardOf(r._1)).foreach { case (shard, docs) =>
+        var cum = 0L
+        docs.sortBy(_._1).foreach { case (id, nt) =>
+          val (oShard, oNt, oGs, oSb, oEb, oOff) = out(id)
+          assert(oShard == shard && oNt == nt.toLong)
+          assert(oGs == cum, s"doc $id gstart")
+          assert(oSb == cum / capacity && oOff == cum % capacity)
+          assert(oEb == (cum + nt - 1) / capacity)
+          cum += nt
+        }
+      }
+    }
+  }
 }

@@ -684,6 +684,42 @@ class OperatorsSuite extends AnyFunSuite {
       exploded.exceptAll(hof).count() == 0)
   }
 
+  test("L3 ivfadcTopK ≡ IVF cell filter ∘ PQ ADC scoring (composition differential)") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val (nCells, nProbe, m, ks, iters, cap, qId, k) = (16, 4, 4, 16, 2, 4096, 0L, 10)
+    val routed = Similarity.ivfadcTopK(emb, "vec_id", "embedding", qId, k,
+        nCells, nProbe, m, ks, iters, cap)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // expected: the operator's own two trained structures composed by
+    // hand — coarse-assign every vector, keep the probed cells, ADC-score
+    // with the SAME private folds (exposed private[graft]), top-k
+    val coarse = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nCells, iters, cap)
+    val cbs = Similarity.pqTrain(emb, "vec_id", "embedding", m, ks, iters, cap)
+    val all = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qv = all.find(_._1 == qId).get._2
+    val sub = qv.length / m
+    val probes = Similarity.ivfProbes(coarse, qv, nProbe).toSet
+    val qDots = Array.tabulate(m)(s => cbs(s).map { c =>
+      (0 until sub).map(i => qv(s * sub + i) * c(i)).sum })
+    val cNorm2 = Array.tabulate(m)(s => cbs(s).map(c => c.map(x => x * x).sum))
+    val qNorm = math.sqrt(qv.map(x => x * x).sum)
+    val expected = all
+      .filter { case (id, v) =>
+        id != qId && probes.contains(Similarity.nearestCell(v, coarse)) }
+      .map { case (id, v) =>
+        (id, math.rint(Similarity.adcCosine(v, cbs, qDots, cNorm2, qNorm) * 1e4) / 1e4 + 0.0) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).toSeq
+    assert(routed == expected)
+    // routing really prunes: the probed candidate set is a strict subset
+    val probedCount = all.count { case (_, v) =>
+      probes.contains(Similarity.nearestCell(v, coarse)) }
+    assert(probedCount < all.length)
+  }
+
   test("L3 pqTopK equals a local PQ reference (train, encode, ADC score)") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sfDir)

@@ -185,6 +185,26 @@ class PipelinesSuite extends AnyFunSuite {
       viaSeam.exceptAll(packed).count() == 0)
   }
 
+  test("orderForTraining: contiguous per-shard positions, shuffled vs id order, deterministic") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val out = Pipelines.orderForTraining(docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == docs.count())
+    // positions are 1..n contiguous within every shard
+    out.groupBy(_._2).foreach { case (shard, rowsIn) =>
+      assert(rowsIn.map(_._3).sorted.toSeq == (1L to rowsIn.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // the curriculum order is actually shuffled: reading ids in
+    // (shard, pos) order must not reproduce ascending id order
+    val curriculum = out.sortBy(t => (t._2, t._3)).map(_._1).toSeq
+    assert(curriculum != curriculum.sorted)
+    // deterministic across runs
+    val again = Pipelines.orderForTraining(docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("mixtureSampleByMd5: per-stratum rates, monotone, deterministic") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
     val langs = docs.select("lang").distinct().collect().map(_.getString(0))
