@@ -884,6 +884,27 @@ object Queries {
     Pipelines.orderForTraining(documents(s, d).select("doc_id"), "doc_id")
       .orderBy("doc_id")
 
+  /** Self-trained bigram-LM fluency score (CCNet-style): per-doc mean
+    * negative log-likelihood under the corpus's own add-one bigram LM.
+    * Docs with < 2 tokens carry no bigrams and are absent. */
+  def xLmScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmScoreBigram(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** DSIR importance weights with lang='en' as the target
+    * distribution: hashed-unigram (1024 md5 buckets) log-ratio of
+    * target vs raw corpus, mean per doc — en docs score highest. */
+  def xDsir(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.dsirWeights(documents(s, d), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id")
+
+  /** Per-source curation decision table: volume, mean length, verbatim
+    * dup fraction, language spread. */
+  def xSourceStats(s: SparkSession, d: String): DataFrame =
+    Pipelines.sourceStats(documents(s, d), "source", "text", "lang")
+      .orderBy("source")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

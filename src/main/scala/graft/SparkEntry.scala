@@ -434,7 +434,10 @@ object SparkEntry {
     "x_mixture" -> (Queries.xMixture _),
     "x_pq_topk" -> (Queries.xPqTopK _),
     "x_ivfadc_topk" -> (Queries.xIvfAdcTopK _),
-    "x_shuffle" -> (Queries.xShuffle _)
+    "x_shuffle" -> (Queries.xShuffle _),
+    "x_lm_score" -> (Queries.xLmScore _),
+    "x_dsir" -> (Queries.xDsir _),
+    "x_source_stats" -> (Queries.xSourceStats _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -787,6 +790,41 @@ object SparkEntry {
       ("SELECT doc_id, CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,2) AS BIGINT) AS shuffle_shard, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY substring(md5(CAST(doc_id AS VARCHAR)),1,2) " +
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_pos " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+    // self-trained add-one bigram LM: counts + V from the corpus
+    // itself; per-doc sum folds a position-ordered list on both
+    // engines (list_reduce ≡ aggregate-with-0.0-init: 0.0+x == x)
+    "x_lm_score" ->
+      ("WITH t AS (SELECT doc_id, string_split(text,' ') AS s FROM documents), " +
+        "ti AS (SELECT doc_id, s, UNNEST(range(1, len(s))) AS pos FROM t), " +
+        "b AS (SELECT doc_id, pos, s[pos] AS w1, s[pos] || ' ' || s[pos+1] AS bg FROM ti), " +
+        "c2 AS (SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c2 FROM b GROUP BY bg), " +
+        "c1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM b GROUP BY w1), " +
+        "v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM (SELECT UNNEST(s) AS tok FROM t)), " +
+        "sc AS (SELECT doc_id, pos, -ln((c2.c2 + 1.0)/(c1.c1 + v.v)) AS lp FROM b JOIN c2 USING(bg) JOIN c1 USING(w1) CROSS JOIN v), " +
+        "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, list_reduce(list(lp ORDER BY pos), (acc,x) -> acc + x) AS sm FROM sc GROUP BY doc_id) " +
+        "SELECT doc_id, n_bigrams, ROUND(sm / n_bigrams, 4) + 0.0 AS nll FROM a ORDER BY doc_id"),
+    // DSIR hashed-unigram importance weights, target = lang 'en';
+    // bucket = first 4 md5 hex chars mod 1024 (the '0x'||hex cast
+    // trick); LEFT JOIN + COALESCE ≡ Spark's conditional count
+    "x_dsir" ->
+      ("WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS s FROM documents), " +
+        "ti AS (SELECT doc_id, lang, s, UNNEST(range(1, len(s)+1)) AS pos FROM t), " +
+        "i AS (SELECT doc_id, lang, pos, CAST('0x' || substring(md5(s[pos]),1,4) AS BIGINT) % 1024 AS b FROM ti), " +
+        "cr AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS cr FROM i GROUP BY b), " +
+        "ct AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS ct FROM i WHERE lang = 'en' GROUP BY b), " +
+        "tot AS (SELECT (SELECT SUM(cr) FROM cr) AS r, (SELECT COALESCE(SUM(ct),0) FROM ct) AS tt), " +
+        "ra AS (SELECT b, ln((COALESCE(ct,0)+1.0)/(tt+1024.0)) - ln((cr+1.0)/(r+1024.0)) AS lw FROM cr LEFT JOIN ct USING(b) CROSS JOIN tot), " +
+        "sc AS (SELECT doc_id, pos, lw FROM i JOIN ra USING(b)), " +
+        "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, list_reduce(list(lw ORDER BY pos), (acc,x) -> acc + x) AS sm FROM sc GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, ROUND(sm / n_tokens, 4) + 0.0 AS dsir_w FROM a ORDER BY doc_id"),
+    // per-source stats: exact integer arithmetic + exact-ratio doubles
+    "x_source_stats" ->
+      ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens, " +
+        "ROUND(AVG(CAST(len(string_split(text,' ')) AS DOUBLE)), 4) AS avg_tokens, " +
+        "ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4) AS dup_frac, " +
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs " +
+        "FROM documents GROUP BY source ORDER BY source")
   ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
 }

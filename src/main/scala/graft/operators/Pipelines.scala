@@ -237,4 +237,24 @@ object Pipelines {
       .where(col("rk") <= k)
       .select(col(idCol), col("term"), col("score"), col("rk").cast("bigint").as("rk"))
   }
+
+  /** Per-source curation decision table: document count, token volume,
+    * mean length, verbatim-duplicate fraction (1 − distinct md5(text)
+    * share) and language spread per source — the aggregate a
+    * source-level allow/deny/re-weight decision reads (RefinedWeb-style
+    * domain filtering applies exactly this shape at the domain key).
+    * One groupBy with partial aggregation; all outputs are exact
+    * integer arithmetic or exact-ratio doubles, so the table is
+    * bit-stable across runs and engines. */
+  def sourceStats(df: DataFrame, srcCol: String, textCol: String,
+                  langCol: String): DataFrame =
+    df.select(col(srcCol), md5(col(textCol)).as("__h"),
+        size(split(col(textCol), " ")).cast("long").as("__nt"), col(langCol))
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nt").as("n_tokens"),
+        round(avg(col("__nt").cast("double")), 4).as("avg_tokens"),
+        round(lit(1.0) - countDistinct(col("__h")).cast("double") / count(lit(1)), 4)
+          .as("dup_frac"),
+        countDistinct(col(langCol)).as("n_langs"))
 }

@@ -370,4 +370,91 @@ object TextAnalysis {
       org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col(idCol))).cast("long"))
   }
+
+  /** Corpus-trained add-one bigram language-model score: per doc, the
+    * mean negative log-likelihood of its token bigrams under the LM
+    * whose counts come from the corpus itself — the CCNet/Wikipedia-LM
+    * fluency filter, self-trained so it needs no external model.
+    * `nll` is low for docs made of common constructions, high for
+    * gibberish/boilerplate outliers; filter on a quantile of it.
+    *
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), V = corpus distinct
+    * token count. Docs with < 2 tokens have no bigrams and are absent
+    * from the output (nothing to score).
+    *
+    * Scale shape: two corpus scans (count pass + score pass), counts
+    * are vocab-sized tables joined back on the token keys — keyed
+    * shuffles with map-side partial aggregation; hot bigrams are AQE
+    * skew-join territory, not a driver problem. The per-doc summation
+    * folds a position-sorted array so the float sum is order-
+    * deterministic (reproducible across runs/engines — same reason
+    * [[graft.operators.Pipelines]] hashes instead of sampling). */
+  def lmScoreBigram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = col("__s")
+    val base = df.select(col(idCol), whitespaceTokens(col(textCol)).as("__s"))
+    val pairs = base.select(col(idCol),
+        posexplode(zip_with(
+          slice(s, lit(1), size(s) - 1),
+          slice(s, lit(2), size(s) - 1),
+          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))))
+      .select(col(idCol), col("pos").as("__pos"),
+        col("col.w1").as("__w1"), col("col.bg").as("__bg"))
+    val c2 = pairs.groupBy("__bg").agg(count(lit(1)).cast("double").as("__c2"))
+    val c1 = pairs.groupBy("__w1").agg(count(lit(1)).cast("double").as("__c1"))
+    val v = base.select(explode(s).as("__t"))
+      .agg(countDistinct(col("__t")).cast("double").as("__v"))
+    pairs.join(c2, "__bg").join(c1, "__w1").crossJoin(broadcast(v))
+      .withColumn("__lp", -log((col("__c2") + 1.0) / (col("__c1") + col("__v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("__pos"), col("__lp")))).as("__a"))
+      .select(col(idCol), col("n_bigrams"),
+        // + 0.0 canonicalizes -0.0 (p(w2|w1)=1 folds to -ln 1 = -0.0)
+        (round(aggregate(col("__a"), lit(0.0),
+          (acc, x) => acc + x.getField("__lp")) / col("n_bigrams"), 4) + 0.0)
+          .as("nll"))
+  }
+
+  /** DSIR-style importance weight: hashed-unigram log-likelihood ratio
+    * of a target distribution vs the raw corpus (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling"). Tokens
+    * hash into `buckets` md5 buckets; each bucket gets
+    * lw = ln p_target(b) − ln p_raw(b) (add-one smoothed); a doc's
+    * weight is the mean lw over its token instances. Docs whose
+    * unigram profile matches the target (`isTarget` rows) score high —
+    * resample the corpus proportionally to exp(weight) to shift the
+    * mixture toward the target domain.
+    *
+    * Scale shape: one count pass + one score pass over the corpus; the
+    * bucket→weight table is exactly `buckets` rows — broadcast, so the
+    * score pass adds no shuffle beyond the final per-doc groupBy.
+    * Summation is position-sorted-fold deterministic as in
+    * [[lmScoreBigram]]. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "dsirWeights needs a positive bucket count")
+    val inst = df.select(col(idCol), isTarget.as("__tgt"),
+        posexplode(whitespaceTokens(col(textCol))).as(Seq("__pos", "__t")))
+      .select(col(idCol), col("__tgt"), col("__pos"),
+        pmod(conv(substring(md5(col("__t")), 1, 4), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("__b"))
+    val counts = inst.groupBy("__b").agg(
+      count(lit(1)).cast("double").as("__cr"),
+      count(when(col("__tgt"), 1)).cast("double").as("__ct"))
+    val tot = counts.agg(sum("__cr").as("__r"), sum("__ct").as("__tt"))
+    val ratios = counts.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        (log((col("__ct") + 1.0) / (col("__tt") + buckets.toDouble)) -
+          log((col("__cr") + 1.0) / (col("__r") + buckets.toDouble))).as("__lw"))
+    inst.join(broadcast(ratios), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("__pos"), col("__lw")))).as("__a"))
+      .select(col(idCol), col("n_tokens"),
+        // + 0.0 canonicalizes -0.0 (a near-target-balanced doc can
+        // round to negative zero; engines disagree on its sign bit)
+        (round(aggregate(col("__a"), lit(0.0),
+          (acc, x) => acc + x.getField("__lw")) / col("n_tokens"), 4) + 0.0)
+          .as("dsir_w"))
+  }
 }

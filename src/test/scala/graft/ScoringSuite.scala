@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{Pipelines, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bigram-LM fluency score, DSIR importance weights, per-source stats:
+  * closed forms, local-reference differentials, and the invariants that
+  * pin the semantics (target-equals-corpus ⇒ zero weights; en-target
+  * ranks en docs first).
+  */
+class ScoringSuite extends AnyFunSuite {
+  import TestSpark.{sfDir, spark}
+  import spark.implicits._
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  test("bigram LM: closed form on a hand-computable corpus") {
+    // corpus {"a b", "a c"}: V=3, c(a ·)=2, c(a b)=c(a c)=1
+    // ⇒ p = (1+1)/(2+3) = 0.4 for both docs' single bigram
+    val df = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreBigram(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    val expected = round4(-math.log(0.4))
+    assert(out.toSeq == Seq((1L, 1L, expected), (2L, 1L, expected)))
+  }
+
+  test("bigram LM: p=1 degenerate corpus scores exactly zero, not -0.0") {
+    // single-token vocabulary: every bigram is certain under add-one
+    // smoothing ((2+1)/(2+1) = 1) — the -ln 1 = -0.0 edge the +0.0
+    // canonicalization exists for
+    val df = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val Array((id, n, nll)) =
+      TextAnalysis.lmScoreBigram(df, "doc_id", "text")
+        .as[(Long, Long, Double)].collect()
+    assert((id, n) == (1L, 2L))
+    assert(nll == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(nll) == 0L, "must be +0.0")
+  }
+
+  test("bigram LM: equals a local reference implementation on fixture docs") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 60)
+    val local = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toVector }
+    val insts = local.flatMap { case (id, s) =>
+      s.sliding(2).filter(_.size == 2).zipWithIndex
+        .map { case (Vector(w1, w2), pos) => (id, pos, w1, s"$w1 $w2") }
+    }
+    val c2 = insts.groupBy(_._4).map { case (k, v) => k -> v.length.toDouble }
+    val c1 = insts.groupBy(_._3).map { case (k, v) => k -> v.length.toDouble }
+    val v = local.flatMap(_._2).distinct.length.toDouble
+    val expected = insts.groupBy(_._1).map { case (id, xs) =>
+      val lps = xs.sortBy(_._2)
+        .map(i => -math.log((c2(i._4) + 1.0) / (c1(i._3) + v)))
+      id -> (xs.length.toLong, round4(lps.foldLeft(0.0)(_ + _) / xs.length))
+    }
+    val got = TextAnalysis.lmScoreBigram(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, nll) => id -> ((n, nll)) }.toMap
+    assert(got == expected,
+      s"mismatch on ${got.toSet.diff(expected.toSet).take(3)}")
+  }
+
+  test("DSIR: target == whole corpus makes every weight exactly zero") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 200)
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text", lit(true))
+    assert(w.count() > 0)
+    assert(w.where(col("dsir_w") =!= 0.0).count() == 0,
+      "ct==cr and T==R must cancel to lw=0 in every bucket")
+  }
+
+  test("DSIR: en target ranks en docs above every other language") {
+    val docs = Tables.documents(spark, sfDir)
+    val byLang = TextAnalysis
+      .dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg("dsir_w").as("w"))
+      .as[(String, Double)].collect().toMap
+    val (en, rest) = (byLang("en"), byLang.removed("en").values)
+    assert(rest.nonEmpty && rest.forall(en > _),
+      s"en=$en must beat $byLang")
+  }
+
+  test("sourceStats: equals a local reference on the fixture") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+    val local = docs.select("source", "text", "lang")
+      .as[(String, String, String)].collect()
+    val expected = local.groupBy(_._1).map { case (src, rows) =>
+      val nts = rows.map(_._2.split(" ", -1).length.toLong)
+      src -> ((rows.length.toLong, nts.sum,
+        round4(nts.sum.toDouble / rows.length),
+        round4(1.0 - rows.map(r => md5hex(r._2)).distinct.length.toDouble / rows.length),
+        rows.map(_._3).distinct.length.toLong))
+    }
+    val got = Pipelines.sourceStats(docs, "source", "text", "lang")
+      .as[(String, Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == expected)
+  }
+}
