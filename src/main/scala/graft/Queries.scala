@@ -905,6 +905,31 @@ object Queries {
     Pipelines.sourceStats(documents(s, d), "source", "text", "lang")
       .orderBy("source")
 
+  /** Line-level boilerplate removal over re-lined docs (same lining as
+    * x_repetition: 4-token chunk lines + a header/footer line shared by
+    * every doc): the shared line exceeds docFreq 10 and is stripped
+    * from all docs; content lines survive unless near-dup docs push
+    * them over the cap. */
+  def xLineDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val chunkLines = transform(
+      sequence(lit(1), greatest(size(toks), lit(1)), lit(4)),
+      i => concat_ws(" ", slice(toks, i, lit(4))))
+    val lined = documents(s, d).where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        concat(lit("boilerplate header line\n"),
+          concat_ws("\n", chunkLines),
+          lit("\nboilerplate header line")).as("lined"))
+    Dedup.dropBoilerplateLines(lined, "doc_id", "lined", maxDocFreq = 10)
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc token-distribution entropy + type-token ratio over the
+    * corpus — the cheap repetitiveness screen. */
+  def xTokenEntropy(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenEntropy(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

@@ -437,7 +437,9 @@ object SparkEntry {
     "x_shuffle" -> (Queries.xShuffle _),
     "x_lm_score" -> (Queries.xLmScore _),
     "x_dsir" -> (Queries.xDsir _),
-    "x_source_stats" -> (Queries.xSourceStats _)
+    "x_source_stats" -> (Queries.xSourceStats _),
+    "x_line_dedup" -> (Queries.xLineDedup _),
+    "x_token_entropy" -> (Queries.xTokenEntropy _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -825,6 +827,33 @@ object SparkEntry {
         "ROUND(AVG(CAST(len(string_split(text,' ')) AS DOUBLE)), 4) AS avg_tokens, " +
         "ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4) AS dup_frac, " +
         "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs " +
-        "FROM documents GROUP BY source ORDER BY source")
+        "FROM documents GROUP BY source ORDER BY source"),
+    // line-level boilerplate removal: lined replica shared with
+    // x_repetition; doc-freq over DISTINCT (doc, line), df <= 10 keep,
+    // order-preserving string_agg reassembly
+    "x_line_dedup" ->
+      ("WITH base AS (SELECT doc_id, string_split(text,' ') AS t FROM documents WHERE doc_id < 200), " +
+        "ln AS (SELECT doc_id, 'boilerplate header line' || chr(10) || " +
+        "array_to_string(list_transform(range(1, greatest(len(t),1)+1, 4), i -> array_to_string(t[i:i+3], ' ')), chr(10)) || " +
+        "chr(10) || 'boilerplate header line' AS lined FROM base), " +
+        "s AS (SELECT doc_id, string_split(lined, chr(10)) AS ls FROM ln), " +
+        "li AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS nl, ls, UNNEST(range(1, len(ls)+1)) AS pos FROM s), " +
+        "l AS (SELECT doc_id, nl, pos, ls[pos] AS line FROM li), " +
+        "dfq AS (SELECT line, COUNT(*) AS dfc FROM (SELECT DISTINCT doc_id, line FROM l) GROUP BY line), " +
+        "k AS (SELECT doc_id, nl, pos, line FROM l JOIN dfq USING(line) WHERE dfc <= 10) " +
+        "SELECT doc_id, MAX(nl) AS n_lines, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+        "string_agg(line, chr(10) ORDER BY pos) AS clean FROM k GROUP BY doc_id ORDER BY doc_id"),
+    // token entropy: transform-then-reduce (NOT a bare list_reduce sum
+    // — DuckDB seeds the fold with the first element, which is only
+    // lambda-safe when the lambda is plain addition); distinct tokens
+    // sorted so both engines fold in the same order
+    "x_token_entropy" ->
+      ("WITH t AS (SELECT doc_id, string_split(text,' ') AS s FROM documents), " +
+        "d AS (SELECT doc_id, s, list_sort(list_distinct(s)) AS ds FROM t), " +
+        "c AS (SELECT doc_id, s, ds, list_transform(ds, g -> CAST(len(list_filter(s, x -> x = g)) AS DOUBLE) * ln(CAST(len(list_filter(s, x -> x = g)) AS DOUBLE))) AS xs FROM d) " +
+        "SELECT doc_id, CAST(len(s) AS BIGINT) AS n_tokens, CAST(len(ds) AS BIGINT) AS n_types, " +
+        "ROUND(CAST(len(ds) AS DOUBLE)/len(s), 4) AS ttr, " +
+        "ROUND(ln(CAST(len(s) AS DOUBLE)) - list_reduce(xs, (a,x) -> a + x) / len(s), 4) + 0.0 AS entropy " +
+        "FROM c ORDER BY doc_id")
   ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
 }

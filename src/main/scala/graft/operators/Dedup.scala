@@ -589,4 +589,40 @@ object Dedup {
       .where(col("__j") >= tau)
       .select(col("d1"), col("d2"), round(col("__j"), 4).as("j"))
   }
+
+  /** Line-level boilerplate removal (the RefinedWeb/Dolma pass that
+    * runs BESIDE document-level dedup): a line occurring in more than
+    * `maxDocFreq` distinct documents is boilerplate (headers, footers,
+    * cookie banners, nav chrome) and is dropped from every document;
+    * surviving lines are re-joined in original order. Documents whose
+    * every line is boilerplate disappear from the output — that is the
+    * point (they carried no content).
+    *
+    * Output: id, n_lines (original), n_kept, clean (re-joined text).
+    *
+    * Scale shape: one distinct on (doc, line) + one line-keyed count +
+    * one join back — all keyed shuffles. The join's hot keys are
+    * exactly the boilerplate lines, but the build side carries ONE row
+    * per distinct line, so skew costs a fan-out probe, not a mega
+    * partition; the per-doc reassembly groupBy is bounded by doc
+    * length. Line identity is exact-string; normalize upstream if
+    * near-identical banners must collapse. */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val lines = df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("__nl"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val docFreq = lines.select(col(idCol), col("__line")).distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__df"))
+    lines.join(docFreq, "__line")
+      .where(col("__df") <= maxDocFreq)
+      .groupBy(col(idCol))
+      .agg(max(col("__nl")).as("n_lines"),
+        count(lit(1)).as("n_kept"),
+        sort_array(collect_list(struct(col("__pos"), col("__line")))).as("__a"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        array_join(transform(col("__a"), x => x.getField("__line")), "\n")
+          .as("clean"))
+  }
 }

@@ -415,6 +415,34 @@ object TextAnalysis {
           .as("nll"))
   }
 
+  /** Per-doc token-distribution diversity: Shannon entropy of the
+    * token frequency distribution (nats) plus type/token counts and
+    * type-token ratio. Low entropy = repetitive/templated text, near
+    * ln(n_tokens) = every token distinct — the cheap repetitiveness
+    * screen next to [[repetitionStats]]' n-gram measures.
+    *
+    * H = ln(n) − (Σ_t c_t·ln c_t)/n, summed over distinct tokens in
+    * LEXICOGRAPHIC order so the float fold is order-deterministic.
+    * Pure per-row HOF algebra, zero shuffle; per-row cost
+    * O(types · tokens), bounded by doc length. Token and distinct
+    * arrays are staged in their own projections (inlined, Catalyst
+    * re-evaluates them per lambda element — the O(len²) HOF-staging
+    * trap). */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (t, d, c) = (col("__t"), col("__d"), col("__c"))
+    df.select(col(idCol), whitespaceTokens(col(textCol)).as("__t"))
+      .withColumn("__d", array_sort(array_distinct(t)))
+      .withColumn("__c",
+        transform(d, g => size(filter(t, x => x === g)).cast("double")))
+      .select(col(idCol),
+        size(t).cast("long").as("n_tokens"),
+        size(d).cast("long").as("n_types"),
+        round(size(d).cast("double") / size(t), 4).as("ttr"),
+        (round(log(size(t).cast("double")) -
+          aggregate(c, lit(0.0), (acc, x) => acc + x * log(x)) / size(t), 4)
+          + 0.0).as("entropy"))
+  }
+
   /** DSIR-style importance weight: hashed-unigram log-likelihood ratio
     * of a target distribution vs the raw corpus (Xie et al., "Data
     * Selection for Language Models via Importance Resampling"). Tokens

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Line-level boilerplate removal and token-entropy screens: crafted
+  * closed forms plus a local-reference differential.
+  */
+class CleaningSuite extends AnyFunSuite {
+  import TestSpark.{sfDir, spark}
+  import spark.implicits._
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  test("line dedup: shared header/footer stripped, content kept, all-boilerplate doc vanishes") {
+    val df = Seq(
+      (1L, "header\nalpha beta\nfooter"),
+      (2L, "header\ngamma delta\nfooter"),
+      (3L, "header\nalpha beta\nfooter"),
+      (4L, "header\nfooter")).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(df, "doc_id", "text", maxDocFreq = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    // header/footer occur in 4 docs > 2 → gone; "alpha beta" in 2 ≤ 2
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, "alpha beta"),
+      (2L, 3L, 1L, "gamma delta"),
+      (3L, 3L, 1L, "alpha beta")))
+  }
+
+  test("line dedup: a line repeated WITHIN one doc is doc-freq 1 and every instance survives in order") {
+    val df = Seq(
+      (1L, "x\ny\nx\nz"),
+      (2L, "unrelated")).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(df, "doc_id", "text", maxDocFreq = 1)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 4L, 4L, "x\ny\nx\nz"),
+      (2L, 1L, 1L, "unrelated")))
+  }
+
+  test("token entropy: closed forms (uniform, constant, half-half)") {
+    val df = Seq(
+      (1L, "a a a a"),
+      (2L, "a b c d"),
+      (3L, "a a b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, 0.25, 0.0),
+      (2L, 4L, 4L, 1.0, round4(math.log(4.0))),
+      (3L, 4L, 2L, 0.5, round4(math.log(2.0)))))
+  }
+
+  test("token entropy: equals a local reference on fixture docs") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 80)
+    val local = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val expected = local.map { case (id, text) =>
+      val t = text.split(" ", -1)
+      val counts = t.distinct.sorted.map(g => t.count(_ == g).toDouble)
+      val s = counts.foldLeft(0.0)((acc, x) => acc + x * math.log(x))
+      id -> ((t.length.toLong, counts.length.toLong,
+        round4(counts.length.toDouble / t.length),
+        round4(math.log(t.length.toDouble) - s / t.length)))
+    }.toMap
+    val got = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expected,
+      s"mismatch: ${got.toSet.diff(expected.toSet).take(3)}")
+  }
+}
