@@ -930,6 +930,12 @@ object Queries {
     TextAnalysis.tokenEntropy(documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Top-100 vocabulary coverage curve over the corpus (tokenizer
+    * prep): rank, count, cumulative instance share. */
+  def xVocabCoverage(s: SparkSession, d: String): DataFrame =
+    Pipelines.vocabCoverage(documents(s, d), "text", k = 100)
+      .orderBy("rank")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

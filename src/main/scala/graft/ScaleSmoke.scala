@@ -77,7 +77,35 @@ object ScaleSmoke {
       // corpus-size-dependent work is exactly one encode+ADC-score pass
       ("x_pq_full", Seq("embeddings"), (s: SparkSession, d: String) =>
         graft.operators.Similarity.pqTopK(Tables.embeddings(s, d),
-          "vec_id", "embedding", queryId = 0L, k = 10)))
+          "vec_id", "embedding", queryId = 0L, k = 10)),
+      // self-trained bigram LM over the full corpus: vocab-keyed count
+      // tables joined back onto the bigram stream — shuffle volume ∝
+      // bigram instances (the replica tag keeps term spaces growing),
+      // so time must track rows, not vocab²
+      ("x_lm_full", Seq("documents"), (s: SparkSession, d: String) =>
+        graft.operators.TextAnalysis.lmScoreBigram(
+          Tables.documents(s, d), "doc_id", "text")),
+      // DSIR weights over the full corpus: one count pass + one score
+      // pass; the bucket table is a fixed 1024 rows broadcast, so the
+      // only data-sized shuffle is the per-doc groupBy
+      ("x_dsir_full", Seq("documents"), (s: SparkSession, d: String) =>
+        graft.operators.TextAnalysis.dsirWeights(
+          Tables.documents(s, d), "doc_id", "text", col("lang") === "en")),
+      // line-level boilerplate removal over the full re-lined corpus:
+      // distinct (doc,line) + line-keyed doc-freq + join back; replica
+      // copies share interior chunk lines (df ≈ copies per key), so the
+      // join fans out by copies per key — total stays linear in rows
+      ("x_line_dedup_full", Seq("documents"), (s: SparkSession, d: String) => {
+        val toks = split(col("text"), " ")
+        val lined = Tables.documents(s, d).select(col("doc_id"),
+          concat_ws("\n", lit("boilerplate header line"),
+            concat_ws("\n", transform(
+              sequence(lit(1), greatest(size(toks), lit(1)), lit(4)),
+              i => concat_ws(" ", slice(toks, i, lit(4))))),
+            lit("boilerplate header line")).as("lined"))
+        graft.operators.Dedup.dropBoilerplateLines(
+          lined, "doc_id", "lined", maxDocFreq = 10)
+      }))
       // NOT here: x_simhash_pairs. Cross-copy replica twins (same text,
       // different c<copy> tag) are TRUE near-dups under hamming ≤ 3, so
       // the replica's verified-pair output grows as copies² by workload

@@ -439,7 +439,8 @@ object SparkEntry {
     "x_dsir" -> (Queries.xDsir _),
     "x_source_stats" -> (Queries.xSourceStats _),
     "x_line_dedup" -> (Queries.xLineDedup _),
-    "x_token_entropy" -> (Queries.xTokenEntropy _)
+    "x_token_entropy" -> (Queries.xTokenEntropy _),
+    "x_vocab_coverage" -> (Queries.xVocabCoverage _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -854,6 +855,16 @@ object SparkEntry {
         "SELECT doc_id, CAST(len(s) AS BIGINT) AS n_tokens, CAST(len(ds) AS BIGINT) AS n_types, " +
         "ROUND(CAST(len(ds) AS DOUBLE)/len(s), 4) AS ttr, " +
         "ROUND(ln(CAST(len(s) AS DOUBLE)) - list_reduce(xs, (a,x) -> a + x) / len(s), 4) + 0.0 AS entropy " +
-        "FROM c ORDER BY doc_id")
+        "FROM c ORDER BY doc_id"),
+    // vocab coverage: exact long counts, ties broken on the token so
+    // the top-k cut and the running sum agree across engines
+    "x_vocab_coverage" ->
+      ("WITH tok AS (SELECT UNNEST(string_split(text,' ')) AS token FROM documents), " +
+        "c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token), " +
+        "t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c), " +
+        "k AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 100) " +
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank, token, cnt, " +
+        "ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS DOUBLE)/tot, 4) AS cum_frac " +
+        "FROM k CROSS JOIN t ORDER BY rank")
   ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
 }

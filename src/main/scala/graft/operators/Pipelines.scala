@@ -238,6 +238,34 @@ object Pipelines {
       .select(col(idCol), col("term"), col("score"), col("rk").cast("bigint").as("rk"))
   }
 
+  /** Tokenizer-prep vocabulary coverage: the top-`k` corpus tokens by
+    * frequency with each prefix's cumulative share of ALL token
+    * instances — the curve a vocab-size / OOV-budget decision reads
+    * (e.g. "the top 32k types cover 99.5% of instances"). Ties break
+    * on the token string so the cut is deterministic.
+    *
+    * Scale shape: one explode + one token-keyed count (map-side partial
+    * agg), then TakeOrdered for the top-k; the running sum windows over
+    * only the k survivors (single partition by construction, k rows —
+    * same k-rows-only exception as [[graft.operators.TextAnalysis
+    * .bm25TopDocs]]'s rank). Counts are exact longs, so the curve is
+    * bit-stable. */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "vocabCoverage needs a positive k")
+    val counts = df.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").cast("double").as("__tot"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts.orderBy(col("cnt").desc, col("token")).limit(k)
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(w).cast("long").as("rank"),
+        col("token"), col("cnt"),
+        round(sum("cnt").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / col("__tot"), 4).as("cum_frac"))
+  }
+
   /** Per-source curation decision table: document count, token volume,
     * mean length, verbatim-duplicate fraction (1 − distinct md5(text)
     * share) and language spread per source — the aggregate a

@@ -53,6 +53,29 @@ class CleaningSuite extends AnyFunSuite {
       (3L, 4L, 2L, 0.5, round4(math.log(2.0)))))
   }
 
+  test("vocab coverage: closed form and deterministic tie-break") {
+    val df = Seq((1L, "a a a b b c"), (2L, "a d")).toDF("doc_id", "text")
+    val out = graft.operators.Pipelines.vocabCoverage(df, "text", k = 3)
+      .orderBy("rank").as[(Long, String, Long, Double)].collect()
+    // counts: a=4 b=2 c=1 d=1 (c beats d on the token tie), total 8
+    assert(out.toSeq == Seq(
+      (1L, "a", 4L, 0.5), (2L, "b", 2L, 0.75), (3L, "c", 1L, 0.875)))
+  }
+
+  test("vocab coverage: curve is monotone, bounded by 1, ranks contiguous on the fixture") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = graft.operators.Pipelines.vocabCoverage(docs, "text", k = 100)
+      .orderBy("rank").as[(Long, String, Long, Double)].collect()
+    // the synthetic fixture vocabulary is ~31 types — smaller than k,
+    // so the whole curve is returned and must end at exactly 1.0
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.map(_._1).toSeq == (1L to rows.length.toLong))
+    assert(rows.sliding(2).forall(p => p(0)._4 <= p(1)._4 && p(0)._3 >= p(1)._3))
+    assert(rows.head._4 > 0.0)
+    if (rows.length < 100) assert(rows.last._4 == 1.0)
+    else assert(rows.last._4 <= 1.0)
+  }
+
   test("token entropy: equals a local reference on fixture docs") {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 80)
     val local = docs.select("doc_id", "text").as[(Long, String)].collect()
