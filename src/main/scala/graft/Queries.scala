@@ -936,6 +936,15 @@ object Queries {
     Pipelines.vocabCoverage(documents(s, d), "text", k = 100)
       .orderBy("rank")
 
+  /** Per-language z-score of doc token counts — metric normalization
+    * within the group before any corpus-global cut. */
+  def xZScore(s: SparkSession, d: String): DataFrame =
+    Pipelines.groupZScore(
+        documents(s, d).select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt")),
+        "lang", "nt")
+      .orderBy("doc_id")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

@@ -440,7 +440,8 @@ object SparkEntry {
     "x_source_stats" -> (Queries.xSourceStats _),
     "x_line_dedup" -> (Queries.xLineDedup _),
     "x_token_entropy" -> (Queries.xTokenEntropy _),
-    "x_vocab_coverage" -> (Queries.xVocabCoverage _)
+    "x_vocab_coverage" -> (Queries.xVocabCoverage _),
+    "x_zscore" -> (Queries.xZScore _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -865,6 +866,16 @@ object SparkEntry {
         "k AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 100) " +
         "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank, token, cnt, " +
         "ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS DOUBLE)/tot, 4) AS cum_frac " +
-        "FROM k CROSS JOIN t ORDER BY rank")
+        "FROM k CROSS JOIN t ORDER BY rank"),
+    // per-group z-score from exact long sums (n, Σx, Σx²): μ/σ² derive
+    // in ONE fixed expression — same association as the Spark side, so
+    // the doubles agree bit-for-bit before rounding
+    "x_zscore" ->
+      ("WITH d AS (SELECT doc_id, lang, CAST(len(string_split(text,' ')) AS BIGINT) AS nt FROM documents), " +
+        "s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(nt) AS BIGINT) AS s1, CAST(SUM(nt*nt) AS BIGINT) AS s2 FROM d GROUP BY lang), " +
+        "j AS (SELECT doc_id, lang, nt, n, CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mean, " +
+        "CASE WHEN n < 2 THEN 0.0 ELSE (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)))/(CAST(n AS DOUBLE)-1.0) END AS var FROM d JOIN s USING(lang)) " +
+        "SELECT doc_id, lang, nt, CASE WHEN var <= 0.0 THEN 0.0 ELSE ROUND((CAST(nt AS DOUBLE) - mean)/sqrt(var), 4) + 0.0 END AS z " +
+        "FROM j ORDER BY doc_id")
   ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
 }

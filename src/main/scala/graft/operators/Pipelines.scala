@@ -266,6 +266,36 @@ object Pipelines {
           Window.currentRow)).cast("double") / col("__tot"), 4).as("cum_frac"))
   }
 
+  /** Per-group z-score of an integer-valued metric: joins each row's
+    * group mean/stddev back and emits (x − μ)/σ — the "normalize a
+    * quality signal within its language/source before a global cut"
+    * step (a raw length cut at corpus level mostly encodes language,
+    * not quality).
+    *
+    * Deterministic by construction: the group aggregates are exact
+    * longs (count, Σx, Σx²) — safe to 2^53 — and μ/σ² derive from them
+    * in ONE fixed expression, so there is no Welford-merge-order noise
+    * to disagree across engines or partitionings. Sample variance
+    * (n−1); groups with n < 2 or zero variance emit z = 0. One
+    * partial-agg groupBy + one broadcastable join back (the stats
+    * table has one row per group). */
+  def groupZScore(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val stats = df.groupBy(keyCol).agg(
+      count(lit(1)).as("__n"),
+      sum(col(valCol).cast("long")).as("__s1"),
+      sum(col(valCol).cast("long") * col(valCol).cast("long")).as("__s2"))
+    val n = col("__n").cast("double")
+    val mean = col("__s1").cast("double") / n
+    val variance = (col("__s2").cast("double") - col("__s1").cast("double") * mean) /
+      (n - 1.0)
+    df.join(broadcast(stats), keyCol)
+      .withColumn("__var", when(col("__n") < 2, lit(0.0)).otherwise(variance))
+      .withColumn("z",
+        when(col("__var") <= 0.0, lit(0.0))
+          .otherwise(round((col(valCol).cast("double") - mean) / sqrt(col("__var")), 4) + 0.0))
+      .drop("__n", "__s1", "__s2", "__var")
+  }
+
   /** Per-source curation decision table: document count, token volume,
     * mean length, verbatim-duplicate fraction (1 − distinct md5(text)
     * share) and language spread per source — the aggregate a

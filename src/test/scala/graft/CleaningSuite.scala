@@ -76,6 +76,42 @@ class CleaningSuite extends AnyFunSuite {
     else assert(rows.last._4 <= 1.0)
   }
 
+  test("group z-score: closed form, singleton group, constant group") {
+    val df = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), // mean 2, var 1
+      (4L, "b", 7L),                               // n=1 → z=0
+      (5L, "c", 5L), (6L, "c", 5L)                 // var 0 → z=0
+    ).toDF("doc_id", "g", "v")
+    val out = graft.operators.Pipelines.groupZScore(df, "g", "v")
+      .select("doc_id", "z").orderBy("doc_id").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq(1L -> -1.0, 2L -> 0.0, 3L -> 1.0,
+      4L -> 0.0, 5L -> 0.0, 6L -> 0.0))
+  }
+
+  test("group z-score: equals a local reference on fixture token counts") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val local = docs.as[(Long, String, Long)].collect()
+    val expected = local.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val n = rows.length.toLong
+      val s1 = rows.map(_._3).sum
+      val s2 = rows.map(r => r._3 * r._3).sum
+      val mean = s1.toDouble / n.toDouble
+      val variance =
+        if (n < 2) 0.0 else (s2.toDouble - s1.toDouble * mean) / (n.toDouble - 1.0)
+      rows.map { r =>
+        val z = if (variance <= 0.0) 0.0
+          else round4((r._3.toDouble - mean) / math.sqrt(variance))
+        r._1 -> z
+      }
+    }.toMap
+    val got = graft.operators.Pipelines.groupZScore(docs, "lang", "nt")
+      .select("doc_id", "z").as[(Long, Double)].collect().toMap
+    assert(got == expected,
+      s"mismatch: ${got.toSet.diff(expected.toSet).take(3)}")
+  }
+
   test("token entropy: equals a local reference on fixture docs") {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 80)
     val local = docs.select("doc_id", "text").as[(Long, String)].collect()

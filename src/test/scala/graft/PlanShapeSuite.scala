@@ -300,6 +300,22 @@ class PlanShapeSuite extends AnyFunSuite {
     }
   }
 
+  test("L4i/L4e/vocab: DSIR broadcasts the bucket table; entropy is Exchange-free; vocab top-k is TakeOrdered") {
+    import graft.operators.{Pipelines, TextAnalysis}
+    val docs = Tables.documents(spark, sfDir)
+    // the 1024-row bucket→weight table must broadcast — a shuffled join
+    // here would re-shuffle the whole token stream at 100 TB
+    val pd = plan(TextAnalysis.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en"))
+    assert(pd.contains("BroadcastHashJoin"), pd)
+    // token entropy claims zero shuffle: per-row algebra only
+    val pe = plan(TextAnalysis.tokenEntropy(docs, "doc_id", "text"))
+    assert(!pe.contains("Exchange"), pe)
+    // the vocab curve's top-k must be TakeOrdered, never a global sort
+    val pv = plan(Pipelines.vocabCoverage(docs, "text", k = 100))
+    assert(pv.contains("TakeOrderedAndProject"), pv)
+  }
+
   test("L6b: star-edge bucket min is a partial agg, never a per-bucket window") {
     // a window min over partitionBy(bkey) would pin a mega-bucket (100M
     // near-identical docs sharing a band key) to ONE task; the groupBy

@@ -93,12 +93,18 @@ class StreamingSuite extends AnyFunSuite {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).limit(50)
     val rows = docs.as[(Long, String)].collect().toSeq
+    // token entropy is also a stateless projection — it joins the
+    // streaming-safe set (lm/DSIR/line-dedup do NOT: they need
+    // corpus-global counts and are batch by semantics)
     def prep(df: DataFrame): DataFrame =
       TextAnalysis.winnowFingerprints(
         Pipelines.splitByMd5Prefix(df, "doc_id")
           .withColumn("clean", Pipelines.scrubPii(col("text")))
           .select(col("doc_id"), concat(col("split"), lit(" "), col("clean")).as("text")),
         "doc_id", "text")
+        .unionByName(TextAnalysis.tokenEntropy(df, "doc_id", "text")
+          .select(col("doc_id"),
+            concat_ws(":", col("n_types"), col("entropy")).as("fp")))
     val mem = MemoryStream[(Long, String)]
     mem.addData(rows: _*)
     val q = prep(mem.toDF().toDF("doc_id", "text")).writeStream
