@@ -945,6 +945,22 @@ object Queries {
         "lang", "nt")
       .orderBy("doc_id")
 
+  /** Hybrid retrieval: RRF fusion of the BM25 top-20 (lexical, over
+    * documents) with the cosine top-20 against query vector 0
+    * (semantic, over embeddings; vec_id doubles as doc id) — the
+    * two-ranker hybrid-search composition, fused top-10. */
+  def xRrfFusion(s: SparkSession, d: String): DataFrame = {
+    val lex = TextAnalysis.bm25TopDocs(documents(s, d), "doc_id", "text",
+      Seq("vector", "stream", "merge"), k = 20)
+    val sem = Similarity.cosineTopK(embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 20)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+    Similarity.rrfFuse(lex, "doc_id", "rk", sem, "vec_id", "rk", k = 10)
+      .orderBy("rank")
+  }
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

@@ -441,7 +441,8 @@ object SparkEntry {
     "x_line_dedup" -> (Queries.xLineDedup _),
     "x_token_entropy" -> (Queries.xTokenEntropy _),
     "x_vocab_coverage" -> (Queries.xVocabCoverage _),
-    "x_zscore" -> (Queries.xZScore _)
+    "x_zscore" -> (Queries.xZScore _),
+    "x_rrf_fusion" -> (Queries.xRrfFusion _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -876,6 +877,24 @@ object SparkEntry {
         "j AS (SELECT doc_id, lang, nt, n, CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mean, " +
         "CASE WHEN n < 2 THEN 0.0 ELSE (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)))/(CAST(n AS DOUBLE)-1.0) END AS var FROM d JOIN s USING(lang)) " +
         "SELECT doc_id, lang, nt, CASE WHEN var <= 0.0 THEN 0.0 ELSE ROUND((CAST(nt AS DOUBLE) - mean)/sqrt(var), 4) + 0.0 END AS z " +
-        "FROM j ORDER BY doc_id")
+        "FROM j ORDER BY doc_id"),
+    // RRF hybrid fusion: bm25 top-20 CTEs (same formula as x_bm25) +
+    // cosine top-20 (same formula as q42), integer ranks → exact
+    // reciprocals summed in fixed order; rank ties break on id
+    "x_rrf_fusion" ->
+      ("WITH d AS (SELECT doc_id, string_split(text,' ') AS s FROM documents), " +
+        "l AS (SELECT doc_id, CAST(len(s) AS DOUBLE) AS dl FROM d), " +
+        "g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM l), " +
+        "tf AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS DOUBLE) AS tf FROM d, UNNEST(s) AS u(t) WHERE t IN ('vector','stream','merge') GROUP BY doc_id, t), " +
+        "dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term), " +
+        "cc AS (SELECT tf.doc_id, ln(1 + (g.n - dfq.df + 0.5)/(dfq.df + 0.5)) * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / g.avgdl)) AS c FROM tf JOIN dfq USING(term) JOIN l USING(doc_id) CROSS JOIN g), " +
+        "r AS (SELECT doc_id, ROUND(SUM(c),4) AS score FROM cc GROUP BY doc_id), " +
+        "lex AS (SELECT * FROM (SELECT doc_id AS id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS ra FROM r) WHERE ra <= 20), " +
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +
+        "co AS (SELECT e.vec_id AS id, ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)/(SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))*SQRT(list_dot_product(q.qv,q.qv))),4) + 0 AS cos FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0), " +
+        "sem AS (SELECT * FROM (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS BIGINT) AS rb FROM co) WHERE rb <= 20), " +
+        "f AS (SELECT COALESCE(lex.id, sem.id) AS id, ROUND(COALESCE(1.0/(60.0 + CAST(ra AS DOUBLE)), 0.0) + COALESCE(1.0/(60.0 + CAST(rb AS DOUBLE)), 0.0), 6) AS rrf FROM lex FULL OUTER JOIN sem ON lex.id = sem.id), " +
+        "t AS (SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 10) " +
+        "SELECT id, rrf, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank FROM t ORDER BY rank")
   ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
 }

@@ -22,6 +22,36 @@ object Similarity {
   private def fastCosine(a: Column, b: Column): Column =
     fastDot(a, b) / (sqrt(fastDot(a, a)) * sqrt(fastDot(b, b)))
 
+  /** Reciprocal-rank fusion of two ranked candidate lists — the
+    * standard hybrid-retrieval combiner (Cormack et al., SIGIR'09):
+    * score(d) = Σ_lists 1/(c + rank_list(d)), a doc missing from a list
+    * contributes 0. Rank-based, so the lexical and semantic scores
+    * need no calibration against each other — exactly why RRF is the
+    * default fusion in hybrid search.
+    *
+    * Deterministic: ranks are integers, each reciprocal is one exact
+    * double division, and the two-term sum has a fixed written order;
+    * ties after rounding break on the id. Both inputs are top-k lists
+    * (k rows), so the full-outer join and the final window cost
+    * nothing at any corpus scale — scale lives in the rankers. */
+  def rrfFuse(a: DataFrame, idColA: String, rankColA: String,
+              b: DataFrame, idColB: String, rankColB: String,
+              k: Int, c: Int = 60): DataFrame = {
+    require(k > 0 && c >= 0, "rrfFuse needs k > 0 and c >= 0")
+    val left = a.select(col(idColA).as("id"), col(rankColA).cast("long").as("__ra"))
+    val right = b.select(col(idColB).as("id"), col(rankColB).cast("long").as("__rb"))
+    left.join(right, Seq("id"), "full_outer")
+      .select(col("id"),
+        round(
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("__ra").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("__rb").cast("double")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("id"))).cast("long"))
+  }
+
   /** Brute-force cosine top-k against the vector of `queryId`.
     * Output: (idCol, cos) with cos rounded to 4 dp; ties broken by id. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,

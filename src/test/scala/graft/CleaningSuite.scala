@@ -112,6 +112,20 @@ class CleaningSuite extends AnyFunSuite {
       s"mismatch: ${got.toSet.diff(expected.toSet).take(3)}")
   }
 
+  test("RRF fusion: closed form — overlap wins, singles ranked by source rank") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = Seq(("x", 1L), ("y", 2L)).toDF("id", "rk")
+    val b = Seq(("y", 1L), ("z", 2L)).toDF("id", "rk")
+    val out = graft.operators.Similarity
+      .rrfFuse(a, "id", "rk", b, "id", "rk", k = 10)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      ("y", round6(1.0 / 62 + 1.0 / 61), 1L),
+      ("x", round6(1.0 / 61), 2L),
+      ("z", round6(1.0 / 62), 3L)))
+  }
+
   test("token entropy: equals a local reference on fixture docs") {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 80)
     val local = docs.select("doc_id", "text").as[(Long, String)].collect()
