@@ -961,6 +961,15 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** Per-language 90th-percentile length cut: exact discrete quantile
+    * from the (lang, token-count) histogram, keep flag per doc. */
+  def xQuantileCut(s: SparkSession, d: String): DataFrame =
+    Pipelines.quantileCut(
+        documents(s, d).select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nt")),
+        "lang", "nt", p = 0.9)
+      .orderBy("doc_id")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

@@ -442,7 +442,8 @@ object SparkEntry {
     "x_token_entropy" -> (Queries.xTokenEntropy _),
     "x_vocab_coverage" -> (Queries.xVocabCoverage _),
     "x_zscore" -> (Queries.xZScore _),
-    "x_rrf_fusion" -> (Queries.xRrfFusion _)
+    "x_rrf_fusion" -> (Queries.xRrfFusion _),
+    "x_quantile_cut" -> (Queries.xQuantileCut _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -895,6 +896,16 @@ object SparkEntry {
         "sem AS (SELECT * FROM (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS BIGINT) AS rb FROM co) WHERE rb <= 20), " +
         "f AS (SELECT COALESCE(lex.id, sem.id) AS id, ROUND(COALESCE(1.0/(60.0 + CAST(ra AS DOUBLE)), 0.0) + COALESCE(1.0/(60.0 + CAST(rb AS DOUBLE)), 0.0), 6) AS rrf FROM lex FULL OUTER JOIN sem ON lex.id = sem.id), " +
         "t AS (SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 10) " +
-        "SELECT id, rrf, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank FROM t ORDER BY rank")
+        "SELECT id, rrf, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank FROM t ORDER BY rank"),
+    // discrete quantile cut: cumulative window over the (lang, value)
+    // histogram, threshold = min value with cum >= ceil(p*n) — all
+    // integer arithmetic except the one p*n product
+    "x_quantile_cut" ->
+      ("WITH d AS (SELECT doc_id, lang, CAST(len(string_split(text,' ')) AS BIGINT) AS nt FROM documents), " +
+        "h AS (SELECT lang, nt AS v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY lang, nt), " +
+        "cu AS (SELECT lang, v, c, SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum FROM h), " +
+        "t AS (SELECT lang, SUM(c) AS n FROM h GROUP BY lang), " +
+        "thr AS (SELECT lang, MIN(v) AS q_thr FROM cu JOIN t USING(lang) WHERE cum >= CEIL(0.9 * CAST(n AS DOUBLE)) GROUP BY lang) " +
+        "SELECT doc_id, lang, nt, q_thr, nt <= q_thr AS keep FROM d JOIN thr USING(lang) ORDER BY doc_id")
   ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
 }

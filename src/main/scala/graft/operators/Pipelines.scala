@@ -296,6 +296,34 @@ object Pipelines {
       .drop("__n", "__s1", "__s2", "__var")
   }
 
+  /** Per-group discrete-quantile cut for an integer metric: computes
+    * each group's exact p-quantile threshold (smallest value whose
+    * cumulative count reaches ⌈p·n⌉) and flags rows at or below it —
+    * the "truncate the per-language length tail" filter, with the
+    * threshold exact rather than sketched.
+    *
+    * Scalable exact quantiles: the cumulative window runs over the
+    * (group, value) HISTOGRAM — distinct values per group, not rows —
+    * so a 10^11-row corpus with ~10^5 distinct lengths per language
+    * windows over ~10^5 rows. No interpolation (discrete quantile),
+    * no per-row window, threshold table is one row per group
+    * (broadcast join back). */
+  def quantileCut(df: DataFrame, keyCol: String, valCol: String,
+                  p: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p > 0.0 && p <= 1.0, "quantileCut needs p in (0, 1]")
+    val hist = df.groupBy(col(keyCol), col(valCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum("__c").over(Window.partitionBy(keyCol).orderBy(col("__v"))))
+    val tot = hist.groupBy(keyCol).agg(sum("__c").as("__n"))
+    val thr = cum.join(tot, keyCol)
+      .where(col("__cum") >= ceil(lit(p) * col("__n").cast("double")))
+      .groupBy(keyCol).agg(min("__v").as("q_thr"))
+    df.join(broadcast(thr), keyCol)
+      .withColumn("keep", col(valCol).cast("long") <= col("q_thr"))
+  }
+
   /** Per-source curation decision table: document count, token volume,
     * mean length, verbatim-duplicate fraction (1 − distinct md5(text)
     * share) and language spread per source — the aggregate a

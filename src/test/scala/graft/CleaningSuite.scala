@@ -126,6 +126,37 @@ class CleaningSuite extends AnyFunSuite {
       ("z", round6(1.0 / 62), 3L)))
   }
 
+  test("quantile cut: closed form — threshold is the smallest value reaching ceil(p*n)") {
+    // group g: values 1..10, p=0.9 → ceil(9) = 9th value → thr 9
+    val df = (1L to 10L).map(v => (v, "g", v)).toDF("doc_id", "lang", "v")
+    val out = graft.operators.Pipelines.quantileCut(df, "lang", "v", p = 0.9)
+      .select("doc_id", "q_thr", "keep").orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.forall(_._2 == 9L))
+    assert(out.map(r => r._1 -> r._3).toMap ==
+      (1L to 10L).map(v => v -> (v <= 9L)).toMap)
+  }
+
+  test("quantile cut: per-group keep fraction is >= p and minimal on the fixture") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val rows = graft.operators.Pipelines.quantileCut(docs, "lang", "nt", p = 0.9)
+      .select("lang", "nt", "q_thr", "keep")
+      .as[(String, Long, Long, Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val n = rs.length
+      val kept = rs.count(_._4)
+      val thr = rs.head._3
+      assert(kept >= math.ceil(0.9 * n).toLong, s"$lang kept $kept of $n")
+      // minimality: dropping to the next smaller observed value would
+      // undershoot ceil(p*n)
+      val below = rs.count(r => r._2 < thr)
+      assert(below < math.ceil(0.9 * n), s"$lang threshold not minimal")
+      assert(rs.forall(r => r._4 == (r._2 <= thr)))
+    }
+  }
+
   test("token entropy: equals a local reference on fixture docs") {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 80)
     val local = docs.select("doc_id", "text").as[(Long, String)].collect()
