@@ -32,7 +32,12 @@ object CorpusPipelineJob {
       maxDup5CharFrac: Double = 0.5,
       // context-packing stage: tokens per training window (0 = skip)
       packCapacity: Int = 0,
-      packShards: Int = 64)
+      packShards: Int = 64,
+      // statistical gates (0 = skip): corpus-wide length-tail cut at
+      // the discrete p-quantile (docs above the threshold drop), and
+      // a token-entropy floor (repetitive/templated docs drop)
+      lengthTailP: Double = 0.0,
+      minTokenEntropy: Double = 0.0)
 
   /** The curated variant — same shape, stronger policies at every stage:
     *
@@ -85,10 +90,28 @@ object CorpusPipelineJob {
       .where(col("dup_line_frac") <= cfg.maxDupLineFrac &&
         col("dup5_char_frac") <= cfg.maxDup5CharFrac)
       .select(cfg.idCol)
-    val filtered = decontaminated
-      .where(col("quality") >= cfg.minQuality)
-      .join(gopherPass, Seq(cfg.idCol), "left_semi")
-      .join(repetitionPass, Seq(cfg.idCol), "left_semi")
+    // statistical gates (optional): corpus-wide discrete-quantile
+    // length-tail cut and token-entropy floor — same semi-join-prune
+    // shape as the structural gates
+    val lengthPass =
+      if (cfg.lengthTailP <= 0) None
+      else Some(Pipelines.quantileCut(
+          decontaminated.select(col(cfg.idCol), lit("all").as("__g"),
+            size(split(col(cfg.textCol), " ")).cast("long").as("__nt")),
+          "__g", "__nt", cfg.lengthTailP)
+        .where(col("keep")).select(cfg.idCol))
+    val entropyPass =
+      if (cfg.minTokenEntropy <= 0) None
+      else Some(TextAnalysis.tokenEntropy(
+          decontaminated, cfg.idCol, cfg.textCol)
+        .where(col("entropy") >= cfg.minTokenEntropy).select(cfg.idCol))
+    val filtered = Seq(lengthPass, entropyPass).flatten
+      .foldLeft(decontaminated
+        .where(col("quality") >= cfg.minQuality)
+        .join(gopherPass, Seq(cfg.idCol), "left_semi")
+        .join(repetitionPass, Seq(cfg.idCol), "left_semi")) {
+        (acc, gate) => acc.join(gate, Seq(cfg.idCol), "left_semi")
+      }
       .withColumn("lang_pred", TextAnalysis.langIdGuess(col(cfg.textCol)))
     val scrubbed = filtered.withColumn(cfg.textCol,
       Pipelines.scrubPii(col(cfg.textCol)))

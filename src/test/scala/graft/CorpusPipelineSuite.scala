@@ -98,4 +98,32 @@ class CorpusPipelineSuite extends AnyFunSuite {
       }
     out.unpersist()
   }
+
+  test("statistical gates: length tail and low-entropy docs drop, thresholds honored") {
+    // crafted outliers: a doc far above the corpus length tail, and a
+    // zero-entropy doc (one stop word repeated 40×). Repetition
+    // ceilings are opened to 1.0 so the entropy floor — not the
+    // dup-n-gram gate — is what drops the constant doc.
+    val longDoc = (1 to 2000).map(i => s"tok$i").mkString(" ")
+    val flat = (1 to 40).map(_ => "the").mkString(" ")
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 100)
+      .select("doc_id", "text")
+      .unionByName(Seq((9001L, longDoc), (9002L, flat)).toDF("doc_id", "text"))
+    val cfg = CorpusPipelineJob.Config(nearDupTau = 0.8, minQuality = 0.0,
+      shards = 4, gopherMinStop = 1, gopherMinWords = 2,
+      maxDupLineFrac = 1.0, maxDup5CharFrac = 1.0,
+      lengthTailP = 0.9, minTokenEntropy = 0.5)
+    val out = CorpusPipelineJob.runCurated(docs, None, cfg).cache()
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty)
+    assert(!ids.contains(9001L), "length-tail gate must drop the 2000-token doc")
+    assert(!ids.contains(9002L), "entropy floor must drop the constant doc")
+    // every survivor respects both thresholds against the INPUT-derived
+    // corpus-wide quantile and its own entropy
+    val ent = graft.operators.TextAnalysis
+      .tokenEntropy(out.toDF(), "doc_id", "text")
+      .select("doc_id", "entropy").collect()
+    assert(ent.forall(_.getDouble(1) >= 0.5))
+    out.unpersist()
+  }
 }
