@@ -970,6 +970,37 @@ object Queries {
         "lang", "nt", p = 0.9)
       .orderBy("doc_id")
 
+  /** Normalized exact dedup over documents plus synthesized
+    * casing/punctuation variants of docs < 50 (the fixture corpus has
+    * no verbatim dups, so the variants are what the normalizer must
+    * collapse; verbatim-hash dedup sees them as distinct). */
+  def xNormDedup(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val variants = documents(s, d).where(col("doc_id") < 50)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text"))
+    Dedup.normalizedDedup(base.unionByName(variants), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc trigram novelty over the corpus: distinct-gram count,
+    * corpus-unique-gram count, novelty fraction. */
+  def xNgramNovelty(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.ngramNovelty(documents(s, d), "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+
+  /** Eval-side 5-gram containment decontamination: docs ≡ 0 (mod 10)
+    * play the eval set, the rest the training corpus; pairs at
+    * containment ≥ 0.3 with a doc-freq-50 stop-gram cut. */
+  def xContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    TextAnalysis.containmentPairs(
+        docs.where(col("doc_id") % 10 === 0),
+        docs.where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 5, tau = 0.3, maxDocFreq = 50L)
+      .orderBy("eval_id", "corpus_id")
+  }
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

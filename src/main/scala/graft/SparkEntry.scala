@@ -443,7 +443,10 @@ object SparkEntry {
     "x_vocab_coverage" -> (Queries.xVocabCoverage _),
     "x_zscore" -> (Queries.xZScore _),
     "x_rrf_fusion" -> (Queries.xRrfFusion _),
-    "x_quantile_cut" -> (Queries.xQuantileCut _)
+    "x_quantile_cut" -> (Queries.xQuantileCut _),
+    "x_norm_dedup" -> (Queries.xNormDedup _),
+    "x_ngram_novelty" -> (Queries.xNgramNovelty _),
+    "x_containment" -> (Queries.xContainment _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -906,6 +909,40 @@ object SparkEntry {
         "cu AS (SELECT lang, v, c, SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum FROM h), " +
         "t AS (SELECT lang, SUM(c) AS n FROM h GROUP BY lang), " +
         "thr AS (SELECT lang, MIN(v) AS q_thr FROM cu JOIN t USING(lang) WHERE cum >= CEIL(0.9 * CAST(n AS DOUBLE)) GROUP BY lang) " +
-        "SELECT doc_id, lang, nt, q_thr, nt <= q_thr AS keep FROM d JOIN thr USING(lang) ORDER BY doc_id")
+        "SELECT doc_id, lang, nt, q_thr, nt <= q_thr AS keep FROM d JOIN thr USING(lang) ORDER BY doc_id"),
+    // normalized dedup: RE2 char-class + 'g' replace ≡ Java default
+    // replace-all; variants of docs < 50 are what normalization must
+    // collapse onto their bases
+    "x_norm_dedup" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 10000, upper(text) || ' !!' FROM documents WHERE doc_id < 50), " +
+        "d AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_h FROM u), " +
+        "g AS (SELECT norm_h, MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS dup_count FROM d GROUP BY norm_h) " +
+        "SELECT doc_id, norm_h, rep_id, dup_count, doc_id = rep_id AS keep " +
+        "FROM d JOIN g USING(norm_h) ORDER BY doc_id"),
+    // trigram novelty: all-integer until the one final exact-ratio
+    // division; short docs survive via the left join
+    "x_ngram_novelty" ->
+      ("WITH d AS (SELECT doc_id, string_split(text,' ') AS s FROM documents), " +
+        "t AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(s) - 2, 0) + 1), i -> array_to_string(s[i : i + 2], ' '))) AS g FROM d), " +
+        "gr AS (SELECT doc_id, UNNEST(g) AS gram FROM t), " +
+        "fq AS (SELECT gram, COUNT(*) AS gdf FROM gr GROUP BY gram), " +
+        "p AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, CAST(SUM(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel FROM gr JOIN fq USING(gram) GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams, COALESCE(n_novel, 0) AS n_novel, " +
+        "CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0 ELSE ROUND(CAST(n_novel AS DOUBLE)/CAST(n_grams AS DOUBLE), 4) END AS novel_frac " +
+        "FROM d LEFT JOIN p USING(doc_id) ORDER BY doc_id"),
+    // containment: tau compares the UNROUNDED ratio on both engines;
+    // the doc-freq cut binds the corpus side only
+    "x_containment" ->
+      ("WITH d AS (SELECT doc_id, string_split(text,' ') AS s FROM documents), " +
+        "t AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(s) - 4, 0) + 1), i -> array_to_string(s[i : i + 4], ' '))) AS g FROM d), " +
+        "e AS (SELECT doc_id AS eval_id, UNNEST(g) AS gram FROM t WHERE doc_id % 10 = 0), " +
+        "c AS (SELECT doc_id AS corpus_id, UNNEST(g) AS gram FROM t WHERE doc_id % 10 <> 0), " +
+        "r AS (SELECT gram FROM c GROUP BY gram HAVING COUNT(*) <= 50), " +
+        "en AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY eval_id), " +
+        "p AS (SELECT eval_id, corpus_id, CAST(COUNT(*) AS BIGINT) AS n_shared FROM e JOIN r USING(gram) JOIN c USING(gram) GROUP BY eval_id, corpus_id) " +
+        "SELECT eval_id, corpus_id, n_shared, ROUND(CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE), 4) AS containment " +
+        "FROM p JOIN en USING(eval_id) WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3 " +
+        "ORDER BY eval_id, corpus_id")
   ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
 }

@@ -607,6 +607,34 @@ object Dedup {
     * partition; the per-doc reassembly groupBy is bounded by doc
     * length. Line identity is exact-string; normalize upstream if
     * near-identical banners must collapse. */
+  /** Aggressive dedup normalization (the RefinedWeb/Dolma "fuzzy
+    * exact" preprocessing): lowercase, every non-alphanumeric char to
+    * a space, whitespace runs collapsed, ends trimmed. Exact dedup on
+    * this form catches the casing/punctuation/markup variants that
+    * verbatim-hash dedup misses while staying a pure codegen'd
+    * projection (no tokenization, no pairwise compare). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
+
+  /** L1n normalized exact dedup: every doc labeled with its
+    * normalized-form hash, the group representative (min id), the
+    * group size, and a keep flag. Same scale shape as [[exactDedup]] —
+    * one hash-keyed groupBy + one join back, both well-distributed
+    * (md5 keys) — but the group table here is kept as a join (not a
+    * window) because the full label set ships with every row.
+    * Output: (id, norm_h, rep_id, dup_count, keep). */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Joins.requireFreeColumns("normalizedDedup", df.columns,
+      "norm_h", "rep_id", "dup_count", "keep")
+    val hashed = df.select(col(idCol), md5(normalizeText(col(textCol))).as("norm_h"))
+    val groups = hashed.groupBy("norm_h")
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
+    hashed.join(groups, "norm_h")
+      .select(col(idCol), col("norm_h"), col("rep_id"), col("dup_count"),
+        (col(idCol) === col("rep_id")).as("keep"))
+  }
+
   def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                            maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")

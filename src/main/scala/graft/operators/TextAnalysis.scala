@@ -485,4 +485,91 @@ object TextAnalysis {
           (acc, x) => acc + x.getField("__lw")) / col("n_tokens"), 4) + 0.0)
           .as("dsir_w"))
   }
+
+  /** Word n-grams of a token array: positions 1..len-n+1, space-joined;
+    * empty array when the doc is shorter than n. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** N-gram novelty: per doc, how many of its distinct word n-grams
+    * appear in no other document (corpus doc-freq 1), and that count as
+    * a fraction of the doc's distinct grams — low novelty marks
+    * templated/duplicated content a dedup pass should visit, high
+    * novelty marks the memorization-risk long tail.
+    *
+    * Scale shape: one explode of per-doc DISTINCT grams, one
+    * gram-keyed partial-agg count, one join back, one per-doc agg —
+    * all keyed shuffles; no pairwise compare anywhere. The gram-keyed
+    * count's key space is the corpus gram vocabulary (well-hashed);
+    * boilerplate grams land on single hot keys but carry only a count.
+    * Docs shorter than n survive with (0, 0, 0.0).
+    * Output: (id, n_grams, n_novel, novel_frac). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1, "ngramNovelty needs n >= 1")
+    Joins.requireFreeColumns("ngramNovelty", df.columns,
+      "__t", "__gram", "__gdf", "n_grams", "n_novel", "novel_frac")
+    val grams = df.select(col(idCol), whitespaceTokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        explode(array_distinct(wordNgrams(col("__t"), n))).as("__gram"))
+    val gdf = grams.groupBy("__gram").agg(count(lit(1)).as("__gdf"))
+    val perDoc = grams.join(gdf, "__gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__gdf") === 1, 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(col("n_novel").cast("double") /
+            col("n_grams").cast("double"), 4)).as("novel_frac"))
+  }
+
+  /** Asymmetric n-gram containment (the eval-side decontamination
+    * measure of Brown et al. 2020 App. C / open-data replications):
+    * for an eval doc e and corpus doc c,
+    * `containment = |grams(e) ∩ grams(c)| / |grams(e)|` — unlike
+    * Jaccard it stays high when a short eval doc is embedded in a long
+    * corpus doc, which is exactly the leak being hunted. Emits pairs
+    * with containment ≥ `tau`.
+    *
+    * Scale shape: distinct grams per side, corpus-side stop-gram cut
+    * at `maxDocFreq` (bounds any join key's fan-out), one gram-keyed
+    * equi-join + pair count, denominator joined from an eval-side
+    * count — no pairwise text compare. The denominator counts ALL the
+    * eval doc's distinct grams (the doc-freq cut prunes candidates
+    * only), so a cut boilerplate gram lowers measured containment —
+    * the conservative direction for a contamination screen is a LOW
+    * cut only when boilerplate grams shouldn't count as evidence;
+    * raise `maxDocFreq` when they should.
+    * The tau comparison runs on the unrounded ratio on both engines.
+    * Output: (eval_id, corpus_id, n_shared, containment). */
+  def containmentPairs(evalDf: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 5, tau: Double = 0.5,
+                       maxDocFreq: Long = 1000L): DataFrame = {
+    require(n >= 1 && tau > 0.0 && maxDocFreq >= 1,
+      "containmentPairs needs n >= 1, tau > 0, maxDocFreq >= 1")
+    def gramsOf(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol), whitespaceTokens(col(textCol)).as("__t"))
+        .select(col(idCol).as(as),
+          explode(array_distinct(wordNgrams(col("__t"), n))).as("__gram"))
+    val eg = gramsOf(evalDf, "eval_id")
+    val cg = gramsOf(corpus, "corpus_id")
+    val rare = cg.groupBy("__gram").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDocFreq).select("__gram")
+    val en = eg.groupBy("eval_id").agg(count(lit(1)).as("__en"))
+    eg.join(rare, "__gram").join(cg, "__gram")
+      .groupBy("eval_id", "corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(en, "eval_id")
+      .where(col("n_shared").cast("double") / col("__en").cast("double") >= tau)
+      .select(col("eval_id"), col("corpus_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("__en").cast("double"), 4)
+          .as("containment"))
+  }
 }

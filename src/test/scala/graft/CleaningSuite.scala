@@ -174,4 +174,98 @@ class CleaningSuite extends AnyFunSuite {
     assert(got == expected,
       s"mismatch: ${got.toSet.diff(expected.toSet).take(3)}")
   }
+
+  test("normalized dedup: casing/punctuation variants collapse, distinct texts survive") {
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),          // same normalized form as 1
+      (3L, "HELLO-WORLD."),           // same normalized form as 1
+      (4L, "hello worlds"),           // distinct
+      (5L, "")                        // empty stays its own group
+    ).toDF("doc_id", "text")
+    val out = Dedup.normalizedDedup(df, "doc_id", "text")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((1L, 3L, true)))
+    assert(out(2L) == ((1L, 3L, false)))
+    assert(out(3L) == ((1L, 3L, false)))
+    assert(out(4L) == ((4L, 1L, true)))
+    assert(out(5L) == ((5L, 1L, true)))
+    // differential on fixture docs: equals exactDedup run on the
+    // pre-normalized text (keep-set comparison)
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 200)
+    val kept = Dedup.normalizedDedup(docs, "doc_id", "text")
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    val viaExact = Dedup.exactDedup(
+        docs.select(col("doc_id"), Dedup.normalizeText(col("text")).as("text")),
+        "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == viaExact)
+  }
+
+  test("ngram novelty: equals a local brute-force reference; short docs survive") {
+    val df = Seq(
+      (1L, "a b c d"),      // grams: "a b c", "b c d"
+      (2L, "a b c x"),      // shares "a b c" with 1
+      (3L, "u v w"),        // unique gram
+      (4L, "p q")           // too short for trigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(df, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))   // "b c d" novel, "a b c" shared
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    // local reference over fixture docs
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 120)
+    val local = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val gramsOf = local.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val freq = gramsOf.values.flatten.toSeq.groupBy(identity).map { case (g, o) => g -> o.size }
+    val expected = local.map { case (id, _) =>
+      val g = gramsOf(id)
+      val novel = g.count(freq(_) == 1).toLong
+      id -> ((g.size.toLong, novel,
+        if (g.isEmpty) 0.0 else round4(novel.toDouble / g.size)))
+    }.toMap
+    val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected,
+      s"mismatch: ${got.toSet.diff(expected.toSet).take(3)}")
+  }
+
+  test("containment: embedded eval doc scores 1.0; tau and the stop-gram cut bind") {
+    val evalDf = Seq(
+      (1L, "a b c d e f"),                 // 5-grams: "a b c d e", "b c d e f"
+      (2L, "z z z z z z")                  // absent from corpus
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x y a b c d e f g h"),        // contains eval 1 verbatim
+      (11L, "a b c d e q r s t u")         // shares only "a b c d e"
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.containmentPairs(evalDf, corpus, "doc_id", "text",
+        n = 5, tau = 0.4, maxDocFreq = 10L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out((1L, 10L)) == ((2L, 1.0)))
+    assert(out((1L, 11L)) == ((1L, 0.5)))
+    assert(out.keySet == Set((1L, 10L), (1L, 11L))) // eval 2 matches nothing
+    // raising tau above 0.5 drops the partial pair
+    val strict = TextAnalysis.containmentPairs(evalDf, corpus, "doc_id", "text",
+        n = 5, tau = 0.6, maxDocFreq = 10L)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(strict == Set((1L, 10L)))
+    // a doc-freq-1 stop-gram cut removes "a b c d e" (df 2) from the
+    // corpus side: pair (1,11) loses its only evidence and vanishes,
+    // (1,10)'s containment halves — denominator unchanged
+    val cut = TextAnalysis.containmentPairs(evalDf, corpus, "doc_id", "text",
+        n = 5, tau = 0.4, maxDocFreq = 1L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(cut == Map((1L, 10L) -> ((1L, 0.5))))
+  }
 }
