@@ -1001,6 +1001,21 @@ object Queries {
       .orderBy("eval_id", "corpus_id")
   }
 
+  /** Hard-negative mining: queries = vec_id < 5, corpus = all
+    * embeddings; top-10 most-similar rows with a different label. */
+  def xHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.hardNegatives(emb.where(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "label", k = 10)
+      .orderBy("qid", "rk")
+  }
+
+  /** CCNet perplexity buckets: per-source head/middle/tail from the
+    * self-trained bigram LM's NLL terciles. */
+  def xPplBuckets(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pplBuckets(documents(s, d), "doc_id", "text", "source")
+      .orderBy("doc_id")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

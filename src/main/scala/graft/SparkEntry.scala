@@ -446,7 +446,9 @@ object SparkEntry {
     "x_quantile_cut" -> (Queries.xQuantileCut _),
     "x_norm_dedup" -> (Queries.xNormDedup _),
     "x_ngram_novelty" -> (Queries.xNgramNovelty _),
-    "x_containment" -> (Queries.xContainment _)
+    "x_containment" -> (Queries.xContainment _),
+    "x_hard_negatives" -> (Queries.xHardNegatives _),
+    "x_ppl_buckets" -> (Queries.xPplBuckets _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -943,6 +945,36 @@ object SparkEntry {
         "p AS (SELECT eval_id, corpus_id, CAST(COUNT(*) AS BIGINT) AS n_shared FROM e JOIN r USING(gram) JOIN c USING(gram) GROUP BY eval_id, corpus_id) " +
         "SELECT eval_id, corpus_id, n_shared, ROUND(CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE), 4) AS containment " +
         "FROM p JOIN en USING(eval_id) WHERE CAST(n_shared AS DOUBLE)/CAST(n AS DOUBLE) >= 0.3 " +
-        "ORDER BY eval_id, corpus_id")
+        "ORDER BY eval_id, corpus_id"),
+    // hard negatives: the x_knn_join cosine form + the label predicate;
+    // rank over the ROUNDED cosine on both engines, ties by id
+    "x_hard_negatives" ->
+      ("WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, label AS ql, e AS qe FROM v WHERE vec_id < 5), " +
+        "s AS (SELECT q.qid, v.vec_id, ROUND(list_dot_product(v.e,q.qe)/(SQRT(list_dot_product(v.e,v.e))*SQRT(list_dot_product(q.qe,q.qe))),4) + 0 AS cos " +
+        "FROM v CROSS JOIN q WHERE v.vec_id <> q.qid AND v.label <> q.ql), " +
+        "r AS (SELECT qid, vec_id, cos, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rk FROM s) " +
+        "SELECT qid, vec_id, cos, rk FROM r WHERE rk <= 10 ORDER BY qid, rk"),
+    // CCNet ppl buckets: the x_lm_score CTEs + per-source discrete
+    // terciles over the rounded-NLL histogram; cut expressions are
+    // ceil(n/3.0) / ceil(2.0*n/3.0) verbatim on both engines
+    "x_ppl_buckets" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text,' ') AS s FROM documents), " +
+        "ti AS (SELECT doc_id, s, UNNEST(range(1, len(s))) AS pos FROM t), " +
+        "b AS (SELECT doc_id, pos, s[pos] AS w1, s[pos] || ' ' || s[pos+1] AS bg FROM ti), " +
+        "c2 AS (SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c2 FROM b GROUP BY bg), " +
+        "c1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM b GROUP BY w1), " +
+        "v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM (SELECT UNNEST(s) AS tok FROM t)), " +
+        "sc AS (SELECT doc_id, pos, -ln((c2.c2 + 1.0)/(c1.c1 + v.v)) AS lp FROM b JOIN c2 USING(bg) JOIN c1 USING(w1) CROSS JOIN v), " +
+        "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, list_reduce(list(lp ORDER BY pos), (acc,x) -> acc + x) AS sm FROM sc GROUP BY doc_id), " +
+        "scd AS (SELECT t.doc_id, t.source, a.n_bigrams, ROUND(sm / n_bigrams, 4) + 0.0 AS nll FROM a JOIN t ON a.doc_id = t.doc_id), " +
+        "h AS (SELECT source, nll AS hv, CAST(COUNT(*) AS BIGINT) AS c FROM scd GROUP BY source, nll), " +
+        "cu AS (SELECT source, hv, c, SUM(c) OVER (PARTITION BY source ORDER BY hv) AS cum FROM h), " +
+        "tot AS (SELECT source, SUM(c) AS n FROM h GROUP BY source), " +
+        "t1 AS (SELECT source, MIN(hv) AS thr1 FROM cu JOIN tot USING(source) WHERE cum >= CEIL(CAST(n AS DOUBLE)/3.0) GROUP BY source), " +
+        "t2 AS (SELECT source, MIN(hv) AS thr2 FROM cu JOIN tot USING(source) WHERE cum >= CEIL(2.0*CAST(n AS DOUBLE)/3.0) GROUP BY source) " +
+        "SELECT doc_id, source, n_bigrams, nll, " +
+        "CASE WHEN nll <= thr1 THEN 'head' WHEN nll <= thr2 THEN 'middle' ELSE 'tail' END AS ppl_bucket " +
+        "FROM scd JOIN t1 USING(source) JOIN t2 USING(source) ORDER BY doc_id")
   ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
 }

@@ -100,6 +100,30 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Contrastive hard-negative mining: for each query row, the top-k
+    * most-cosine-similar corpus rows carrying a DIFFERENT label — the
+    * "looks like the positive but isn't" examples a contrastive /
+    * retrieval trainer wants next to each anchor (the in-batch-random
+    * alternative is mostly easy negatives). Same contract and scale
+    * shape as [[knnJoin]] — queries are the SMALL broadcast side, the
+    * corpus streams through once, two-phase top-k so no task holds a
+    * query's full score set — plus one codegen'd label predicate before
+    * any scoring. Same-id rows are excluded independently of label.
+    * Output: (qid, vec_id, cos, rk), rk = 1..k over rounded cosine,
+    * ties broken by id. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(labelCol).as("__ql"),
+      toDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("__cl"),
+      toDouble(col(vecCol)).as("__v"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid") && col("__cl") =!= col("__ql"))
+      .select(col("qid"), col("vec_id"),
+        (round(fastCosine(col("__v"), col("__qv")), 4) + 0.0).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   /** Shared two-phase top-k tail over (qid, vec_id, cos) rows: phase 1
     * prunes to k within each (qid, upstream partition), phase 2 reduces
     * the survivors — no task ever holds one query's full score set. */

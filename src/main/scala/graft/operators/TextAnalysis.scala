@@ -486,6 +486,48 @@ object TextAnalysis {
           .as("dsir_w"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): score
+    * every doc with the corpus-self-trained bigram LM
+    * ([[lmScoreBigram]]), then split each group (source/lang) into
+    * head / middle / tail at its own discrete NLL terciles — the
+    * standard "keep head, sample middle, drop tail" curation signal,
+    * with thresholds per group so a hard language doesn't land wholly
+    * in another's tail.
+    *
+    * Terciles are exact discrete quantiles over the (group, nll)
+    * HISTOGRAM (distinct rounded-NLL values per group, not rows — same
+    * scalable-quantile shape as `Pipelines.quantileCut`), thresholds
+    * broadcast back; cut expressions are `ceil(n/3.0)` /
+    * `ceil(2.0·n/3.0)` so engines agree bit-for-bit. Docs without a
+    * bigram (< 2 tokens) carry no LM score and are absent — screen
+    * them with a length gate first.
+    * Output: (id, group, n_bigrams, nll, ppl_bucket). */
+  def pplBuckets(df: DataFrame, idCol: String, textCol: String,
+                 groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Joins.requireFreeColumns("pplBuckets", df.columns,
+      "n_bigrams", "nll", "ppl_bucket", "__v", "__c", "__cum", "__n",
+      "__t1", "__t2")
+    val scored = df.select(col(idCol), col(groupCol))
+      .join(lmScoreBigram(df, idCol, textCol), idCol)
+    val hist = scored.groupBy(col(groupCol), col("nll").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum("__c").over(Window.partitionBy(groupCol).orderBy(col("__v"))))
+    val tot = hist.groupBy(groupCol).agg(sum("__c").as("__n"))
+    val j = cum.join(tot, groupCol)
+    val t1 = j.where(col("__cum") >= ceil(col("__n").cast("double") / 3.0))
+      .groupBy(groupCol).agg(min("__v").as("__t1"))
+    val t2 = j.where(col("__cum") >=
+        ceil(lit(2.0) * col("__n").cast("double") / 3.0))
+      .groupBy(groupCol).agg(min("__v").as("__t2"))
+    scored.join(broadcast(t1), groupCol).join(broadcast(t2), groupCol)
+      .select(col(idCol), col(groupCol), col("n_bigrams"), col("nll"),
+        when(col("nll") <= col("__t1"), "head")
+          .when(col("nll") <= col("__t2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Word n-grams of a token array: positions 1..len-n+1, space-joined;
     * empty array when the doc is shorter than n. */
   def wordNgrams(toks: Column, n: Int): Column =

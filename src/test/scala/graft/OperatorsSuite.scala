@@ -253,6 +253,34 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L3 hardNegatives ≡ knnJoin restricted to cross-label rows; labels always differ") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 4)
+    val got = Similarity.hardNegatives(queries, emb,
+      "vec_id", "embedding", "label", k = 8)
+    // labels of every (query, negative) pair differ
+    val lbl = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pairs = got.select("qid", "vec_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (q, n, _) => lbl(q) != lbl(n) })
+    // rk contiguous 1..k per query
+    pairs.groupBy(_._1).values.foreach { ps =>
+      assert(ps.map(_._3).sorted.toSeq == (1L to ps.length).toSeq)
+    }
+    // differential: equals knnJoin over a corpus pre-filtered to the
+    // query's label complement, per query
+    for (q <- 0L until 4L) {
+      val mine = got.where(col("qid") === q).orderBy("rk")
+        .select("vec_id", "cos").collect().map(_.toString).toSeq
+      val ref = Similarity.knnJoin(queries.where(col("vec_id") === q),
+          emb.where(col("label") =!= lbl(q)), "vec_id", "embedding", k = 8)
+        .orderBy("rk").select("vec_id", "cos").collect().map(_.toString).toSeq
+      assert(mine == ref, s"qid=$q")
+    }
+  }
+
   test("L3 annKnnJoin: candidates are a bucket-pruned subset; re-rank order matches brute on the overlap") {
     val emb = Tables.embeddings(spark, sfDir)
     // wide probing for the near-orthogonal fixture (see annTopK test)

@@ -101,4 +101,28 @@ class ScoringSuite extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
     assert(got == expected)
   }
+
+  test("ppl buckets: per-source terciles from the LM scores — local threshold reference") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextAnalysis.pplBuckets(docs, "doc_id", "text", "source")
+      .as[(Long, String, Long, Double, String)].collect()
+    assert(got.nonEmpty)
+    // buckets partition each source and respect the NLL order
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val n = rows.length
+      val sorted = rows.map(_._4).sorted
+      val t1 = sorted(math.ceil(n / 3.0).toInt - 1)
+      val t2 = sorted(math.ceil(2.0 * n / 3.0).toInt - 1)
+      rows.foreach { case (id, _, _, nll, b) =>
+        val expected = if (nll <= t1) "head" else if (nll <= t2) "middle" else "tail"
+        assert(b == expected, s"doc $id in $src: nll=$nll t1=$t1 t2=$t2")
+      }
+      val heads = rows.count(_._5 == "head")
+      assert(heads >= math.ceil(n / 3.0).toInt, s"$src head count $heads of $n")
+    }
+    // bucket scores agree with lmScoreBigram run standalone
+    val nll = TextAnalysis.lmScoreBigram(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.forall { case (id, _, _, v, _) => nll(id) == v })
+  }
 }
