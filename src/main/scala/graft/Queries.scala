@@ -1016,6 +1016,18 @@ object Queries {
     TextAnalysis.pplBuckets(documents(s, d), "doc_id", "text", "source")
       .orderBy("doc_id")
 
+  /** KMV corpus-overlap matrix: per-source k=64 sketches over distinct
+    * word bigrams, pairwise Jaccard estimates for all 20 sources. */
+  def xKmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val items = documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("__t"))
+      .select(col("source"),
+        explode(array_distinct(TextAnalysis.wordNgrams(col("__t"), 2)))
+          .as("item"))
+    Pipelines.kmvOverlap(items, "source", "item", k = 64)
+      .orderBy("g1", "g2")
+  }
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

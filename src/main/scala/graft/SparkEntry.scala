@@ -448,7 +448,8 @@ object SparkEntry {
     "x_ngram_novelty" -> (Queries.xNgramNovelty _),
     "x_containment" -> (Queries.xContainment _),
     "x_hard_negatives" -> (Queries.xHardNegatives _),
-    "x_ppl_buckets" -> (Queries.xPplBuckets _)
+    "x_ppl_buckets" -> (Queries.xPplBuckets _),
+    "x_kmv_overlap" -> (Queries.xKmvOverlap _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -975,6 +976,19 @@ object SparkEntry {
         "t2 AS (SELECT source, MIN(hv) AS thr2 FROM cu JOIN tot USING(source) WHERE cum >= CEIL(2.0*CAST(n AS DOUBLE)/3.0) GROUP BY source) " +
         "SELECT doc_id, source, n_bigrams, nll, " +
         "CASE WHEN nll <= thr1 THEN 'head' WHEN nll <= thr2 THEN 'middle' ELSE 'tail' END AS ppl_bucket " +
-        "FROM scd JOIN t1 USING(source) JOIN t2 USING(source) ORDER BY doc_id")
+        "FROM scd JOIN t1 USING(source) JOIN t2 USING(source) ORDER BY doc_id"),
+    // KMV overlap: the sketch is a pure function of the item set, so
+    // both engines build identical k-min lists (lowercase-hex md5
+    // sorts the same under binary collation)
+    "x_kmv_overlap" ->
+      ("WITH d AS (SELECT source, string_split(text,' ') AS s FROM documents), " +
+        "g AS (SELECT source, UNNEST(list_distinct(list_transform(range(1, greatest(len(s) - 1, 0) + 1), i -> array_to_string(s[i : i + 1], ' ')))) AS item FROM d), " +
+        "h AS (SELECT DISTINCT source, md5(item) AS h FROM g), " +
+        "s AS (SELECT source, (list(h ORDER BY h))[1:64] AS kmv FROM h GROUP BY source), " +
+        "p AS (SELECT a.source AS g1, b.source AS g2, a.kmv AS ka, b.kmv AS kb FROM s a JOIN s b ON a.source < b.source), " +
+        "u AS (SELECT g1, g2, ka, kb, list_sort(list_distinct(list_concat(ka, kb)))[1:64] AS ku FROM p) " +
+        "SELECT g1, g2, CAST(len(ku) AS BIGINT) AS k_used, " +
+        "ROUND(CAST(len(list_filter(ku, x -> list_contains(ka, x) AND list_contains(kb, x))) AS DOUBLE)/CAST(len(ku) AS DOUBLE), 4) AS jacc_est " +
+        "FROM u ORDER BY g1, g2")
   ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
 }

@@ -324,6 +324,55 @@ object Pipelines {
       .withColumn("keep", col(valCol).cast("long") <= col("q_thr"))
   }
 
+  /** KMV (k-minimum-values) corpus-overlap estimation (Beyer et al.
+    * SIGMOD'07): per group keep the k lexicographically smallest md5
+    * hashes of its DISTINCT items (tokens, n-grams, URLs…); for every
+    * group pair, Ĵ = |K(k, A∪B) ∩ K(A) ∩ K(B)| / |K(k, A∪B)| where
+    * K(k, ·) is the k smallest of a set. The corpus-vs-corpus overlap
+    * matrix (which sources duplicate each other, how much of a new
+    * crawl is already held) from fixed-size sketches instead of a
+    * vocabulary-sized pair join.
+    *
+    * Deterministic: the sketch is a pure function of the item SET
+    * (md5 order), so estimates are reproducible across runs, engines
+    * and partitionings — unlike seeded-sample sketches. Scale shape:
+    * one (group, hash) distinct, then two-phase min-k (partition-local
+    * `sort_array∘slice` under dominance, then a ≤ partitions·k merge
+    * per group — no per-group global sort); the pair stage joins
+    * GROUP-count rows carrying k hashes each, quadratic only in the
+    * number of corpora compared, never in items.
+    * Output: (g1, g2, k_used, jacc_est), g1 < g2; `k_used` < k flags
+    * pairs whose union had fewer than k distinct items (estimate is
+    * then exact). */
+  def kmvOverlap(items: DataFrame, groupCol: String, itemCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, "kmvOverlap needs k >= 1")
+    Joins.requireFreeColumns("kmvOverlap", items.columns,
+      "g1", "g2", "k_used", "jacc_est")
+    val hashed = items
+      .select(col(groupCol).as("__g"), md5(col(itemCol)).as("__h"))
+      .distinct()
+    val local = hashed.withColumn("__p", spark_partition_id())
+      .groupBy("__g", "__p")
+      .agg(slice(sort_array(collect_set(col("__h"))), 1, k).as("__hs"))
+    // (g, h) is globally distinct, so partition-local sketches are
+    // disjoint — the merge needs no dedup
+    val sk = local.groupBy("__g")
+      .agg(slice(sort_array(flatten(collect_list(col("__hs")))), 1, k)
+        .as("__kmv"))
+    val a = sk.select(col("__g").as("g1"), col("__kmv").as("__ka"))
+    val b = sk.select(col("__g").as("g2"), col("__kmv").as("__kb"))
+    a.join(b, col("g1") < col("g2"))
+      .withColumn("__ku",
+        slice(sort_array(array_distinct(concat(col("__ka"), col("__kb")))),
+          1, k))
+      .select(col("g1"), col("g2"),
+        size(col("__ku")).cast("long").as("k_used"),
+        round(size(array_intersect(array_intersect(col("__ku"), col("__ka")),
+            col("__kb"))).cast("double") / size(col("__ku")).cast("double"), 4)
+          .as("jacc_est"))
+  }
+
   /** Per-source curation decision table: document count, token volume,
     * mean length, verbatim-duplicate fraction (1 − distinct md5(text)
     * share) and language spread per source — the aggregate a

@@ -226,4 +226,50 @@ class PipelinesSuite extends AnyFunSuite {
     assert(lo.exceptAll(Pipelines.mixtureSampleByMd5(docs, "lang", "doc_id",
       rates = Map(langs.head -> 64), default = 128)).count() == 0)
   }
+
+  test("kmvOverlap: equals a local sketch reference; exact when k covers the union") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // crafted: k covers every union → estimate IS the exact Jaccard
+    val items = Seq(
+      "A" -> Seq("x", "y", "z", "w"),
+      "B" -> Seq("x", "y", "q", "r"),
+      "C" -> Seq("m", "n")
+    ).flatMap { case (g, is) => is.map(g -> _) }
+    val df = items.toDF("g", "item")
+    val exact = Pipelines.kmvOverlap(df, "g", "item", k = 100)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(exact(("A", "B")) == 0.3333) // round(2/6, 4)
+    assert(exact(("A", "C")) == 0.0)
+    assert(exact(("B", "C")) == 0.0)
+    // fixture bigrams at k=24: equals a local replication of the
+    // sketch math, hash for hash
+    val docs = Tables.documents(spark, sfDir)
+    val local = docs.select("source", "text").as[(String, String)].collect()
+    val sets = local.groupBy(_._1).map { case (src, rows) =>
+      src -> rows.flatMap(_._2.split(" ", -1).sliding(2)
+        .filter(_.length == 2).map(_.mkString(" "))).toSet
+    }
+    val k = 24
+    val sk = sets.map { case (g, s) => g -> s.map(md5hex).toSeq.sorted.take(k) }
+    val expected = (for {
+      (g1, ka) <- sk; (g2, kb) <- sk if g1 < g2
+    } yield {
+      val ku = (ka ++ kb).distinct.sorted.take(k)
+      val inter = ku.count(h => ka.contains(h) && kb.contains(h))
+      (g1, g2) -> ((ku.size.toLong,
+        BigDecimal(inter.toDouble / ku.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }).toMap
+    val bi = docs.select(col("source"), split(col("text"), " ").as("t"))
+      .select(col("source"), explode(array_distinct(
+        graft.operators.TextAnalysis.wordNgrams(col("t"), 2))).as("item"))
+    val got = Pipelines.kmvOverlap(bi, "source", "item", k)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == expected,
+      s"mismatch: ${got.toSet.diff(expected.toSet).take(3)}")
+  }
 }
