@@ -105,7 +105,42 @@ object ScaleSmoke {
             lit("boilerplate header line")).as("lined"))
         graft.operators.Dedup.dropBoilerplateLines(
           lined, "doc_id", "lined", maxDocFreq = 10)
-      }))
+      }),
+      // trigram novelty over the full corpus: explode + gram-keyed
+      // doc-freq + join back. Replica copies share interior grams, so
+      // per-gram doc-freq grows ∝ copies — the join stays (gram → one
+      // count row) ⋈ instances, so time must track rows, not df²
+      ("x_novelty_full", Seq("documents"), (s: SparkSession, d: String) =>
+        graft.operators.TextAnalysis.ngramNovelty(
+          Tables.documents(s, d), "doc_id", "text", n = 3)),
+      // containment decontamination with a FIXED 500-doc eval slice
+      // against the growing corpus: corpus-side gram stream grows ∝
+      // rows; matched pairs grow ∝ copies (each copy holds the eval
+      // docs' near-dup partners); the stop-gram cut keeps any single
+      // gram's fan-out bounded — time must track rows
+      ("x_containment_full", Seq("documents"), (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.TextAnalysis.containmentPairs(
+          docs.where(col("doc_id") < 500), docs,
+          "doc_id", "text", n = 5, tau = 0.3, maxDocFreq = 500L)
+      }),
+      // KMV overlap over the full corpus: the (source, hash) distinct
+      // dominates and is ∝ distinct items; sketches stay k rows per
+      // source whatever the corpus size, so the pair stage is constant
+      ("x_kmv_full", Seq("documents"), (s: SparkSession, d: String) => {
+        val items = Tables.documents(s, d)
+          .select(col("source"), split(col("text"), " ").as("__t"))
+          .select(col("source"), explode(array_distinct(
+            graft.operators.TextAnalysis.wordNgrams(col("__t"), 2))).as("item"))
+        graft.operators.Pipelines.kmvOverlap(items, "source", "item", k = 64)
+      }),
+      // CCNet ppl buckets over the full corpus: the lm path's audited
+      // shuffles + a histogram whose size is distinct rounded NLLs per
+      // source (bounded by rounding, not rows) — time must track the
+      // lm pass
+      ("x_ppl_full", Seq("documents"), (s: SparkSession, d: String) =>
+        graft.operators.TextAnalysis.pplBuckets(
+          Tables.documents(s, d), "doc_id", "text", "source")))
       // NOT here: x_simhash_pairs. Cross-copy replica twins (same text,
       // different c<copy> tag) are TRUE near-dups under hamming ≤ 3, so
       // the replica's verified-pair output grows as copies² by workload
