@@ -1028,6 +1028,23 @@ object Queries {
       .orderBy("g1", "g2")
   }
 
+  /** Incremental near-dup probe: delta = re-crawl variants of docs
+    * 100-149 (a "re " prefix — near-dup, not exact-dup) plus fresh
+    * docs [400, 600); seen = docs < 400; pairs at Jaccard ≥ 0.8.
+    * LSH candidates + exact verify ≡ the exact cross-corpus pairwise
+    * at these params (recall ≈ 1 at j ≥ 0.8, differential-asserted). */
+  def xIncrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val delta = docs.where(col("doc_id").between(100, 149))
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(lit("re "), col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") >= 400 && col("doc_id") < 600)
+        .select("doc_id", "text"))
+    val seen = docs.where(col("doc_id") < 400).select("doc_id", "text")
+    Dedup.incrementalNearDupPairs(delta, seen, "doc_id", "text", tau = 0.8)
+      .orderBy("delta_id", "seen_id")
+  }
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

@@ -449,7 +449,8 @@ object SparkEntry {
     "x_containment" -> (Queries.xContainment _),
     "x_hard_negatives" -> (Queries.xHardNegatives _),
     "x_ppl_buckets" -> (Queries.xPplBuckets _),
-    "x_kmv_overlap" -> (Queries.xKmvOverlap _)
+    "x_kmv_overlap" -> (Queries.xKmvOverlap _),
+    "x_incr_neardup" -> (Queries.xIncrementalNearDup _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -989,6 +990,15 @@ object SparkEntry {
         "u AS (SELECT g1, g2, ka, kb, list_sort(list_distinct(list_concat(ka, kb)))[1:64] AS ku FROM p) " +
         "SELECT g1, g2, CAST(len(ku) AS BIGINT) AS k_used, " +
         "ROUND(CAST(len(list_filter(ku, x -> list_contains(ka, x) AND list_contains(kb, x))) AS DOUBLE)/CAST(len(ku) AS DOUBLE), 4) AS jacc_est " +
-        "FROM u ORDER BY g1, g2")
+        "FROM u ORDER BY g1, g2"),
+    // incremental near-dup: exact cross-corpus pairwise oracle — the
+    // Spark side's LSH front is output-invisible at these params
+    // (recall ≈ 1 at j ≥ 0.8; differential-asserted in OperatorsSuite)
+    "x_incr_neardup" ->
+      ("WITH seen AS (SELECT doc_id AS seen_id, list_distinct(string_split(text,' ')) AS tok FROM documents WHERE doc_id < 400), " +
+        "delta AS (SELECT doc_id + 10000 AS delta_id, list_distinct(string_split('re ' || text,' ')) AS tok FROM documents WHERE doc_id BETWEEN 100 AND 149 " +
+        "UNION ALL SELECT doc_id, list_distinct(string_split(text,' ')) FROM documents WHERE doc_id >= 400 AND doc_id < 600), " +
+        "p AS (SELECT delta_id, seen_id, len(list_intersect(d.tok, s.tok))/CAST(len(list_distinct(list_concat(d.tok, s.tok))) AS DOUBLE) AS jr FROM delta d CROSS JOIN seen s) " +
+        "SELECT delta_id, seen_id, ROUND(jr, 4) AS j FROM p WHERE jr >= 0.8 ORDER BY delta_id, seen_id")
   ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
 }

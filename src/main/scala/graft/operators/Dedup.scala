@@ -158,6 +158,41 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("__j"), 4).as("j"))
   }
 
+  /** Incremental near-dup: which DELTA docs are near-dups (token-set
+    * Jaccard ≥ `tau`) of which already-ingested SEEN docs — the
+    * continuous-crawl form of [[minHashLshPairs]], where re-banding the
+    * whole corpus per batch would be the naive alternative. Both sides
+    * band with the SAME seed-pinned minhash family, candidates come
+    * from the asymmetric band-key equi-join (no seen×seen or
+    * delta×delta work — exactly the pairs a self-join would add and
+    * this use case doesn't want), and only candidates get the exact
+    * verify join. The seen side's banded form is a pure projection of
+    * the seen corpus, so a production deployment persists it once and
+    * appends each batch's bands — this operator IS that probe.
+    * Output: (delta_id, seen_id, j) at j ≥ tau.
+    *
+    * Same recall algebra as [[minHashLshPairs]]: with r =
+    * numHashes/bands, P(candidate | j) = 1-(1-j^r)^bands — ≈ 1 at the
+    * default (64, 32) for j ≥ 0.6. */
+  def incrementalNearDupPairs(delta: DataFrame, seen: DataFrame,
+                              idCol: String, textCol: String, tau: Double,
+                              numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    val bd = bandKeys(delta, idCol, textCol, numHashes, bands)
+      .withColumnRenamed("__id", "delta_id")
+    val bs = bandKeys(seen, idCol, textCol, numHashes, bands)
+      .withColumnRenamed("__id", "seen_id")
+    val cand = bd.join(bs, "__bkey")
+      .select("delta_id", "seen_id").dropDuplicates("delta_id", "seen_id")
+    val t1 = delta.select(col(idCol).as("delta_id"),
+      tokenSet(col(textCol)).as("__t1"))
+    val t2 = seen.select(col(idCol).as("seen_id"),
+      tokenSet(col(textCol)).as("__t2"))
+    cand.join(t1, "delta_id").join(t2, "seen_id")
+      .withColumn("__j", jaccard(col("__t1"), col("__t2")))
+      .where(col("__j") >= tau)
+      .select(col("delta_id"), col("seen_id"), round(col("__j"), 4).as("j"))
+  }
+
   /** (doc id, band key) rows: `bands` LSH keys per doc, each a hash of
     * (band index, its `numHashes/bands`-value signature slice). Shared
     * by the verified pair path and the LSH-only star-edge path — at

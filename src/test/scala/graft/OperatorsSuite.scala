@@ -253,6 +253,37 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L1i incremental near-dup ≡ exact cross-corpus pairwise; no within-side pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.where(col("doc_id").between(100, 119))
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(lit("re "), col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") >= 400 && col("doc_id") < 450)
+        .select("doc_id", "text"))
+    val seen = docs.where(col("doc_id") < 400).select("doc_id", "text")
+    val got = Dedup.incrementalNearDupPairs(delta, seen, "doc_id", "text",
+        tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exact reference: brute cross pairwise on collected token sets
+    def tokset(s: String) = s.split(" ", -1).toSet
+    val dl = delta.collect().map(r => r.getLong(0) -> tokset(r.getString(1)))
+    val sn = seen.collect().map(r => r.getLong(0) -> tokset(r.getString(1)))
+    val expected = (for {
+      (di, dt) <- dl; (si, st) <- sn
+      j = (dt & st).size.toDouble / (dt | st).size
+      if j >= 0.8
+    } yield (di, si,
+      BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got == expected,
+      s"sym diff: ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+    assert(got.nonEmpty)
+    // asymmetry: every pair is delta-on-the-left (the re-crawl ids and
+    // fresh ids only), seen-on-the-right
+    val deltaIds = dl.map(_._1).toSet
+    assert(got.forall { case (d1, s1, _) =>
+      deltaIds.contains(d1) && !deltaIds.contains(s1) })
+  }
+
   test("L3 hardNegatives ≡ knnJoin restricted to cross-label rows; labels always differ") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.where(col("vec_id") < 4)
