@@ -90,6 +90,29 @@ object StreamOps {
     deduped.unionByName(passthrough)
   }
 
+  /** T6 × L1n: streaming "fuzzy exact" dedup — keep the first document
+    * per NORMALIZED-text hash ([[graft.operators.Dedup.normalizeText]]:
+    * lowercase, de-punctuate, collapse whitespace), so casing and
+    * punctuation re-crawls collapse in flight. The normalize+md5 is a
+    * stateless codegen'd projection; state is one hash per distinct
+    * normalized form, watermark-evicted exactly as [[simHashDedup]]
+    * (same WithinWatermark contract, same both-kept trade past the
+    * delay). Null text normalizes to null — those rows pass through
+    * undeduped (`norm_h` null), never silently dropped. */
+  def normalizedDedup(docs: DataFrame, textCol: String): DataFrame = {
+    graft.operators.Joins.requireFreeColumns("normalizedDedup",
+      docs.columns, "norm_h")
+    val hashed = docs.where(col(textCol).isNotNull)
+      .withColumn("norm_h",
+        md5(graft.operators.Dedup.normalizeText(col(textCol))))
+    val deduped =
+      if (hashed.isStreaming) hashed.dropDuplicatesWithinWatermark("norm_h")
+      else hashed.dropDuplicates("norm_h")
+    val passthrough = docs.where(col(textCol).isNull)
+      .withColumn("norm_h", lit(null).cast("string"))
+    deduped.unionByName(passthrough)
+  }
+
   /** Stream-stream event-time interval join (the T-family's join leg):
     * each left event matched to same-key right events with `r.ts` in
     * `(l.ts, l.ts + within]` — the enrich-a-click-with-its-impressions

@@ -316,6 +316,31 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(pv.contains("TakeOrderedAndProject"), pv)
   }
 
+  test("L3n/L1n/KMV: hard-negatives broadcast queries; norm-dedup and KMV are window-free") {
+    import graft.operators.{Dedup, Pipelines, Similarity}
+    val emb = Tables.embeddings(spark, sfDir)
+    // the query side must broadcast (corpus scanned once, no shuffle of
+    // raw vectors); a shuffled join here re-partitions the corpus by a
+    // key that doesn't exist — only the two-phase top-k may shuffle
+    val ph = plan(Similarity.hardNegatives(emb.where(col("vec_id") < 4),
+      emb, "vec_id", "embedding", "label", k = 8))
+    assert(ph.contains("BroadcastNestedLoopJoin"), ph)
+    assert(!ph.contains("SortMergeJoin"), ph)
+    val docs = Tables.documents(spark, sfDir)
+    // normalized dedup labels via groupBy + join back — a window over
+    // partitionBy(norm_h) would pin a mega-dup-group to one task
+    val pn = plan(Dedup.normalizedDedup(docs, "doc_id", "text"))
+    assert(!pn.contains("Window"), pn)
+    assert(pn.contains("partial_min") || pn.contains("partial_count"), pn)
+    // KMV sketches merge via partition-local min-k, never a per-group
+    // global rank window over all distinct hashes
+    val items = docs.select(col("source"), split(col("text"), " ").as("t"))
+      .select(col("source"), explode(array_distinct(
+        graft.operators.TextAnalysis.wordNgrams(col("t"), 2))).as("item"))
+    val pk = plan(Pipelines.kmvOverlap(items, "source", "item", k = 64))
+    assert(!pk.contains("Window"), pk)
+  }
+
   test("L6b: star-edge bucket min is a partial agg, never a per-bucket window") {
     // a window min over partitionBy(bkey) would pin a mega-bucket (100M
     // near-identical docs sharing a band key) to ONE task; the groupBy

@@ -225,6 +225,42 @@ class StreamingSuite extends AnyFunSuite {
     assert(sortedRows(exprForm) == sortedRows(aggForm))
   }
 
+  test("T6×L1n: streaming normalized dedup — kept hash set equals batch; null text passes through") {
+    // same contract as the SimHash test, on the normalize+md5 key:
+    // the SET of surviving normalized hashes is deterministic (which
+    // variant survives a within-batch tie is not), and null-text rows
+    // are never lost. Variants of docs < 30 guarantee real collapses.
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, sfDir).where(col("doc_id") < 150)
+      .select(col("doc_id"), col("text"))
+    val withVariants = base.unionByName(
+      base.where(col("doc_id") < 30).select((col("doc_id") + 5000L).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text")))
+    val rows = withVariants.as[(Long, String)].collect().toSeq :+
+      ((9999L, null.asInstanceOf[String]))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val src = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+    val q = StreamOps.normalizedDedup(src, "text")
+      .writeStream.format("memory").queryName("t6l1n").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("t6l1n")
+    val streamedHashes = streamed.where(col("norm_h").isNotNull)
+      .select("norm_h").as[String].collect().sorted.toSeq
+    val batchHashes = withVariants
+      .select(md5(graft.operators.Dedup.normalizeText(col("text"))).as("h"))
+      .distinct().as[String].collect().sorted.toSeq
+    assert(streamedHashes.nonEmpty && streamedHashes == batchHashes)
+    // every variant collapsed onto its base's normalized form
+    assert(streamedHashes.distinct.size == streamedHashes.size)
+    assert(streamed.where(col("doc_id") === 9999L).count() == 1)
+    assert(streamed.where(col("doc_id") === 9999L)
+      .select("norm_h").collect()(0).getAs[Any]("norm_h") == null)
+  }
+
   test("T1/S9/S10: ORC file sink is exactly-once across restart") {
     val dir = Files.createTempDirectory("graft_stream").toString
     val src = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
