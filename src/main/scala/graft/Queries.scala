@@ -1045,6 +1045,12 @@ object Queries {
       .orderBy("delta_id", "seen_id")
   }
 
+  /** BPE first-merge candidate table: top-50 within-word character
+    * pairs by frequency-weighted count. */
+  def xBpeMerges(s: SparkSession, d: String): DataFrame =
+    Pipelines.bpeMergeCandidates(documents(s, d), "text", k = 50)
+      .orderBy("rank")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

@@ -450,7 +450,8 @@ object SparkEntry {
     "x_hard_negatives" -> (Queries.xHardNegatives _),
     "x_ppl_buckets" -> (Queries.xPplBuckets _),
     "x_kmv_overlap" -> (Queries.xKmvOverlap _),
-    "x_incr_neardup" -> (Queries.xIncrementalNearDup _)
+    "x_incr_neardup" -> (Queries.xIncrementalNearDup _),
+    "x_bpe_merges" -> (Queries.xBpeMerges _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -999,6 +1000,16 @@ object SparkEntry {
         "delta AS (SELECT doc_id + 10000 AS delta_id, list_distinct(string_split('re ' || text,' ')) AS tok FROM documents WHERE doc_id BETWEEN 100 AND 149 " +
         "UNION ALL SELECT doc_id, list_distinct(string_split(text,' ')) FROM documents WHERE doc_id >= 400 AND doc_id < 600), " +
         "p AS (SELECT delta_id, seen_id, len(list_intersect(d.tok, s.tok))/CAST(len(list_distinct(list_concat(d.tok, s.tok))) AS DOUBLE) AS jr FROM delta d CROSS JOIN seen s) " +
-        "SELECT delta_id, seen_id, ROUND(jr, 4) AS j FROM p WHERE jr >= 0.8 ORDER BY delta_id, seen_id")
+        "SELECT delta_id, seen_id, ROUND(jr, 4) AS j FROM p WHERE jr >= 0.8 ORDER BY delta_id, seen_id"),
+    // BPE merge candidates: all-integer counts over the distinct word
+    // table; count ties break lexicographically on both engines
+    "x_bpe_merges" ->
+      ("WITH t AS (SELECT UNNEST(string_split(text,' ')) AS w FROM documents), " +
+        "w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM t WHERE length(w) >= 2 GROUP BY w), " +
+        "ti AS (SELECT w, c, UNNEST(range(1, length(w))) AS i FROM w), " +
+        "p AS (SELECT substring(w, i, 2) AS pair, c FROM ti), " +
+        "g AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM p GROUP BY pair), " +
+        "k AS (SELECT pair, cnt FROM g ORDER BY cnt DESC, pair LIMIT 50) " +
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank, pair, cnt FROM k ORDER BY rank")
   ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
 }

@@ -324,6 +324,38 @@ object Pipelines {
       .withColumn("keep", col(valCol).cast("long") <= col("q_thr"))
   }
 
+  /** BPE merge candidates (Sennrich et al. 2016 — the first merge
+    * iteration of byte-pair-encoding tokenizer training): corpus-wide
+    * counts of adjacent character pairs WITHIN words (pair occurrences
+    * weighted by word frequency, "aaa" counts "aa" twice), top-k by
+    * count — the argmax of this table is BPE's first merge, and the
+    * table itself is the corpus statistic each subsequent iteration
+    * recomputes over a shrinking symbol stream. Sits next to
+    * [[vocabCoverage]] in the tokenizer-prep family.
+    *
+    * Scale shape: the pair explode runs over the DISTINCT word table
+    * (vocabulary-sized, with exact long counts), not the token stream —
+    * a 10^11-token corpus with a 10^7 vocabulary explodes 10^7·avg_len
+    * pairs; the count groupBy partial-aggs and the top-k is TakeOrdered
+    * (never a global sort). Ties break lexicographically.
+    * Output: (rank, pair, cnt), rank = 1..k. */
+  def bpeMergeCandidates(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "bpeMergeCandidates needs k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(explode(split(col(textCol), " ")).as("__w"))
+      .where(length(col("__w")) >= 2)
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val pairs = words.select(col("__c"),
+      explode(transform(sequence(lit(1), length(col("__w")) - 1),
+        i => col("__w").substr(i, lit(2)))).as("pair"))
+    pairs.groupBy("pair").agg(sum("__c").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair")))
+          .cast("long"))
+      .select("rank", "pair", "cnt")
+  }
+
   /** KMV (k-minimum-values) corpus-overlap estimation (Beyer et al.
     * SIGMOD'07): per group keep the k lexicographically smallest md5
     * hashes of its DISTINCT items (tokens, n-grams, URLs…); for every

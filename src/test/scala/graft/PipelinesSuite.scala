@@ -227,6 +227,34 @@ class PipelinesSuite extends AnyFunSuite {
       rates = Map(langs.head -> 64), default = 128)).count() == 0)
   }
 
+  test("bpeMergeCandidates: closed form with within-word multiplicity; local reference on the fixture") {
+    // "aaab" contributes aa×2, ab×1 per occurrence; word freq weights
+    val df = Seq("aaab aaab cd", "cd x").toDF("text")
+    val out = Pipelines.bpeMergeCandidates(df, "text", k = 10)
+      .as[(Long, String, Long)].collect().toSeq
+    // counts: aa = 2 pairs × 2 occurrences = 4; ab = 2; cd = 2; x dropped (len 1)
+    assert(out == Seq((1L, "aa", 4L), (2L, "ab", 2L), (3L, "cd", 2L)))
+    // local reference over fixture docs
+    val docs = Tables.documents(spark, sfDir)
+    val local = docs.select("text").as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    local.flatMap(_.split(" ", -1)).filter(_.length >= 2).foreach { w =>
+      (0 until w.length - 1).foreach { i =>
+        counts(w.substring(i, i + 2)) += 1L
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+      .zipWithIndex.map { case ((p, c), i) => (i + 1L, p, c) }
+    val got = Pipelines.bpeMergeCandidates(docs, "text", k = 20)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == expected)
+    // the top-k must plan as TakeOrdered, never a global sort
+    val plan = Pipelines.bpeMergeCandidates(docs, "text", k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("kmvOverlap: equals a local sketch reference; exact when k covers the union") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
