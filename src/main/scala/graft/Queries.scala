@@ -1051,6 +1051,20 @@ object Queries {
     Pipelines.bpeMergeCandidates(documents(s, d), "text", k = 50)
       .orderBy("rank")
 
+  /** Leakage-free split over the dup-dense slice: near-dup clusters at
+    * τ=0.8 (docs < 200), whole clusters assigned to one split. */
+  def xClusterSplit(s: SparkSession, d: String): DataFrame =
+    Pipelines.leakFreeSplit(
+        documents(s, d).where(col("doc_id") < 200), "doc_id", "text",
+        tau = 0.8)
+      .orderBy("doc_id")
+
+  /** √-temperature mixture rates per language (α = 1/2): the rate
+    * table that re-balances the en-heavy fixture corpus. */
+  def xTemperature(s: SparkSession, d: String): DataFrame =
+    Pipelines.sqrtTemperatureRates(documents(s, d), "lang")
+      .orderBy("lang")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

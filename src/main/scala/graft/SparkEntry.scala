@@ -451,7 +451,9 @@ object SparkEntry {
     "x_ppl_buckets" -> (Queries.xPplBuckets _),
     "x_kmv_overlap" -> (Queries.xKmvOverlap _),
     "x_incr_neardup" -> (Queries.xIncrementalNearDup _),
-    "x_bpe_merges" -> (Queries.xBpeMerges _)
+    "x_bpe_merges" -> (Queries.xBpeMerges _),
+    "x_cluster_split" -> (Queries.xClusterSplit _),
+    "x_temperature" -> (Queries.xTemperature _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1010,6 +1012,28 @@ object SparkEntry {
         "p AS (SELECT substring(w, i, 2) AS pair, c FROM ti), " +
         "g AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM p GROUP BY pair), " +
         "k AS (SELECT pair, cnt FROM g ORDER BY cnt DESC, pair LIMIT 50) " +
-        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank, pair, cnt FROM k ORDER BY rank")
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank, pair, cnt FROM k ORDER BY rank"),
+    // leakage-free split: x_dedup_clusters' recursive closure + the
+    // x_split nibble mapping, keyed on the CLUSTER id
+    "x_cluster_split" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS tok FROM documents WHERE doc_id < 200), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.tok,b.tok))/CAST(len(list_distinct(list_concat(a.tok,b.tok))) AS DOUBLE) >= 0.8), " +
+        "e AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p), " +
+        "r AS (SELECT doc_id AS src, doc_id AS dst FROM t UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a), " +
+        "c AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM r GROUP BY src), " +
+        "cc AS (SELECT doc_id, cluster_id, CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS csize, " +
+        "CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)),1,1) AS BIGINT) AS b FROM c) " +
+        "SELECT doc_id, cluster_id, csize, " +
+        "CASE WHEN b < 14 THEN 'train' WHEN b < 15 THEN 'val' ELSE 'test' END AS split " +
+        "FROM cc ORDER BY doc_id"),
+    // sqrt-temperature rates: sqrt is IEEE-correctly-rounded on both
+    // engines (why alpha is pinned at 1/2); counts are exact longs
+    "x_temperature" ->
+      ("WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang), " +
+        "m AS (SELECT MIN(n_docs) AS mn FROM s) " +
+        "SELECT lang, n_docs, ROUND(SQRT(CAST(mn AS DOUBLE)/CAST(n_docs AS DOUBLE)), 4) AS keep_frac, " +
+        "LEAST(256, CAST(CEIL(SQRT(CAST(mn AS DOUBLE)/CAST(n_docs AS DOUBLE)) * 256) AS BIGINT)) AS keep256 " +
+        "FROM s CROSS JOIN m ORDER BY lang")
   ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
 }

@@ -49,6 +49,50 @@ object Pipelines {
     df.withColumn("split", splitExpr)
   }
 
+  /** Leakage-free train/val/test split: assign each doc the split of
+    * its NEAR-DUP CLUSTER (md5 of the cluster id, same nibble cuts as
+    * [[splitByMd5Prefix]]), so two near-duplicate documents can never
+    * land on opposite sides of a train/eval boundary — the standard
+    * eval-contamination failure of splitting on doc id, fixed at the
+    * split stage rather than by post-hoc decontamination. Composes
+    * [[Dedup.nearDupClusters]] (MinHash-LSH + exact verify + CC; its
+    * scale posture applies) with the content-addressed split; docs in
+    * no cluster are their own singleton (cluster_id = own id) and
+    * split independently, exactly as before.
+    * Output: (id, cluster_id, csize, split). */
+  def leakFreeSplit(docs: DataFrame, idCol: String, textCol: String,
+                    tau: Double,
+                    cuts: Seq[(String, Int)] =
+                      Seq("train" -> 14, "val" -> 15, "test" -> 16)): DataFrame =
+    splitByMd5Prefix(
+      Dedup.nearDupClusters(docs, idCol, textCol, tau), "cluster_id", cuts)
+
+  /** √-temperature mixture rates (temperature sampling at α = 1/2,
+    * the multilingual-corpus re-balancing convention of XLM-R /
+    * mT5-style mixing): per stratum the keep fraction
+    * `sqrt(min_n / n_s)` — the per-doc rate that turns the observed
+    * distribution into the α = 0.5-tempered one, normalized so the
+    * smallest stratum keeps everything. `keep256 = min(256,
+    * ⌈frac·256⌉)` feeds [[mixtureSampleByMd5]] directly.
+    *
+    * α is FIXED at 1/2 on purpose: sqrt is correctly rounded by IEEE
+    * 754 on every engine, so the rate table is bit-deterministic —
+    * a general `pow(n, α-1)` is not correctly rounded and two engines
+    * can disagree in the last ulp (and after rounding). One partial-agg
+    * groupBy + a 1-row broadcast min.
+    * Output: (stratum, n_docs, keep_frac, keep256). */
+  def sqrtTemperatureRates(df: DataFrame, stratumCol: String): DataFrame = {
+    Joins.requireFreeColumns("sqrtTemperatureRates", Seq(stratumCol),
+      "n_docs", "keep_frac", "keep256")
+    val s = df.groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
+    val m = s.agg(min("n_docs").as("__mn"))
+    val frac = sqrt(col("__mn").cast("double") / col("n_docs").cast("double"))
+    s.crossJoin(broadcast(m))
+      .select(col(stratumCol), col("n_docs"),
+        round(frac, 4).as("keep_frac"),
+        least(lit(256L), ceil(frac * 256).cast("long")).as("keep256"))
+  }
+
   /** Deterministic content-addressed sample: keep a row iff its first
     * md5 byte (of the id) falls under `keep256`/256 — a pure filter, no
     * RNG state, the same rows survive on every engine, every run, and

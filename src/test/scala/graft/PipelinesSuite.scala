@@ -255,6 +255,47 @@ class PipelinesSuite extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("leakFreeSplit: whole clusters share a split; no near-dup pair crosses a boundary") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 200)
+    val out = Pipelines.leakFreeSplit(docs, "doc_id", "text", tau = 0.8)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == docs.count())
+    // every cluster maps to exactly one split
+    out.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).distinct.length == 1)
+    }
+    // and therefore no verified near-dup pair straddles a boundary
+    val splitOf = out.map(r => r._1 -> r._3).toMap
+    val pairs = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) crosses splits")
+    }
+    // all three splits are populated on this slice (fixture property)
+    assert(out.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+  }
+
+  test("sqrtTemperatureRates: closed form, smallest stratum keeps all, rates anti-monotone in size") {
+    val df = (Seq.fill(100)("big") ++ Seq.fill(25)("small") ++
+      Seq.fill(49)("mid")).toDF("s")
+    val got = Pipelines.sqrtTemperatureRates(df, "s")
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("small") == ((25L, 1.0, 256L)))
+    assert(got("mid") == ((49L, 0.7143, 183L))) // sqrt(25/49)=5/7; ceil(0.714...*256)
+    assert(got("big") == ((100L, 0.5, 128L)))
+    // fixture: rates strictly anti-monotone in stratum size
+    val langs = Pipelines.sqrtTemperatureRates(
+        Tables.documents(spark, sfDir), "lang")
+      .as[(String, Long, Double, Long)].collect().sortBy(_._2)
+    assert(langs.head._3 == 1.0 && langs.head._4 == 256L)
+    langs.sliding(2).foreach { case Array(a, b) =>
+      if (a._2 < b._2) assert(a._3 >= b._3 && a._4 >= b._4)
+    }
+  }
+
   test("kmvOverlap: equals a local sketch reference; exact when k covers the union") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
