@@ -140,7 +140,20 @@ object ScaleSmoke {
       // lm pass
       ("x_ppl_full", Seq("documents"), (s: SparkSession, d: String) =>
         graft.operators.TextAnalysis.pplBuckets(
-          Tables.documents(s, d), "doc_id", "text", "source")))
+          Tables.documents(s, d), "doc_id", "text", "source")),
+      // incremental near-dup with a FIXED 100-doc delta vs the growing
+      // seen corpus: seen-side banding ∝ rows; each delta doc's match
+      // set grows ∝ copies (replica twins stay near-dups), so candidate
+      // and verify work are both ∝ copies — never seen×seen
+      ("x_incr_neardup_full", Seq("documents"), (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val delta = docs.where(col("doc_id") < 100)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("re "), col("text")).as("text"))
+        graft.operators.Dedup.incrementalNearDupPairs(delta,
+          docs.select(col("doc_id"), col("text")), "doc_id", "text",
+          tau = 0.8)
+      }))
       // NOT here: x_simhash_pairs. Cross-copy replica twins (same text,
       // different c<copy> tag) are TRUE near-dups under hamming ≤ 3, so
       // the replica's verified-pair output grows as copies² by workload

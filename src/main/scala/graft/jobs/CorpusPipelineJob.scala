@@ -37,7 +37,10 @@ object CorpusPipelineJob {
       // the discrete p-quantile (docs above the threshold drop), and
       // a token-entropy floor (repetitive/templated docs drop)
       lengthTailP: Double = 0.0,
-      minTokenEntropy: Double = 0.0)
+      minTokenEntropy: Double = 0.0,
+      // √-temperature re-balancing ("" = skip): stratum column whose
+      // observed post-filter sizes derive α=1/2 keep rates
+      temperatureStratum: String = "")
 
   /** The curated variant — same shape, stronger policies at every stage:
     *
@@ -115,8 +118,22 @@ object CorpusPipelineJob {
       .withColumn("lang_pred", TextAnalysis.langIdGuess(col(cfg.textCol)))
     val scrubbed = filtered.withColumn(cfg.textCol,
       Pipelines.scrubPii(col(cfg.textCol)))
+    // optional √-temperature re-balance over the SURVIVING corpus (rates
+    // from post-filter sizes, so filtering skew doesn't double-count).
+    // The rate table collect is strata-sized (languages/sources), never
+    // corpus-sized; the sample itself is the Exchange-free md5 filter.
+    val tempered =
+      if (cfg.temperatureStratum.isEmpty) scrubbed
+      else {
+        val rates = Pipelines.sqrtTemperatureRates(
+            scrubbed, cfg.temperatureStratum)
+          .select(col(cfg.temperatureStratum), col("keep256"))
+          .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+        Pipelines.mixtureSampleByMd5(scrubbed, cfg.temperatureStratum,
+          cfg.idCol, rates, default = 256)
+      }
     val out = Pipelines.shardForOutput(
-      Pipelines.splitByHash(scrubbed, cfg.idCol), cfg.idCol, cfg.shards)
+      Pipelines.splitByHash(tempered, cfg.idCol), cfg.idCol, cfg.shards)
     if (cfg.packCapacity <= 0) out
     else {
       // final stage: each surviving doc's context-window assignment —

@@ -99,6 +99,28 @@ class CorpusPipelineSuite extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("temperature stage: tempered output ⊆ untempered; smallest lang keeps all; rates anti-monotone") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 120)
+      .select("doc_id", "text", "lang")
+    val cfg = CorpusPipelineJob.Config(nearDupTau = 0.8, minQuality = 0.0,
+      shards = 4, gopherMinStop = 1, gopherMinWords = 2,
+      maxDupLineFrac = 1.0, maxDup5CharFrac = 1.0)
+    val plain = CorpusPipelineJob.runCurated(docs, None, cfg)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val tempered = CorpusPipelineJob.runCurated(docs, None,
+        cfg.copy(temperatureStratum = "lang"))
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    // a pure filter on the untempered output
+    assert(tempered.map(_._1).toSet.subsetOf(plain.map(_._1).toSet))
+    assert(tempered.nonEmpty)
+    // the smallest surviving stratum keeps every doc (rate 256)
+    val sizes = plain.groupBy(_._2).map { case (l, r) => l -> r.length }
+    val keptSizes = tempered.groupBy(_._2).map { case (l, r) => l -> r.length }
+      .withDefaultValue(0)
+    val smallest = sizes.minBy { case (l, n) => (n, l) }._1
+    assert(keptSizes(smallest) == sizes(smallest))
+  }
+
   test("statistical gates: length tail and low-entropy docs drop, thresholds honored") {
     // crafted outliers: a doc far above the corpus length tail, and a
     // zero-entropy doc (one stop word repeated 40×). Repetition
