@@ -138,8 +138,8 @@ object Bench {
     // ~2000 chars of stdout, and with 100+ entries the one-line-per-contract
     // JSON is ~5 KB — rounds 1-6 all came back `parsed: null` because the
     // line's head (metric/value/queries) fell off the capture window.
-    val detailPath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_FULL.json")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      new java.io.File("BENCH_FULL.json").getAbsolutePath)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       (fullLine + "\n").getBytes("UTF-8"))

@@ -973,13 +973,20 @@ object Queries {
   /** Normalized exact dedup over documents plus synthesized
     * casing/punctuation variants of docs < 50 (the fixture corpus has
     * no verbatim dups, so the variants are what the normalizer must
-    * collapse; verbatim-hash dedup sees them as distinct). */
+    * collapse; verbatim-hash dedup sees them as distinct). Two planted
+    * degenerate rows — null text and punctuation-only text — exercise
+    * the singleton passthrough (null norm_h, keep = true). */
   def xNormDedup(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("text"))
     val variants = documents(s, d).where(col("doc_id") < 50)
       .select((col("doc_id") + 10000L).as("doc_id"),
         concat(upper(col("text")), lit(" !!")).as("text"))
-    Dedup.normalizedDedup(base.unionByName(variants), "doc_id", "text")
+    val degenerate = s.range(1)
+      .select(lit(20000L).as("doc_id"), lit(null).cast("string").as("text"))
+      .unionByName(s.range(1)
+        .select(lit(20001L).as("doc_id"), lit("!!! ??? ...").as("text")))
+    Dedup.normalizedDedup(
+        base.unionByName(variants).unionByName(degenerate), "doc_id", "text")
       .orderBy("doc_id")
   }
 

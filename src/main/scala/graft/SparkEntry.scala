@@ -922,11 +922,13 @@ object SparkEntry {
     // collapse onto their bases
     "x_norm_dedup" ->
       ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 10000, upper(text) || ' !!' FROM documents WHERE doc_id < 50), " +
-        "d AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_h FROM u), " +
-        "g AS (SELECT norm_h, MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS dup_count FROM d GROUP BY norm_h) " +
-        "SELECT doc_id, norm_h, rep_id, dup_count, doc_id = rep_id AS keep " +
-        "FROM d JOIN g USING(norm_h) ORDER BY doc_id"),
+        "SELECT doc_id + 10000, upper(text) || ' !!' FROM documents WHERE doc_id < 50 " +
+        "UNION ALL SELECT CAST(20000 AS BIGINT), CAST(NULL AS VARCHAR) " +
+        "UNION ALL SELECT CAST(20001 AS BIGINT), '!!! ??? ...'), " +
+        "d AS (SELECT doc_id, CASE WHEN text IS NULL OR trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) = '' THEN NULL ELSE md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) END AS norm_h FROM u), " +
+        "g AS (SELECT norm_h, MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS dup_count FROM d WHERE norm_h IS NOT NULL GROUP BY norm_h) " +
+        "SELECT d.doc_id, d.norm_h, COALESCE(rep_id, d.doc_id) AS rep_id, CAST(COALESCE(dup_count, 1) AS BIGINT) AS dup_count, COALESCE(rep_id, d.doc_id) = d.doc_id AS keep " +
+        "FROM d LEFT JOIN g ON d.norm_h = g.norm_h ORDER BY doc_id"),
     // trigram novelty: all-integer until the one final exact-ratio
     // division; short docs survive via the left join
     "x_ngram_novelty" ->

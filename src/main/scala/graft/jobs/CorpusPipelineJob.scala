@@ -137,11 +137,20 @@ object CorpusPipelineJob {
     if (cfg.packCapacity <= 0) out
     else {
       // final stage: each surviving doc's context-window assignment —
-      // the packed-corpus manifest a trainer consumes
-      val packed = Pipelines.packSequences(
-        out.select(col(cfg.idCol),
-          size(split(col(cfg.textCol), " ")).as("__nt")),
-        cfg.idCol, "__nt", cfg.packCapacity, cfg.packShards)
+      // the packed-corpus manifest a trainer consumes. The pack shard
+      // key folds in the SPLIT label (shard = splitIdx * packShards +
+      // hash-bucket), so each shard's token stream — and therefore
+      // every 2^n-token context window cut from it — is split-pure: no
+      // window ever straddles a train/eval boundary, preserving the
+      // leakage-free posture of the split stage.
+      val splitIdx = when(col("split") === "train", 0L)
+        .when(col("split") === "val", 1L).otherwise(2L)
+      val packed = Pipelines.packSequencesByShard(
+        out.select(col(cfg.idCol), col("split"),
+            size(split(col(cfg.textCol), " ")).cast("long").as("__nt"))
+          .withColumn("__pshard", splitIdx * cfg.packShards +
+            pmod(xxhash64(col(cfg.idCol)), lit(cfg.packShards.toLong))),
+        cfg.idCol, "__nt", cfg.packCapacity, "__pshard")
       out.join(packed.select(col(cfg.idCol), col("shard").as("pack_shard"),
         col("start_bin"), col("end_bin"), col("bin_offset")), Seq(cfg.idCol))
     }

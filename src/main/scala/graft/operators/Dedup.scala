@@ -658,16 +658,28 @@ object Dedup {
     * one hash-keyed groupBy + one join back, both well-distributed
     * (md5 keys) — but the group table here is kept as a join (not a
     * window) because the full label set ships with every row.
+    *
+    * Null text, and text whose normalized form is EMPTY (pure
+    * punctuation/markup — no alphanumeric content), gets a null
+    * `norm_h` and passes through as its own singleton group
+    * (rep_id = id, dup_count = 1, keep = true) — consistent with the
+    * streaming variant's null passthrough, and so that content-free
+    * symbol soup doesn't collapse into one giant accidental dup group.
     * Output: (id, norm_h, rep_id, dup_count, keep). */
   def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Joins.requireFreeColumns("normalizedDedup", df.columns,
       "norm_h", "rep_id", "dup_count", "keep")
-    val hashed = df.select(col(idCol), md5(normalizeText(col(textCol))).as("norm_h"))
-    val groups = hashed.groupBy("norm_h")
+    val norm = normalizeText(col(textCol))
+    val hashed = df.select(col(idCol),
+      when(col(textCol).isNull || norm === "", lit(null).cast("string"))
+        .otherwise(md5(norm)).as("norm_h"))
+    val groups = hashed.where(col("norm_h").isNotNull).groupBy("norm_h")
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
-    hashed.join(groups, "norm_h")
-      .select(col(idCol), col("norm_h"), col("rep_id"), col("dup_count"),
-        (col(idCol) === col("rep_id")).as("keep"))
+    hashed.join(groups, Seq("norm_h"), "left")
+      .select(col(idCol), col("norm_h"),
+        coalesce(col("rep_id"), col(idCol)).as("rep_id"),
+        coalesce(col("dup_count"), lit(1L)).as("dup_count"),
+        (coalesce(col("rep_id"), col(idCol)) === col(idCol)).as("keep"))
   }
 
   def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,

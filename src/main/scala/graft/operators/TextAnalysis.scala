@@ -178,8 +178,11 @@ object TextAnalysis {
   /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1): the
     * cheap structural signals web-scale pipelines filter on before any
     * model scoring. Per document:
-    *   - `n_lines`, `dup_line_frac`: fraction of non-empty lines (split
-    *     at `\n`) that are repeats of an earlier-or-later line;
+    *   - `n_lines`, `dup_line_frac`: fraction of lines (split at `\n`)
+    *     that are repeats BEYOND each distinct line's first occurrence
+    *     — `(n_lines − n_distinct) / n_lines`, so `[a, a]` scores 0.5,
+    *     not 1.0 (the occurrences-beyond-first convention, matching
+    *     `dup5_char_frac`);
     *   - `dup_line_char_frac`: fraction of line characters inside lines
     *     occurring more than once;
     *   - `top2_char_frac`: characters covered by the most frequent word

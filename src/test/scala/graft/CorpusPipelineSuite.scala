@@ -96,6 +96,11 @@ class CorpusPipelineSuite extends AnyFunSuite {
         assert(off >= 0 && off < 64)
         assert(eb >= sb && eb - sb <= nt / 64 + 1)
       }
+    // leakage posture: each pack shard's token stream is split-pure, so
+    // no context window cut from it can straddle a train/eval boundary
+    val mixedShards = out.select(col("pack_shard"), col("split")).distinct()
+      .groupBy("pack_shard").count().where(col("count") > 1).count()
+    assert(mixedShards === 0L, "pack shards must not mix splits")
     out.unpersist()
   }
 
