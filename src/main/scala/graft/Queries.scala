@@ -990,6 +990,28 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Exact substring dedup over documents plus planted repeats: the
+    * fixture corpus has no natural repeated 8-token spans (31-token
+    * vocabulary, random draws), so two kinds are synthesized — self-
+    * doubled variants of docs < 20 (id+30000; every span repeats the
+    * base doc, which keeps the canonical copy) and a literal 12-token
+    * span shared by two otherwise-distinct planted docs (40000 keeps
+    * it, 40001 loses exactly the span, prefix/suffix survive). */
+  def xSubstringDedup(s: SparkSession, d: String): DataFrame = {
+    val span = "sp1 sp2 sp3 sp4 sp5 sp6 sp7 sp8 sp9 sp10 sp11 sp12"
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val doubled = documents(s, d).where(col("doc_id") < 20)
+      .select((col("doc_id") + 30000L).as("doc_id"),
+        concat_ws(" ", col("text"), col("text")).as("text"))
+    val planted = s.range(1)
+      .select(lit(40000L).as("doc_id"), lit(s"aaa bbb $span").as("text"))
+      .unionByName(s.range(1)
+        .select(lit(40001L).as("doc_id"), lit(s"ccc ddd $span eee").as("text")))
+    Dedup.substringDedup(
+        base.unionByName(doubled).unionByName(planted), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
   /** Per-doc trigram novelty over the corpus: distinct-gram count,
     * corpus-unique-gram count, novelty fraction. */
   def xNgramNovelty(s: SparkSession, d: String): DataFrame =

@@ -445,6 +445,7 @@ object SparkEntry {
     "x_rrf_fusion" -> (Queries.xRrfFusion _),
     "x_quantile_cut" -> (Queries.xQuantileCut _),
     "x_norm_dedup" -> (Queries.xNormDedup _),
+    "x_substring_dedup" -> (Queries.xSubstringDedup _),
     "x_ngram_novelty" -> (Queries.xNgramNovelty _),
     "x_containment" -> (Queries.xContainment _),
     "x_hard_negatives" -> (Queries.xHardNegatives _),
@@ -929,6 +930,24 @@ object SparkEntry {
         "g AS (SELECT norm_h, MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS dup_count FROM d WHERE norm_h IS NOT NULL GROUP BY norm_h) " +
         "SELECT d.doc_id, d.norm_h, COALESCE(rep_id, d.doc_id) AS rep_id, CAST(COALESCE(dup_count, 1) AS BIGINT) AS dup_count, COALESCE(rep_id, d.doc_id) = d.doc_id AS keep " +
         "FROM d LEFT JOIN g ON d.norm_h = g.norm_h ORDER BY doc_id"),
+    // exact substring dedup: fixed-width shingle fingerprints, window
+    // count + first-occurrence rank per fp, covered-position expansion,
+    // per-doc reassembly — the whole plan mirrors 1:1 (1-based slices)
+    "x_substring_dedup" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 30000, text || ' ' || text FROM documents WHERE doc_id < 20 " +
+        "UNION ALL SELECT CAST(40000 AS BIGINT), 'aaa bbb sp1 sp2 sp3 sp4 sp5 sp6 sp7 sp8 sp9 sp10 sp11 sp12' " +
+        "UNION ALL SELECT CAST(40001 AS BIGINT), 'ccc ddd sp1 sp2 sp3 sp4 sp5 sp6 sp7 sp8 sp9 sp10 sp11 sp12 eee'), " +
+        "d AS (SELECT doc_id, string_split(text,' ') AS s FROM u), " +
+        "ti AS (SELECT doc_id, s, UNNEST(range(1, greatest(len(s) - 7, 0) + 1)) AS pos FROM d), " +
+        "st AS (SELECT doc_id, pos, md5(array_to_string(s[pos : pos + 7], ' ')) AS fp FROM ti), " +
+        "dup AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY fp) AS c, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM st) WHERE c >= 2 AND rn > 1), " +
+        "cov AS (SELECT DISTINCT doc_id, tp FROM (SELECT doc_id, pos + UNNEST(range(0, 8)) AS tp FROM dup)), " +
+        "ti2 AS (SELECT doc_id, s, UNNEST(range(1, len(s) + 1)) AS tp FROM d), " +
+        "tok AS (SELECT doc_id, len(s) AS n_tokens, tp, s[tp] AS tok FROM ti2), " +
+        "j AS (SELECT t.doc_id, t.n_tokens, t.tp, t.tok, (c.tp IS NOT NULL) AS cut FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp), " +
+        "a AS (SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens, CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, string_agg(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY tp) AS clean FROM j GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, n_removed, COALESCE(clean, '') AS clean FROM a ORDER BY doc_id"),
     // trigram novelty: all-integer until the one final exact-ratio
     // division; short docs survive via the left join
     "x_ngram_novelty" ->

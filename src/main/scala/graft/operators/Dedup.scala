@@ -700,4 +700,83 @@ object Dedup {
         array_join(transform(col("__a"), x => x.getField("__line")), "\n")
           .as("clean"))
   }
+
+  /** Exact substring dedup (the Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" ExactSubstr family, re-expressed
+    * as a fixed-width shingle-fingerprint pass instead of a suffix
+    * array): any token run of length ≥ 2k−1 that appears more than once
+    * in the corpus — across documents or repeated inside one — is
+    * excised from every occurrence EXCEPT the globally first (min
+    * (id, position)), so exactly one copy of each repeated span
+    * survives. This is the operator the whole-doc/normalized/line
+    * dedups can't express: a 200-token boilerplate block embedded in
+    * two otherwise-distinct documents.
+    *
+    * Mechanics: position i of a doc carries the md5 of its k-token
+    * shingle `toks[i..i+k−1]`; a start is duplicated when its shingle
+    * hash occurs ≥ 2 times corpus-wide and it is not the first
+    * occurrence in (id, pos) order; every token covered by a duplicated
+    * start is cut and survivors are re-joined in order. A shared run of
+    * length L ≥ k contributes L−k+1 duplicated starts whose covered
+    * union is the whole run, so the guarantee is: repeated spans of
+    * ≥ 2k−1 tokens are fully excised from non-first occurrences
+    * (shorter repeats ≥ k lose their interior; < k are invisible —
+    * pick k at half the span width you care about, Lee et al. use 50).
+    *
+    * Scale shape: one shuffle keyed on the shingle hash (count +
+    * first-occurrence rank share the one window partition), one
+    * explode of DUPLICATED starts only (fan-out k per dup start,
+    * bounded by dup volume — dedupe exists because that volume is
+    * small), one (id, pos)-keyed anti-side join and one per-doc
+    * reassembly groupBy bounded by doc length. No pairwise compare,
+    * no suffix array, no driver state. Hot-shingle skew (a banner
+    * repeated 10⁶×) lands on one fp partition — same hazard and same
+    * answer as [[dropBoilerplateLines]]: the window carries (id, pos)
+    * pairs only, never text. Output: (id, n_tokens, n_removed, clean).
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    require(k >= 2, "substringDedup needs k >= 2")
+    Joins.requireFreeColumns("substringDedup", df.columns,
+      "n_tokens", "n_removed", "clean")
+    import org.apache.spark.sql.expressions.Window
+    val s = col("__s")
+    val base = df.select(col(idCol), split(col(textCol), " ").as("__s"))
+    // staged gram array (the winnowing lesson: inlined into a second
+    // HOF it would re-hash the text once per window). Docs shorter than
+    // k can't fill a shingle and emit no starts (Spark sequence(1, 0)
+    // would count DOWN — the filter, not greatest(), is the guard).
+    val starts = base.where(size(s) >= k)
+      .select(col(idCol),
+        transform(sequence(lit(1), size(s) - (k - 1)),
+          i => struct(i.as("__pos"),
+            md5(array_join(slice(s, i, lit(k)), " ")).as("__fp"))).as("__g"))
+      .select(col(idCol), explode(col("__g")).as("__x"))
+      .select(col(idCol), col("__x.__pos").as("__pos"), col("__x.__fp").as("__fp"))
+    val byFp = Window.partitionBy("__fp")
+    val byFpOrd = byFp.orderBy(col(idCol), col("__pos"))
+    val dupStarts = starts
+      .withColumn("__c", count(lit(1)).over(byFp))
+      .withColumn("__rn", row_number().over(byFpOrd))
+      .where(col("__c") >= 2 && col("__rn") > 1)
+      .select(col(idCol), col("__pos"))
+    val covered = dupStarts
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__tp"))
+      .distinct()
+      .withColumn("__cut", lit(true))
+    base.select(col(idCol), size(s).cast("long").as("__nt"),
+        posexplode(s).as(Seq("__p0", "__tok")))
+      .withColumn("__tp", col("__p0") + 1)
+      .join(covered, Seq(idCol, "__tp"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("__nt")).as("n_tokens"),
+        count(col("__cut")).as("n_removed"),
+        sort_array(collect_list(
+          when(col("__cut").isNull, struct(col("__tp"), col("__tok")))))
+          .as("__a"))
+      .select(col(idCol), col("n_tokens"), col("n_removed"),
+        array_join(transform(col("__a"), x => x.getField("__tok")), " ")
+          .as("clean"))
+  }
 }

@@ -40,6 +40,43 @@ class CleaningSuite extends AnyFunSuite {
       (2L, 1L, 1L, "unrelated")))
   }
 
+  test("substring dedup: a planted 100-token span shared by two otherwise-distinct docs is excised from the later one only") {
+    val span = (1 to 100).map(i => s"sp$i").mkString(" ")
+    val pre1 = (1 to 40).map(i => s"a$i").mkString(" ")
+    val post1 = (1 to 30).map(i => s"b$i").mkString(" ")
+    val pre2 = (1 to 25).map(i => s"c$i").mkString(" ")
+    val post2 = (1 to 35).map(i => s"d$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$pre1 $span $post1"),
+      (2L, s"$pre2 $span $post2"),
+      (3L, "totally unrelated text with enough tokens to not matter"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    // doc 1 is the first occurrence: keeps everything. Doc 2 loses
+    // exactly the 100 span tokens; its own prefix/suffix survive intact.
+    assert(out(0) == (1L, 170L, 0L, s"$pre1 $span $post1"))
+    assert(out(1) == (2L, 160L, 100L, s"$pre2 $post2"))
+    assert(out(2)._3 == 0L)
+  }
+
+  test("substring dedup: within-doc repeat keeps the first copy; spans shorter than k are invisible") {
+    val run = (1 to 20).map(i => s"r$i").mkString(" ")
+    val shortRep = "x1 x2 x3"
+    val df = Seq(
+      (1L, s"$run mid1 mid2 $run"),
+      (2L, s"$shortRep pad1 pad2 pad3 pad4 pad5 $shortRep")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    // doc 1: second copy of the 20-token run is fully covered (its 13
+    // in-run starts repeat the first copy's shingles); first copy and
+    // the middle survive
+    assert(out(0) == (1L, 42L, 20L, s"$run mid1 mid2"))
+    // doc 2: the repeated 3-token span never fills an 8-token shingle
+    // with identical context → no shingle repeats → untouched
+    assert(out(1)._3 == 0L)
+  }
+
   test("token entropy: closed forms (uniform, constant, half-half)") {
     val df = Seq(
       (1L, "a a a a"),
