@@ -4,7 +4,7 @@ import graft.functions.{VectorFunctions, WeightedMean}
 import graft.operators.{Dedup, Joins, Multimodal, Pipelines, Similarity, TextAnalysis}
 import graft.sources.CdcIngest
 import graft.streaming.StreamOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -608,6 +608,62 @@ object Queries {
         TextAnalysis.langIdGuessFromTokens(col("__lt")).as("lang_pred"))
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
+
+  /** Deterministic synthetic URL per document (the fixture corpus has
+    * no URL column): three modulo-selected shapes exercising every
+    * normalization rule — uppercase scheme/host + default port +
+    * tracking param + fragment; `www.` + trailing slash + all-tracking
+    * query; non-default port (kept) + mixed kept/dropped params. */
+  private def syntheticUrl: Column = {
+    val k = (col("doc_id") % 7).cast("string")
+    val id = col("doc_id").cast("string")
+    when(col("doc_id") % 3 === 0,
+        concat(lit("HTTP://News.Example"), k, lit(".COM:80/A/B/?gclid=123&q="),
+          id, lit("#x")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("https://WWW.Shop"), k, lit(".com/items/"), id,
+          lit("/?utm_campaign=c")))
+      .otherwise(
+        concat(lit("https://blog"), k, lit(".example.org:8080/p?id="), id,
+          lit("&ref=tw")))
+  }
+
+  /** URL canonicalization over the synthetic per-doc URLs. */
+  def xUrlNormalize(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), syntheticUrl.as("url"))
+      .select(col("doc_id"), col("url"),
+        Pipelines.urlNormalize(col("url")).as("url_norm"),
+        Pipelines.urlDomain(col("url")).as("domain"))
+      .orderBy("doc_id")
+
+  /** Per-domain curation stats over the synthetic URLs. */
+  def xDomainStats(s: SparkSession, d: String): DataFrame =
+    Pipelines.domainStats(
+        documents(s, d).select(col("doc_id"), col("text"), col("lang"),
+          syntheticUrl.as("url")),
+        "url", "text", "lang")
+      .orderBy("domain")
+
+  /** Trained char-trigram language-ID over documents augmented with a
+    * per-language stopword phrase: the fixture's base text is
+    * language-blind (one 31-token English-ish vocabulary for every
+    * lang label), so the appended phrase is the character-level signal
+    * the model must learn — and the same phrases are what the
+    * [[TextAnalysis.langIdGuess]] stopword heuristic keys on, making
+    * the trained-vs-heuristic accuracy comparison fair. Trains on
+    * doc_id % 5 != 0, predicts every doc. */
+  def xLangIdNgram(s: SparkSession, d: String): DataFrame = {
+    val marker = when(col("lang") === "en", "the and of to a in")
+      .when(col("lang") === "es", "el la de que y en")
+      .when(col("lang") === "de", "der die und das von zu")
+      .when(col("lang") === "fr", "le la de et un les")
+      .otherwise("的 了 是 在 我 有")
+    val aug = documents(s, d).select(col("doc_id"), col("lang"),
+      concat_ws(" ", col("text"), marker).as("text"))
+    TextAnalysis.langIdNgram(aug, aug.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", "lang")
+      .orderBy("doc_id")
+  }
 
   /** Per-doc token/char/quality stats. The rolling xxhash fingerprint is
     * dropped from this surface (xxhash64 has no portable oracle; it is

@@ -58,6 +58,33 @@ object SparkEntry {
       "CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / " +
       "CAST(greatest(length(text), 1) AS DOUBLE) * 0.3, 4)"
 
+  /** Queries.syntheticUrl replicated (three modulo-selected URL shapes). */
+  private val syntheticUrlSql: String =
+    "CASE doc_id % 3 " +
+      "WHEN 0 THEN 'HTTP://News.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/A/B/?gclid=123&q=' || CAST(doc_id AS VARCHAR) || '#x' " +
+      "WHEN 1 THEN 'https://WWW.Shop' || CAST(doc_id % 7 AS VARCHAR) || '.com/items/' || CAST(doc_id AS VARCHAR) || '/?utm_campaign=c' " +
+      "ELSE 'https://blog' || CAST(doc_id % 7 AS VARCHAR) || '.example.org:8080/p?id=' || CAST(doc_id AS VARCHAR) || '&ref=tw' END"
+
+  /** Pipelines.urlNormalize/urlDomain replicated as CTE fragments over a
+    * table `u(doc_id, url, ...)` → `nrm(doc_id, url, url_norm, domain, ...)`.
+    * RE2 semantics match Java here: anchored groups, char classes,
+    * list_filter ≡ Spark filter HOF. */
+  private val urlNormCteSql: String =
+    "p AS (SELECT u.*, " +
+      "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, " +
+      "lower(regexp_extract(url, '^[^/]*//([^/?#]*)', 1)) AS hostport, " +
+      "regexp_extract(url, '^[^/]*//[^/?#]*(.*)$', 1) AS rest FROM u), " +
+    "p2 AS (SELECT p.*, " +
+      "CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '') " +
+      "WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '') " +
+      "ELSE hostport END AS host, " +
+      "regexp_replace(regexp_extract(rest, '^([^?#]*)', 1), '/+$', '') AS path, " +
+      "list_filter(string_split(regexp_extract(rest, '\\?([^#]*)', 1), '&'), " +
+      "x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=')) AS kept, " +
+      "regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\\.', '') AS domain FROM p), " +
+    "nrm AS (SELECT p2.*, scheme || '://' || host || path || " +
+      "CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS url_norm FROM p2)"
+
   /** Sign-LSH bucket expression with the exact hyperplanes annTopK uses
     * (seed-pinned), as DuckDB SQL over a DOUBLE[] column `e`. */
   private def annBucketSql(planes: Int, dim: Int): String =
@@ -412,6 +439,9 @@ object SparkEntry {
     "x_cosine_clusters" -> (Queries.xCosineClusters _),
     "x_bm25" -> (Queries.xBm25 _),
     "x_lang_id" -> (Queries.xLangId _),
+    "x_lang_id_ngram" -> (Queries.xLangIdNgram _),
+    "x_url_normalize" -> (Queries.xUrlNormalize _),
+    "x_domain_stats" -> (Queries.xDomainStats _),
     "x_token_stats" -> (Queries.xTokenStats _),
     "x_multimodal" -> (Queries.xMultimodal _),
     "x_cdc_ingest" -> (Queries.xCdcIngest _),
@@ -657,6 +687,41 @@ object SparkEntry {
       s"WITH t AS (SELECT doc_id, text, CAST(len(string_split(text,' ')) AS DOUBLE) AS __nt, list_distinct(string_split(lower(text),' ')) AS __toks FROM documents), s AS (SELECT doc_id, text, __nt, CAST(__nt AS BIGINT) AS ws_tokens, CAST($bpeishCountSql AS BIGINT) AS bpeish_tokens, CAST(length(text) AS BIGINT) AS chars, $langScoreCols FROM t) SELECT doc_id, ws_tokens, bpeish_tokens, chars, $qualitySql AS quality, $langPredCase AS lang_pred FROM s ORDER BY doc_id",
     "x_lang_id" ->
       s"WITH t AS (SELECT lang, list_distinct(string_split(lower(text),' ')) AS __toks FROM documents), s AS (SELECT lang, $langScoreCols FROM t) SELECT lang, $langPredCase AS lang_pred, COUNT(*) AS n FROM s GROUP BY lang, lang_pred ORDER BY lang, lang_pred",
+    // trained trigram naive-Bayes lang-id: counts/totals/vocab CTEs from
+    // the train slice, per-(doc, lang) position-ordered fold (same
+    // list_reduce ≡ aggregate identity as x_lm_score), argmax window
+    "x_lang_id_ngram" ->
+      ("WITH aug AS (SELECT doc_id, lang, text || ' ' || CASE lang " +
+        "WHEN 'en' THEN 'the and of to a in' WHEN 'es' THEN 'el la de que y en' " +
+        "WHEN 'de' THEN 'der die und das von zu' WHEN 'fr' THEN 'le la de et un les' " +
+        "ELSE '的 了 是 在 我 有' END AS text FROM documents), " +
+        "tr AS (SELECT lang, lower(text) AS t FROM aug WHERE doc_id % 5 <> 0), " +
+        "tri_t AS (SELECT lang, substring(t, pos, 3) AS tri FROM (SELECT lang, t, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS pos FROM tr)), " +
+        "c AS (SELECT lang, tri, CAST(COUNT(*) AS DOUBLE) AS c FROM tri_t GROUP BY lang, tri), " +
+        "n AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM tri_t GROUP BY lang), " +
+        "v AS (SELECT CAST(COUNT(DISTINCT tri) AS DOUBLE) AS v FROM tri_t), " +
+        "di AS (SELECT doc_id, pos, substring(t, pos, 3) AS tri FROM (SELECT doc_id, lower(text) AS t FROM aug), UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(pos)), " +
+        "sc AS (SELECT doc_id, pos, n.lang, ln((COALESCE(c.c, 0) + 1.0) / (n.n + v.v)) AS lp " +
+        "FROM di CROSS JOIN n LEFT JOIN c ON c.lang = n.lang AND c.tri = di.tri CROSS JOIN v), " +
+        "a AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS nt, list_reduce(list(lp ORDER BY pos), (acc,x) -> acc + x) AS sm FROM sc GROUP BY doc_id, lang), " +
+        "b AS (SELECT doc_id, nt, lang, sm, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sm DESC, lang) AS rn FROM a) " +
+        "SELECT d.doc_id, COALESCE(b.nt, 0) AS n_trigrams, COALESCE(b.lang, 'und') AS lang_pred, ROUND(b.sm / b.nt, 4) + 0.0 AS nb_score " +
+        "FROM documents d LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (doc_id) ORDER BY doc_id"),
+    // URL canonicalization: shared nrm CTE chain over the synthetic URLs
+    "x_url_normalize" ->
+      (s"WITH u AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents), " +
+        urlNormCteSql +
+        " SELECT doc_id, url, url_norm, domain FROM nrm ORDER BY doc_id"),
+    "x_domain_stats" ->
+      (s"WITH u AS (SELECT doc_id, text, lang, $syntheticUrlSql AS url FROM documents), " +
+        urlNormCteSql +
+        " SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_urls, " +
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, " +
+        "ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens, " +
+        "ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4) AS dup_frac, " +
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs " +
+        "FROM nrm GROUP BY domain ORDER BY domain"),
     "x_multimodal" ->
       "SELECT doc_id, 'image/stub' AS kind, CAST(octet_length(encode(text)) AS BIGINT) AS bytes, CAST(16 AS BIGINT) AS feat_dim FROM documents ORDER BY doc_id",
     "x_orc_sink" ->

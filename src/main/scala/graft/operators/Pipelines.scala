@@ -457,6 +457,68 @@ object Pipelines {
     * One groupBy with partial aggregation; all outputs are exact
     * integer arithmetic or exact-ratio doubles, so the table is
     * bit-stable across runs and engines. */
+  /** URL canonicalization (the RefinedWeb/CCNet first-stage curation
+    * projection): lowercase the scheme and host, strip the scheme's
+    * default port (`:80` http / `:443` https — non-default ports are
+    * load-bearing and kept), drop the fragment, drop tracking
+    * parameters (`utm_*`, `gclid`, `fbclid`, `ref`) from the query —
+    * removing the `?` entirely when nothing survives — and strip
+    * trailing slashes from the path. Path/query case and parameter
+    * ORDER are preserved (they can be semantic; canonicalize-by-sort
+    * belongs to a crawler's politeness layer, not a curation key).
+    * Pure codegen'd regexp/HOF column algebra — zero shuffle, one row
+    * in, one value out — so it runs inside the scan's WholeStageCodegen
+    * at any corpus size. */
+  def urlNormalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[^/]*//([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rest = regexp_extract(url, "^[^/]*//[^/?#]*(.*)$", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(rest, "\\?([^#]*)", 1)
+    val kept = filter(split(query, "&"), p =>
+      length(p) > 0 && !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="))
+    val qs = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, qs)
+  }
+
+  /** The registrable-host curation key of [[urlNormalize]]'s input:
+    * lowercased host with any port and a leading `www.` stripped — the
+    * group key RefinedWeb-style domain-level filtering aggregates on. */
+  def urlDomain(url: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(regexp_extract(url, "^[^/]*//([^/?#]*)", 1)),
+        ":[0-9]+$", ""),
+      "^www\\.", "")
+
+  /** Per-domain curation decision table — [[sourceStats]] at the
+    * [[urlDomain]] key, plus the distinct normalized-URL count (the
+    * crawl-frontier dedup signal: n_docs ≫ n_urls means re-crawls of
+    * the same pages). One groupBy with partial aggregation over
+    * codegen'd projections; domains are the natural unit of web-scale
+    * allow/deny lists, so the output is decision-table-sized. */
+  def domainStats(df: DataFrame, urlCol: String, textCol: String,
+                  langCol: String): DataFrame = {
+    Joins.requireFreeColumns("domainStats", df.columns,
+      "domain", "n_docs", "n_urls", "n_tokens", "avg_tokens", "dup_frac",
+      "n_langs")
+    df.select(urlDomain(col(urlCol)).as("domain"),
+        urlNormalize(col(urlCol)).as("__u"),
+        md5(col(textCol)).as("__h"),
+        size(split(col(textCol), " ")).cast("long").as("__nt"), col(langCol))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__u")).as("n_urls"),
+        sum("__nt").as("n_tokens"),
+        round(avg(col("__nt").cast("double")), 4).as("avg_tokens"),
+        round(lit(1.0) - countDistinct(col("__h")).cast("double") / count(lit(1)), 4)
+          .as("dup_frac"),
+        countDistinct(col(langCol)).as("n_langs"))
+  }
+
   def sourceStats(df: DataFrame, srcCol: String, textCol: String,
                   langCol: String): DataFrame =
     df.select(col(srcCol), md5(col(textCol)).as("__h"),

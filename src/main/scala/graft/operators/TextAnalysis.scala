@@ -51,6 +51,66 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Trained char-trigram language-ID (the Cavnar–Trenkle/fastText
+    * lineage, as an add-one-smoothed naive-Bayes over character
+    * trigrams): per-language trigram counts are TRAINED from a labeled
+    * corpus, and each target doc is scored per language with
+    * `Σ_pos ln((c(lang, tri)+1)/(n_lang+V))`, argmax winning (ties
+    * break to the lexicographically first language). Replaces the
+    * 10-stopword [[langIdGuess]] heuristic with a model that learns
+    * whatever character-level signal the labeled slice carries —
+    * diacritics, function words, scripts — instead of a fixed list.
+    *
+    * Scale shape: training is two keyed count passes over the labeled
+    * corpus; the profile is (languages × trigram vocab) rows — a
+    * broadcast table, never corpus-sized. Scoring is one pass over the
+    * target corpus's trigram instances fanned out by the language count
+    * (explicitly `broadcast()`-joined, so no shuffle of the corpus
+    * side), then one per-(doc, lang) fold of a position-sorted array so
+    * the float sum is order-deterministic across runs/engines, and one
+    * per-doc argmax window bounded by the language count. Docs with no
+    * trigram (< 3 chars) pass through as `und` with a null score.
+    * Output: (id, n_trigrams, lang_pred, nb_score = mean log-prob). */
+  def langIdNgram(docs: DataFrame, train: DataFrame,
+                  idCol: String, textCol: String, langCol: String): DataFrame = {
+    Joins.requireFreeColumns("langIdNgram", docs.columns,
+      "n_trigrams", "lang_pred", "nb_score")
+    import org.apache.spark.sql.expressions.Window
+    val txt = col("__txt")
+    def instances(df: DataFrame, key: Column, keyName: String): DataFrame =
+      df.withColumn("__txt", lower(col(textCol)))
+        .where(length(txt) >= 3)
+        .select(key.as(keyName),
+          posexplode(transform(sequence(lit(1), length(txt) - 2),
+            i => txt.substr(i, lit(3)))).as(Seq("__pos", "__tri")))
+    val trainInst = instances(train, col(langCol), "__lang")
+    val counts = trainInst.groupBy("__lang", "__tri")
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val totals = trainInst.groupBy("__lang")
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val vocab = trainInst.agg(countDistinct(col("__tri")).cast("double").as("__v"))
+    val scored = instances(docs, col(idCol), idCol)
+      .crossJoin(broadcast(totals))
+      .join(broadcast(counts), Seq("__lang", "__tri"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        log((coalesce(col("__c"), lit(0.0)) + 1.0) / (col("__n") + col("__v"))))
+    val perLang = scored.groupBy(col(idCol), col("__lang"))
+      .agg(count(lit(1)).as("__nt"),
+        sort_array(collect_list(struct(col("__pos"), col("__lp")))).as("__a"))
+      .withColumn("__sm", aggregate(col("__a"), lit(0.0),
+        (acc, x) => acc + x.getField("__lp")))
+    val best = perLang
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__sm").desc, col("__lang"))))
+      .where(col("__rn") === 1)
+    docs.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nt"), lit(0L)).as("n_trigrams"),
+        coalesce(col("__lang"), lit("und")).as("lang_pred"),
+        (round(col("__sm") / col("__nt"), 4) + 0.0).as("nb_score"))
+  }
+
   /** Heuristic quality score in [0,1]: length band + alpha ratio +
     * mean-token-length band — the usual cheap pre-filters before
     * expensive model scoring. Deterministic. */

@@ -341,4 +341,46 @@ class PipelinesSuite extends AnyFunSuite {
     assert(got == expected,
       s"mismatch: ${got.toSet.diff(expected.toSet).take(3)}")
   }
+
+  test("urlNormalize: closed forms for every rule; urlDomain strips port and www") {
+    val cases = Seq(
+      // scheme+host lowercased, default port stripped, fragment dropped,
+      // gclid dropped, surviving param kept, path case preserved
+      ("HTTP://News.EXAMPLE.COM:80/A/B/?gclid=1&q=2#frag",
+        "http://news.example.com/A/B?q=2", "news.example.com"),
+      // https default port, utm_* dropped entirely → no '?', trailing slash
+      ("https://WWW.Shop.com/items/7/?utm_campaign=c&utm_source=s",
+        "https://www.shop.com/items/7", "shop.com"),
+      // non-default port kept in url, stripped from domain; ref dropped
+      ("https://blog.example.org:8080/p?id=3&ref=tw",
+        "https://blog.example.org:8080/p?id=3", "blog.example.org"),
+      // bare host, root path collapses, param order preserved
+      ("https://Example.org/?b=2&a=1", "https://example.org?b=2&a=1", "example.org"),
+      // :443 on http is NOT a default port → kept
+      ("http://a.example:443/x/", "http://a.example:443/x", "a.example"))
+    val df = cases.zipWithIndex.map { case ((u, _, _), i) => (i.toLong, u) }
+      .toDF("id", "url")
+    val out = df.select(col("id"), Pipelines.urlNormalize(col("url")).as("n"),
+        Pipelines.urlDomain(col("url")).as("d"))
+      .orderBy("id").as[(Long, String, String)].collect()
+    cases.zipWithIndex.foreach { case ((_, expN, expD), i) =>
+      assert(out(i)._2 == expN, s"norm case $i")
+      assert(out(i)._3 == expD, s"domain case $i")
+    }
+  }
+
+  test("domainStats: re-crawled URLs collapse in n_urls, not n_docs") {
+    val df = Seq(
+      (1L, "https://a.com/p?utm_source=x", "alpha beta", "en"),
+      (2L, "https://A.com/p#f", "gamma delta", "en"),
+      (3L, "https://a.com/q", "alpha beta", "fr"),
+      (4L, "https://b.org/r", "epsilon", "en")).toDF("doc_id", "url", "text", "lang")
+    val out = Pipelines.domainStats(df, "url", "text", "lang")
+      .orderBy("domain").as[(String, Long, Long, Long, Double, Double, Long)]
+      .collect()
+    // a.com: 3 docs, 2 distinct normalized urls (1 and 2 collapse), one
+    // verbatim text dup, two langs
+    assert(out(0) == (("a.com", 3L, 2L, 6L, 2.0, 0.3333, 2L)))
+    assert(out(1) == (("b.org", 1L, 1L, 1L, 1.0, 0.0, 1L)))
+  }
 }

@@ -16,6 +16,39 @@ class ScoringSuite extends AnyFunSuite {
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
 
+  test("trained trigram lang-id: learns a planted signal, matches or beats the stopword heuristic on the holdout") {
+    // four "languages" distinguished only by an appended marker phrase
+    // (the exact situation of the x_lang_id_ngram fixture, miniature)
+    val markers = Map("en" -> "the and of to", "es" -> "el la de que",
+      "de" -> "der die und das", "fr" -> "le et un les")
+    val df = (0L until 200L).map { i =>
+      val lang = Seq("en", "es", "de", "fr")((i % 4).toInt)
+      (i, lang, s"filler tok$i common words here ${markers(lang)}")
+    }.toDF("doc_id", "lang", "text")
+    val pred = TextAnalysis.langIdNgram(
+        df, df.where(col("doc_id") % 5 =!= 0), "doc_id", "text", "lang")
+      .join(df.select(col("doc_id"), col("lang")), "doc_id")
+    val hold = pred.where(col("doc_id") % 5 === 0)
+    val trainedAcc = hold.where(col("lang_pred") === col("lang")).count()
+      .toDouble / hold.count()
+    val heurHold = df.where(col("doc_id") % 5 === 0)
+      .withColumn("hp", TextAnalysis.langIdGuess(col("text")))
+    val heurAcc = heurHold.where(col("hp") === col("lang")).count()
+      .toDouble / heurHold.count()
+    assert(trainedAcc >= heurAcc,
+      s"trained $trainedAcc must be >= heuristic $heurAcc")
+    assert(trainedAcc > 0.9, s"trained accuracy $trainedAcc too low")
+  }
+
+  test("trained trigram lang-id: sub-trigram docs pass through as 'und' with null score") {
+    val train = Seq((1L, "en", "the and of to a in common text here")).toDF("doc_id", "lang", "text")
+    val docs = Seq((10L, "xx", "ab"), (11L, "xx", "the and of")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdNgram(docs, train, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 0L && out(0).getString(2) == "und" && out(0).isNullAt(3))
+    assert(out(1).getString(2) == "en")
+  }
+
   test("bigram LM: closed form on a hand-computable corpus") {
     // corpus {"a b", "a c"}: V=3, c(a ·)=2, c(a b)=c(a c)=1
     // ⇒ p = (1+1)/(2+3) = 0.4 for both docs' single bigram
