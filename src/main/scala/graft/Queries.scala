@@ -1136,6 +1136,14 @@ object Queries {
     Pipelines.bpeMergeCandidates(documents(s, d), "text", k = 50)
       .orderBy("rank")
 
+  /** Full BPE encode: 30 merges trained on the corpus vocabulary,
+    * every doc segmented to subword tokens + ids (dump-time oracle —
+    * the learned word→encoding table ships as SQL literals, each entry
+    * round-trip-checked at generation). */
+  def xBpeEncode(s: SparkSession, d: String): DataFrame =
+    Pipelines.bpeEncode(documents(s, d), "doc_id", "text", numMerges = 30)
+      .orderBy("doc_id")
+
   /** Leakage-free split over the dup-dense slice: near-dup clusters at
     * τ=0.8 (docs < 200), whole clusters assigned to one split. */
   def xClusterSplit(s: SparkSession, d: String): DataFrame =

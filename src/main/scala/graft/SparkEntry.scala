@@ -257,6 +257,38 @@ object SparkEntry {
     * at dump time under the same contract — both training folds re-run
     * against the dump corpus, both cross-checks applied, all literals
     * embedded. A vector scores iff its coarse cell is probed. */
+  /** DuckDB oracle for x_bpe_encode, generated AT DUMP TIME (needs the
+    * data: the learned merge list is a function of the corpus word
+    * frequencies). The word→(toks, ids) table — built by the SAME
+    * train/encode code path the operator runs, every entry round-trip
+    * `require`d in [[graft.operators.Pipelines.bpeEncodingTable]] —
+    * ships as a VALUES literal; the SQL then replays only the
+    * distributed part (position-exploded word stream, mapping join,
+    * ordered per-doc reassembly), which is exactly the part the oracle
+    * exists to check. Same contract as [[ivfOracleSql]]: active session
+    * + `graft.oracle.sfDir`, Try-omitted elsewhere → rows-only check. */
+  private def bpeOracleSql: Option[(String, String)] = scala.util.Try {
+    val spark = SparkSession.active
+    val sfDir = sys.props("graft.oracle.sfDir") // no default: throws if unset
+    val docs = Tables.documents(spark, sfDir)
+    val table = graft.operators.Pipelines.bpeEncodingTable(
+      docs, "text", numMerges = 30)
+    val values = table.map { case (w, t, i, n) =>
+      s"('${w.replace("'", "''")}', '${t.replace("'", "''")}', '$i', $n)"
+    }.mkString(", ")
+    val sql =
+      s"WITH m(word, toks, ids, nt) AS (VALUES $values), " +
+        "d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents), " +
+        "ti AS (SELECT doc_id, s, UNNEST(range(1, len(s) + 1)) AS pos FROM d), " +
+        "w AS (SELECT doc_id, pos, s[pos] AS word FROM ti WHERE len(s[pos]) >= 1), " +
+        "j AS (SELECT doc_id, pos, toks, ids, nt FROM w JOIN m USING (word)), " +
+        "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(nt) AS BIGINT) AS n_tokens, " +
+        "string_agg(toks, '|' ORDER BY pos) AS toks_str, string_agg(ids, ',' ORDER BY pos) AS ids_str " +
+        "FROM j GROUP BY doc_id) " +
+        "SELECT doc_id, n_words, n_tokens, toks_str, ids_str FROM a ORDER BY doc_id"
+    "x_bpe_encode" -> sql
+  }.toOption
+
   private def ivfadcOracleSql: Option[(String, String)] = scala.util.Try {
     val spark = SparkSession.active
     val sfDir = sys.props("graft.oracle.sfDir") // no default: throws if unset
@@ -483,6 +515,7 @@ object SparkEntry {
     "x_kmv_overlap" -> (Queries.xKmvOverlap _),
     "x_incr_neardup" -> (Queries.xIncrementalNearDup _),
     "x_bpe_merges" -> (Queries.xBpeMerges _),
+    "x_bpe_encode" -> (Queries.xBpeEncode _),
     "x_cluster_split" -> (Queries.xClusterSplit _),
     "x_temperature" -> (Queries.xTemperature _)
   )
@@ -1121,5 +1154,5 @@ object SparkEntry {
         "SELECT lang, n_docs, ROUND(SQRT(CAST(mn AS DOUBLE)/CAST(n_docs AS DOUBLE)), 4) AS keep_frac, " +
         "LEAST(256, CAST(CEIL(SQRT(CAST(mn AS DOUBLE)/CAST(n_docs AS DOUBLE)) * 256) AS BIGINT)) AS keep256 " +
         "FROM s CROSS JOIN m ORDER BY lang")
-  ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql
+  ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql ++ bpeOracleSql
 }

@@ -400,6 +400,176 @@ object Pipelines {
       .select("rank", "pair", "cnt")
   }
 
+  /** Full BPE tokenizer training (Sennrich et al. 2016), the iterated
+    * closure of [[bpeMergeCandidates]]: starting from characters,
+    * repeatedly count adjacent symbol pairs over the (word, freq)
+    * vocabulary — pair occurrences weighted by word frequency — and
+    * merge the argmax (ties break to the lexicographically smallest
+    * (a, b)), emitting the merge list in creation order. Pure local
+    * Scala over a vocabulary-sized table: the caller collects the
+    * distinct-word counts (capped — see [[bpeEncode]]), never the
+    * token stream. Deterministic: same vocabulary → same merges on
+    * every run/engine. Stops early when no adjacent pair remains. */
+  def bpeTrainMerges(words: Seq[(String, Long)],
+                     numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, "bpeTrainMerges needs numMerges >= 0")
+    var syms: Seq[(Vector[String], Long)] =
+      words.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, c) <- syms; j <- 0 until s.length - 1)
+        counts(s(j) -> s(j + 1)) = counts.getOrElse(s(j) -> s(j + 1), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        val (a, b) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += (a -> b)
+        syms = syms.map { case (s, c) => mergePair(s, a, b) -> c }
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** One greedy left-to-right merge pass: every adjacent (a, b) in
+    * `s` becomes the fused symbol (so "aaa" under (a,a) → [aa, a]). */
+  private def mergePair(s: Vector[String], a: String,
+                        b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < s.length) {
+      if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+        out += (a + b); j += 2
+      } else { out += s(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** BPE-encode one word with a trained merge list: the GPT-2 `bpe()`
+    * loop — while any adjacent pair has a rank, merge every occurrence
+    * of the LOWEST-ranked pair (greedy left-to-right), which reproduces
+    * the training-time segmentation. Local and deterministic; words
+    * with characters unseen at train time still encode (the unknown
+    * character rides through as its own symbol). */
+  def bpeEncodeWord(w: String,
+                    ranks: Map[(String, String), Int]): Vector[String] = {
+    var s = w.map(_.toString).toVector
+    var done = s.length < 2
+    while (!done) {
+      val present = s.indices.dropRight(1)
+        .flatMap(j => ranks.get(s(j) -> s(j + 1)))
+      if (present.isEmpty) done = true
+      else {
+        val best = ranks.collectFirst {
+          case (p, r) if r == present.min => p
+        }.get
+        s = mergePair(s, best._1, best._2)
+        done = s.length < 2
+      }
+    }
+    s
+  }
+
+  private def distinctWordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("__w"))
+      .where(length(col("__w")) >= 1)
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+
+  /** Train on the top-`trainCap` words and lay out the id space:
+    * training-set characters sorted, then merge products in creation
+    * order. Shared by [[bpeEncode]] and [[bpeEncodingTable]] so the
+    * operator and its oracle can never drift. */
+  private def bpeArtifacts(words: DataFrame, numMerges: Int, trainCap: Int)
+      : (Map[(String, String), Int], Map[String, Long]) = {
+    val trainWords = words
+      .orderBy(col("__c").desc, col("__w")).limit(trainCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val merges = bpeTrainMerges(trainWords, numMerges)
+    val baseChars = trainWords.flatMap(_._1.map(_.toString)).distinct.sorted
+    val ids: Map[String, Long] =
+      (baseChars.zipWithIndex.map { case (c, i) => c -> i.toLong } ++
+        merges.zipWithIndex.map { case ((a, b), i) =>
+          (a + b) -> (baseChars.length + i).toLong }).toMap
+    (merges.zipWithIndex.toMap, ids)
+  }
+
+  /** The word→encoding table [[bpeEncode]] would apply, materialized
+    * for EVERY distinct corpus word (oracle/debug surface — loud cap,
+    * corpora past it should read the operator output instead). Each
+    * entry round-trips (`toks` re-concatenates to the word) by
+    * construction of the merge pass; callers may re-`require` it.
+    * Returns (word, toks_str, ids_str, n_toks). */
+  def bpeEncodingTable(df: DataFrame, textCol: String, numMerges: Int,
+                       trainCap: Int = 1000000,
+                       tableCap: Int = 100000): Seq[(String, String, String, Long)] = {
+    val words = distinctWordCounts(df, textCol)
+    val (ranks, ids) = bpeArtifacts(words, numMerges, trainCap)
+    val all = words.orderBy(col("__w")).collect().map(_.getString(0))
+    require(all.length <= tableCap,
+      s"bpeEncodingTable: ${all.length} distinct words exceeds cap $tableCap")
+    all.toSeq.map { w =>
+      val toks = bpeEncodeWord(w, ranks)
+      require(toks.mkString == w, s"BPE round-trip failed for '$w'")
+      (w, toks.mkString("|"), toks.map(ids.getOrElse(_, -1L)).mkString(","),
+        toks.length.toLong)
+    }
+  }
+
+  /** Distributed BPE encode: train `numMerges` merges on the corpus's
+    * distinct-word table and emit each document's subword segmentation
+    * and token-id sequence. Token ids are the standard layout —
+    * training-set characters in sorted order, then one id per merge in
+    * creation order; symbols outside that vocabulary (characters never
+    * seen at train time) get id −1 rather than a crash, the honest
+    * OOV marker.
+    *
+    * Scale shape (the reason this isn't a per-token UDF): training
+    * collects the top-`trainCap` distinct words by (count, word) — a
+    * TakeOrdered over the vocabulary table, the operator's only
+    * driver-side materialization, same posture and cap discipline as
+    * Lloyd training in Similarity — and the per-word encode UDF runs
+    * over the DISTINCT-word table only (vocabulary-sized, a 10¹¹-token
+    * corpus has a 10⁷-row vocabulary), which then broadcast-joins back
+    * to the position-exploded token stream; per-doc reassembly is one
+    * keyed groupBy bounded by doc length. The token stream itself
+    * never passes through the UDF and never collects.
+    * Output: (id, n_words, n_tokens, toks_str `|`-joined,
+    * ids_str `,`-joined). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                numMerges: Int, trainCap: Int = 1000000): DataFrame = {
+    Joins.requireFreeColumns("bpeEncode", df.columns,
+      "n_words", "n_tokens", "toks_str", "ids_str")
+    val words = distinctWordCounts(df, textCol)
+    val (ranks, ids) = bpeArtifacts(words, numMerges, trainCap)
+    val spark = df.sparkSession
+    val ranksB = spark.sparkContext.broadcast(ranks)
+    val idsB = spark.sparkContext.broadcast(ids)
+    val encodeUdf = udf { (w: String) =>
+      val toks = bpeEncodeWord(w, ranksB.value)
+      (toks.mkString("|"), toks.map(idsB.value.getOrElse(_, -1L)).mkString(","),
+        toks.length.toLong)
+    }
+    val wordToks = words.select(col("__w"),
+      encodeUdf(col("__w")).as("__e"))
+    val stream = df.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+      .where(length(col("__w")) >= 1)
+    stream.join(broadcast(wordToks), "__w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__e._3")).as("n_tokens"),
+        sort_array(collect_list(struct(col("__pos"),
+          col("__e._1").as("__t"), col("__e._2").as("__i")))).as("__a"))
+      .select(col(idCol), col("n_words"), col("n_tokens"),
+        array_join(transform(col("__a"), x => x.getField("__t")), "|")
+          .as("toks_str"),
+        array_join(transform(col("__a"), x => x.getField("__i")), ",")
+          .as("ids_str"))
+  }
+
   /** KMV (k-minimum-values) corpus-overlap estimation (Beyer et al.
     * SIGMOD'07): per group keep the k lexicographically smallest md5
     * hashes of its DISTINCT items (tokens, n-grams, URLs…); for every

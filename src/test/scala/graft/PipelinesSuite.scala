@@ -342,6 +342,35 @@ class PipelinesSuite extends AnyFunSuite {
       s"mismatch: ${got.toSet.diff(expected.toSet).take(3)}")
   }
 
+  test("BPE train+encode: hand-computed merges, ids, early stop, OOV passthrough") {
+    // vocab {aa×3, ab×1, b×1}: pairs (a,a)→3 beat (a,b)→1, then (a,b),
+    // then nothing left → early stop despite numMerges=5
+    val merges = Pipelines.bpeTrainMerges(Seq(("aa", 3L), ("ab", 1L), ("b", 1L)), 5)
+    assert(merges == Seq("a" -> "a", "a" -> "b"))
+    val ranks = merges.zipWithIndex.toMap
+    assert(Pipelines.bpeEncodeWord("aab", ranks) == Vector("aa", "b"))
+    assert(Pipelines.bpeEncodeWord("aaa", ranks) == Vector("aa", "a"))
+    assert(Pipelines.bpeEncodeWord("aaaa", ranks) == Vector("aa", "aa"))
+    assert(Pipelines.bpeEncodeWord("xy", ranks) == Vector("x", "y"))
+    val df = Seq((1L, "aa aa ab"), (2L, "aa b")).toDF("doc_id", "text")
+    val out = Pipelines.bpeEncode(df, "doc_id", "text", numMerges = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, String, String)].collect()
+    // id layout: base chars sorted [a→0, b→1], merges aa→2, ab→3
+    assert(out(0) == ((1L, 3L, 3L, "aa|aa|ab", "2,2,3")))
+    assert(out(1) == ((2L, 2L, 2L, "aa|b", "2,1")))
+  }
+
+  test("BPE: every fixture word round-trips through its segmentation") {
+    val docs = Tables.documents(spark, sfDir)
+    val table = Pipelines.bpeEncodingTable(docs, "text", numMerges = 30)
+    assert(table.nonEmpty)
+    table.foreach { case (w, toks, ids, n) =>
+      assert(toks.split("\\|", -1).mkString == w, s"round-trip '$w'")
+      assert(ids.split(",", -1).length.toLong == n)
+      assert(!ids.split(",", -1).contains("-1"), s"unexpected OOV id in '$w'")
+    }
+  }
+
   test("urlNormalize: closed forms for every rule; urlDomain strips port and www") {
     val cases = Seq(
       // scheme+host lowercased, default port stripped, fragment dropped,
