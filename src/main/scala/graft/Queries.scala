@@ -652,16 +652,36 @@ object Queries {
     * [[TextAnalysis.langIdGuess]] stopword heuristic keys on, making
     * the trained-vs-heuristic accuracy comparison fair. Trains on
     * doc_id % 5 != 0, predicts every doc. */
-  def xLangIdNgram(s: SparkSession, d: String): DataFrame = {
+  /** Documents with a per-language stopword phrase appended — the
+    * labeled-training fixture shared by the trained lang-ID and the
+    * quality-LR classifier (and their dump-time oracles). */
+  private[graft] def langMarkedDocs(s: SparkSession, d: String): DataFrame = {
     val marker = when(col("lang") === "en", "the and of to a in")
       .when(col("lang") === "es", "el la de que y en")
       .when(col("lang") === "de", "der die und das von zu")
       .when(col("lang") === "fr", "le la de et un les")
       .otherwise("的 了 是 在 我 有")
-    val aug = documents(s, d).select(col("doc_id"), col("lang"),
+    documents(s, d).select(col("doc_id"), col("lang"),
       concat_ws(" ", col("text"), marker).as("text"))
+  }
+
+  def xLangIdNgram(s: SparkSession, d: String): DataFrame = {
+    val aug = langMarkedDocs(s, d)
     TextAnalysis.langIdNgram(aug, aug.where(col("doc_id") % 5 =!= 0),
         "doc_id", "text", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Trained quality-LR score pass: binary label = (lang == 'en') over
+    * the marker-augmented docs, trained on doc_id % 5 != 0, scored on
+    * every doc. Deterministic end to end (seed-free GD), so the learned
+    * weights ship into the dump-time oracle as literals. */
+  def xQualityLr(s: SparkSession, d: String): DataFrame = {
+    val aug = langMarkedDocs(s, d)
+      .withColumn("label", col("lang") === "en")
+    val (w, b) = TextAnalysis.qualityLrTrain(
+      aug.where(col("doc_id") % 5 =!= 0), "doc_id", "text", "label")
+    TextAnalysis.qualityLrScore(aug, "doc_id", "text", w, b)
       .orderBy("doc_id")
   }
 

@@ -58,6 +58,41 @@ object SparkEntry {
       "CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / " +
       "CAST(greatest(length(text), 1) AS DOUBLE) * 0.3, 4)"
 
+  /** Queries.langMarkedDocs replicated (per-language marker phrase). */
+  private val langMarkedSql: String =
+    "SELECT doc_id, lang, text || ' ' || CASE lang " +
+      "WHEN 'en' THEN 'the and of to a in' WHEN 'es' THEN 'el la de que y en' " +
+      "WHEN 'de' THEN 'der die und das von zu' WHEN 'fr' THEN 'le la de et un les' " +
+      "ELSE '的 了 是 在 我 有' END AS text FROM documents"
+
+  /** DuckDB oracle for x_quality_lr, generated AT DUMP TIME (needs the
+    * data: the weights are a function of the labeled slice). Training
+    * happens ONCE here through the same seed-free
+    * [[graft.operators.TextAnalysis.qualityLrTrain]] path the query
+    * runs — determinism of that path is what makes the two runs agree
+    * — and the learned weight vector ships as a list literal; the SQL
+    * replays the distributed score pass (bucket lookup, position-
+    * ordered fold, logit + keep). Same contract as [[ivfOracleSql]]. */
+  private def qualityLrOracleSql: Option[(String, String)] = scala.util.Try {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkSession.active
+    val sfDir = sys.props("graft.oracle.sfDir") // no default: throws if unset
+    val aug = Queries.langMarkedDocs(spark, sfDir)
+      .withColumn("label", col("lang") === "en")
+    val (w, b) = graft.operators.TextAnalysis.qualityLrTrain(
+      aug.where(col("doc_id") % 5 =!= 0), "doc_id", "text", "label")
+    val warr = w.map(_.toString).mkString("[", ",", "]")
+    val sql =
+      s"WITH aug AS ($langMarkedSql), " +
+        "t AS (SELECT doc_id, string_split(text,' ') AS s FROM aug), " +
+        "ti AS (SELECT doc_id, s, UNNEST(range(1, len(s)+1)) AS pos FROM t), " +
+        s"i AS (SELECT doc_id, pos, list_extract($warr, CAST(CAST('0x' || substring(md5(s[pos]),1,4) AS BIGINT) % ${w.length} + 1 AS INTEGER)) AS lw FROM ti), " +
+        "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, list_reduce(list(lw ORDER BY pos), (acc,x) -> acc + x) AS sm FROM i GROUP BY doc_id), " +
+        s"f AS (SELECT doc_id, n_tokens, ROUND($b + sm / n_tokens, 4) + 0.0 AS logit FROM a) " +
+        "SELECT doc_id, n_tokens, logit, logit >= 0 AS keep FROM f ORDER BY doc_id"
+    "x_quality_lr" -> sql
+  }.toOption
+
   /** Queries.syntheticUrl replicated (three modulo-selected URL shapes). */
   private val syntheticUrlSql: String =
     "CASE doc_id % 3 " +
@@ -516,6 +551,7 @@ object SparkEntry {
     "x_incr_neardup" -> (Queries.xIncrementalNearDup _),
     "x_bpe_merges" -> (Queries.xBpeMerges _),
     "x_bpe_encode" -> (Queries.xBpeEncode _),
+    "x_quality_lr" -> (Queries.xQualityLr _),
     "x_cluster_split" -> (Queries.xClusterSplit _),
     "x_temperature" -> (Queries.xTemperature _)
   )
@@ -724,10 +760,7 @@ object SparkEntry {
     // the train slice, per-(doc, lang) position-ordered fold (same
     // list_reduce ≡ aggregate identity as x_lm_score), argmax window
     "x_lang_id_ngram" ->
-      ("WITH aug AS (SELECT doc_id, lang, text || ' ' || CASE lang " +
-        "WHEN 'en' THEN 'the and of to a in' WHEN 'es' THEN 'el la de que y en' " +
-        "WHEN 'de' THEN 'der die und das von zu' WHEN 'fr' THEN 'le la de et un les' " +
-        "ELSE '的 了 是 在 我 有' END AS text FROM documents), " +
+      (s"WITH aug AS ($langMarkedSql), " +
         "tr AS (SELECT lang, lower(text) AS t FROM aug WHERE doc_id % 5 <> 0), " +
         "tri_t AS (SELECT lang, substring(t, pos, 3) AS tri FROM (SELECT lang, t, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS pos FROM tr)), " +
         "c AS (SELECT lang, tri, CAST(COUNT(*) AS DOUBLE) AS c FROM tri_t GROUP BY lang, tri), " +
@@ -1154,5 +1187,6 @@ object SparkEntry {
         "SELECT lang, n_docs, ROUND(SQRT(CAST(mn AS DOUBLE)/CAST(n_docs AS DOUBLE)), 4) AS keep_frac, " +
         "LEAST(256, CAST(CEIL(SQRT(CAST(mn AS DOUBLE)/CAST(n_docs AS DOUBLE)) * 256) AS BIGINT)) AS keep256 " +
         "FROM s CROSS JOIN m ORDER BY lang")
-  ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql ++ bpeOracleSql
+  ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql ++ bpeOracleSql ++
+    qualityLrOracleSql
 }

@@ -521,6 +521,107 @@ object TextAnalysis {
     * score pass adds no shuffle beyond the final per-doc groupBy.
     * Summation is position-sorted-fold deterministic as in
     * [[lmScoreBigram]]. */
+  /** Portable hashed-unigram bucket: first 4 md5 hex chars → 16-bit
+    * int, mod `buckets` — reproducible on any engine with md5 (the
+    * same trick [[dsirWeights]] and the DuckDB oracles use). */
+  private def hashBucket(c: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(c), 1, 4), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Quality-classifier TRAINING (the CCNet/fastText linear-classifier
+    * stage, as seed-free logistic regression over hashed unigram
+    * frequencies): collects a capped, id-ordered sample of per-doc
+    * (label, bucket-count) rows and runs full-batch gradient descent
+    * locally — no RNG anywhere (zero init, deterministic doc and
+    * bucket order), so the same labeled slice yields bit-identical
+    * weights on every run, the property that makes the downstream
+    * score pass oracle-checkable. Features are within-doc bucket
+    * frequencies (counts / doc length), which bounds every feature in
+    * [0, 1] and keeps plain GD well-conditioned without normalization
+    * state. Returns (weights[buckets], bias).
+    *
+    * Scale shape: the per-doc feature rows aggregate in Spark (keyed
+    * groupBys, sorted bucket lists); only the top-`trainCap` docs by
+    * id ever reach the driver — the Lloyd-training posture from
+    * Similarity: a documented, capped, deterministic sample, not the
+    * corpus. A 10⁹-doc corpus trains on the same `trainCap` rows. */
+  def qualityLrTrain(train: DataFrame, idCol: String, textCol: String,
+                     labelCol: String, buckets: Int = 256, iters: Int = 50,
+                     learnRate: Double = 0.5, trainCap: Int = 5000)
+      : (Array[Double], Double) = {
+    require(buckets > 0 && iters >= 1 && trainCap >= 1,
+      "qualityLrTrain needs positive buckets/iters/trainCap")
+    val rows = train
+      .select(col(idCol), col(labelCol).cast("double").as("__y"),
+        posexplode(whitespaceTokens(col(textCol))).as(Seq("__pos", "__t")))
+      .select(col(idCol), col("__y"),
+        hashBucket(col("__t"), buckets).as("__b"))
+      .groupBy(col(idCol), col("__y"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("__y"))
+      .agg(sum("__c").as("__n"),
+        sort_array(collect_list(struct(col("__b"), col("__c")))).as("__f"))
+      .orderBy(col(idCol)).limit(trainCap)
+      .collect()
+    val data = rows.map { r =>
+      val n = r.getLong(2).toDouble
+      val feats = r.getSeq[org.apache.spark.sql.Row](3)
+        .map(f => (f.getLong(0).toInt, f.getLong(1).toDouble / n)).toArray
+      (r.getDouble(1), feats)
+    }
+    val w = new Array[Double](buckets)
+    var b = 0.0
+    val m = math.max(data.length, 1).toDouble
+    var it = 0
+    while (it < iters) {
+      val gw = new Array[Double](buckets)
+      var gb = 0.0
+      data.foreach { case (y, feats) =>
+        var z = b
+        feats.foreach { case (j, x) => z += w(j) * x }
+        val d = 1.0 / (1.0 + math.exp(-z)) - y
+        gb += d
+        feats.foreach { case (j, x) => gw(j) += d * x }
+      }
+      b -= learnRate * gb / m
+      var j = 0
+      while (j < buckets) { w(j) -= learnRate * gw(j) / m; j += 1 }
+      it += 1
+    }
+    (w, b)
+  }
+
+  /** Quality-classifier SCORING with trained [[qualityLrTrain]]
+    * weights: one distributed pass — per-token bucket lookup in the
+    * broadcast-literal weight array, a position-sorted per-doc fold
+    * (the order-deterministic float recipe of [[dsirWeights]]), then
+    * `logit = bias + Σ w[bucket]/n_tokens` and `keep = logit ≥ 0`.
+    * The LOGIT is the output score: σ is strictly monotone, so the
+    * keep decision and any ranking are identical to the sigmoid's,
+    * and the oracle needs no cross-engine `exp` — apply σ downstream
+    * if a probability is wanted. Zero shuffle beyond the per-doc
+    * groupBy; the weight array is a constant-folded literal riding
+    * whole-stage codegen. Output: (id, n_tokens, logit, keep). */
+  def qualityLrScore(docs: DataFrame, idCol: String, textCol: String,
+                     weights: Array[Double], bias: Double): DataFrame = {
+    Joins.requireFreeColumns("qualityLrScore", docs.columns,
+      "n_tokens", "logit", "keep")
+    val warr = array(weights.map(lit).toIndexedSeq: _*)
+    docs.select(col(idCol),
+        posexplode(whitespaceTokens(col(textCol))).as(Seq("__pos", "__t")))
+      .select(col(idCol), col("__pos"),
+        element_at(warr, (hashBucket(col("__t"), weights.length) + 1)
+          .cast("int")).as("__lw"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("__pos"), col("__lw")))).as("__a"))
+      .select(col(idCol), col("n_tokens"),
+        (round(lit(bias) + aggregate(col("__a"), lit(0.0),
+          (acc, x) => acc + x.getField("__lw")) / col("n_tokens"), 4) + 0.0)
+          .as("logit"))
+      .withColumn("keep", col("logit") >= 0.0)
+  }
+
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "dsirWeights needs a positive bucket count")

@@ -49,6 +49,24 @@ class ScoringSuite extends AnyFunSuite {
     assert(out(1).getString(2) == "en")
   }
 
+  test("quality LR: separates a planted signal on the holdout; training is bit-deterministic") {
+    val df = (0L until 300L).map { i =>
+      val pos = i % 2 == 0
+      val marker = if (pos) "good solid prose here" else "spam junk click now"
+      (i, pos, s"shared filler tok${i % 7} words $marker")
+    }.toDF("doc_id", "label", "text")
+    val train = df.where(col("doc_id") % 5 =!= 0)
+    val (w1, b1) = TextAnalysis.qualityLrTrain(train, "doc_id", "text", "label")
+    val (w2, b2) = TextAnalysis.qualityLrTrain(train, "doc_id", "text", "label")
+    assert(w1.sameElements(w2) && b1 == b2, "training must be bit-deterministic")
+    val hold = TextAnalysis.qualityLrScore(df, "doc_id", "text", w1, b1)
+      .where(col("doc_id") % 5 === 0)
+      .join(df.select(col("doc_id"), col("label")), "doc_id")
+    val acc = hold.where(col("keep") === col("label")).count().toDouble /
+      hold.count()
+    assert(acc > 0.9, s"holdout accuracy $acc too low")
+  }
+
   test("bigram LM: closed form on a hand-computable corpus") {
     // corpus {"a b", "a c"}: V=3, c(a ·)=2, c(a b)=c(a c)=1
     // ⇒ p = (1+1)/(2+3) = 0.4 for both docs' single bigram
