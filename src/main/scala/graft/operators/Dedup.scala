@@ -60,10 +60,18 @@ object Dedup {
   def incrementalExactDedup(delta: DataFrame, seen: DataFrame,
                             textCol: String, seenTextCol: String,
                             expectedSeen: Long,
-                            expectedDelta: Long = 1L << 20): DataFrame = {
+                            expectedDelta: Long = 1L << 20,
+                            maxBloomItems: Long = 200000000L): DataFrame = {
     Joins.requireFreeColumns("incrementalExactDedup", delta.columns, "__h")
     require(expectedSeen > 0 && expectedDelta > 0,
       "expectedSeen and expectedDelta must be positive")
+    // The seen-side bloom materializes on the DRIVER as a plan literal
+    // (~1.2 GB of bits at 10⁹ hashes): past `maxBloomItems` that
+    // strains driver memory and plan size before the math breaks, so
+    // the operator switches itself to the keyed anti-join form — same
+    // output, no driver state (the documented cluster-scale path).
+    if (expectedSeen > maxBloomItems)
+      return incrementalExactDedupJoin(delta, seen, textCol, seenTextCol)
     val seenH = seen.select(md5(col(seenTextCol)).as("__h"))
     val bfBytes = bloomOf(seenH, expectedSeen)
     val hashed = delta.withColumn("__h", md5(col(textCol)))
@@ -80,6 +88,26 @@ object Dedup {
         definiteNew.unionByName(verified).drop("__h")
       }
     }
+  }
+
+  /** The driver-stateless form of [[incrementalExactDedup]]: a plain
+    * hash-keyed left-anti join of the delta's content hashes against
+    * the seen corpus's. No bloom, no literal in the plan — both sides
+    * shuffle on `__h` (or co-locate for free when the seen hash set is
+    * persisted bucketed by `__h`, the layout the sink writes at
+    * cluster scale), so it holds at any `seen` cardinality; the price
+    * is that definite-miss delta rows shuffle too, which the bloom
+    * form exists to avoid. [[incrementalExactDedup]] falls back to
+    * this automatically past `maxBloomItems`; both forms are
+    * output-identical (OperatorsSuite differential). */
+  def incrementalExactDedupJoin(delta: DataFrame, seen: DataFrame,
+                                textCol: String,
+                                seenTextCol: String): DataFrame = {
+    Joins.requireFreeColumns("incrementalExactDedup", delta.columns, "__h")
+    delta.withColumn("__h", md5(col(textCol)))
+      .join(seen.select(md5(col(seenTextCol)).as("__h")).distinct(),
+        Seq("__h"), "left_anti")
+      .drop("__h")
   }
 
   /** Serialized bloom filter over a one-column frame of hashes (null

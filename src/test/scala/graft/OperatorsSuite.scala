@@ -476,6 +476,17 @@ class OperatorsSuite extends AnyFunSuite {
     val emptySeen = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.incrementalExactDedup(delta, emptySeen, "text", "text", 10L)
       .count() == delta.count())
+    // past maxBloomItems the operator must self-switch to the keyed
+    // anti-join: identical rows, and NO bloom literal in the plan
+    val joined = Dedup.incrementalExactDedup(delta, seen, "text", "text",
+      expectedSeen = 1000L, expectedDelta = 1L << 20, maxBloomItems = 10L)
+    assert(joined.select("doc_id").exceptAll(got.select("doc_id")).count() == 0)
+    assert(got.select("doc_id").exceptAll(joined.select("doc_id")).count() == 0)
+    assert(!joined.queryExecution.analyzed.toString.contains("might_contain"))
+    // and the public fallback is that same path
+    val direct = Dedup.incrementalExactDedupJoin(delta, seen, "text", "text")
+    assert(direct.select("doc_id").exceptAll(got.select("doc_id")).count() == 0)
+    assert(got.select("doc_id").exceptAll(direct.select("doc_id")).count() == 0)
   }
 
   test("L4 decontaminationJoin flags the leaked eval doc and only it") {
