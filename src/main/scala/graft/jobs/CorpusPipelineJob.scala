@@ -156,6 +156,75 @@ object CorpusPipelineJob {
     }
   }
 
+  /** Micro-batch STREAMING curated ingest — the continuous form of
+    * [[run]] for a corpus that arrives as a stream (crawl output, CDC
+    * feed): every micro-batch is
+    *
+    *   in-batch normalized dedup (min-id representative, the batch form
+    *   of `StreamOps.normalizedDedup`'s policy) → cross-batch dedup
+    *   against everything ALREADY LANDED → quality gate → PII scrub →
+    *   idempotent append.
+    *
+    * Two design points carry the exactly-once semantics without any
+    * in-memory state:
+    *
+    *   - **The landed table IS the seen-corpus state.** Each batch
+    *     anti-joins its normalized-content hashes against the output
+    *     table's stored `norm_h` column (hash-keyed shuffle — the same
+    *     cluster-scale path [[graft.operators.Dedup
+    *     .incrementalExactDedupJoin]] takes past the bloom ceiling; at
+    *     bounded seen sizes the bloom-prefiltered
+    *     `incrementalExactDedup` composes identically). No
+    *     deduplication state lives in the stream, so restart recovery
+    *     is exactly the sink's own visibility contract.
+    *   - **Idempotent landing.** Rows land partitioned by micro-batch id
+    *     with dynamic partition overwrite, so a batch replayed after a
+    *     crash overwrites ONLY its own partition — and the seen-side
+    *     read excludes the current batch id, so a partially-landed
+    *     attempt can never shadow its own retry's input.
+    *
+    * Null text and text that normalizes to empty get a null `norm_h`
+    * and ride through undeduped — the [[graft.operators.Dedup
+    * .normalizedDedup]] singleton convention, which null join keys
+    * implement for free in the anti-join. */
+  def runStreaming(docs: DataFrame, outDir: String, checkpoint: String,
+                   cfg: Config = Config(),
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val step = (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val keepIds = Dedup.normalizedDedup(batch, cfg.idCol, cfg.textCol)
+        .where(col("keep")).select(cfg.idCol)
+      val norm = Dedup.normalizeText(col(cfg.textCol))
+      val hashed = batch.join(keepIds, Seq(cfg.idCol), "left_semi")
+        .withColumn("norm_h",
+          when(col(cfg.textCol).isNull || norm === "",
+            lit(null).cast("string")).otherwise(md5(norm)))
+      val seen = scala.util.Try(
+        spark.read.orc(outDir)
+          .where(col("_batch_id").cast("long") =!= batchId)
+          .select("norm_h")).toOption
+      val fresh = seen.fold(hashed)(s =>
+        hashed.join(s, Seq("norm_h"), "left_anti"))
+      fresh
+        .withColumn("quality", TextAnalysis.qualityScore(col(cfg.textCol)))
+        .where(col("quality") >= cfg.minQuality)
+        .withColumn(cfg.textCol, Pipelines.scrubPii(col(cfg.textCol)))
+        .withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .orc(outDir)
+      ()
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch(step)
+      .start()
+  }
+
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     // min-id representative → deterministic across partitionings
     val exact = Dedup.exactDedup(docs, cfg.textCol, cfg.idCol)

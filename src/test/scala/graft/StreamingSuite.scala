@@ -287,6 +287,45 @@ class StreamingSuite extends AnyFunSuite {
     assert(spark.read.orc(out).count() == 100L)
   }
 
+  test("streaming curated pipeline: cross-restart dedup, no dup survivors, idempotent replay") {
+    val dir = Files.createTempDirectory("graft_scp").toString
+    val src = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val cfg = graft.jobs.CorpusPipelineJob.Config(minQuality = 0.0)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .json(s"$src/*")
+      val q = graft.jobs.CorpusPipelineJob.runStreaming(
+        stream, out, ckpt, cfg, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    def doc(i: Long) = (i, s"stream doc number $i with some body text")
+    // phase 1: docs 0-49 plus an in-batch normalized variant of doc 1
+    ((0L until 50L).map(doc) :+ (9001L, "STREAM DOC NUMBER 1 WITH SOME BODY TEXT!!"))
+      .toDF("doc_id", "text").write.json(s"$src/batch1")
+    runOnce()
+    val landed1 = spark.read.orc(out)
+    assert(landed1.count() == 50L, "variant must collapse in-batch")
+    assert(landed1.where(col("doc_id") === 9001L).count() == 0)
+    // phase 2 (restart from checkpoint): re-crawls of 40-49, a
+    // normalized variant of doc 5, and genuinely new docs 60-79
+    ((40L until 50L).map(doc) ++ (60L until 80L).map(doc)
+      :+ (9002L, "Stream Doc Number 5, With Some Body Text?"))
+      .toDF("doc_id", "text").write.json(s"$src/batch2")
+    runOnce()
+    val landed2 = spark.read.orc(out)
+    assert(landed2.count() == 70L,
+      s"only the 20 new docs may land, got ${landed2.count()}")
+    assert(landed2.where(col("doc_id").isin(9002L)).count() == 0)
+    // the landed corpus carries no normalized-dup pair across batches
+    assert(graft.operators.Dedup
+      .normalizedDedup(landed2, "doc_id", "text")
+      .where(!col("keep")).count() == 0)
+    // phase 3: restart with nothing new — nothing lands twice
+    runOnce()
+    assert(spark.read.orc(out).count() == 70L)
+  }
+
   test("T-join: stream-stream interval join equals the batch range join") {
     implicit val sqlCtx = spark.sqlContext
     val rows = eventRows
