@@ -183,6 +183,14 @@ object CorpusPipelineJob {
     *     read excludes the current batch id, so a partially-landed
     *     attempt can never shadow its own retry's input.
     *
+    * The landed table carries `norm_h` and `_batch_id` as OUTPUT
+    * columns — `norm_h` IS the table's seen-state (the next batch's
+    * anti-join reads it back), and `_batch_id` is the idempotence
+    * partition key. Consumers that want the bare document schema (or
+    * want to re-run a batch dedup over the landed corpus, whose
+    * operators require `norm_h` free) should `.drop("norm_h",
+    * "_batch_id")`.
+    *
     * Null text and text that normalizes to empty get a null `norm_h`
     * and ride through undeduped — the [[graft.operators.Dedup
     * .normalizedDedup]] singleton convention, which null join keys

@@ -317,9 +317,12 @@ class StreamingSuite extends AnyFunSuite {
     assert(landed2.count() == 70L,
       s"only the 20 new docs may land, got ${landed2.count()}")
     assert(landed2.where(col("doc_id").isin(9002L)).count() == 0)
-    // the landed corpus carries no normalized-dup pair across batches
+    // the landed corpus carries no normalized-dup pair across batches.
+    // `norm_h` is a documented OUTPUT column of runStreaming (it is the
+    // table's own seen-state), so drop it before re-running the batch
+    // dedup, which requires norm_h to be free.
     assert(graft.operators.Dedup
-      .normalizedDedup(landed2, "doc_id", "text")
+      .normalizedDedup(landed2.drop("norm_h"), "doc_id", "text")
       .where(!col("keep")).count() == 0)
     // phase 3: restart with nothing new — nothing lands twice
     runOnce()
