@@ -26,15 +26,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * nanosAsLong is pinned in [[Engine.configure]] (session conf, not a
-    * loader side effect — a runtime `conf.set` here would race concurrent
-    * suites sharing the session) and the long is truncated to micros — the
-    * same truncation every micros-precision engine (incl. the DuckDB
-    * oracle) applies to ns data. Integer DIV: ns exceeds double's 2^53. */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** events.ts has shipped in two physical encodings across fixture
+    * generations: parquet TIMESTAMP(NANOS) (read as INT64 via the
+    * nanosAsLong pin in [[Engine.configure]] — session conf, not a loader
+    * side effect, to avoid racing concurrent suites) and plain
+    * timestamp[us]. The loader adapts on the analyzed schema: a LongType
+    * `ts` is nanos and gets truncated to micros — the same truncation every
+    * micros-precision engine (incl. the DuckDB oracle) applies to ns data
+    * (integer DIV: ns exceeds double's 2^53) — while a timestamp `ts`
+    * passes through (NTZ is cast to session-tz TIMESTAMP; the session is
+    * pinned UTC in [[Engine.configure]], so the cast is value-identity and
+    * keeps every downstream query on one timestamp flavor). Mirrors the
+    * reference's reflection-derived per-run schema posture
+    * (HiveOrcSink.java:309-314) rather than hard-coding one encoding. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected INT64 nanos or timestamp)")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
