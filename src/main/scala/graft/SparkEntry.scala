@@ -756,20 +756,22 @@ object SparkEntry {
       s"WITH t AS (SELECT doc_id, text, CAST(len(string_split(text,' ')) AS DOUBLE) AS __nt, list_distinct(string_split(lower(text),' ')) AS __toks FROM documents), s AS (SELECT doc_id, text, __nt, CAST(__nt AS BIGINT) AS ws_tokens, CAST($bpeishCountSql AS BIGINT) AS bpeish_tokens, CAST(length(text) AS BIGINT) AS chars, $langScoreCols FROM t) SELECT doc_id, ws_tokens, bpeish_tokens, chars, $qualitySql AS quality, $langPredCase AS lang_pred FROM s ORDER BY doc_id",
     "x_lang_id" ->
       s"WITH t AS (SELECT lang, list_distinct(string_split(lower(text),' ')) AS __toks FROM documents), s AS (SELECT lang, $langScoreCols FROM t) SELECT lang, $langPredCase AS lang_pred, COUNT(*) AS n FROM s GROUP BY lang, lang_pred ORDER BY lang, lang_pred",
-    // trained trigram naive-Bayes lang-id: counts/totals/vocab CTEs from
-    // the train slice, per-(doc, lang) position-ordered fold (same
-    // list_reduce ≡ aggregate identity as x_lm_score), argmax window
+    // trained trigram naive-Bayes lang-id: ONE count CTE from the train
+    // slice (totals/vocab re-agg the profile-sized count table, mirroring
+    // TextAnalysis.langIdNgram), per-(doc, lang) trigram-ordered fold of
+    // m·lp (same list_reduce ≡ aggregate identity as x_lm_score — both
+    // engines fold the identical trigram order), argmax window
     "x_lang_id_ngram" ->
       (s"WITH aug AS ($langMarkedSql), " +
         "tr AS (SELECT lang, lower(text) AS t FROM aug WHERE doc_id % 5 <> 0), " +
         "tri_t AS (SELECT lang, substring(t, pos, 3) AS tri FROM (SELECT lang, t, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS pos FROM tr)), " +
         "c AS (SELECT lang, tri, CAST(COUNT(*) AS DOUBLE) AS c FROM tri_t GROUP BY lang, tri), " +
-        "n AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM tri_t GROUP BY lang), " +
-        "v AS (SELECT CAST(COUNT(DISTINCT tri) AS DOUBLE) AS v FROM tri_t), " +
-        "di AS (SELECT doc_id, pos, substring(t, pos, 3) AS tri FROM (SELECT doc_id, lower(text) AS t FROM aug), UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(pos)), " +
-        "sc AS (SELECT doc_id, pos, n.lang, ln((COALESCE(c.c, 0) + 1.0) / (n.n + v.v)) AS lp " +
-        "FROM di CROSS JOIN n LEFT JOIN c ON c.lang = n.lang AND c.tri = di.tri CROSS JOIN v), " +
-        "a AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS nt, list_reduce(list(lp ORDER BY pos), (acc,x) -> acc + x) AS sm FROM sc GROUP BY doc_id, lang), " +
+        "n AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS n FROM c GROUP BY lang), " +
+        "v AS (SELECT CAST(COUNT(DISTINCT tri) AS DOUBLE) AS v FROM c), " +
+        "dt AS (SELECT doc_id, tri, CAST(COUNT(*) AS DOUBLE) AS m FROM (SELECT doc_id, substring(t, pos, 3) AS tri FROM (SELECT doc_id, lower(text) AS t FROM aug), UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(pos)) GROUP BY doc_id, tri), " +
+        "sc AS (SELECT doc_id, dt.tri, n.lang, m, m * ln((COALESCE(c.c, 0) + 1.0) / (n.n + v.v)) AS mlp " +
+        "FROM dt CROSS JOIN n LEFT JOIN c ON c.lang = n.lang AND c.tri = dt.tri CROSS JOIN v), " +
+        "a AS (SELECT doc_id, lang, CAST(SUM(m) AS BIGINT) AS nt, list_reduce(list(mlp ORDER BY tri), (acc,x) -> acc + x) AS sm FROM sc GROUP BY doc_id, lang), " +
         "b AS (SELECT doc_id, nt, lang, sm, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sm DESC, lang) AS rn FROM a) " +
         "SELECT d.doc_id, COALESCE(b.nt, 0) AS n_trigrams, COALESCE(b.lang, 'und') AS lang_pred, ROUND(b.sm / b.nt, 4) + 0.0 AS nb_score " +
         "FROM documents d LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (doc_id) ORDER BY doc_id"),

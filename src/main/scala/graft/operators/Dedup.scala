@@ -751,23 +751,25 @@ object Dedup {
     * (shorter repeats ≥ k lose their interior; < k are invisible —
     * pick k at half the span width you care about, Lee et al. use 50).
     *
-    * Scale shape: one shuffle keyed on the shingle hash (count +
-    * first-occurrence rank share the one window partition), one
-    * explode of DUPLICATED starts only (fan-out k per dup start,
-    * bounded by dup volume — dedupe exists because that volume is
-    * small), one (id, pos)-keyed anti-side join and one per-doc
-    * reassembly groupBy bounded by doc length. No pairwise compare,
-    * no suffix array, no driver state. Hot-shingle skew (a banner
-    * repeated 10⁶×) lands on one fp partition — same hazard and same
-    * answer as [[dropBoilerplateLines]]: the window carries (id, pos)
-    * pairs only, never text. Output: (id, n_tokens, n_removed, clean).
+    * Scale shape: one shuffle keyed on the shingle hash — but as a
+    * partial-aggregable `groupBy(fp).agg(count, min((id, pos)))`, NOT a
+    * window: map-side combine collapses a hot shingle (a banner repeated
+    * 10⁶×) into per-partition partials, so no single reducer ever sorts
+    * the full occurrence list, and the post-filter stats table carries
+    * DUPLICATED fps only (small by the same argument dedup exists at
+    * all — AQE broadcasts it when it fits). Then one explode of dup
+    * starts (fan-out k per start, bounded by dup volume), one
+    * doc-keyed groupBy of covered positions, and one doc-keyed join of
+    * the covered-position ARRAY back onto the token array, excised with
+    * an order-preserving HOF `filter` — the corpus text itself is never
+    * exploded or re-sorted. No pairwise compare, no suffix array, no
+    * driver state. Output: (id, n_tokens, n_removed, clean).
     */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8): DataFrame = {
     require(k >= 2, "substringDedup needs k >= 2")
     Joins.requireFreeColumns("substringDedup", df.columns,
       "n_tokens", "n_removed", "clean")
-    import org.apache.spark.sql.expressions.Window
     val s = col("__s")
     val base = df.select(col(idCol), split(col(textCol), " ").as("__s"))
     // staged gram array (the winnowing lesson: inlined into a second
@@ -781,30 +783,36 @@ object Dedup {
             md5(array_join(slice(s, i, lit(k)), " ")).as("__fp"))).as("__g"))
       .select(col(idCol), explode(col("__g")).as("__x"))
       .select(col(idCol), col("__x.__pos").as("__pos"), col("__x.__fp").as("__fp"))
-    val byFp = Window.partitionBy("__fp")
-    val byFpOrd = byFp.orderBy(col(idCol), col("__pos"))
+    // dup-fp stats: count + global first occurrence, both map-side
+    // combinable (min over the (id, pos) struct IS the row_number()=1
+    // row of the old window formulation, without the per-fp sort).
+    val fpStats = starts
+      .groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol), col("__pos"))).as("__first"))
+      .where(col("__c") >= 2)
+      .select(col("__fp"), col("__first"))
     val dupStarts = starts
-      .withColumn("__c", count(lit(1)).over(byFp))
-      .withColumn("__rn", row_number().over(byFpOrd))
-      .where(col("__c") >= 2 && col("__rn") > 1)
+      .join(fpStats, Seq("__fp"))
+      .where(struct(col(idCol), col("__pos")) =!= col("__first"))
       .select(col(idCol), col("__pos"))
+    // per-doc covered-position set (collect_set dedups overlapping
+    // shingle windows); dup-volume-bounded, keyed by doc.
     val covered = dupStarts
       .select(col(idCol),
         explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__tp"))
-      .distinct()
-      .withColumn("__cut", lit(true))
-    base.select(col(idCol), size(s).cast("long").as("__nt"),
-        posexplode(s).as(Seq("__p0", "__tok")))
-      .withColumn("__tp", col("__p0") + 1)
-      .join(covered, Seq(idCol, "__tp"), "left")
       .groupBy(col(idCol))
-      .agg(max(col("__nt")).as("n_tokens"),
-        count(col("__cut")).as("n_removed"),
-        sort_array(collect_list(
-          when(col("__cut").isNull, struct(col("__tp"), col("__tok")))))
-          .as("__a"))
-      .select(col(idCol), col("n_tokens"), col("n_removed"),
-        array_join(transform(col("__a"), x => x.getField("__tok")), " ")
+      .agg(collect_set(col("__tp")).as("__cov"))
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        size(s).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        when(col("__cov").isNull, array_join(s, " "))
+          .otherwise(array_join(
+            zip_with(s, sequence(lit(1), size(s)),
+              (tok, p) => when(array_contains(col("__cov"), p), lit(null))
+                .otherwise(tok)),
+            " "))
           .as("clean"))
   }
 }

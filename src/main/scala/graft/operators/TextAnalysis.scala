@@ -61,16 +61,20 @@ object TextAnalysis {
     * whatever character-level signal the labeled slice carries —
     * diacritics, function words, scripts — instead of a fixed list.
     *
-    * Scale shape: training is two keyed count passes over the labeled
-    * corpus; the profile is (languages × trigram vocab) rows — a
-    * broadcast table, never corpus-sized. Scoring is one pass over the
-    * target corpus's trigram instances fanned out by the language count
-    * (explicitly `broadcast()`-joined, so no shuffle of the corpus
-    * side), then one per-(doc, lang) fold of a position-sorted array so
-    * the float sum is order-deterministic across runs/engines, and one
-    * per-doc argmax window bounded by the language count. Docs with no
-    * trigram (< 3 chars) pass through as `und` with a null score.
-    * Output: (id, n_trigrams, lang_pred, nb_score = mean log-prob). */
+    * Scale shape: training is ONE keyed count pass over the labeled
+    * corpus — per-language totals and the vocab size are re-aggregated
+    * from the (lang, trigram) count table, which is profile-sized, not
+    * corpus-sized — and the add-one log-prob is computed once per
+    * profile row (languages × vocab, a broadcast table). Scoring first
+    * collapses the target corpus to per-(doc, trigram) multiplicities
+    * (one partial-aggregable shuffle, no language fan-out yet), then
+    * broadcast-joins the profile so the fan-out by language happens on
+    * the collapsed rows; the per-(doc, lang) score folds `m · lp` over
+    * the trigram-sorted array, which is order-deterministic across
+    * runs/engines (the oracle folds the identical order). One per-doc
+    * argmax window bounded by the language count closes it out. Docs
+    * with no trigram (< 3 chars) pass through as `und` with a null
+    * score. Output: (id, n_trigrams, lang_pred, nb_score). */
   def langIdNgram(docs: DataFrame, train: DataFrame,
                   idCol: String, textCol: String, langCol: String): DataFrame = {
     Joins.requireFreeColumns("langIdNgram", docs.columns,
@@ -81,25 +85,34 @@ object TextAnalysis {
       df.withColumn("__txt", lower(col(textCol)))
         .where(length(txt) >= 3)
         .select(key.as(keyName),
-          posexplode(transform(sequence(lit(1), length(txt) - 2),
-            i => txt.substr(i, lit(3)))).as(Seq("__pos", "__tri")))
-    val trainInst = instances(train, col(langCol), "__lang")
-    val counts = trainInst.groupBy("__lang", "__tri")
+          explode(transform(sequence(lit(1), length(txt) - 2),
+            i => txt.substr(i, lit(3)))).as("__tri"))
+    val counts = instances(train, col(langCol), "__lang")
+      .groupBy("__lang", "__tri")
       .agg(count(lit(1)).cast("double").as("__c"))
-    val totals = trainInst.groupBy("__lang")
-      .agg(count(lit(1)).cast("double").as("__n"))
-    val vocab = trainInst.agg(countDistinct(col("__tri")).cast("double").as("__v"))
-    val scored = instances(docs, col(idCol), idCol)
-      .crossJoin(broadcast(totals))
-      .join(broadcast(counts), Seq("__lang", "__tri"), "left")
-      .crossJoin(broadcast(vocab))
-      .withColumn("__lp",
-        log((coalesce(col("__c"), lit(0.0)) + 1.0) / (col("__n") + col("__v"))))
+    // totals + vocab from the count table — profile-sized re-aggs, not
+    // second/third passes over the training text.
+    val langStats = counts.groupBy("__lang")
+      .agg(sum(col("__c")).as("__n"))
+      .crossJoin(counts.agg(countDistinct(col("__tri")).cast("double").as("__v")))
+      .select(col("__lang"), col("__n"), col("__v"),
+        log(lit(1.0) / (col("__n") + col("__v"))).as("__lp0"))
+    val profile = counts.join(langStats, Seq("__lang"))
+      .select(col("__lang"), col("__tri"),
+        log((col("__c") + 1.0) / (col("__n") + col("__v"))).as("__lp"))
+    val docTri = instances(docs, col(idCol), idCol)
+      .groupBy(col(idCol), col("__tri"))
+      .agg(count(lit(1)).cast("double").as("__m"))
+    val scored = docTri
+      .crossJoin(broadcast(langStats.select(col("__lang"), col("__lp0"))))
+      .join(broadcast(profile), Seq("__lang", "__tri"), "left")
+      .withColumn("__lp", coalesce(col("__lp"), col("__lp0")))
     val perLang = scored.groupBy(col(idCol), col("__lang"))
-      .agg(count(lit(1)).as("__nt"),
-        sort_array(collect_list(struct(col("__pos"), col("__lp")))).as("__a"))
+      .agg(sum(col("__m")).cast("long").as("__nt"),
+        sort_array(collect_list(struct(col("__tri"),
+          (col("__m") * col("__lp")).as("__mlp")))).as("__a"))
       .withColumn("__sm", aggregate(col("__a"), lit(0.0),
-        (acc, x) => acc + x.getField("__lp")))
+        (acc, x) => acc + x.getField("__mlp")))
     val best = perLang
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__sm").desc, col("__lang"))))

@@ -147,12 +147,21 @@ class PlanShapeSuite extends AnyFunSuite {
   }
 
   test("J7/J8: custom time joins stay equi-join shaped (never NLJ/cartesian)") {
+    // J7: the bucketing helper must surface a genuine equi-join (hash or
+    // sort-merge keyed on (key, bucket)) — a theta-only condition would
+    // silently degrade to BroadcastNestedLoop and O(n·m) at scale
     val p12 = plan(Queries.q12(spark, sfDir))
     assert(!p12.contains("BroadcastNestedLoopJoin") && !p12.contains("CartesianProduct"), p12)
+    assert(p12.contains("BroadcastHashJoin") || p12.contains("SortMergeJoin")
+      || p12.contains("ShuffledHashJoin"), p12)
     val p13 = plan(Queries.q13(spark, sfDir))
     assert(!p13.contains("BroadcastNestedLoopJoin") && !p13.contains("CartesianProduct"), p13)
     // as-of is union+window: exactly zero joins in the plan
     assert(!p13.contains("Join"), p13)
+    // ... and the running-max window is keyed (partitionBy __key): an
+    // unpartitioned window would serialize the whole stream on one task
+    val winLine = p13.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("__key"), s"as-of window not keyed:\n$p13")
   }
 
   test("embedding near-dup candidate front plans equi-joins only") {
