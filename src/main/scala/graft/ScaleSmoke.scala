@@ -141,6 +141,25 @@ object ScaleSmoke {
       ("x_ppl_full", Seq("documents"), (s: SparkSession, d: String) =>
         graft.operators.TextAnalysis.pplBuckets(
           Tables.documents(s, d), "doc_id", "text", "source")),
+      // exact-substring excision over the full corpus: shingle fps are
+      // SHARED across replica copies (the c<i> tag shifts positions but
+      // not interior 8-gram content), so the dup-fp stats table stays
+      // base-sized while dup starts / covered positions grow ∝ copies —
+      // the fp groupBy partial-aggregates and the stats join fans out
+      // per occurrence, so time must track rows, never df × rows
+      ("x_substring_full", Seq("documents"), (s: SparkSession, d: String) =>
+        graft.operators.Dedup.substringDedup(
+          Tables.documents(s, d), "doc_id", "text", k = 8)),
+      // trained trigram lang-id over the full corpus (train slice grows
+      // with the corpus): one count pass over the train text, profile
+      // stays (langs × vocab) and vocab saturates, scoring collapses to
+      // per-(doc,trigram) multiplicities before the language fan-out —
+      // both shuffles are keyed partial-aggs, so time must track rows
+      ("x_lang_id_full", Seq("documents"), (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.TextAnalysis.langIdNgram(
+          docs, docs.where(col("doc_id") % 5 === 1), "doc_id", "text", "lang")
+      }),
       // incremental near-dup with a FIXED 100-doc delta vs the growing
       // seen corpus: seen-side banding ∝ rows; each delta doc's match
       // set grows ∝ copies (replica twins stay near-dups), so candidate

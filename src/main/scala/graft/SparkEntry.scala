@@ -763,7 +763,7 @@ object SparkEntry {
     // engines fold the identical trigram order), argmax window
     "x_lang_id_ngram" ->
       (s"WITH aug AS ($langMarkedSql), " +
-        "tr AS (SELECT lang, lower(text) AS t FROM aug WHERE doc_id % 5 <> 0), " +
+        "tr AS (SELECT lang, lower(text) AS t FROM aug WHERE doc_id % 5 = 1), " +
         "tri_t AS (SELECT lang, substring(t, pos, 3) AS tri FROM (SELECT lang, t, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS pos FROM tr)), " +
         "c AS (SELECT lang, tri, CAST(COUNT(*) AS DOUBLE) AS c FROM tri_t GROUP BY lang, tri), " +
         "n AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS n FROM c GROUP BY lang), " +

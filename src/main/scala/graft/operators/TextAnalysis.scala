@@ -87,9 +87,16 @@ object TextAnalysis {
         .select(key.as(keyName),
           explode(transform(sequence(lit(1), length(txt) - 2),
             i => txt.substr(i, lit(3)))).as("__tri"))
+    // localCheckpoint: the count table is profile-sized (langs × vocab),
+    // but its LINEAGE is the train-corpus trigram explode — and it feeds
+    // four separate subplans (per-lang totals, the vocab agg, the profile
+    // join, and each broadcast build), which Catalyst treats as
+    // independent plans and would re-explode the training text for each.
+    // One eager materialization caps the train pass at exactly one scan.
     val counts = instances(train, col(langCol), "__lang")
       .groupBy("__lang", "__tri")
       .agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint()
     // totals + vocab from the count table — profile-sized re-aggs, not
     // second/third passes over the training text.
     val langStats = counts.groupBy("__lang")
@@ -475,8 +482,17 @@ object TextAnalysis {
           (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))))
       .select(col(idCol), col("pos").as("__pos"),
         col("col.w1").as("__w1"), col("col.bg").as("__bg"))
+    // one corpus-wide bigram count pass; the unigram-context counts
+    // re-aggregate the vocab-sized c2 table (Σ_bg c2 grouped by the
+    // bigram's first token ≡ counting w1 instances directly — tokens are
+    // whitespace-split, so w1 is recoverable as the prefix; counts are
+    // integers in doubles, so the sum is exact). localCheckpoint caps
+    // the bigram explode at one evaluation for the c2 build (the c1
+    // re-agg and the join probe both read the materialized table).
     val c2 = pairs.groupBy("__bg").agg(count(lit(1)).cast("double").as("__c2"))
-    val c1 = pairs.groupBy("__w1").agg(count(lit(1)).cast("double").as("__c1"))
+      .localCheckpoint()
+    val c1 = c2.groupBy(split(col("__bg"), " ").getItem(0).as("__w1"))
+      .agg(sum(col("__c2")).as("__c1"))
     val v = base.select(explode(s).as("__t"))
       .agg(countDistinct(col("__t")).cast("double").as("__v"))
     pairs.join(c2, "__bg").join(c1, "__w1").crossJoin(broadcast(v))
