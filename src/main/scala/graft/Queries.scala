@@ -698,6 +698,15 @@ object Queries {
     TextAnalysis.tokenStats(documents(s, d), "doc_id", "text")
       .drop("fp").orderBy("doc_id")
 
+  /** C4 bad-word screen over the fixture vocabulary: "slow"/"dup"/
+    * "spill" stand in for the blocklist — common enough in the
+    * synthetic corpus that both branches of `keep` are exercised. */
+  val blocklistWords: Seq[String] = Seq("slow", "dup", "spill")
+  def xBlocklist(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.blocklistScreen(documents(s, d), "doc_id", "text",
+        blocklistWords)
+      .orderBy("doc_id")
+
   /** Multimodal plumbing: binary payload + typed meta + batched decode.
     * Surface limited to oracle-checkable columns (kind, payload bytes,
     * decoded feature dim); the xxhash-derived stub width/height are

@@ -510,6 +510,7 @@ object SparkEntry {
     "x_url_normalize" -> (Queries.xUrlNormalize _),
     "x_domain_stats" -> (Queries.xDomainStats _),
     "x_token_stats" -> (Queries.xTokenStats _),
+    "x_blocklist" -> (Queries.xBlocklist _),
     "x_multimodal" -> (Queries.xMultimodal _),
     "x_cdc_ingest" -> (Queries.xCdcIngest _),
     "x_orc_sink" -> (Queries.xOrcSinkRoundtrip _),
@@ -756,6 +757,15 @@ object SparkEntry {
       s"WITH t AS (SELECT doc_id, text, CAST(len(string_split(text,' ')) AS DOUBLE) AS __nt, list_distinct(string_split(lower(text),' ')) AS __toks FROM documents), s AS (SELECT doc_id, text, __nt, CAST(__nt AS BIGINT) AS ws_tokens, CAST($bpeishCountSql AS BIGINT) AS bpeish_tokens, CAST(length(text) AS BIGINT) AS chars, $langScoreCols FROM t) SELECT doc_id, ws_tokens, bpeish_tokens, chars, $qualitySql AS quality, $langPredCase AS lang_pred FROM s ORDER BY doc_id",
     "x_lang_id" ->
       s"WITH t AS (SELECT lang, list_distinct(string_split(lower(text),' ')) AS __toks FROM documents), s AS (SELECT lang, $langScoreCols FROM t) SELECT lang, $langPredCase AS lang_pred, COUNT(*) AS n FROM s GROUP BY lang, lang_pred ORDER BY lang, lang_pred",
+    // C4 bad-word screen: same 3-word list as Queries.blocklistWords;
+    // instance hits via list filter, distinct hits via list_intersect
+    "x_blocklist" ->
+      ("WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS __toks FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(list_filter(__toks, t -> list_contains(['dup','slow','spill'], t))) AS BIGINT) AS n_hits, " +
+        "CAST(len(list_intersect(list_distinct(__toks), ['dup','slow','spill'])) AS BIGINT) AS n_hit_types, " +
+        "len(list_filter(__toks, t -> list_contains(['dup','slow','spill'], t))) <= 0 AS keep " +
+        "FROM t ORDER BY doc_id"),
     // trained trigram naive-Bayes lang-id: ONE count CTE from the train
     // slice (totals/vocab re-agg the profile-sized count table, mirroring
     // TextAnalysis.langIdNgram), per-(doc, lang) trigram-ordered fold of

@@ -131,6 +131,38 @@ object TextAnalysis {
         (round(col("__sm") / col("__nt"), 4) + 0.0).as("nb_score"))
   }
 
+  /** C4-style blocklist screen (Raffel et al. 2020 §2.2's bad-word
+    * filter, generalized to any dictionary): per-doc hit statistics
+    * against a lowercase word list — `n_hits` (token instances on the
+    * list), `n_hit_types` (distinct listed words present), and
+    * `keep = n_hits <= maxHits` (C4 drops on ANY hit; maxHits defaults
+    * to 0 to match).
+    *
+    * Scale shape: the dictionary ships as an array LITERAL inside a
+    * pure per-row HOF projection — zero shuffle, zero join, fully
+    * codegen'd, the filter streams through the scan at any corpus
+    * size. Word lists in practice are 10²–10⁴ entries; past literal
+    * comfort (~10⁵) switch to a broadcast join on exploded tokens —
+    * the same threshold argument as incrementalExactDedup's
+    * bloom-literal ceiling. The token array is STAGED in its own
+    * projection (HOF staging audit: inlined, Catalyst re-splits the
+    * text once per lambda). Null text → 0 hits, keep = true. */
+  def blocklistScreen(df: DataFrame, idCol: String, textCol: String,
+                      words: Seq[String], maxHits: Long = 0L): DataFrame = {
+    require(words.nonEmpty, "blocklistScreen needs a non-empty word list")
+    Joins.requireFreeColumns("blocklistScreen", df.columns,
+      "n_hits", "n_hit_types", "keep")
+    val wl = array(words.distinct.sorted.map(w => lit(w.toLowerCase)): _*)
+    val toks = col("__toks")
+    df.withColumn("__toks", whitespaceTokens(lower(col(textCol))))
+      .select(col(idCol),
+        coalesce(size(filter(toks, t => array_contains(wl, t))), lit(0))
+          .cast("long").as("n_hits"),
+        coalesce(size(array_intersect(array_distinct(toks), wl)), lit(0))
+          .cast("long").as("n_hit_types"))
+      .withColumn("keep", col("n_hits") <= maxHits)
+  }
+
   /** Heuristic quality score in [0,1]: length band + alpha ratio +
     * mean-token-length band — the usual cheap pre-filters before
     * expensive model scoring. Deterministic. */

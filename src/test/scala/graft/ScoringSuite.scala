@@ -176,4 +176,32 @@ class ScoringSuite extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(got.forall { case (id, _, _, v, _) => nll(id) == v })
   }
+
+  test("blocklist screen: closed forms — planted hits, repeats, case, null text, maxHits slack") {
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "one bad word inside"),                    // 1 instance, 1 type
+      (3L, "bad bad ugly bad"),                       // 4 instances, 2 types
+      (4L, "BAD shouting Ugly mix"),                  // lowercased match
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val wl = Seq("bad", "ugly", "absent")
+    val out = TextAnalysis.blocklistScreen(docs, "doc_id", "text", wl)
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, true),
+      (2L, 1L, 1L, false),
+      (3L, 4L, 2L, false),
+      (4L, 2L, 2L, false),
+      (5L, 0L, 0L, true)))
+    // maxHits slack: a tolerance of 2 keeps docs at ≤ 2 instances
+    val lax = TextAnalysis.blocklistScreen(docs, "doc_id", "text", wl, maxHits = 2L)
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(lax.map(r => r._1 -> r._4) ==
+      Seq(1L -> true, 2L -> true, 3L -> false, 4L -> true, 5L -> true))
+    // zero shuffle: pure projection (the 100 TB posture for a dictionary screen)
+    val plan = TextAnalysis.blocklistScreen(docs, "doc_id", "text", wl)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
