@@ -707,6 +707,23 @@ object Queries {
         blocklistWords)
       .orderBy("doc_id")
 
+  /** Markup-strip over a synthesized HTML wrapper (same posture as
+    * x_pii_scrub: the fixture has no raw HTML, so the query plants a
+    * deterministic page — script/style with content, a comment,
+    * attributes, double-encoded entities — around each doc's prefix
+    * and strips it back to text). */
+  def xHtmlStrip(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(
+      lit("<html><head><style>p { color: red; }</style>" +
+        "<script type=\"text/javascript\">if (1 < 2) { alert(\"x\"); }</script>" +
+        "</head><body><!-- boilerplate --><h1>Doc "), col("doc_id"),
+      lit("</h1><p class=\"body\">"), substring(col("text"), 1, 60),
+      lit(" &amp; tail&nbsp;&lt;b&gt; &amp;lt;no-tag&amp;gt;</p></body></html>"))
+    documents(s, d)
+      .select(col("doc_id"), Pipelines.stripMarkup(raw).as("clean"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal plumbing: binary payload + typed meta + batched decode.
     * Surface limited to oracle-checkable columns (kind, payload bytes,
     * decoded feature dim); the xxhash-derived stub width/height are

@@ -511,6 +511,7 @@ object SparkEntry {
     "x_domain_stats" -> (Queries.xDomainStats _),
     "x_token_stats" -> (Queries.xTokenStats _),
     "x_blocklist" -> (Queries.xBlocklist _),
+    "x_html_strip" -> (Queries.xHtmlStrip _),
     "x_multimodal" -> (Queries.xMultimodal _),
     "x_cdc_ingest" -> (Queries.xCdcIngest _),
     "x_orc_sink" -> (Queries.xOrcSinkRoundtrip _),
@@ -766,6 +767,25 @@ object SparkEntry {
         "CAST(len(list_intersect(list_distinct(__toks), ['dup','slow','spill'])) AS BIGINT) AS n_hit_types, " +
         "len(list_filter(__toks, t -> list_contains(['dup','slow','spill'], t))) <= 0 AS keep " +
         "FROM t ORDER BY doc_id"),
+    // markup strip: same synthesized page and the same RE2-compatible
+    // pattern chain as Pipelines.stripMarkup (script/style with content,
+    // comments, tags, entities with amp LAST, whitespace collapse)
+    "x_html_strip" ->
+      ("WITH h AS (SELECT doc_id, '<html><head><style>p { color: red; }</style>" +
+        "<script type=\"text/javascript\">if (1 < 2) { alert(\"x\"); }</script>" +
+        "</head><body><!-- boilerplate --><h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
+        "'</h1><p class=\"body\">' || substring(text, 1, 60) || " +
+        "' &amp; tail&nbsp;&lt;b&gt; &amp;lt;no-tag&amp;gt;</p></body></html>' AS raw FROM documents) " +
+        "SELECT doc_id, trim(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "raw, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'), " +
+        "'(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'), " +
+        "'(?s)<!--.*?-->', ' ', 'g'), " +
+        "'(?s)<[^>]+>', ' ', 'g'), " +
+        "'&nbsp;', ' ', 'g'), '&quot;', '\"', 'g'), '&#39;', '''', 'g'), " +
+        "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&amp;', '&', 'g'), " +
+        "'\\s+', ' ', 'g')) AS clean FROM h ORDER BY doc_id"),
     // trained trigram naive-Bayes lang-id: ONE count CTE from the train
     // slice (totals/vocab re-agg the profile-sized count table, mirroring
     // TextAnalysis.langIdNgram), per-(doc, lang) trigram-ordered fold of

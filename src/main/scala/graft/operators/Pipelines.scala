@@ -125,6 +125,32 @@ object Pipelines {
       regexp_replace(c, pat, repl)
     }
 
+  /** Strip HTML/markup down to text (the first stage of every
+    * web-crawl curation pipeline — WET-style extraction): script/style
+    * blocks removed WITH their content, comments removed, remaining
+    * tags removed, the common character entities decoded (amp last, so
+    * `&amp;lt;` decodes to the literal `&lt;` and never resurrects a
+    * tag), and whitespace collapsed/trimmed. Chained codegen'd
+    * regexp_replace — zero shuffle, streams through the scan; the
+    * pattern set is RE2-compatible (no lookarounds, lazy quantifiers
+    * only), so an oracle can replay it verbatim. NOT a sanitizer:
+    * malformed/adversarial markup may survive — this is corpus
+    * cleaning, not XSS defense. */
+  def stripMarkup(text: Column): Column = {
+    val deTagged = Seq(
+      """(?is)<script\b[^>]*>.*?</script\s*>""" -> " ",
+      """(?is)<style\b[^>]*>.*?</style\s*>""" -> " ",
+      """(?s)<!--.*?-->""" -> " ",
+      """(?s)<[^>]+>""" -> " ")
+      .foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
+    val deEntitied = Seq(
+      "&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'",
+      "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&")
+      .foldLeft(deTagged) { case (c, (ent, ch)) =>
+        regexp_replace(c, ent, java.util.regex.Matcher.quoteReplacement(ch)) }
+    trim(regexp_replace(deEntitied, """\s+""", " "))
+  }
+
   /** Shard a corpus for output: repartition by hash of id into `shards`
     * writer tasks → `shards` similar-sized files per partition dir, the
     * knob that keeps 100 TB outputs at 128-512 MB per file. */

@@ -89,6 +89,29 @@ class PipelinesSuite extends AnyFunSuite {
     assert(out(4) == "clean text stays clean")
   }
 
+  test("stripMarkup: script/style content gone, tags gone, entities decoded amp-last, whitespace collapsed") {
+    val rows = Seq(
+      // script with < inside, style, comment, attributes, entities
+      "<html><head><style>p{x:1}</style><script>if(1<2){a(\"q\")}</script></head>" +
+        "<body><!-- c --><p class=\"z\">Hello &amp; bye&nbsp;&lt;b&gt;</p></body></html>",
+      // double-encoded entity must NOT resurrect a tag or re-decode
+      "a &amp;lt;script&amp;gt; b",
+      // multi-line script block ((?s) dotall) and self-closing tag
+      "x<script>\nvar y = 1;\n</script>z <br/> w",
+      "plain text untouched"
+    ).toDF("text")
+    val out = rows.select(Pipelines.stripMarkup(col("text")).as("t"))
+      .as[String].collect().toSeq
+    assert(out(0) == "Hello & bye <b>")
+    assert(out(1) == "a &lt;script&gt; b")
+    assert(out(2) == "x z w")
+    assert(out(3) == "plain text untouched")
+    // zero shuffle: pure projection
+    val plan = rows.select(Pipelines.stripMarkup(col("text")).as("t"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("shardForOutput yields the requested writer parallelism") {
     val docs = Tables.documents(spark, sfDir)
     assert(Pipelines.shardForOutput(docs, "doc_id", 7).rdd.getNumPartitions == 7)
