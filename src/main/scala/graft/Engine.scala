@@ -33,8 +33,11 @@ object Engine {
       // the posture is explicit config, and PlanShapeSuite demonstrates
       // the rewrite engages when the gate clears.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      // fixture events.parquet carries TIMESTAMP(NANOS); pinned here so
-      // the behavior is explicit session config, not a loader side effect
+      // older fixture generations wrote events.ts as TIMESTAMP(NANOS),
+      // which Spark's reader rejects unless read as INT64; pinned here so
+      // the behavior is explicit session config, not a loader side effect.
+      // Harmless for the current timestamp[us] fixtures — Tables.events
+      // adapts on the analyzed dataType either way (r9 drift postmortem).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       // NOTE on parquet timestamps: Spark's INT96 default carries no
