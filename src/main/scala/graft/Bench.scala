@@ -27,6 +27,10 @@ import org.apache.spark.sql.SparkSession
   * object is available (SPARK_GRAFT_BASELINE, default BENCH_r01.json),
   * any query whose MIN across passes is both >2× its baseline and
   * >0.25 s over it lands in `"regressions"` (BASELINE.md methodology).
+  * Entries absent from the primary baseline (operators added after r01)
+  * are gated against the previous round's detail file instead, but only
+  * when that run self-marked `"certifiable":true` — a contaminated or
+  * failed run never becomes a baseline.
   * A clean min with a median >3× baseline gets a non-fatal TAIL-WARN
   * stderr line — variance regressions (GC pressure, intermittent spill)
   * raise the tail without touching the best-case pass, so the min gate
@@ -84,8 +88,29 @@ object Bench {
       if (failedSet.contains(n) || ts.isEmpty) None else Some(n -> ts.min)
     }.toMap
     val failed = results.collect { case (n, None) => n }
-    val baseline = loadBaseline(
+    // primary baseline (r01 by default) covers the round-1 query set;
+    // entries added in later rounds have no r01 number and would never be
+    // gated — supplement them from the PREVIOUS round's detail file, but
+    // only when that run marked itself certifiable (an rc=1 or
+    // load-contaminated run must not become anyone's baseline; round 9's
+    // contaminated detail file is exactly the artifact this guards
+    // against). Read happens before this run overwrites the file.
+    val primaryBaseline = loadBaseline(
       sys.env.getOrElse("SPARK_GRAFT_BASELINE", "/root/repo/BENCH_r01.json"))
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      new java.io.File("BENCH_FULL.json").getAbsolutePath)
+    val supplement: Map[String, Double] = {
+      val f = new java.io.File(detailPath)
+      val usablePrior = f.isFile && scala.util.Try {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        // certifiable AND same scale factor: a detail file from another
+        // SF (e.g. a local sf0.01 smoke) would manufacture phantom flags
+        txt.contains("\"certifiable\":true") &&
+          txt.contains("\"sf\":\"" + sfDir + "\"")
+      }.getOrElse(false)
+      if (usablePrior) loadBaseline(detailPath) else Map.empty
+    }
+    val baseline = supplement ++ primaryBaseline // primary wins on overlap
     // gate on the per-query MIN across interleaved passes: a real
     // regression raises every sample including the fastest, while a load
     // burst leaves at least one clean sample — so the min can't be faked
@@ -151,8 +176,6 @@ object Bench {
     // ~2000 chars of stdout, and with 100+ entries the one-line-per-contract
     // JSON is ~5 KB — rounds 1-6 all came back `parsed: null` because the
     // line's head (metric/value/queries) fell off the capture window.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      new java.io.File("BENCH_FULL.json").getAbsolutePath)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       (fullLine + "\n").getBytes("UTF-8"))
