@@ -64,22 +64,26 @@ object TextAnalysis {
     * Scale shape: training is ONE keyed count pass over the labeled
     * corpus — per-language totals and the vocab size are re-aggregated
     * from the (lang, trigram) count table, which is profile-sized, not
-    * corpus-sized — and the add-one log-prob is computed once per
-    * profile row (languages × vocab, a broadcast table). Scoring first
+    * corpus-sized. The LABEL SPACE is then collected to the driver —
+    * one row per language, bounded by definition (same capped-collect
+    * posture as IVF's trainCap) — so the profile can be pivoted WIDE:
+    * one broadcast row per trigram carrying a map lang→lp. Scoring
     * collapses the target corpus to per-(doc, trigram) multiplicities
-    * (one partial-aggregable shuffle, no language fan-out yet), then
-    * broadcast-joins the profile so the fan-out by language happens on
-    * the collapsed rows; the per-(doc, lang) score folds `m · lp` over
-    * the trigram-sorted array, which is order-deterministic across
-    * runs/engines (the oracle folds the identical order). One per-doc
-    * argmax window bounded by the language count closes it out. Docs
-    * with no trigram (< 3 chars) pass through as `und` with a null
-    * score. Output: (id, n_trigrams, lang_pred, nb_score). */
+    * (one partial-aggregable shuffle), broadcast-joins the wide profile
+    * WITHOUT any ×langs row fan-out, folds ALL languages' `m · lp`
+    * sums in a single per-doc pass over the trigram-sorted array (an
+    * array accumulator, one slot per language — each language's
+    * addition sequence is identical to a per-language fold, so the
+    * result is bit-equal and the oracle's per-language `list_reduce`
+    * still matches), and argmaxes locally over the score array
+    * (`array_position` of the max = first/lexicographically-smallest
+    * language on ties). No per-(doc, lang) shuffle, no argmax window.
+    * Docs with no trigram (< 3 chars) pass through as `und` with a
+    * null score. Output: (id, n_trigrams, lang_pred, nb_score). */
   def langIdNgram(docs: DataFrame, train: DataFrame,
                   idCol: String, textCol: String, langCol: String): DataFrame = {
     Joins.requireFreeColumns("langIdNgram", docs.columns,
       "n_trigrams", "lang_pred", "nb_score")
-    import org.apache.spark.sql.expressions.Window
     val txt = col("__txt")
     def instances(df: DataFrame, key: Column, keyName: String): DataFrame =
       df.withColumn("__txt", lower(col(textCol)))
@@ -89,42 +93,65 @@ object TextAnalysis {
             i => txt.substr(i, lit(3)))).as("__tri"))
     // localCheckpoint: the count table is profile-sized (langs × vocab),
     // but its LINEAGE is the train-corpus trigram explode — and it feeds
-    // four separate subplans (per-lang totals, the vocab agg, the profile
-    // join, and each broadcast build), which Catalyst treats as
-    // independent plans and would re-explode the training text for each.
-    // One eager materialization caps the train pass at exactly one scan.
+    // several separate subplans (per-lang totals, the vocab agg, the
+    // wide-profile build), which Catalyst treats as independent plans
+    // and would re-explode the training text for each. One eager
+    // materialization caps the train pass at exactly one scan.
     val counts = instances(train, col(langCol), "__lang")
       .groupBy("__lang", "__tri")
       .agg(count(lit(1)).cast("double").as("__c"))
       .localCheckpoint()
-    // totals + vocab from the count table — profile-sized re-aggs, not
-    // second/third passes over the training text.
-    val langStats = counts.groupBy("__lang")
+    // label space to the driver: one row per LANGUAGE (bounded by
+    // definition — a label set that doesn't fit the driver isn't a
+    // language-ID problem). n+v and the unseen-trigram lp0 are computed
+    // with the same double ops the per-profile-row path uses, so scores
+    // are bit-identical to the per-language formulation.
+    val langRows = counts.groupBy("__lang")
       .agg(sum(col("__c")).as("__n"))
       .crossJoin(counts.agg(countDistinct(col("__tri")).cast("double").as("__v")))
-      .select(col("__lang"), col("__n"), col("__v"),
-        log(lit(1.0) / (col("__n") + col("__v"))).as("__lp0"))
-    val profile = counts.join(langStats, Seq("__lang"))
-      .select(col("__lang"), col("__tri"),
-        log((col("__c") + 1.0) / (col("__n") + col("__v"))).as("__lp"))
+      .collect().sortBy(_.getString(0))
+    val langs = langRows.map(_.getString(0)).toIndexedSeq
+    if (langs.isEmpty) // degenerate empty/sub-trigram train corpus:
+      return docs.select(col(idCol), lit(0L).as("n_trigrams"), // matches the
+        lit("und").as("lang_pred"),              // old empty-profile output
+        lit(null).cast("double").as("nb_score"))
+    val nvs = langRows.map(r => r.getDouble(1) + r.getDouble(2)).toIndexedSeq
+    val lp0s = nvs.map(nv => math.log(1.0 / nv))
+    val langsLit = array(langs.map(lit): _*)
+    val lp0Lit = array(lp0s.map(lit): _*)
+    val nvMap = map(langs.zip(nvs).flatMap { case (l, nv) =>
+      Seq(lit(l), lit(nv)) }: _*)
+    // wide profile: one row per trigram, lang→lp map — (vocab) rows,
+    // broadcast; lp = ln((c+1)/(n+v)) exactly as the narrow form.
+    val profWide = counts
+      .select(col("__tri"), col("__lang"),
+        log((col("__c") + 1.0) / element_at(nvMap, col("__lang"))).as("__lp"))
+      .groupBy("__tri")
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("__lang"), col("__lp"))))).as("__pm"))
     val docTri = instances(docs, col(idCol), idCol)
       .groupBy(col(idCol), col("__tri"))
       .agg(count(lit(1)).cast("double").as("__m"))
-    val scored = docTri
-      .crossJoin(broadcast(langStats.select(col("__lang"), col("__lp0"))))
-      .join(broadcast(profile), Seq("__lang", "__tri"), "left")
-      .withColumn("__lp", coalesce(col("__lp"), col("__lp0")))
-    val perLang = scored.groupBy(col(idCol), col("__lang"))
+    // per-(doc, trigram): the m·lp contribution for EVERY language at
+    // once (unseen-in-profile trigrams fall back to each language's
+    // lp0); __mlps is built at column level so the fold's inner lambda
+    // stays free of outer-lambda references.
+    val contrib = docTri
+      .join(broadcast(profWide), Seq("__tri"), "left")
+      .withColumn("__mlps", zip_with(langsLit, lp0Lit,
+        (l, d) => col("__m") * coalesce(element_at(col("__pm"), l), d)))
+    val zeros = array(langs.map(_ => lit(0.0)): _*)
+    val perDoc = contrib.groupBy(col(idCol))
       .agg(sum(col("__m")).cast("long").as("__nt"),
-        sort_array(collect_list(struct(col("__tri"),
-          (col("__m") * col("__lp")).as("__mlp")))).as("__a"))
-      .withColumn("__sm", aggregate(col("__a"), lit(0.0),
-        (acc, x) => acc + x.getField("__mlp")))
-    val best = perLang
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__sm").desc, col("__lang"))))
-      .where(col("__rn") === 1)
-    docs.select(col(idCol)).join(best, Seq(idCol), "left")
+        sort_array(collect_list(struct(col("__tri"), col("__mlps")))).as("__a"))
+      .withColumn("__sms", aggregate(col("__a"), zeros,
+        (acc, x) => zip_with(acc, x.getField("__mlps"), (a, b) => a + b)))
+      .withColumn("__pos",
+        array_position(col("__sms"), array_max(col("__sms"))).cast("int"))
+      .select(col(idCol), col("__nt"),
+        element_at(langsLit, col("__pos")).as("__lang"),
+        element_at(col("__sms"), col("__pos")).as("__sm"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__nt"), lit(0L)).as("n_trigrams"),
         coalesce(col("__lang"), lit("und")).as("lang_pred"),
