@@ -740,7 +740,7 @@ object Dedup {
     * dedups can't express: a 200-token boilerplate block embedded in
     * two otherwise-distinct documents.
     *
-    * Mechanics: position i of a doc carries the md5 of its k-token
+    * Mechanics: position i of a doc carries the xxhash64 of its k-token
     * shingle `toks[i..i+k−1]`; a start is duplicated when its shingle
     * hash occurs ≥ 2 times corpus-wide and it is not the first
     * occurrence in (id, pos) order; every token covered by a duplicated
@@ -776,11 +776,18 @@ object Dedup {
     // HOF it would re-hash the text once per window). Docs shorter than
     // k can't fill a shingle and emit no starts (Spark sequence(1, 0)
     // would count DOWN — the filter, not greatest(), is the guard).
+    // fingerprint = xxhash64 (8-byte long), not md5 hex (32-char string):
+    // the fp is INTERNAL — only its equality matters, the output carries
+    // positions and text — so the cheapest collision-resistant hash wins;
+    // at 10⁹ shingles the 64-bit birthday bound is ~3·10⁻², per-PAIR
+    // false-merge odds ~2⁻⁶⁴, and a collision costs one spurious span
+    // excision, not corruption. The DuckDB oracle hashes with md5 and
+    // still matches: both sides decide excision on shingle EQUALITY.
     val starts = base.where(size(s) >= k)
       .select(col(idCol),
         transform(sequence(lit(1), size(s) - (k - 1)),
           i => struct(i.as("__pos"),
-            md5(array_join(slice(s, i, lit(k)), " ")).as("__fp"))).as("__g"))
+            xxhash64(array_join(slice(s, i, lit(k)), " ")).as("__fp"))).as("__g"))
       .select(col(idCol), explode(col("__g")).as("__x"))
       .select(col(idCol), col("__x.__pos").as("__pos"), col("__x.__fp").as("__fp"))
     // dup-fp stats: count + global first occurrence, both map-side
