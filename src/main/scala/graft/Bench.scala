@@ -51,7 +51,13 @@ object Bench {
       allQueries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    // optional comma-separated name filter for targeted local timing of
+    // the entries under optimization; a filtered run is a dev tool, so
+    // it must never overwrite the certifiable full-detail file
+    val onlyFilter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = allQueries.keys.toSeq.sorted
+      .filter(n => onlyFilter.forall(_.contains(n)))
     // untimed warmup: JIT, codegen cache, file-index warm
     names.foreach { n =>
       try materialize(n)
@@ -176,12 +182,13 @@ object Bench {
     // ~2000 chars of stdout, and with 100+ entries the one-line-per-contract
     // JSON is ~5 KB — rounds 1-6 all came back `parsed: null` because the
     // line's head (metric/value/queries) fell off the capture window.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(detailPath),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write failed ($detailPath): ${e.getMessage}")
-    }
+    if (onlyFilter.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(detailPath),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] detail write failed ($detailPath): ${e.getMessage}")
+      }
     // stdout gets a line that FITS the capture window: totals, the SURVEY §2
     // core q-queries inline, the x_ operators summarized (full numbers in
     // the detail file), plus the complete failed/regressions gates.
@@ -191,7 +198,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val xEntries = results.filterNot(_._1.startsWith("q"))
     val xTotal = xEntries.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$coreQs,"x_total":$xTotal%.3f,"x_count":${xEntries.size},"failed":$failedJson,"regressions":$regJson,$certJson,"detail":"$detailPath","sf":"$sfDir"}""")
+    // a filtered dev run has no detail file — put the full per-entry
+    // numbers on stdout instead (the capture-window concern only applies
+    // to the driver's unfiltered runs)
+    if (onlyFilter.isDefined) println(fullLine)
+    else println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$coreQs,"x_total":$xTotal%.3f,"x_count":${xEntries.size},"failed":$failedJson,"regressions":$regJson,$certJson,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

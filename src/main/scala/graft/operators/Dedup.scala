@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators (SURVEY §2.9 L1/L2).
@@ -429,15 +429,35 @@ object Dedup {
     * iterative DataFrame loop otherwise re-plans an exponentially growing
     * tree). Driver holds only the loop counter and a converged flag; all
     * data stays distributed.
+    *
+    * Small-graph fast path: when the edge list is at most `driverEdgeCap`
+    * rows (and ids are LongType), the edges — already materialized for
+    * the loop's own checkpoint — are collected and closed with a driver
+    * union-find (min-id roots, path halving), skipping the O(log d)
+    * shuffle rounds entirely. Output-identical to the distributed loop
+    * (asserted in OperatorsSuite's differential test): both label every
+    * vertex of a non-self-loop edge with its component's min id. This is
+    * the trainCap pattern: pair graphs that survive an LSH/multi-index
+    * front are typically far smaller than the corpus, and paying 3-5
+    * distributed rounds of fixed overhead to close a few-hundred-KB graph
+    * is the wrong trade at any scale. The cap bounds driver memory at
+    * ~2 longs × cap (≲64 MB at the default); a 100 TB corpus whose band
+    * graph exceeds it takes the distributed loop unchanged. Pass
+    * `driverEdgeCap = 0` to force the distributed path.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          driverEdgeCap: Long = 2000000L): DataFrame = {
     // checkpoint the raw edges BEFORE symmetrizing: the union references
     // the edge plan twice, and for the expensive pair fronts feeding
     // this (LSH banding, block kernels) an un-materialized plan would
     // execute its whole upstream once per reference
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .localCheckpoint(true)
+    val longIds = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && driverEdgeCap > 0 && e.count() <= driverEdgeCap)
+      return unionFindLabels(edges.sparkSession, e)
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .where(col("a") =!= col("b")).distinct()
       .localCheckpoint(true) // reused every round
@@ -492,6 +512,43 @@ object Dedup {
         lr.rdd.unpersist(blocking = false); ()
       case _ => ()
     }
+
+  /** Driver union-find closure for [[connectedComponents]]' small-graph
+    * fast path: `e` is the checkpointed (a, b) edge list, already
+    * count-bounded by the caller. Roots are kept at the component min by
+    * construction (a union always links the larger root under the
+    * smaller), so `find` returns the min-reachable-id directly; path
+    * halving keeps find amortized near-constant. Self-loops are skipped
+    * and vertices seen only in self-loops are absent from the output —
+    * the same contract as the distributed loop's `a =!= b` symmetrize. */
+  private def unionFindLabels(spark: SparkSession, e: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) {
+        val gp = parent.get(p)
+        parent.put(x, gp); x = gp; p = parent.get(x)
+      }
+      x
+    }
+    e.collect().foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (a != b) {
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+      }
+    }
+    uncheckpoint(e)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    val ks = parent.keySet().iterator()
+    while (ks.hasNext) { val k = ks.next(); out += ((k, find(k))) }
+    spark.createDataFrame(out.toSeq).toDF("id", "cluster")
+  }
 
   /** L6 end-to-end: near-dup *clusters* over `docs` — MinHash-LSH pair
     * generation at `tau` ([[minHashLshPairs]]), transitive closure
@@ -682,10 +739,11 @@ object Dedup {
 
   /** L1n normalized exact dedup: every doc labeled with its
     * normalized-form hash, the group representative (min id), the
-    * group size, and a keep flag. Same scale shape as [[exactDedup]] —
-    * one hash-keyed groupBy + one join back, both well-distributed
-    * (md5 keys) — but the group table here is kept as a join (not a
-    * window) because the full label set ships with every row.
+    * group size, and a keep flag. One window over the hash key — a
+    * single md5-keyed shuffle and a single evaluation of the regex
+    * normalizer per row (the earlier groupBy+join form shuffled twice
+    * and re-ran the normalize for the probe side; differential-guarded
+    * by CleaningSuite's closed-form cases).
     *
     * Null text, and text whose normalized form is EMPTY (pure
     * punctuation/markup — no alphanumeric content), gets a null
@@ -693,7 +751,9 @@ object Dedup {
     * (rep_id = id, dup_count = 1, keep = true) — consistent with the
     * streaming variant's null passthrough, and so that content-free
     * symbol soup doesn't collapse into one giant accidental dup group.
-    * Output: (id, norm_h, rep_id, dup_count, keep). */
+    * The window's partition key substitutes a per-row sentinel for the
+    * null hash so those rows stay singletons instead of pooling into
+    * one null partition. Output: (id, norm_h, rep_id, dup_count, keep). */
   def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Joins.requireFreeColumns("normalizedDedup", df.columns,
       "norm_h", "rep_id", "dup_count", "keep")
@@ -701,13 +761,13 @@ object Dedup {
     val hashed = df.select(col(idCol),
       when(col(textCol).isNull || norm === "", lit(null).cast("string"))
         .otherwise(md5(norm)).as("norm_h"))
-    val groups = hashed.where(col("norm_h").isNotNull).groupBy("norm_h")
-      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
-    hashed.join(groups, Seq("norm_h"), "left")
-      .select(col(idCol), col("norm_h"),
-        coalesce(col("rep_id"), col(idCol)).as("rep_id"),
-        coalesce(col("dup_count"), lit(1L)).as("dup_count"),
-        (coalesce(col("rep_id"), col(idCol)) === col(idCol)).as("keep"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(
+      coalesce(col("norm_h"), concat(lit(" "), col(idCol).cast("string"))))
+    hashed
+      .withColumn("rep_id", min(col(idCol)).over(w))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .select(col(idCol), col("norm_h"), col("rep_id"), col("dup_count"),
+        (col("rep_id") === col(idCol)).as("keep"))
   }
 
   def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,

@@ -68,11 +68,18 @@ class OperatorsSuite extends AnyFunSuite {
       val edges = Seq.fill(250)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
       val expected = unionFind(n, edges)
+      // default path (driver union-find at this size) and the forced
+      // distributed pointer-jumping loop must both match the reference —
+      // the differential guard for the small-graph fast path
       val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotDist = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b",
+          driverEdgeCap = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // operator labels only vertices that appear in an edge
       val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
       assert(got.keySet == touched)
+      assert(gotDist == got, s"seed=$seed: distributed/fast-path labels differ")
       touched.foreach(v => assert(got(v) == expected(v), s"seed=$seed v=$v"))
     }
   }
@@ -84,7 +91,11 @@ class OperatorsSuite extends AnyFunSuite {
     // require() inside the operator fails the test otherwise)
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
     val before = spark.sparkContext.getPersistentRDDs.size
-    val got = Dedup.connectedComponents(chain, "a", "b").collect()
+    // driverEdgeCap = 0 forces the distributed loop — this test is ABOUT
+    // the loop's round count and checkpoint hygiene, which the default
+    // small-graph fast path would skip entirely
+    val got = Dedup.connectedComponents(chain, "a", "b", driverEdgeCap = 0L)
+      .collect()
     assert(got.length == 200 && got.forall(_.getLong(1) == 0L))
     // each round localCheckpoints; the loop must unpersist as it goes —
     // only the final labels checkpoint may stay pinned, not O(log d) of
