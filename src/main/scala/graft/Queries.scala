@@ -16,6 +16,25 @@ import org.apache.spark.sql.functions._
 object Queries {
   import Tables._
 
+  /** Total-order the dump/bench output without running the plan's tail
+    * twice: a global sort first samples its child to build range bounds,
+    * which re-executes everything after the last shuffle — for these
+    * entries that tail IS the expensive stage (pair verify, per-doc
+    * scoring, or a shuffle-free full-projection plan). A round-robin
+    * repartition in between parks the tail behind a shuffle whose map
+    * output both the sampling job and the sort reuse, at the price of
+    * one extra shuffle of the (already-reduced) result rows. Applied
+    * only where measurement showed the tail dominating — a pair-verify
+    * join or a heavy per-row HOF over few rows; plans whose tail is a
+    * post-shuffle agg/window (sampling then just re-reads map output),
+    * or cheap projections over many rows, got SLOWER from the extra
+    * shuffle and keep the plain orderBy. Orderings stay byte-identical:
+    * every caller sorts on a unique key set, so range repartitioning
+    * has no ties for the upstream partitioning to break. */
+  private def stagedSort(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .orderBy(cols.map(col): _*)
+
   // ---- §2.1/2.2 scans, projections, filters -------------------------------
 
   /** Q1 (S2-S4): JSON field extraction. App.txt:59-61's envelope decode
@@ -696,7 +715,7 @@ object Queries {
     * columns hash-match the DuckDB oracle. */
   def xTokenStats(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenStats(documents(s, d), "doc_id", "text")
-      .drop("fp").orderBy("doc_id")
+      .drop("fp").transform(stagedSort(_, "doc_id"))
 
   /** C4 bad-word screen over the fixture vocabulary: "slow"/"dup"/
     * "spill" stand in for the blocklist — common enough in the
@@ -1035,7 +1054,7 @@ object Queries {
     * corpus — the cheap repetitiveness screen. */
   def xTokenEntropy(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenEntropy(documents(s, d), "doc_id", "text")
-      .orderBy("doc_id")
+      .transform(stagedSort(_, "doc_id"))
 
   /** Top-100 vocabulary coverage curve over the corpus (tokenizer
     * prep): rank, count, cumulative instance share. */
@@ -1178,7 +1197,7 @@ object Queries {
         .select("doc_id", "text"))
     val seen = docs.where(col("doc_id") < 400).select("doc_id", "text")
     Dedup.incrementalNearDupPairs(delta, seen, "doc_id", "text", tau = 0.8)
-      .orderBy("delta_id", "seen_id")
+      .transform(stagedSort(_, "delta_id", "seen_id"))
   }
 
   /** BPE first-merge candidate table: top-50 within-word character

@@ -760,8 +760,13 @@ object TextAnalysis {
     Joins.requireFreeColumns("pplBuckets", df.columns,
       "n_bigrams", "nll", "ppl_bucket", "__v", "__c", "__cum", "__n",
       "__t1", "__t2")
+    // the per-doc score table feeds three subplans (histogram, totals,
+    // the final bucket join); checkpointing it caps the whole bigram-LM
+    // score pass at ONE evaluation — it is doc-count-sized (one row per
+    // doc), so the materialization is small at any corpus scale
     val scored = df.select(col(idCol), col(groupCol))
       .join(lmScoreBigram(df, idCol, textCol), idCol)
+      .localCheckpoint()
     val hist = scored.groupBy(col(groupCol), col("nll").as("__v"))
       .agg(count(lit(1)).as("__c"))
     val cum = hist.withColumn("__cum",
