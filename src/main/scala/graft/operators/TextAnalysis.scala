@@ -97,6 +97,10 @@ object TextAnalysis {
     // wide-profile build), which Catalyst treats as independent plans
     // and would re-explode the training text for each. One eager
     // materialization caps the train pass at exactly one scan.
+    // (A row-local sorted-array run-length-encoded multiset — skipping
+    // this explode+agg entirely — measured 30% SLOWER end to end:
+    // array_sort/filter/zip_with are interpreted expressions, while the
+    // explode + keyed hash-agg stays inside whole-stage codegen.)
     val counts = instances(train, col(langCol), "__lang")
       .groupBy("__lang", "__tri")
       .agg(count(lit(1)).cast("double").as("__c"))
