@@ -525,7 +525,7 @@ object Queries {
     * is the brute all-pairs form). */
   def xSimHashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simHashNearDupPairs(documents(s, d), "doc_id", "text")
-      .orderBy("d1", "d2")
+      .transform(stagedSort(_, "d1", "d2"))
 
   /** L6 over hamming: SimHash multi-index pairs → connected components,
     * min-id label + cluster size (doc_id < 200 keeps the DuckDB

@@ -843,6 +843,11 @@ object Dedup {
     // false-merge odds ~2⁻⁶⁴, and a collision costs one spurious span
     // excision, not corruption. The DuckDB oracle hashes with md5 and
     // still matches: both sides decide excision on shingle EQUALITY.
+    // localCheckpoint: both the fp-stats agg and the dup-start probe
+    // consume `starts`, and their exchanges can't be shared (the agg
+    // side shuffles map-combined partials, the join side raw rows) —
+    // without it the split+slice+hash shingle pass runs twice. The
+    // materialization is (id, pos, fp) longs — ~24 B/shingle.
     val starts = base.where(size(s) >= k)
       .select(col(idCol),
         transform(sequence(lit(1), size(s) - (k - 1)),
@@ -850,6 +855,7 @@ object Dedup {
             xxhash64(array_join(slice(s, i, lit(k)), " ")).as("__fp"))).as("__g"))
       .select(col(idCol), explode(col("__g")).as("__x"))
       .select(col(idCol), col("__x.__pos").as("__pos"), col("__x.__fp").as("__fp"))
+      .localCheckpoint()
     // dup-fp stats: count + global first occurrence, both map-side
     // combinable (min over the (id, pos) struct IS the row_number()=1
     // row of the old window formulation, without the per-fp sort).
