@@ -978,11 +978,12 @@ object SparkEntry {
       ("WITH t AS (SELECT doc_id, string_split(text,' ') AS s FROM documents), " +
         "ti AS (SELECT doc_id, s, UNNEST(range(1, len(s))) AS pos FROM t), " +
         "b AS (SELECT doc_id, pos, s[pos] AS w1, s[pos] || ' ' || s[pos+1] AS bg FROM ti), " +
-        "c2 AS (SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c2 FROM b GROUP BY bg), " +
-        "c1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM b GROUP BY w1), " +
+        "db AS (SELECT doc_id, w1, bg, CAST(COUNT(*) AS DOUBLE) AS m FROM b GROUP BY doc_id, w1, bg), " +
+        "c2 AS (SELECT bg, SUM(m) AS c2 FROM db GROUP BY bg), " +
+        "c1 AS (SELECT w1, SUM(m) AS c1 FROM db GROUP BY w1), " +
         "v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM (SELECT UNNEST(s) AS tok FROM t)), " +
-        "sc AS (SELECT doc_id, pos, -ln((c2.c2 + 1.0)/(c1.c1 + v.v)) AS lp FROM b JOIN c2 USING(bg) JOIN c1 USING(w1) CROSS JOIN v), " +
-        "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, list_reduce(list(lp ORDER BY pos), (acc,x) -> acc + x) AS sm FROM sc GROUP BY doc_id) " +
+        "sc AS (SELECT doc_id, bg, m, m * -ln((c2.c2 + 1.0)/(c1.c1 + v.v)) AS mlp FROM db JOIN c2 USING(bg) JOIN c1 USING(w1) CROSS JOIN v), " +
+        "a AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams, list_reduce(list(mlp ORDER BY bg), (acc,x) -> acc + x) AS sm FROM sc GROUP BY doc_id) " +
         "SELECT doc_id, n_bigrams, ROUND(sm / n_bigrams, 4) + 0.0 AS nll FROM a ORDER BY doc_id"),
     // DSIR hashed-unigram importance weights, target = lang 'en';
     // bucket = first 4 md5 hex chars mod 1024 (the '0x'||hex cast
@@ -1151,11 +1152,12 @@ object SparkEntry {
       ("WITH t AS (SELECT doc_id, source, string_split(text,' ') AS s FROM documents), " +
         "ti AS (SELECT doc_id, s, UNNEST(range(1, len(s))) AS pos FROM t), " +
         "b AS (SELECT doc_id, pos, s[pos] AS w1, s[pos] || ' ' || s[pos+1] AS bg FROM ti), " +
-        "c2 AS (SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c2 FROM b GROUP BY bg), " +
-        "c1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM b GROUP BY w1), " +
+        "db AS (SELECT doc_id, w1, bg, CAST(COUNT(*) AS DOUBLE) AS m FROM b GROUP BY doc_id, w1, bg), " +
+        "c2 AS (SELECT bg, SUM(m) AS c2 FROM db GROUP BY bg), " +
+        "c1 AS (SELECT w1, SUM(m) AS c1 FROM db GROUP BY w1), " +
         "v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM (SELECT UNNEST(s) AS tok FROM t)), " +
-        "sc AS (SELECT doc_id, pos, -ln((c2.c2 + 1.0)/(c1.c1 + v.v)) AS lp FROM b JOIN c2 USING(bg) JOIN c1 USING(w1) CROSS JOIN v), " +
-        "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, list_reduce(list(lp ORDER BY pos), (acc,x) -> acc + x) AS sm FROM sc GROUP BY doc_id), " +
+        "sc AS (SELECT doc_id, bg, m, m * -ln((c2.c2 + 1.0)/(c1.c1 + v.v)) AS mlp FROM db JOIN c2 USING(bg) JOIN c1 USING(w1) CROSS JOIN v), " +
+        "a AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams, list_reduce(list(mlp ORDER BY bg), (acc,x) -> acc + x) AS sm FROM sc GROUP BY doc_id), " +
         "scd AS (SELECT t.doc_id, t.source, a.n_bigrams, ROUND(sm / n_bigrams, 4) + 0.0 AS nll FROM a JOIN t ON a.doc_id = t.doc_id), " +
         "h AS (SELECT source, nll AS hv, CAST(COUNT(*) AS BIGINT) AS c FROM scd GROUP BY source, nll), " +
         "cu AS (SELECT source, hv, c, SUM(c) OVER (PARTITION BY source ORDER BY hv) AS cum FROM h), " +

@@ -528,45 +528,46 @@ object TextAnalysis {
     * token count. Docs with < 2 tokens have no bigrams and are absent
     * from the output (nothing to score).
     *
-    * Scale shape: two corpus scans (count pass + score pass), counts
-    * are vocab-sized tables joined back on the token keys — keyed
-    * shuffles with map-side partial aggregation; hot bigrams are AQE
-    * skew-join territory, not a driver problem. The per-doc summation
-    * folds a position-sorted array so the float sum is order-
-    * deterministic (reproducible across runs/engines — same reason
-    * [[graft.operators.Pipelines]] hashes instead of sampling). */
+    * Scale shape: the bigram instance stream is collapsed to
+    * per-(doc, bigram) MULTIPLICITIES row-adjacent to the explode (one
+    * keyed partial-agg groupBy, checkpointed), so everything downstream
+    * — the c2/c1 count re-aggs AND the score-join probe — runs over
+    * distinct (doc, bigram) rows, not positions; repetition inside a
+    * doc costs one row however often the bigram repeats. Counts are
+    * integers in doubles, so every sum is exact regardless of
+    * aggregation order. The per-doc summation folds `m · lp` terms in
+    * BIGRAM-sorted order so the float sum is order-deterministic
+    * (reproducible across runs/engines — the oracle's `list_reduce
+    * (list(mlp ORDER BY bg))` adds in the identical sequence). */
   def lmScoreBigram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = col("__s")
     val base = df.select(col(idCol), whitespaceTokens(col(textCol)).as("__s"))
     val pairs = base.select(col(idCol),
-        posexplode(zip_with(
+        explode(zip_with(
           slice(s, lit(1), size(s) - 1),
           slice(s, lit(2), size(s) - 1),
           (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))))
-      .select(col(idCol), col("pos").as("__pos"),
-        col("col.w1").as("__w1"), col("col.bg").as("__bg"))
-    // one corpus-wide bigram count pass; the unigram-context counts
-    // re-aggregate the vocab-sized c2 table (Σ_bg c2 grouped by the
-    // bigram's first token ≡ counting w1 instances directly — tokens are
-    // whitespace-split, so w1 is recoverable as the prefix; counts are
-    // integers in doubles, so the sum is exact). localCheckpoint caps
-    // the bigram explode at one evaluation for the c2 build (the c1
-    // re-agg and the join probe both read the materialized table).
-    val c2 = pairs.groupBy("__bg").agg(count(lit(1)).cast("double").as("__c2"))
+      .select(col(idCol), col("col.w1").as("__w1"), col("col.bg").as("__bg"))
+    // localCheckpoint: the (doc, bigram, m) table feeds three subplans
+    // (c2, c1, the score probe); one eager materialization caps the
+    // explode+collapse at a single evaluation.
+    val docBg = pairs.groupBy(col(idCol), col("__w1"), col("__bg"))
+      .agg(count(lit(1)).cast("double").as("__m"))
       .localCheckpoint()
-    val c1 = c2.groupBy(split(col("__bg"), " ").getItem(0).as("__w1"))
-      .agg(sum(col("__c2")).as("__c1"))
+    val c2 = docBg.groupBy("__bg").agg(sum(col("__m")).as("__c2"))
+    val c1 = docBg.groupBy("__w1").agg(sum(col("__m")).as("__c1"))
     val v = base.select(explode(s).as("__t"))
       .agg(countDistinct(col("__t")).cast("double").as("__v"))
-    pairs.join(c2, "__bg").join(c1, "__w1").crossJoin(broadcast(v))
-      .withColumn("__lp", -log((col("__c2") + 1.0) / (col("__c1") + col("__v"))))
+    docBg.join(c2, "__bg").join(c1, "__w1").crossJoin(broadcast(v))
+      .withColumn("__mlp",
+        col("__m") * -log((col("__c2") + 1.0) / (col("__c1") + col("__v"))))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sort_array(collect_list(struct(col("__pos"), col("__lp")))).as("__a"))
+      .agg(sum(col("__m")).cast("long").as("n_bigrams"),
+        sort_array(collect_list(struct(col("__bg"), col("__mlp")))).as("__a"))
       .select(col(idCol), col("n_bigrams"),
         // + 0.0 canonicalizes -0.0 (p(w2|w1)=1 folds to -ln 1 = -0.0)
         (round(aggregate(col("__a"), lit(0.0),
-          (acc, x) => acc + x.getField("__lp")) / col("n_bigrams"), 4) + 0.0)
+          (acc, x) => acc + x.getField("__mlp")) / col("n_bigrams"), 4) + 0.0)
           .as("nll"))
   }
 

@@ -102,9 +102,15 @@ class ScoringSuite extends AnyFunSuite {
     val c1 = insts.groupBy(_._3).map { case (k, v) => k -> v.length.toDouble }
     val v = local.flatMap(_._2).distinct.length.toDouble
     val expected = insts.groupBy(_._1).map { case (id, xs) =>
-      val lps = xs.sortBy(_._2)
-        .map(i => -math.log((c2(i._4) + 1.0) / (c1(i._3) + v)))
-      id -> (xs.length.toLong, round4(lps.foldLeft(0.0)(_ + _) / xs.length))
+      // mirror the engine's multiplicity fold: one m·lp term per
+      // distinct (doc, bigram), accumulated in bigram-sorted order
+      val byBg = xs.groupBy(_._4).map { case (bg, occ) =>
+        (bg, occ.head._3, occ.length.toDouble) }
+      val sm = byBg.toSeq.sortBy(_._1).foldLeft(0.0) {
+        case (acc, (bg, w1, m)) =>
+          acc + m * -math.log((c2(bg) + 1.0) / (c1(w1) + v))
+      }
+      id -> (xs.length.toLong, round4(sm / xs.length))
     }
     val got = TextAnalysis.lmScoreBigram(docs, "doc_id", "text")
       .as[(Long, Long, Double)].collect()
