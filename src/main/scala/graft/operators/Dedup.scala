@@ -739,21 +739,25 @@ object Dedup {
 
   /** L1n normalized exact dedup: every doc labeled with its
     * normalized-form hash, the group representative (min id), the
-    * group size, and a keep flag. One window over the hash key — a
-    * single md5-keyed shuffle and a single evaluation of the regex
-    * normalizer per row (the earlier groupBy+join form shuffled twice
-    * and re-ran the normalize for the probe side; differential-guarded
-    * by CleaningSuite's closed-form cases).
+    * group size, and a keep flag. Same scale shape as [[exactDedup]] --
+    * one hash-keyed groupBy + one join back, both well-distributed
+    * (md5 keys) -- deliberately NOT a window over partitionBy(norm_h):
+    * a mega dup group (web boilerplate with millions of copies) would
+    * pin every copy to one window task, while the join form gets AQE
+    * skew-split (PlanShapeSuite pins the window-free shape). The
+    * (id, norm_h) projection is localCheckpoint'ed so the regex
+    * normalizer runs ONCE per row -- without it the group agg and the
+    * probe side each re-evaluate the normalize (they cannot share an
+    * exchange: partial-agg rows vs raw rows); the materialization is
+    * id + 32-hex-char rows, doc-count-sized.
     *
     * Null text, and text whose normalized form is EMPTY (pure
-    * punctuation/markup — no alphanumeric content), gets a null
+    * punctuation/markup -- no alphanumeric content), gets a null
     * `norm_h` and passes through as its own singleton group
-    * (rep_id = id, dup_count = 1, keep = true) — consistent with the
+    * (rep_id = id, dup_count = 1, keep = true) -- consistent with the
     * streaming variant's null passthrough, and so that content-free
     * symbol soup doesn't collapse into one giant accidental dup group.
-    * The window's partition key substitutes a per-row sentinel for the
-    * null hash so those rows stay singletons instead of pooling into
-    * one null partition. Output: (id, norm_h, rep_id, dup_count, keep). */
+    * Output: (id, norm_h, rep_id, dup_count, keep). */
   def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Joins.requireFreeColumns("normalizedDedup", df.columns,
       "norm_h", "rep_id", "dup_count", "keep")
@@ -761,13 +765,14 @@ object Dedup {
     val hashed = df.select(col(idCol),
       when(col(textCol).isNull || norm === "", lit(null).cast("string"))
         .otherwise(md5(norm)).as("norm_h"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(
-      coalesce(col("norm_h"), concat(lit(" "), col(idCol).cast("string"))))
-    hashed
-      .withColumn("rep_id", min(col(idCol)).over(w))
-      .withColumn("dup_count", count(lit(1)).over(w))
-      .select(col(idCol), col("norm_h"), col("rep_id"), col("dup_count"),
-        (col("rep_id") === col(idCol)).as("keep"))
+      .localCheckpoint()
+    val groups = hashed.where(col("norm_h").isNotNull).groupBy("norm_h")
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
+    hashed.join(groups, Seq("norm_h"), "left")
+      .select(col(idCol), col("norm_h"),
+        coalesce(col("rep_id"), col(idCol)).as("rep_id"),
+        coalesce(col("dup_count"), lit(1L)).as("dup_count"),
+        (coalesce(col("rep_id"), col(idCol)) === col(idCol)).as("keep"))
   }
 
   def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
