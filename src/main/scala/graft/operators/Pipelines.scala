@@ -295,6 +295,9 @@ object Pipelines {
     import org.apache.spark.sql.expressions.Window
     val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      // localCheckpoint: the doc-freq agg and the score join both read
+      // the tf table; without it the explode+groupBy runs twice
+      .localCheckpoint()
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
     val w = Window.partitionBy(idCol)
@@ -629,9 +632,13 @@ object Pipelines {
       .agg(slice(sort_array(collect_set(col("__h"))), 1, k).as("__hs"))
     // (g, h) is globally distinct, so partition-local sketches are
     // disjoint — the merge needs no dedup
+    // localCheckpoint: the pair join reads the sketch table twice
+    // (both sides); the table is one k-hash row per group, but its
+    // lineage is the corpus-wide distinct + two groupBys
     val sk = local.groupBy("__g")
       .agg(slice(sort_array(flatten(collect_list(col("__hs")))), 1, k)
         .as("__kmv"))
+      .localCheckpoint()
     val a = sk.select(col("__g").as("g1"), col("__kmv").as("__ka"))
     val b = sk.select(col("__g").as("g2"), col("__kmv").as("__kb"))
     a.join(b, col("g1") < col("g2"))

@@ -723,6 +723,10 @@ object TextAnalysis {
       .select(col(idCol), col("__tgt"), col("__pos"),
         pmod(conv(substring(md5(col("__t")), 1, 4), 16, 10).cast("long"),
           lit(buckets.toLong)).as("__b"))
+      // localCheckpoint: the bucket-count agg and the score-probe join
+      // both consume the instance stream and cannot share an exchange;
+      // one materialization caps the explode+md5 pass at one evaluation
+      .localCheckpoint()
     val counts = inst.groupBy("__b").agg(
       count(lit(1)).cast("double").as("__cr"),
       count(when(col("__tgt"), 1)).cast("double").as("__ct"))
@@ -819,6 +823,9 @@ object TextAnalysis {
     val grams = df.select(col(idCol), whitespaceTokens(col(textCol)).as("__t"))
       .select(col(idCol),
         explode(array_distinct(wordNgrams(col("__t"), n))).as("__gram"))
+      // localCheckpoint: doc-freq agg + probe join both read the gram
+      // stream (exchanges unshareable) — one n-gram explode, not two
+      .localCheckpoint()
     val gdf = grams.groupBy("__gram").agg(count(lit(1)).as("__gdf"))
     val perDoc = grams.join(gdf, "__gram")
       .groupBy(col(idCol))
@@ -862,8 +869,11 @@ object TextAnalysis {
       df.select(col(idCol), whitespaceTokens(col(textCol)).as("__t"))
         .select(col(idCol).as(as),
           explode(array_distinct(wordNgrams(col("__t"), n))).as("__gram"))
-    val eg = gramsOf(evalDf, "eval_id")
-    val cg = gramsOf(corpus, "corpus_id")
+    val eg = gramsOf(evalDf, "eval_id").localCheckpoint()
+    // localCheckpoint both gram streams: each feeds an agg AND a join
+    // probe (stop-gram df / eval-gram totals), which cannot share an
+    // exchange — without it the n-gram explodes run twice per side
+    val cg = gramsOf(corpus, "corpus_id").localCheckpoint()
     val rare = cg.groupBy("__gram").agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDocFreq).select("__gram")
     val en = eg.groupBy("eval_id").agg(count(lit(1)).as("__en"))
