@@ -570,6 +570,25 @@ object Queries {
       nCells = IvfFixture.nCells, nProbe = IvfFixture.nProbe,
       lloydIters = IvfFixture.lloydIters, trainCap = IvfFixture.trainCap)
 
+  /** SemDeDup fixture parameters shared by [[xSemDedup]] and the
+    * dump-time oracle generator — same pin rationale as [[IvfFixture]]:
+    * Spark and SQL must train identical centroids for the hash compare
+    * to hold. tau=0.4 targets the corpus's planted near-dup band (the
+    * same threshold x_embed_neardup verifies exhaustively). */
+  private[graft] object SemDedupFixture {
+    val tau = 0.4; val nCells = 16; val lloydIters = 2; val trainCap = 4096
+  }
+
+  /** Semantic dedup, SemDeDup-style: k-means cells + within-cell cosine
+    * prune keeping the low-centroid-similarity exemplar. Every vector
+    * is labeled (cell, cent_cos, keep). */
+  def xSemDedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semDeDup(embeddings(s, d), "vec_id", "embedding",
+      tau = SemDedupFixture.tau, nCells = SemDedupFixture.nCells,
+      lloydIters = SemDedupFixture.lloydIters,
+      trainCap = SemDedupFixture.trainCap)
+      .orderBy("vec_id")
+
   /** PQ fixture parameters shared by [[xPqTopK]] and the dump-time
     * DuckDB oracle in [[SparkEntry]] (same one-source-of-truth contract
     * as [[IvfFixture]]). */

@@ -172,6 +172,19 @@ object ScaleSmoke {
         graft.operators.Dedup.incrementalNearDupPairs(delta,
           docs.select(col("doc_id"), col("text")), "doc_id", "text",
           tau = 0.8)
+      }),
+      // SemDeDup over the full embedding corpus under the paper's
+      // nCells-∝-corpus sizing rule (cells stay ~constant-size as the
+      // corpus grows): assignment ∝ rows; the cell-keyed pair probe is
+      // rows × cellSize, so with cellSize pinned time must track rows.
+      // Replica vectors are copy-identical (ids shift, payloads don't),
+      // so cross-copy twins co-locate in cells and the within-cell dup
+      // structure grows ∝ copies, never corpus².
+      ("x_semdedup_full", Seq("embeddings"), (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val nCells = math.max(16, (emb.count() / 125L).toInt)
+        graft.operators.Similarity.semDeDup(emb, "vec_id", "embedding",
+          tau = 0.4, nCells = nCells, trainCap = 4096)
       }))
       // NOT here: x_simhash_pairs. Cross-copy replica twins (same text,
       // different c<copy> tag) are TRUE near-dups under hamming ≤ 3, so

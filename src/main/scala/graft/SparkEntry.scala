@@ -181,6 +181,54 @@ object SparkEntry {
     "x_ivf_topk" -> sql
   }.toOption
 
+  /** DuckDB oracle for x_semdedup, generated AT DUMP TIME under the
+    * [[ivfOracleSql]] contract (active session + `graft.oracle.sfDir`,
+    * Try-omitted elsewhere → rows-only fallback): the deterministic
+    * `Similarity.ivfTrain` fold runs against the dump corpus and the
+    * centroids, their norms, and the squared-distance argmin form all
+    * embed as literals. Cell assignment is the proved-out
+    * `list_position(ds, list_min(ds)) - 1` first-min (cross-checked
+    * against `Similarity.nearestCell` on every corpus vector, same
+    * loud-failure posture and list_dot_product accumulation-order
+    * assumption). The keep rule compares ROUNDED (4 dp) centroid
+    * cosines on both sides, so ordering agrees with Spark exactly; the
+    * pair predicate is a raw normalized dot ≥ tau, the same form
+    * x_embed_neardup's oracle proved out. */
+  private def semDedupOracleSql: Option[(String, String)] = scala.util.Try {
+    import Queries.SemDedupFixture._
+    val spark = SparkSession.active
+    val sfDir = sys.props("graft.oracle.sfDir") // no default: throws if unset
+    val emb = Tables.embeddings(spark, sfDir)
+    val cs = graft.operators.Similarity.ivfTrain(
+      emb, "vec_id", "embedding", nCells, lloydIters = lloydIters,
+      trainCap = trainCap)
+    crossCheckCellAssignment(emb, cs)
+    val dists = cs.map { c =>
+      val cc = c.map(x => x * x).sum
+      s"($cc - 2*list_dot_product(e, ${c.mkString("[", ",", "]")}))"
+    }.mkString("[", ",", "]")
+    val cents = cs.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val cnorms = cs.map(c => math.sqrt(c.map(x => x * x).sum))
+      .mkString("[", ",", "]")
+    val sql =
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"a AS (SELECT vec_id, e, list_position(ds, list_min(ds)) - 1 AS cell " +
+        s"FROM (SELECT vec_id, e, $dists AS ds FROM v)), " +
+        s"cc AS (SELECT vec_id, cell, " +
+        s"ROUND(list_dot_product(e, (CAST($cents AS DOUBLE[][]))[cell+1]) / " +
+        s"(sqrt(list_dot_product(e,e)) * (CAST($cnorms AS DOUBLE[]))[cell+1]), 4) + 0 AS cent_cos, " +
+        "CASE WHEN sqrt(list_dot_product(e,e)) = 0 THEN e " +
+        "ELSE list_transform(e, x -> x / sqrt(list_dot_product(e,e))) END AS u FROM a), " +
+        "d AS (SELECT DISTINCT a.vec_id FROM cc a JOIN cc b " +
+        "ON a.cell = b.cell AND a.vec_id <> b.vec_id " +
+        "WHERE (b.cent_cos < a.cent_cos OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id)) " +
+        s"AND list_dot_product(a.u, b.u) >= $tau) " +
+        "SELECT cc.vec_id, CAST(cc.cell AS BIGINT) AS cell, cc.cent_cos, " +
+        "d.vec_id IS NULL AS keep " +
+        "FROM cc LEFT JOIN d ON cc.vec_id = d.vec_id ORDER BY cc.vec_id"
+    "x_semdedup" -> sql
+  }.toOption
+
   /** Dump-time guard for ivfOracleSql: assert that the SQL's cell
     * assignment (argmin of |c|²−2·e·c, first minimum) agrees with
     * `Similarity.nearestCell` for every corpus vector. The local
@@ -502,6 +550,7 @@ object SparkEntry {
     "x_knn_join" -> (Queries.xKnnJoin _),
     "x_ann_knn_join" -> (Queries.xAnnKnnJoin _),
     "x_ivf_topk" -> (Queries.xIvfTopK _),
+    "x_semdedup" -> (Queries.xSemDedup _),
     "x_embed_neardup" -> (Queries.xEmbedNearDup _),
     "x_cosine_clusters" -> (Queries.xCosineClusters _),
     "x_bm25" -> (Queries.xBm25 _),
@@ -1221,6 +1270,6 @@ object SparkEntry {
         "SELECT lang, n_docs, ROUND(SQRT(CAST(mn AS DOUBLE)/CAST(n_docs AS DOUBLE)), 4) AS keep_frac, " +
         "LEAST(256, CAST(CEIL(SQRT(CAST(mn AS DOUBLE)/CAST(n_docs AS DOUBLE)) * 256) AS BIGINT)) AS keep256 " +
         "FROM s CROSS JOIN m ORDER BY lang")
-  ) ++ ivfOracleSql ++ pqOracleSql ++ ivfadcOracleSql ++ bpeOracleSql ++
-    qualityLrOracleSql
+  ) ++ ivfOracleSql ++ semDedupOracleSql ++ pqOracleSql ++
+    ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

@@ -147,6 +147,47 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L-semdedup semDeDup equals local brute-force within-cell prune") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cs = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nCells = 16, lloydIters = 2, trainCap = 4096)
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val vecs = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val local = vecs.map { case (id, v) =>
+      val cell = Similarity.nearestCell(v, cs)
+      val cv = cs(cell)
+      val nrm = math.sqrt(dot(v, v))
+      val u = if (nrm == 0) v else v.map(_ / nrm)
+      (id, cell, round4(dot(v, cv) / (nrm * math.sqrt(dot(cv, cv)))), u)
+    }
+    val expDropped = local.filter { case (id, cell, cc, u) =>
+      local.exists { case (id2, cell2, cc2, u2) =>
+        id2 != id && cell2 == cell &&
+          (cc2 < cc || (cc2 == cc && id2 < id)) && dot(u, u2) >= 0.4
+      }
+    }.map(_._1).toSet
+    assert(expDropped.nonEmpty,
+      "fixture must exercise the prune at tau=0.4 (else the test is vacuous)")
+    val got = Similarity.semDeDup(emb, "vec_id", "embedding", tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.length == local.length, "one output row per input vector")
+    val gotBy = got.map(t => t._1 -> t).toMap
+    local.foreach { case (id, cell, cc, _) =>
+      val (_, gCell, gCc, gKeep) = gotBy(id)
+      assert(gCell == cell.toLong, s"vec $id cell")
+      assert(gCc == cc, s"vec $id cent_cos")
+      assert(gKeep == !expDropped(id), s"vec $id keep")
+    }
+  }
+
   test("L4 bm25TopDocs equals local brute-force BM25 (scores, order, ranks)") {
     import graft.operators.TextAnalysis
     val query = Seq("vector", "stream", "merge")
