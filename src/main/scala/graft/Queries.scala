@@ -790,6 +790,15 @@ object Queries {
         hex(col("frame")).as("frame_hex"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Multimodal near-dup (L5 × L2h): perceptual chunk-simhash
+    * fingerprints over the binary payload into the shared Manku
+    * hamming front — image-dedup-shaped pair detection with zero
+    * decode. Oracle is the brute all-pairs hamming form. */
+  def xMediaPhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.mediaNearDupPairs(
+        Multimodal.withBinaryPayload(documents(s, d), "text"), "doc_id")
+      .orderBy("d1", "d2")
+
   /** S6 sink throughput surface: write events as a date-partitioned ORC
     * warehouse table (the reference's entire job, HiveOrcSink.java:34-465)
     * and read it back aggregated — puts ORC write+read throughput into

@@ -562,6 +562,7 @@ object SparkEntry {
     "x_blocklist" -> (Queries.xBlocklist _),
     "x_html_strip" -> (Queries.xHtmlStrip _),
     "x_multimodal" -> (Queries.xMultimodal _),
+    "x_media_phash" -> (Queries.xMediaPhash _),
     "x_cdc_ingest" -> (Queries.xCdcIngest _),
     "x_orc_sink" -> (Queries.xOrcSinkRoundtrip _),
     "x_tfidf" -> (Queries.xTfIdf _),
@@ -871,6 +872,18 @@ object SparkEntry {
         "FROM nrm GROUP BY domain ORDER BY domain"),
     "x_multimodal" ->
       "SELECT doc_id, 'image/stub' AS kind, CAST(octet_length(encode(text)) AS BIGINT) AS bytes, CAST(16 AS BIGINT) AS feat_dim FROM documents ORDER BY doc_id",
+    // media pHash pairs: brute all-pairs hamming over the chunk-simhash
+    // fingerprint (the banded Spark form is exact at hamming 3 < 6
+    // blocks); hex staging keeps the chunking byte-exact with only
+    // varchar substring + md5 — 64 hex chars = the 32-byte chunk
+    "x_media_phash" ->
+      (s"WITH p AS (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx FROM documents), " +
+        "c AS (SELECT doc_id, substring(hx, 1 + i*64, 64) AS chunk " +
+        "FROM p, UNNEST(range(0, CAST(ceil(length(hx)/64.0) AS INT))) AS u(i)), " +
+        "h AS (SELECT doc_id, CAST('0x' || substring(md5(chunk),1,15) AS BIGINT) AS h FROM c), " +
+        s"s AS (SELECT doc_id, $simhashBitsSql AS ph FROM h GROUP BY doc_id) " +
+        "SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(bit_count(xor(a.ph,b.ph)) AS BIGINT) AS hd " +
+        "FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.ph,b.ph)) <= 3 ORDER BY d1, d2"),
     "x_orc_sink" ->
       "SELECT strftime(ts, '%Y-%m-%d') AS c_date, COUNT(*) AS n FROM events GROUP BY c_date ORDER BY c_date",
     "x_cdc_ingest" ->

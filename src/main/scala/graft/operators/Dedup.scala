@@ -278,13 +278,22 @@ object Dedup {
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokenSet(col(textCol))).as("__t"))
       .withColumn("__h", conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"))
+    fingerprintFromHashes(tok.select(col(idCol), col("__h")), idCol)
+  }
+
+  /** The sign-vote fold shared by token [[simHash]] and the media
+    * chunk fingerprint ([[Multimodal.mediaPHash]]): per-bit ±1 votes
+    * over each id's 60-bit hash multiset, sign becomes the bit. One
+    * keyed partial-agg shuffle; input is (idCol, __h). */
+  private[graft] def fingerprintFromHashes(hashed: DataFrame,
+                                           idCol: String): DataFrame = {
     val votes = (0 until simHashBits).map { b =>
       sum(when(col("__h").bitwiseAND(shiftleft(lit(1L), b)) =!= 0L, 1).otherwise(-1)).as(s"__v$b")
     }
     val bits = (0 until simHashBits).map { b =>
       when(col(s"__v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
-    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
       .select(col(idCol), bits.as("simhash"))
   }
 
@@ -367,6 +376,17 @@ object Dedup {
     * (random-collision rate 2^-(key width) per table). */
   private[graft] def simHashCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, blocks: Int): DataFrame =
+    hammingCandidatePairs(simHash(docs, idCol, textCol), idCol, "simhash",
+      maxHamming, blocks)
+
+  /** The Manku multi-index front over an ARBITRARY 60-bit fingerprint
+    * column — extracted from the token-simhash path so media payload
+    * fingerprints ([[Multimodal.mediaNearDupPairs]]) ride the same
+    * exact-at-pigeonhole equi-join machinery. Input: (idCol, fpCol)
+    * one row per id. Output: candidate pairs with `hd`, PRE threshold. */
+  private[graft] def hammingCandidatePairs(
+      fps: DataFrame, idCol: String, fpCol: String,
       maxHamming: Int, blocks: Int): DataFrame = {
     require(maxHamming < blocks,
       "exactness needs maxHamming < blocks (pigeonhole recall guarantee)")
@@ -382,8 +402,12 @@ object Dedup {
     def key(h: Column, c: Seq[Int]): Column =
       c.foldLeft(lit(0L)) { (acc, j) =>
         shiftleft(acc, w).bitwiseOR(block(h, j)) }
-    val tables = simHash(docs, idCol, textCol).select(
-      col(idCol).as("__id"), col("simhash"),
+    // rename staged in its own projection: the explode below references
+    // "simhash", which for fpCol != "simhash" would otherwise resolve as
+    // a same-select lateral column alias — illegal under Generate
+    val renamed = fps.select(col(idCol).as("__id"), col(fpCol).as("simhash"))
+    val tables = renamed.select(
+      col("__id"), col("simhash"),
       explode(array(combos.zipWithIndex.map { case (c, i) =>
         struct(lit(i).as("t"), key(col("simhash"), c).as("k"))
       }: _*)).as("__p"))

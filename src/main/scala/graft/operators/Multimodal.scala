@@ -69,6 +69,56 @@ object Multimodal {
           .as("frame"))
   }
 
+  /** Perceptual near-dup fingerprint over the opaque binary payload —
+    * the pHash slot of an image-dedup pipeline (chunk-simhash stand-in
+    * for a real DCT pHash, which needs a decoder this container lacks;
+    * swap the chunk hash for the codec-derived bits without touching
+    * the pair machinery). The payload's lowercase-hex transcription is
+    * cut into `chunkBytes`-byte (2·chunkBytes hex char) chunks, each
+    * chunk md5-folded to 60 bits, and the per-bit sign votes become the
+    * fingerprint ([[Dedup.fingerprintFromHashes]] — the same fold as
+    * token SimHash). A byte-aligned payload edit flips only the touched
+    * chunks' hashes → few fingerprint bits, so hamming distance ranks
+    * near-duplicate payloads; byte-identical payloads collide at hd=0.
+    *
+    * Hex staging makes the fingerprint byte-exact AND engine-portable:
+    * hex chars are ASCII, so any engine with varchar substring + md5
+    * replicates it bit-for-bit (the DuckDB oracle does) — no blob
+    * functions needed. The hex column is STAGED in its own projection
+    * (HOF staging audit: inlined, Catalyst re-hexes the payload once
+    * per lambda). Scale shape: one explode + the keyed partial-agg
+    * vote fold — same as token simhash, shuffle ∝ chunk instances.
+    * Empty/null payloads carry no chunks and are absent.
+    * Output: (idCol, phash). */
+  def mediaPHash(df: DataFrame, idCol: String, chunkBytes: Int = 32): DataFrame = {
+    require(chunkBytes > 0, "mediaPHash needs chunkBytes > 0")
+    val w = chunkBytes * 2
+    val hx = col("__hx")
+    val nChunks = ceil(length(hx) / lit(w.toDouble)).cast("int")
+    graft.operators.Dedup.fingerprintFromHashes(
+      df.select(col(idCol), lower(hex(col("payload"))).as("__hx"))
+        .select(col(idCol), hx,
+          explode(when(length(hx) > 0, sequence(lit(0), nChunks - 1))
+            .otherwise(array().cast(ArrayType(IntegerType)))).as("__i"))
+        .select(col(idCol),
+          conv(substring(md5(hx.substr(col("__i") * w + 1, lit(w))), 1, 15),
+            16, 10).cast("long").as("__h")),
+      idCol)
+      .withColumnRenamed("simhash", "phash")
+  }
+
+  /** Multimodal near-dup pairs: [[mediaPHash]] fingerprints into the
+    * shared Manku multi-index front ([[Dedup.hammingCandidatePairs]] —
+    * exact at maxHamming < blocks by pigeonhole, equi-join candidate
+    * generation, never all-pairs). The image/audio analog of the text
+    * dedup family: near-dup payload detection at corpus scale without
+    * decoding a single byte. Output: (d1, d2, hd), d1 < d2. */
+  def mediaNearDupPairs(df: DataFrame, idCol: String, chunkBytes: Int = 32,
+                        maxHamming: Int = 3, blocks: Int = 6): DataFrame =
+    graft.operators.Dedup.hammingCandidatePairs(
+      mediaPHash(df, idCol, chunkBytes), idCol, "phash", maxHamming, blocks)
+      .where(col("hd") <= maxHamming)
+
   /** STUB resize: nearest-neighbor byte subsample to exactly
     * `targetBytes` (empty stays empty) — deterministic stand-in for a
     * real image resample; swap the body for the codec call. */

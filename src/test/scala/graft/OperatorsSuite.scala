@@ -147,6 +147,24 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L5 mediaNearDupPairs equals brute all-pairs hamming over mediaPHash") {
+    import graft.operators.Multimodal
+    val docs = Multimodal.withBinaryPayload(
+      Tables.documents(spark, sfDir), "text")
+    val fps = Multimodal.mediaPHash(docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fps.nonEmpty, "fingerprints must exist")
+    val exp = (for {
+      (d1, h1) <- fps; (d2, h2) <- fps
+      if d1 < d2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (d1, d2, java.lang.Long.bitCount(h1 ^ h2).toLong)).toSet
+    assert(exp.nonEmpty,
+      "fixture must produce at least one pHash pair at hamming <= 3")
+    val got = Multimodal.mediaNearDupPairs(docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp, s"banded vs brute mismatch: ${(got diff exp) ++ (exp diff got)}")
+  }
+
   test("L-semdedup semDeDup equals local brute-force within-cell prune") {
     val emb = Tables.embeddings(spark, sfDir)
     val cs = Similarity.ivfTrain(emb, "vec_id", "embedding",
