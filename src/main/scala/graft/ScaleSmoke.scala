@@ -192,6 +192,9 @@ object ScaleSmoke {
       // semantics — same class as the verified-Jaccard path above. Its
       // scale evidence is the synthetic candidate-front growth test in
       // OperatorsSuite (random docs, no true dups → front ∝ corpus).
+      // x_media_phash shares both the front and the exclusion: replica
+      // payloads are copy-identical, so cross-copy hd=0 pairs grow as
+      // copies² by the same workload semantics.
   }
 
   /** (column to shift, shared offset key) per table: columns sharing an

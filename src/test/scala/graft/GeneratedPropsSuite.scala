@@ -486,4 +486,77 @@ class GeneratedPropsSuite extends AnyFunSuite {
       }
     }
   }
+
+  test("mediaPHash is chunk-multiset invariant: aligned chunk permutation preserves the fingerprint") {
+    import graft.operators.Multimodal
+    // payloads built from whole 32-byte chunks, so a permutation of the
+    // chunks stays boundary-aligned — the fingerprint is a vote fold
+    // over the chunk MULTISET and must not see the order
+    val rnd = new scala.util.Random(11)
+    def randChunk = (0 until 32).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val chunksPerDoc = (0 until 20).map(_ => Seq.fill(8)(randChunk))
+    val rows = chunksPerDoc.zipWithIndex.flatMap { case (cs, i) =>
+      Seq((i.toLong, cs.mkString("")),
+        (1000L + i, rnd.shuffle(cs).mkString("")))
+    }
+    val df = Multimodal.withBinaryPayload(rows.toDF("doc_id", "text"), "text")
+    val fps = Multimodal.mediaPHash(df, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.size == 40)
+    (0 until 20).foreach { i =>
+      assert(fps(i.toLong) == fps(1000L + i), s"doc $i: permuted chunks changed the fingerprint")
+    }
+  }
+
+  test("semDeDup ≡ local non-dominated-set on generated vectors with planted exact dups and ties") {
+    // corpus: random gaussians + EXACT duplicates (identical cent_cos →
+    // the id tie-break path runs on every planted pair) + scalar
+    // multiples (cosine 1 to their base, but a different L2 argmin cell
+    // is possible — the replica must agree on cell assignment, not
+    // assume co-location)
+    val rnd = new scala.util.Random(3)
+    val base = (0 until 50).map(_ => Array.fill(8)(rnd.nextGaussian()))
+    val all: Seq[(Long, Array[Double])] =
+      base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+        base.take(15).zipWithIndex.map { case (v, i) => (100L + i, v.clone()) } ++
+        base.take(10).zipWithIndex.map { case (v, i) => (200L + i, v.map(_ * 1.5)) }
+    val df = spark.createDataFrame(all.map { case (id, v) => (id, v.toSeq) })
+      .toDF("vec_id", "embedding")
+    val tau = 0.9
+    val cs = Similarity.ivfTrain(df, "vec_id", "embedding",
+      nCells = 4, lloydIters = 2, trainCap = 4096)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val local = all.map { case (id, v) =>
+      val cell = Similarity.nearestCell(v, cs)
+      val cv = cs(cell)
+      val nrm = math.sqrt(dot(v, v))
+      (id, cell, round4(dot(v, cv) / (nrm * math.sqrt(dot(cv, cv)))),
+        v.map(_ / nrm))
+    }
+    val expDropped = local.filter { case (id, cell, cc, u) =>
+      local.exists { case (id2, cell2, cc2, u2) =>
+        id2 != id && cell2 == cell &&
+          (cc2 < cc || (cc2 == cc && id2 < id)) && dot(u, u2) >= tau
+      }
+    }.map(_._1).toSet
+    assert(expDropped.size >= 15,
+      s"planted dups must force drops, got ${expDropped.size}")
+    val got = Similarity.semDeDup(df, "vec_id", "embedding", tau = tau,
+        nCells = 4, lloydIters = 2, trainCap = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.length == all.length)
+    val localBy = local.map(t => t._1 -> t).toMap
+    got.foreach { case (id, cell, cc, keep) =>
+      val (_, eCell, eCc, _) = localBy(id)
+      assert(cell == eCell.toLong, s"vec $id cell")
+      assert(cc == eCc, s"vec $id cent_cos")
+      assert(keep == !expDropped(id), s"vec $id keep")
+    }
+  }
 }
