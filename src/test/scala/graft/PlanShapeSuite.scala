@@ -171,6 +171,25 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("L3s: semDeDup pair probe is a cell-keyed equi-join, window-free") {
+    // the within-cell pairwise probe must be an equi hash/merge join on
+    // the cell id (AQE-splittable on skewed cells) — a theta/nested-loop
+    // form would be the corpus² plan the cell front exists to avoid; no
+    // window anywhere (the keep rule is a join + projection, not a rank)
+    val p = plan(graft.operators.Similarity.semDeDup(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding", tau = 0.4))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("L5p: media pHash pairs ride the equi-join front, window-free") {
+    // same contract as the token-simhash front: probe-table equi-join,
+    // never an all-pairs nested loop over fingerprints
+    val p = plan(Queries.xMediaPhash(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("bucketed tables join without an Exchange (co-located join)") {
     import graft.operators.Joins
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
