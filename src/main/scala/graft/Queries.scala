@@ -577,6 +577,7 @@ object Queries {
     * same threshold x_embed_neardup verifies exhaustively). */
   private[graft] object SemDedupFixture {
     val tau = 0.4; val nCells = 16; val lloydIters = 2; val trainCap = 4096
+    val dropFrac = 0.1 // D4 per-cell prototype cut, shared with the oracle
   }
 
   /** Semantic dedup, SemDeDup-style: k-means cells + within-cell cosine
@@ -585,6 +586,17 @@ object Queries {
   def xSemDedup(s: SparkSession, d: String): DataFrame =
     Similarity.semDeDup(embeddings(s, d), "vec_id", "embedding",
       tau = SemDedupFixture.tau, nCells = SemDedupFixture.nCells,
+      lloydIters = SemDedupFixture.lloydIters,
+      trainCap = SemDedupFixture.trainCap)
+      .orderBy("vec_id")
+
+  /** D4 dedup-then-diversify: [[xSemDedup]]'s prune plus the per-cell
+    * prototype cut (top 10% of kept rows by centroid cosine). Every
+    * vector labeled dup | proto | kept. */
+  def xD4Prune(s: SparkSession, d: String): DataFrame =
+    Similarity.d4Prune(embeddings(s, d), "vec_id", "embedding",
+      tau = SemDedupFixture.tau, dropFrac = SemDedupFixture.dropFrac,
+      nCells = SemDedupFixture.nCells,
       lloydIters = SemDedupFixture.lloydIters,
       trainCap = SemDedupFixture.trainCap)
       .orderBy("vec_id")

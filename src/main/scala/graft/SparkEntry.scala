@@ -194,7 +194,7 @@ object SparkEntry {
     * cosines on both sides, so ordering agrees with Spark exactly; the
     * pair predicate is a raw normalized dot ≥ tau, the same form
     * x_embed_neardup's oracle proved out. */
-  private def semDedupOracleSql: Option[(String, String)] = scala.util.Try {
+  private def semDedupOracles: Map[String, String] = scala.util.Try {
     import Queries.SemDedupFixture._
     val spark = SparkSession.active
     val sfDir = sys.props("graft.oracle.sfDir") // no default: throws if unset
@@ -210,7 +210,10 @@ object SparkEntry {
     val cents = cs.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     val cnorms = cs.map(c => math.sqrt(c.map(x => x * x).sum))
       .mkString("[", ",", "]")
-    val sql =
+    // shared CTE prefix: cell assignment (proved-out first-min argmin),
+    // rounded centroid cosine, normalized vector, and the semdedup drop
+    // set d (precedence rule over ROUNDED cent_cos)
+    val prefix =
       "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
         s"a AS (SELECT vec_id, e, list_position(ds, list_min(ds)) - 1 AS cell " +
         s"FROM (SELECT vec_id, e, $dists AS ds FROM v)), " +
@@ -222,12 +225,27 @@ object SparkEntry {
         "d AS (SELECT DISTINCT a.vec_id FROM cc a JOIN cc b " +
         "ON a.cell = b.cell AND a.vec_id <> b.vec_id " +
         "WHERE (b.cent_cos < a.cent_cos OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id)) " +
-        s"AND list_dot_product(a.u, b.u) >= $tau) " +
-        "SELECT cc.vec_id, CAST(cc.cell AS BIGINT) AS cell, cc.cent_cos, " +
-        "d.vec_id IS NULL AS keep " +
-        "FROM cc LEFT JOIN d ON cc.vec_id = d.vec_id ORDER BY cc.vec_id"
-    "x_semdedup" -> sql
-  }.toOption
+        s"AND list_dot_product(a.u, b.u) >= $tau) "
+    val semdedup = prefix +
+      "SELECT cc.vec_id, CAST(cc.cell AS BIGINT) AS cell, cc.cent_cos, " +
+      "d.vec_id IS NULL AS keep " +
+      "FROM cc LEFT JOIN d ON cc.vec_id = d.vec_id ORDER BY cc.vec_id"
+    // D4: per-cell prototype rank over the semdedup SURVIVORS (kept
+    // rows), top ceil(0.1 · n_kept) by (cent_cos desc, id asc) → proto
+    val d4 = prefix +
+      ", k AS (SELECT cc.vec_id, cc.cell, cc.cent_cos FROM cc " +
+      "LEFT JOIN d ON cc.vec_id = d.vec_id WHERE d.vec_id IS NULL), " +
+      "r AS (SELECT vec_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cent_cos DESC, vec_id) AS rk, " +
+      "COUNT(*) OVER (PARTITION BY cell) AS n FROM k) " +
+      "SELECT cc.vec_id, CAST(cc.cell AS BIGINT) AS cell, cc.cent_cos, " +
+      "CASE WHEN d.vec_id IS NOT NULL THEN 'dup' " +
+      s"WHEN r.rk <= CAST(ceil($dropFrac * r.n) AS BIGINT) THEN 'proto' " +
+      "ELSE 'kept' END AS stage " +
+      "FROM cc LEFT JOIN d ON cc.vec_id = d.vec_id " +
+      "LEFT JOIN r ON cc.vec_id = r.vec_id ORDER BY cc.vec_id"
+    Map("x_semdedup" -> semdedup, "x_d4_prune" -> d4)
+  }.getOrElse(Map.empty)
 
   /** Dump-time guard for ivfOracleSql: assert that the SQL's cell
     * assignment (argmin of |c|²−2·e·c, first minimum) agrees with
@@ -551,6 +569,7 @@ object SparkEntry {
     "x_ann_knn_join" -> (Queries.xAnnKnnJoin _),
     "x_ivf_topk" -> (Queries.xIvfTopK _),
     "x_semdedup" -> (Queries.xSemDedup _),
+    "x_d4_prune" -> (Queries.xD4Prune _),
     "x_embed_neardup" -> (Queries.xEmbedNearDup _),
     "x_cosine_clusters" -> (Queries.xCosineClusters _),
     "x_bm25" -> (Queries.xBm25 _),
@@ -1283,6 +1302,6 @@ object SparkEntry {
         "SELECT lang, n_docs, ROUND(SQRT(CAST(mn AS DOUBLE)/CAST(n_docs AS DOUBLE)), 4) AS keep_frac, " +
         "LEAST(256, CAST(CEIL(SQRT(CAST(mn AS DOUBLE)/CAST(n_docs AS DOUBLE)) * 256) AS BIGINT)) AS keep256 " +
         "FROM s CROSS JOIN m ORDER BY lang")
-  ) ++ ivfOracleSql ++ semDedupOracleSql ++ pqOracleSql ++
+  ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

@@ -778,4 +778,44 @@ object Similarity {
       .select(col(idCol), col("cell").cast("long").as("cell"),
         col("cent_cos"), col("__drop").isNull.as("keep"))
   }
+
+  /** D4 curation (Tirumala et al., arXiv:2308.12284): de-duplicate,
+    * then DIVERSIFY — after [[semDeDup]]'s near-duplicate prune, the
+    * most PROTOTYPICAL survivors (nearest their cluster centroid, the
+    * paper's SSL-prototypes criterion) are dropped as well: per cell,
+    * the top `ceil(dropFrac · n_kept)` kept rows by (cent_cos desc, id
+    * asc) rank. Dense cluster cores carry redundant easy examples;
+    * excising both verbatim-near neighbors AND the dense core is the
+    * paper's recipe for better pretraining data per token. One shared
+    * clustering serves both stages (the paper re-embeds and re-clusters
+    * between them; with one embedding space the re-cluster is a no-op —
+    * documented simplification).
+    *
+    * Scale shape: [[semDeDup]]'s posture plus one window, PARTITIONED BY
+    * CELL — per-task state bounded by cell size (nCells ∝ corpus, the
+    * same sizing rule), never a global rank. The semdedup frame feeds
+    * the rank and the final label, so it is localCheckpoint'd once.
+    *
+    * Output: (idCol, cell, cent_cos, stage) for EVERY input row —
+    * stage ∈ 'dup' (semdedup-dropped) | 'proto' (diversity-dropped) |
+    * 'kept'. */
+  def d4Prune(emb: DataFrame, idCol: String, vecCol: String,
+              tau: Double, dropFrac: Double, nCells: Int = 16,
+              lloydIters: Int = 2, trainCap: Int = 4096): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0, "dropFrac must be in [0, 1)")
+    val sd = semDeDup(emb, idCol, vecCol, tau, nCells, lloydIters, trainCap)
+      .localCheckpoint()
+    val ranked = sd.where(col("keep"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("cell").orderBy(col("cent_cos").desc, col(idCol))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("cell")))
+      .select(col(idCol),
+        (col("__rk") <= ceil(lit(dropFrac) * col("__n")).cast("long"))
+          .as("__proto"))
+    sd.join(ranked, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("cent_cos"),
+        when(!col("keep"), lit("dup"))
+          .when(col("__proto"), lit("proto"))
+          .otherwise(lit("kept")).as("stage"))
+  }
 }

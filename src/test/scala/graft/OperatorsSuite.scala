@@ -204,6 +204,31 @@ class OperatorsSuite extends AnyFunSuite {
       assert(gCc == cc, s"vec $id cent_cos")
       assert(gKeep == !expDropped(id), s"vec $id keep")
     }
+
+    // D4 on the same fold: survivors ranked per cell by (cent_cos desc,
+    // id asc); top ceil(0.1 · n_kept) become 'proto', dup set unchanged
+    val localBy = local.map(t => t._1 -> t).toMap
+    val kept = local.filter(t => !expDropped(t._1))
+    val expStage: Map[Long, String] =
+      kept.groupBy(_._2).toSeq.flatMap { case (_, cellRows) =>
+        val n = cellRows.length
+        val cut = math.ceil(0.1 * n).toLong
+        cellRows.sortBy(t => (-t._3, t._1)).zipWithIndex.map {
+          case ((id, _, _, _), i) =>
+            id -> (if (i + 1 <= cut) "proto" else "kept")
+        }
+      }.toMap ++ expDropped.map(_ -> "dup").toMap
+    val gotD4 = Similarity.d4Prune(emb, "vec_id", "embedding",
+        tau = 0.4, dropFrac = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(gotD4.length == local.length)
+    assert(gotD4.count(_._4 == "proto") > 0, "prototype cut must fire")
+    gotD4.foreach { case (id, cell, cc, stage) =>
+      val (_, eCell, eCc, _) = localBy.getOrElse(id,
+        fail(s"unexpected vec $id"))
+      assert(cell == eCell.toLong && cc == eCc, s"vec $id cell/cent_cos")
+      assert(stage == expStage(id), s"vec $id stage")
+    }
   }
 
   test("L4 bm25TopDocs equals local brute-force BM25 (scores, order, ranks)") {
