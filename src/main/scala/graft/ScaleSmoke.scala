@@ -185,6 +185,15 @@ object ScaleSmoke {
         val nCells = math.max(16, (emb.count() / 125L).toInt)
         graft.operators.Similarity.semDeDup(emb, "vec_id", "embedding",
           tau = 0.4, nCells = nCells, trainCap = 4096)
+      }),
+      // D4 under the same sizing rule: semdedup's posture plus the
+      // per-cell prototype rank window — window state bounded by the
+      // pinned cellSize, so the added stage must also track rows
+      ("x_d4_full", Seq("embeddings"), (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val nCells = math.max(16, (emb.count() / 125L).toInt)
+        graft.operators.Similarity.d4Prune(emb, "vec_id", "embedding",
+          tau = 0.4, dropFrac = 0.1, nCells = nCells, trainCap = 4096)
       }))
       // NOT here: x_simhash_pairs. Cross-copy replica twins (same text,
       // different c<copy> tag) are TRUE near-dups under hamming ≤ 3, so
