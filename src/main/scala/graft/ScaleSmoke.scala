@@ -182,7 +182,7 @@ object ScaleSmoke {
       // structure grows ∝ copies, never corpus².
       ("x_semdedup_full", Seq("embeddings"), (s: SparkSession, d: String) => {
         val emb = Tables.embeddings(s, d)
-        val nCells = math.max(16, (emb.count() / 125L).toInt)
+        val nCells = math.max(16, (embRows(s, d) / 125L).toInt)
         graft.operators.Similarity.semDeDup(emb, "vec_id", "embedding",
           tau = 0.4, nCells = nCells, trainCap = 4096)
       }),
@@ -191,7 +191,7 @@ object ScaleSmoke {
       // pinned cellSize, so the added stage must also track rows
       ("x_d4_full", Seq("embeddings"), (s: SparkSession, d: String) => {
         val emb = Tables.embeddings(s, d)
-        val nCells = math.max(16, (emb.count() / 125L).toInt)
+        val nCells = math.max(16, (embRows(s, d) / 125L).toInt)
         graft.operators.Similarity.d4Prune(emb, "vec_id", "embedding",
           tau = 0.4, dropFrac = 0.1, nCells = nCells, trainCap = 4096)
       }))
@@ -234,6 +234,17 @@ object ScaleSmoke {
     * demonstrates. */
   private val textCols: Map[String, Seq[String]] = Map(
     "documents" -> Seq("text"))
+
+  /** Memoized embeddings row count per dir: the semdedup/D4 thunks size
+    * nCells from the corpus, and an inline emb.count() would add a full
+    * scan INSIDE every timed sample, inflating base walls at each scale.
+    * The cache pays the count once — during the discarded warmup pass —
+    * so the measured samples time only the operator. */
+  private val embRowCache = scala.collection.mutable.Map.empty[String, Long]
+  private def embRows(s: SparkSession, d: String): Long =
+    embRowCache.synchronized {
+      embRowCache.getOrElseUpdate(d, Tables.embeddings(s, d).count())
+    }
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

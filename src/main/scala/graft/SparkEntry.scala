@@ -218,8 +218,11 @@ object SparkEntry {
         s"a AS (SELECT vec_id, e, list_position(ds, list_min(ds)) - 1 AS cell " +
         s"FROM (SELECT vec_id, e, $dists AS ds FROM v)), " +
         s"cc AS (SELECT vec_id, cell, " +
+        // zero-norm guard mirrors Similarity.semDeDup: cent_cos pinned
+        // to 0.0, never 0/0 (NULL in DuckDB, NaN in Spark)
+        "CASE WHEN sqrt(list_dot_product(e,e)) = 0 THEN 0.0 ELSE " +
         s"ROUND(list_dot_product(e, (CAST($cents AS DOUBLE[][]))[cell+1]) / " +
-        s"(sqrt(list_dot_product(e,e)) * (CAST($cnorms AS DOUBLE[]))[cell+1]), 4) + 0 AS cent_cos, " +
+        s"(sqrt(list_dot_product(e,e)) * (CAST($cnorms AS DOUBLE[]))[cell+1]), 4) + 0 END AS cent_cos, " +
         "CASE WHEN sqrt(list_dot_product(e,e)) = 0 THEN e " +
         "ELSE list_transform(e, x -> x / sqrt(list_dot_product(e,e))) END AS u FROM a), " +
         "d AS (SELECT DISTINCT a.vec_id FROM cc a JOIN cc b " +

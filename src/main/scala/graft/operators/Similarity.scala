@@ -720,6 +720,17 @@ object Similarity {
     * Comparisons use the ROUNDED (4 dp) centroid cosine so the DuckDB
     * oracle's ordering agrees bit-for-bit.
     *
+    * DOCUMENTED DEVIATION (order-free drop vs the paper's
+    * one-exemplar-per-group reading): the dominating row y need not
+    * itself survive, so a similarity chain a–b–c with cos(a,c) < tau
+    * drops BOTH b and c even though c has no kept near-duplicate —
+    * stricter (over-drops) relative to keeping one exemplar per
+    * connected dup group. This is deliberate: it keeps the rule
+    * order-free and expressible as one self-join predicate (no
+    * sequential sweep, no transitive closure), which is what makes the
+    * cell-keyed equi-join plan and the DuckDB oracle possible. The
+    * oracle and the property tests replicate it identically.
+    *
     * Scale shape — the point of the cell front: pairwise work is
     * quadratic only WITHIN a cell, and nCells is sized to the corpus
     * (the paper runs k=110 000 over 5 B LAION entries, keeping cells at
@@ -757,7 +768,12 @@ object Similarity {
         }
         val nrm = math.sqrt(dvv)
         val u = if (nrm == 0) v else v.map(_ / nrm)
-        (id, cell, dvc / (nrm * math.sqrt(dcc)), u)
+        // zero-norm vectors pin cent_cos to 0.0 (not 0/0 = NaN): Spark
+        // orders NaN above all doubles while DuckDB division yields NULL,
+        // so a NaN here would silently diverge the precedence rule; the
+        // oracle mirrors this with an explicit CASE on the norm
+        val cc = if (nrm == 0.0) 0.0 else dvc / (nrm * math.sqrt(dcc))
+        (id, cell, cc, u)
       }
       .toDF(idCol, "cell", "__cc", "__u")
       .withColumn("cent_cos", round(col("__cc"), 4) + 0.0)
@@ -784,7 +800,15 @@ object Similarity {
     * most PROTOTYPICAL survivors (nearest their cluster centroid, the
     * paper's SSL-prototypes criterion) are dropped as well: per cell,
     * the top `ceil(dropFrac · n_kept)` kept rows by (cent_cos desc, id
-    * asc) rank. Dense cluster cores carry redundant easy examples;
+    * asc) rank. NOTE the per-cell ceil: every non-empty cell drops AT
+    * LEAST one prototype, so on small cells the realized drop rate
+    * exceeds the nominal dropFrac (16 cells × 1 row each at dropFrac
+    * 0.1 would still drop 16 rows). Under the nCells-∝-corpus sizing
+    * rule cells are ~100+ rows and the overshoot vanishes
+    * (ceil adds < 1 row per cell); it is a deliberate floor — a cell
+    * dense enough to exist contributes at least one prototype — and
+    * the oracle and tests replicate ceil exactly.
+    * Dense cluster cores carry redundant easy examples;
     * excising both verbatim-near neighbors AND the dense core is the
     * paper's recipe for better pretraining data per token. One shared
     * clustering serves both stages (the paper re-embeds and re-clusters
