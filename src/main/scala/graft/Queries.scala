@@ -1268,6 +1268,47 @@ object Queries {
     Pipelines.sqrtTemperatureRates(documents(s, d), "lang")
       .orderBy("lang")
 
+  /** Fuzzy record linkage over customers: within-nation pairs whose
+    * names are within edit distance 1, via the pigeonhole segment
+    * front + Levenshtein verify. Nation is the discriminating co-block
+    * — the fixture's fixed-width names make the segment values
+    * near-constant, the documented degenerate case the co-block column
+    * exists for. */
+  def xEntityMatch(s: SparkSession, d: String): DataFrame =
+    graft.operators.Linkage.editDistancePairs(
+        customer(s, d), "c_custkey", "c_name",
+        blockCols = Seq("c_nationkey"), maxDist = 1)
+      .orderBy("id1", "id2")
+
+  /** PageRank over the nation trade graph: edges customer-nation →
+    * supplier-nation weighted by order-line count (the 100 TB-scale
+    * part is the 4-way join + groupBy edge extraction; the power
+    * iteration then runs on the aggregated graph). 5 iterations,
+    * d = 0.85, ranks rounded to 6 dp. */
+  def xPageRank(s: SparkSession, d: String): DataFrame = {
+    val edges = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(nation(s, d).select(col("n_nationkey").as("__cnk"),
+        col("n_name").as("cnation")), col("c_nationkey") === col("__cnk"))
+      .join(nation(s, d).select(col("n_nationkey").as("__snk"),
+        col("n_name").as("snation")), col("s_nationkey") === col("__snk"))
+      .groupBy("cnation", "snation").agg(count(lit(1)).as("w"))
+    graft.operators.Graphs.pageRank(edges, "cnation", "snation", "w",
+        iters = 5)
+      .orderBy("node")
+  }
+
+  /** Composed curation funnel per source: gopher quality (minWords
+    * lowered to 20 for the fixture's short docs, as in x_gopher) →
+    * exact-dedup exemplar → md5 3/4 sample, counted per stage in one
+    * pass. */
+  def xCurationFunnel(s: SparkSession, d: String): DataFrame =
+    Pipelines.curationFunnel(documents(s, d), "doc_id", "text", "source",
+        minWords = 20, keep256 = 192)
+      .orderBy("source")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

@@ -194,6 +194,39 @@ object SparkEntry {
     * cosines on both sides, so ordering agrees with Spark exactly; the
     * pair predicate is a raw normalized dot ≥ tau, the same form
     * x_embed_neardup's oracle proved out. */
+  /** DuckDB oracle for x_pagerank: the power iteration UNROLLED into
+    * one CTE chain (r0 → d1/r1 → … → r`iters`) — fixed iteration count
+    * is what makes PageRank oracle-able at all. Every arithmetic step
+    * mirrors [[graft.operators.Graphs.pageRank]]'s op order exactly
+    * ((1-d)/n, d·(cb + dm/n), w cast to double before the fraction), so
+    * the only cross-engine divergence is summation order inside SUM —
+    * absorbed by the final 6 dp rounding. Static SQL: the graph is
+    * derived in-query from the TPC-H tables, no dump-time state. */
+  private def pageRankOracleSql(iters: Int, damping: String = "0.85"): String = {
+    val head =
+      "WITH e AS (SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey " +
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey GROUP BY 1, 2), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), " +
+        "outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src), " +
+        "frac AS (SELECT e.src, e.dst, e.w / o.ow AS p FROM e JOIN outw o ON e.src = o.src), " +
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"
+    val steps = (1 to iters).map { t =>
+      val prev = s"r${t - 1}"
+      s", d$t AS (SELECT COALESCE(SUM(r.r), 0) AS dm FROM $prev r " +
+        "LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL)" +
+        s", r$t AS (SELECT n.node, (1 - $damping) / (SELECT n FROM nn) + " +
+        s"$damping * (COALESCE(c.cb, 0) + (SELECT dm FROM d$t) / (SELECT n FROM nn)) AS r " +
+        "FROM nodes n LEFT JOIN (SELECT f.dst, SUM(f.p * r.r) AS cb " +
+        s"FROM frac f JOIN $prev r ON f.src = r.node GROUP BY f.dst) c ON n.node = c.dst)"
+    }.mkString
+    head + steps + s" SELECT node, ROUND(r, 6) + 0 AS pr FROM r$iters ORDER BY node"
+  }
+
   private def semDedupOracles: Map[String, String] = scala.util.Try {
     import Queries.SemDedupFixture._
     val spark = SparkSession.active
@@ -627,7 +660,10 @@ object SparkEntry {
     "x_bpe_encode" -> (Queries.xBpeEncode _),
     "x_quality_lr" -> (Queries.xQualityLr _),
     "x_cluster_split" -> (Queries.xClusterSplit _),
-    "x_temperature" -> (Queries.xTemperature _)
+    "x_temperature" -> (Queries.xTemperature _),
+    "x_entity_match" -> (Queries.xEntityMatch _),
+    "x_pagerank" -> (Queries.xPageRank _),
+    "x_curation_funnel" -> (Queries.xCurationFunnel _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1304,7 +1340,40 @@ object SparkEntry {
         "m AS (SELECT MIN(n_docs) AS mn FROM s) " +
         "SELECT lang, n_docs, ROUND(SQRT(CAST(mn AS DOUBLE)/CAST(n_docs AS DOUBLE)), 4) AS keep_frac, " +
         "LEAST(256, CAST(CEIL(SQRT(CAST(mn AS DOUBLE)/CAST(n_docs AS DOUBLE)) * 256) AS BIGINT)) AS keep256 " +
-        "FROM s CROSS JOIN m ORDER BY lang")
+        "FROM s CROSS JOIN m ORDER BY lang"),
+    // fuzzy linkage: within-nation all-pairs under the SAME equal-length
+    // predicate the pigeonhole front declares — levenshtein is the
+    // standard metric on both engines, so the oracle can skip the front
+    // (front ≡ all-pairs under that predicate, recall asserted in suite)
+    "x_entity_match" ->
+      ("SELECT a.c_custkey AS id1, b.c_custkey AS id2, " +
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
+        "FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey " +
+        "AND length(a.c_name) = length(b.c_name) AND a.c_custkey < b.c_custkey " +
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY id1, id2"),
+    "x_pagerank" -> pageRankOracleSql(5),
+    // curation funnel: x_gopher's proven quality fragment (minWords 20)
+    // + min-id exemplar per text + the x_sample md5-byte threshold,
+    // counted per stage with COUNT(CASE ...) ≡ Spark count(when(...))
+    "x_curation_funnel" ->
+      ("WITH t AS (SELECT doc_id, text, source, list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+        "s AS (SELECT doc_id, text, source, CAST(len(tk) AS DOUBLE) AS nw, " +
+        "COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS wc, " +
+        "length(text) - length(replace(text, '#', '')) AS hashes, " +
+        "(length(text) - length(replace(text, '...', ''))) / 3 AS ell, " +
+        "len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha, " +
+        "len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))), ['the','be','to','of','and','that','have','with'])) AS nstop FROM t), " +
+        "p AS (SELECT doc_id, text, source, " +
+        "(nw BETWEEN 20 AND 100000 AND wc / greatest(nw, 1.0) BETWEEN 3.0 AND 10.0 " +
+        "AND (hashes + ell) / greatest(nw, 1.0) <= 0.1 AND alpha / greatest(nw, 1.0) >= 0.8 " +
+        "AND nstop >= 2) AS passes FROM s), " +
+        "k AS (SELECT MIN(doc_id) AS doc_id FROM p WHERE passes GROUP BY text), " +
+        "f AS (SELECT p.doc_id, p.source, p.passes, k.doc_id IS NOT NULL AS kept FROM p LEFT JOIN k ON p.doc_id = k.doc_id) " +
+        "SELECT source, COUNT(*) AS n_raw, " +
+        "COUNT(CASE WHEN passes THEN 1 END) AS n_quality, " +
+        "COUNT(CASE WHEN kept THEN 1 END) AS n_dedup, " +
+        "COUNT(CASE WHEN kept AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) < 192 THEN 1 END) AS n_sampled " +
+        "FROM f GROUP BY source ORDER BY source")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

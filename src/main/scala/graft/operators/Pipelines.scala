@@ -722,6 +722,55 @@ object Pipelines {
         countDistinct(col(langCol)).as("n_langs"))
   }
 
+  /** End-to-end curation funnel: the composed pipeline every corpus
+    * build runs — quality filter → exact dedup → deterministic sample —
+    * reported as a per-source funnel (how many documents survive each
+    * stage). Stages are the engine's own operators, composed, so this is
+    * both a useful report and a living test that the stages compose:
+    *
+    *   1. raw      — every document
+    *   2. quality  — [[TextAnalysis.gopherQualityFlags]] `passes`
+    *   3. dedup    — of the quality survivors, the min-id exemplar per
+    *                 exact text (the [[Dedup.exactDedup]] keep rule)
+    *   4. sampled  — of the dedup survivors, the content-addressed md5
+    *                 byte-threshold keep ([[sampleByMd5]] semantics,
+    *                 `keep256`/256 of rows, append-stable)
+    *
+    * Scale shape: one narrow staged projection is checkpointed and feeds
+    * both the dedup groupBy and the final funnel agg (one scan, two
+    * consumers); the dedup stage is the skew-safe groupBy(text)+join
+    * form, never a window over a possibly-huge dup group; the funnel agg
+    * is a partial-aggregating groupBy on the source key. Counting all
+    * four stages in ONE pass over the left-joined marker frame means no
+    * stage materializes its survivor set.
+    *
+    * Output: (srcCol, n_raw, n_quality, n_dedup, n_sampled), one row per
+    * source. */
+  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, minWords: Int = 50,
+                     keep256: Int = 192): DataFrame = {
+    Joins.requireFreeColumns("curationFunnel", docs.columns,
+      "passes", "__kept", "n_raw", "n_quality", "n_dedup", "n_sampled")
+    val flags = TextAnalysis.gopherQualityFlags(
+        docs.select(col(idCol), col(textCol)), idCol, textCol,
+        minWords = minWords)
+      .select(col(idCol), col("passes"))
+    val staged = docs.select(col(idCol), col(textCol), col(srcCol))
+      .join(flags, Seq(idCol))
+      .localCheckpoint()
+    val keep = staged.where(col("passes"))
+      .groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), lit(true).as("__kept"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10)
+      .cast("long")
+    staged.join(keep, Seq(idCol), "left")
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_raw"),
+        count(when(col("passes"), lit(1))).as("n_quality"),
+        count(when(col("__kept"), lit(1))).as("n_dedup"),
+        count(when(col("__kept") && bucket < keep256, lit(1))).as("n_sampled"))
+  }
+
   def sourceStats(df: DataFrame, srcCol: String, textCol: String,
                   langCol: String): DataFrame =
     df.select(col(srcCol), md5(col(textCol)).as("__h"),

@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * straightforward (non-scalable) SQL formulation of the same semantics. */
 class OperatorsSuite extends AnyFunSuite {
   import TestSpark.{sfDir, spark}
+  import spark.implicits._
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
@@ -932,5 +933,74 @@ class OperatorsSuite extends AnyFunSuite {
       (id, math.rint(cos * 1e4) / 1e4 + 0.0)
     }.sortBy { case (id, c) => (-c, id) }.take(k).toSeq
     assert(out == expected)
+  }
+
+  test("editDistancePairs: pigeonhole front ≡ equal-length all-pairs brute force") {
+    // varied, UNstructured names (no shared prefix) across two blocks,
+    // incl. substitution pairs (caught), an indel pair (declared out of
+    // scope — lengths differ), and an equal-length dist-2 pair (dropped
+    // by the verifier at maxDist=1)
+    val rows = Seq(
+      (1L, "martha", 0), (2L, "marsha", 0), (3L, "marthe", 0),
+      (4L, "marthaa", 0),                        // indel vs 1: excluded
+      (5L, "bertha", 0),                         // dist 2 vs martha
+      (6L, "martha", 1),                         // other block: no pair with 1
+      (7L, "xanadu", 1), (8L, "xanadi", 1),
+      (9L, "qq", 0), (10L, "qr", 0))             // short strings, odd split
+    val df = rows.toDF("id", "nm", "blk")
+    val got = graft.operators.Linkage
+      .editDistancePairs(df, "id", "nm", Seq("blk"), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (i1, n1, b1) <- rows; (i2, n2, b2) <- rows
+      if i1 < i2 && b1 == b2 && n1.length == n2.length
+      d = levBrute(n1, n2) if d <= 1
+    } yield (i1, i2, d.toLong)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 3L, 1L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L)) // indel excluded
+    assert(!got.exists(p => Set(p._1, p._2) == Set(1L, 5L))) // dist 2
+    assert(!got.exists(p => Set(p._1, p._2) == Set(1L, 6L))) // cross-block
+    assert(got.contains((9L, 10L, 1L)))
+  }
+
+  private def levBrute(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("pageRank: matches local power iteration, incl. dangling mass") {
+    // graph with a dangling node (4 has no out-edges) and weights —
+    // exercises the dm redistribution the fixture's nation graph never
+    // does (every nation has out-edges there)
+    val edges = Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L),
+      ("c", "a", 1L), ("b", "d", 3L)).toDF("s", "t", "w")
+    val got = graft.operators.Graphs
+      .pageRank(edges, "s", "t", "w", iters = 8, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // local replica: same formula, same iteration count
+    val out = Map("a" -> Seq(("b", 2.0 / 3), ("c", 1.0 / 3)),
+      "b" -> Seq(("c", 0.25), ("d", 0.75)), "c" -> Seq(("a", 1.0)))
+    val nodes = Seq("a", "b", "c", "d")
+    val n = nodes.size.toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 8) {
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map { v =>
+        val cb = out.toSeq.flatMap { case (u, es) =>
+          es.collect { case (dst, p) if dst == v => p * r(u) } }.sum
+        v -> ((1.0 - 0.85) / n + 0.85 * (cb + dm / n))
+      }.toMap
+    }
+    nodes.foreach { v =>
+      // pageRank rounds to 6 dp, so allow a half-ulp of that rounding
+      assert(math.abs(got(v) - r(v)) < 1e-6, s"$v: ${got(v)} vs ${r(v)}")
+    }
+    // total rank is conserved (the dangling patch keeps Σr = 1)
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
 }

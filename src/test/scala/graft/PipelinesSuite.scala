@@ -435,4 +435,40 @@ class PipelinesSuite extends AnyFunSuite {
     assert(out(0) == (("a.com", 3L, 2L, 6L, 2.0, 0.3333, 2L)))
     assert(out(1) == (("b.org", 1L, 1L, 1L, 1.0, 0.0, 1L)))
   }
+
+  test("curationFunnel: stage counts match an independent recomputation") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Pipelines.curationFunnel(docs, "doc_id", "text", "source",
+        minWords = 20, keep256 = 192)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // recompute per stage from the engine's own primitives, independently
+    // composed: quality flags joined to source, exemplar ids via the
+    // Dedup keep rule, sample via the md5 byte threshold
+    val flags = graft.operators.TextAnalysis
+      .gopherQualityFlags(docs, "doc_id", "text", minWords = 20)
+      .select(col("doc_id"), col("passes"))
+    val staged = docs.select("doc_id", "source").join(flags, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keepIds = staged.filter(_._3).groupBy(t => texts(t._1))
+      .map { case (_, g) => g.map(_._1).min }.toSet
+    def md5b(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((h(0).toLong & 0xff))
+    }
+    val exp = staged.groupBy(_._2).map { case (src, g) =>
+      src -> ((g.length.toLong,
+        g.count(_._3).toLong,
+        g.count(t => keepIds(t._1)).toLong,
+        g.count(t => keepIds(t._1) && md5b(t._1) < 192).toLong))
+    }
+    assert(got == exp)
+    // funnel is monotone per source
+    got.values.foreach { case (a, b, c, d) =>
+      assert(a >= b && b >= c && c >= d)
+    }
+  }
 }
