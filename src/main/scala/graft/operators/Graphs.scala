@@ -71,16 +71,26 @@ object Graphs {
     while (t < iters) {
       val dm = ranks.join(srcs, Seq("node"), "left_anti")
         .agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
-      val contrib = frac.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy("dst").agg(sum(col("p") * col("r")).as("cb"))
-      ranks = nodes
-        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("cb"), lit(0.0)) + lit(dm / n))).as("r"))
-        .localCheckpoint()
+      ranks = superstep(nodes, frac, ranks, n, damping, dm).localCheckpoint()
       t += 1
     }
     ranks.select(col("node"), (round(col("r"), roundDp) + 0.0).as("pr"))
+  }
+
+  /** One un-checkpointed power-iteration step (exposed so PlanShapeSuite
+    * can assert the superstep's physical plan — the public path
+    * checkpoints each round, which truncates the visible plan to a
+    * scan): edge-fraction ⋈ ranks on src, partial-agg groupBy(dst),
+    * left join back onto the node set, the rank recurrence applied. */
+  private[graft] def superstep(nodes: DataFrame, frac: DataFrame,
+                               ranks: DataFrame, n: Double, damping: Double,
+                               dm: Double): DataFrame = {
+    val contrib = frac.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy("dst").agg(sum(col("p") * col("r")).as("cb"))
+    nodes
+      .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .select(col("node"),
+        (lit((1.0 - damping) / n) + lit(damping) *
+          (coalesce(col("cb"), lit(0.0)) + lit(dm / n))).as("r"))
   }
 }

@@ -380,4 +380,44 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
     assert(p.contains("partial_min"), p)
   }
+
+  test("ER: linkage candidate front is an equi-join, verifier never nested-loops") {
+    val p = plan(graft.operators.Linkage.editDistancePairs(
+      Tables.customer(spark, sfDir), "c_custkey", "c_name",
+      Seq("c_nationkey"), maxDist = 1))
+    // the pigeonhole front must plan as a keyed join — a nested-loop
+    // here would mean the O(len²) verifier runs on blockwise all-pairs
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("graph: one PageRank superstep is equi-join + partial agg, window-free") {
+    import spark.implicits._
+    // the public path checkpoints per round (plan truncates to a scan),
+    // so assert on the exposed un-checkpointed superstep
+    val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0), ("a", "c", 2.0))
+      .toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val frac = edges.select(col("src"), col("dst"), col("w").as("p"))
+    val ranks = nodes.select(col("node"), lit(1.0 / 3).as("r"))
+    val p = plan(graft.operators.Graphs.superstep(
+      nodes, frac, ranks, n = 3.0, damping = 0.85, dm = 0.0))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // rank-side joins are keyed; partial aggregation combines map-side
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("funnel: curation funnel has no window and a partial-agg funnel count") {
+    val p = plan(graft.operators.Pipelines.curationFunnel(
+      Tables.documents(spark, sfDir), "doc_id", "text", "source",
+      minWords = 20, keep256 = 192))
+    // dedup must stay the skew-safe groupBy+join form (a window over
+    // partitionBy(text) would pin a mega dup group to one task)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
