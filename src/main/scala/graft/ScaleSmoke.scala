@@ -194,7 +194,25 @@ object ScaleSmoke {
         val nCells = math.max(16, (embRows(s, d) / 125L).toInt)
         graft.operators.Similarity.d4Prune(emb, "vec_id", "embedding",
           tau = 0.4, dropFrac = 0.1, nCells = nCells, trainCap = 4096)
-      }))
+      }),
+      // PageRank over the replica: the node set stays the 25 base
+      // nations (nation is a dim table, copied 1×; copy i of customer/
+      // supplier joins copy i of orders/lineitem via the shared custkey/
+      // suppkey offsets) — so edge WEIGHTS grow ∝ copies while the
+      // iteration cost is constant, and time must track the 4-way
+      // extraction join, i.e. rows
+      q("x_pagerank", "lineitem", "orders", "customer", "supplier", "nation"),
+      // curation funnel over the replica: the c<i> text tag breaks
+      // cross-copy EXACT duplication, so dedup groups stay within-copy
+      // and every stage's work is one keyed pass — time must track rows
+      q("x_curation_funnel", "documents"))
+      // NOT here: x_entity_match. Replica customer names are
+      // copy-identical (c_name is not tagged), so every cross-copy name
+      // pair is a TRUE distance-0 match within its nation block — the
+      // verified-pair output grows as copies² by workload semantics,
+      // the same exclusion class as x_simhash_pairs. Its scale evidence
+      // is the front ≡ brute-force equivalence in OperatorsSuite plus
+      // the Σ_b |b|² candidate bound documented in SCALE.md.
       // NOT here: x_simhash_pairs. Cross-copy replica twins (same text,
       // different c<copy> tag) are TRUE near-dups under hamming ≤ 3, so
       // the replica's verified-pair output grows as copies² by workload
@@ -211,11 +229,20 @@ object ScaleSmoke {
     * SAME amount, so copy i of lineitem joins copy i of orders and the
     * q08 join cardinality scales exactly linearly. */
   private val idCols: Map[String, Seq[(String, String)]] = Map(
-    "lineitem" -> Seq("l_orderkey" -> "orderkey"),
-    "orders" -> Seq("o_orderkey" -> "orderkey"),
+    "lineitem" -> Seq("l_orderkey" -> "orderkey", "l_suppkey" -> "suppkey"),
+    "orders" -> Seq("o_orderkey" -> "orderkey", "o_custkey" -> "custkey"),
+    "customer" -> Seq("c_custkey" -> "custkey"),
+    "supplier" -> Seq("s_suppkey" -> "suppkey"),
     "events" -> Seq("event_id" -> "event_id", "user_id" -> "user_id"),
     "documents" -> Seq("doc_id" -> "doc_id"),
     "embeddings" -> Seq("vec_id" -> "vec_id"))
+
+  /** Dimension tables copied VERBATIM (1×) into the replica: nation is
+    * the fixed 25-row key space — replicating it would fan out every
+    * nationkey join by `copies` instead of growing the fact side. The
+    * unshifted c_nationkey/s_nationkey in the replicated customer and
+    * supplier copies still resolve against the base dimension. */
+  private val dimTables: Set[String] = Set("nation")
 
   /** Text columns made copy-distinct in the replica (a leading
     * `c<copy>` token on copies 1..n-1; copy 0 stays byte-identical to
@@ -256,8 +283,11 @@ object ScaleSmoke {
     // v2: replica format changed (copy-tagged documents.text) — the
     // row-count reuse check can't see a content change, so the format
     // version lives in the dir name and a v1 replica is never reused
+    // v3: lineitem/orders now also shift (suppkey, custkey) and
+    // customer/supplier replicate — a v2 replica would silently fan out
+    // the pagerank extraction joins by copies
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
-      s"/tmp/graft_scale_v2_${baseTag}_${copies}x")
+      s"/tmp/graft_scale_v3_${baseTag}_${copies}x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Engine.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-scale-smoke"),
@@ -341,10 +371,11 @@ object ScaleSmoke {
     tables.foreach { t =>
       val out = new java.io.File(s"$scaleDir/$t.parquet")
       val raw = spark.read.parquet(s"$baseDir/$t.parquet")
+      val tCopies = if (dimTables(t)) 1 else copies
       // unreadable replica (e.g. a crashed build left only _temporary/)
       // counts as stale, not fatal — that's the scenario this check is for
       val reusable = out.isDirectory && scala.util.Try {
-        val expected = raw.count() * copies
+        val expected = raw.count() * tCopies
         val actual = spark.read.parquet(out.getAbsolutePath).count()
         if (actual != expected) System.err.println(
           s"[scale] stale replica $out ($actual rows, expected $expected) — rebuilding")
@@ -354,8 +385,8 @@ object ScaleSmoke {
         false
       }
       if (!reusable) {
-        val replica = (0 until copies).map { i =>
-          val shifted = idCols(t).foldLeft(raw) { case (df, (c, key)) =>
+        val replica = (0 until tCopies).map { i =>
+          val shifted = idCols.getOrElse(t, Nil).foldLeft(raw) { case (df, (c, key)) =>
             df.withColumn(c, (col(c).cast("long") + lit(i * offsets(key)))
               .cast(raw.schema(c).dataType))
           }
@@ -365,7 +396,7 @@ object ScaleSmoke {
           }
         }.reduce(_.unionAll(_))
         replica.write.mode("overwrite").parquet(out.getAbsolutePath)
-        System.err.println(s"[scale] built $out (${copies}x $t)")
+        System.err.println(s"[scale] built $out (${tCopies}x $t)")
       }
     }
   }
