@@ -43,9 +43,10 @@ object Graphs {
     * action. Rank frames are (node, double) — tiny next to the edge
     * frame — so at cluster scale the rank side of the join broadcasts
     * while edges never move twice: the fraction frame is shuffled onto
-    * `src` once and stays put. Driver traffic is one `count` up front
-    * and one scalar dangling-mass collect per iteration (the same
-    * driver-scalar-per-superstep shape GraphX/Pregel uses).
+    * `src` once and stays put. The dangling mass is a broadcast 1-row
+    * aggregate inside the superstep plan, so each iteration is ONE
+    * Spark job (the checkpoint) — driver traffic is just the single
+    * node `count` up front.
     *
     * Output: (node, pr) for every node, `pr` rounded to `roundDp`. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -53,8 +54,13 @@ object Graphs {
                roundDp: Int = 6): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    // checkpoint the projected edge frame FIRST: nodes, outw, frac and
+    // srcs all derive from it, and without the checkpoint each of their
+    // (eager) checkpoints re-executes the caller's whole edge-extraction
+    // plan — for x_pagerank that was the 4-way TPC-H join running 4×
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("double").as("w"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -69,9 +75,7 @@ object Graphs {
       .localCheckpoint()
     var t = 0
     while (t < iters) {
-      val dm = ranks.join(srcs, Seq("node"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
-      ranks = superstep(nodes, frac, ranks, n, damping, dm).localCheckpoint()
+      ranks = superstep(nodes, frac, srcs, ranks, n, damping).localCheckpoint()
       t += 1
     }
     ranks.select(col("node"), (round(col("r"), roundDp) + 0.0).as("pr"))
@@ -81,16 +85,24 @@ object Graphs {
     * can assert the superstep's physical plan — the public path
     * checkpoints each round, which truncates the visible plan to a
     * scan): edge-fraction ⋈ ranks on src, partial-agg groupBy(dst),
-    * left join back onto the node set, the rank recurrence applied. */
+    * left join back onto the node set, the rank recurrence applied.
+    * The dangling mass rides IN the plan as a broadcast 1-row aggregate
+    * (anti-join of ranks against the out-edge sources) instead of a
+    * per-iteration driver collect — one Spark job per superstep, not
+    * two; at cluster scale that halves the scheduler round-trips of the
+    * whole power iteration. */
   private[graft] def superstep(nodes: DataFrame, frac: DataFrame,
-                               ranks: DataFrame, n: Double, damping: Double,
-                               dm: Double): DataFrame = {
+                               srcs: DataFrame, ranks: DataFrame,
+                               n: Double, damping: Double): DataFrame = {
+    val dmDf = ranks.join(srcs, Seq("node"), "left_anti")
+      .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
     val contrib = frac.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
       .groupBy("dst").agg(sum(col("p") * col("r")).as("cb"))
     nodes
       .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .crossJoin(broadcast(dmDf))
       .select(col("node"),
         (lit((1.0 - damping) / n) + lit(damping) *
-          (coalesce(col("cb"), lit(0.0)) + lit(dm / n))).as("r"))
+          (coalesce(col("cb"), lit(0.0)) + col("dm") / n)).as("r"))
   }
 }

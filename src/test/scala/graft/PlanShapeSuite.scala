@@ -400,14 +400,18 @@ class PlanShapeSuite extends AnyFunSuite {
       .toDF("src", "dst", "w")
     val nodes = Seq("a", "b", "c").toDF("node")
     val frac = edges.select(col("src"), col("dst"), col("w").as("p"))
+    val srcs = edges.select(col("src").as("node")).distinct()
     val ranks = nodes.select(col("node"), lit(1.0 / 3).as("r"))
     val p = plan(graft.operators.Graphs.superstep(
-      nodes, frac, ranks, n = 3.0, damping = 0.85, dm = 0.0))
+      nodes, frac, srcs, ranks, n = 3.0, damping = 0.85))
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // rank-side joins are keyed; partial aggregation combines map-side
+    // rank-side joins are keyed; partial aggregation combines map-side;
+    // the only nested-loop is the broadcast 1-row dangling-mass frame
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
     assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected the broadcast dangling-mass crossJoin in:\n" + p)
   }
 
   test("funnel: curation funnel has no window and a partial-agg funnel count") {
