@@ -1309,6 +1309,22 @@ object Queries {
         minWords = 20, keep256 = 192)
       .orderBy("source")
 
+  /** First-touch conversion funnel view → click → purchase with a 48 h
+    * per-step window, counted per stage (150/96/58 users at sf0.01). */
+  def xEventFunnel(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.funnelStages(events(s, d),
+        "user_id", "event_type", "ts",
+        stages = Seq("view", "click", "purchase"),
+        maxStepGapSec = 172800L)
+      .orderBy("stage")
+
+  /** Weekly retention cohorts over the event stream: (first-event week,
+    * week offset) → active users. */
+  def xRetention(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.retentionCohorts(events(s, d),
+        "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

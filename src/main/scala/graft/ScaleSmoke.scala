@@ -205,7 +205,13 @@ object ScaleSmoke {
       // curation funnel over the replica: the c<i> text tag breaks
       // cross-copy EXACT duplication, so dedup groups stay within-copy
       // and every stage's work is one keyed pass — time must track rows
-      q("x_curation_funnel", "documents"))
+      q("x_curation_funnel", "documents"),
+      // event funnel/retention over the replica: user_id shifts per
+      // copy, so the user population grows ∝ copies with per-user event
+      // counts constant — every stage is a user-keyed partial agg or
+      // join, so time must track rows
+      q("x_event_funnel", "events"),
+      q("x_retention", "events"))
       // NOT here: x_entity_match. Replica customer names are
       // copy-identical (c_name is not tagged), so every cross-copy name
       // pair is a TRUE distance-0 match within its nation block — the

@@ -663,7 +663,9 @@ object SparkEntry {
     "x_temperature" -> (Queries.xTemperature _),
     "x_entity_match" -> (Queries.xEntityMatch _),
     "x_pagerank" -> (Queries.xPageRank _),
-    "x_curation_funnel" -> (Queries.xCurationFunnel _)
+    "x_curation_funnel" -> (Queries.xCurationFunnel _),
+    "x_event_funnel" -> (Queries.xEventFunnel _),
+    "x_retention" -> (Queries.xRetention _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1373,7 +1375,28 @@ object SparkEntry {
         "COUNT(CASE WHEN passes THEN 1 END) AS n_quality, " +
         "COUNT(CASE WHEN kept THEN 1 END) AS n_dedup, " +
         "COUNT(CASE WHEN kept AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) < 192 THEN 1 END) AS n_sampled " +
-        "FROM f GROUP BY source ORDER BY source")
+        "FROM f GROUP BY source ORDER BY source"),
+    // first-touch funnel: per stage the earliest qualifying instant,
+    // strictly after the previous stage's and within the 48 h gap —
+    // each stage CTE mirrors one funnelStages groupBy(user) min
+    "x_event_funnel" ->
+      ("WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "u2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN u1 ON e.user_id = u1.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > u1.t1 AND e.ts <= u1.t1 + INTERVAL 172800 SECOND GROUP BY e.user_id), " +
+        "u3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN u2 ON e.user_id = u2.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > u2.t2 AND e.ts <= u2.t2 + INTERVAL 172800 SECOND GROUP BY e.user_id) " +
+        "SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, (SELECT COUNT(*) FROM u1) AS n_users " +
+        "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM u2) " +
+        "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM u3) ORDER BY stage"),
+    // retention: week offsets are exact multiples of 7 days (both sides
+    // week-truncate first), so integer // 7 ≡ Spark floor(datediff/7)
+    "x_retention" ->
+      ("WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cw FROM events GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events) " +
+        "SELECT CAST(f.cw AS DATE) AS cohort_week, " +
+        "CAST(date_diff('day', f.cw, a.aw) // 7 AS BIGINT) AS week_offset, " +
+        "COUNT(*) AS n_users FROM f JOIN a ON f.user_id = a.user_id " +
+        "GROUP BY 1, 2 ORDER BY cohort_week, week_offset")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

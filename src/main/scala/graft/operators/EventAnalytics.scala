@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics over (user, type, timestamp) streams — the
+  * product-analytics query family (conversion funnels, retention
+  * cohorts) that sits directly on the reference's event-ingest output
+  * (`App.txt`'s Kafka → typed-event pipeline feeds exactly this shape).
+  */
+object EventAnalytics {
+
+  /** First-touch ordered conversion funnel: how many users perform the
+    * `stages` event types IN ORDER, each within `maxStepGapSec` of the
+    * previous stage's conversion instant.
+    *
+    * Semantics (the deterministic first-touch reading every funnel
+    * product defaults to): a user's stage-1 instant is their EARLIEST
+    * stage-1 event; their stage-k instant is their earliest stage-k
+    * event STRICTLY after the stage-(k−1) instant and within the gap.
+    * Strictly-after means a stage can never be satisfied by the same
+    * event twice when adjacent stages share a type.
+    *
+    * Scale shape: one filtered groupBy(user) per stage, each a map-side
+    * partial min keyed on the user id; the per-stage join probes the
+    * SHRINKING converted-user set (stage k's frame only holds users who
+    * reached stage k), so at cluster scale the later joins broadcast.
+    * No windows, no self-join over the raw event stream — per-stage
+    * work is ∝ events of that stage's type.
+    *
+    * Output: (stage 1-based, event_type, n_users), one row per stage. */
+  def funnelStages(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, stages: Seq[String],
+                   maxStepGapSec: Long): DataFrame = {
+    require(stages.nonEmpty, "funnelStages needs at least one stage")
+    require(maxStepGapSec > 0, "maxStepGapSec must be positive")
+    val u = col(userCol)
+    val first = events.where(col(typeCol) === stages.head)
+      .groupBy(u.as("__u")).agg(min(col(tsCol)).as("__t"))
+    val frames = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.where(col(typeCol) === stage)
+        .join(prev, u === col("__u"))
+        .where(col(tsCol) > col("__t") &&
+          col(tsCol) <= col("__t") + expr(s"INTERVAL $maxStepGapSec SECONDS"))
+        .groupBy(col("__u")).agg(min(col(tsCol)).as("__t"))
+    }
+    frames.zip(stages).zipWithIndex.map { case ((f, name), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage"),
+          lit(name).as("event_type"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Weekly retention cohorts: users grouped by the week of their first
+    * event; for each (cohort week, week offset) the number of cohort
+    * users active in that week. The classic triangle every growth
+    * dashboard plots.
+    *
+    * Scale shape: first-event frame = one groupBy(user) min; activity
+    * frame = one distinct over (user, week) — both map-side partial;
+    * the join is keyed on the user id and the final count groups by the
+    * (cohort, offset) pair, which has ~weeks² distinct values however
+    * large the corpus is. No windows.
+    *
+    * Output: (cohort_week date, week_offset, n_users). */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val u = col(userCol)
+    val first = events.groupBy(u.as("__u"))
+      .agg(date_trunc("week", min(col(tsCol))).as("__cw"))
+    val active = events
+      .select(u.as("__u2"), date_trunc("week", col(tsCol)).as("__aw"))
+      .distinct()
+    first.join(active, col("__u") === col("__u2"))
+      .select(col("__cw").cast("date").as("cohort_week"),
+        floor(datediff(col("__aw"), col("__cw")) / 7).cast("long")
+          .as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -1003,4 +1003,50 @@ class OperatorsSuite extends AnyFunSuite {
     // total rank is conserved (the dangling patch keeps Σr = 1)
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
+
+  test("funnelStages: strict-after and gap-boundary semantics, closed form") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // u1 converts fully; u2's click is outside the gap; u3's purchase
+    // precedes the click (order violated); u4 clicks exactly AT the gap
+    // boundary (inclusive <=); u5 has click at the same instant as the
+    // view (strict > excludes it)
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      (2L, "view", ts(0)), (2L, "click", ts(200)),
+      (3L, "view", ts(0)), (3L, "purchase", ts(5)), (3L, "click", ts(10)),
+      (4L, "view", ts(0)), (4L, "click", ts(100)),
+      (5L, "view", ts(0)), (5L, "click", ts(0))
+    ).toDF("uid", "etype", "t")
+    val got = graft.operators.EventAnalytics
+      .funnelStages(ev, "uid", "etype", "t",
+        Seq("view", "click", "purchase"), maxStepGapSec = 100L)
+      .orderBy("stage").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // stage 1: all five viewed; stage 2: u1 (10s), u3 (10s), u4 (100s,
+    // boundary inclusive) — u2 too late, u5 not strictly after;
+    // stage 3: only u1 (u3's purchase is before its click)
+    assert(got == Seq((1L, "view", 5L), (2L, "click", 3L),
+      (3L, "purchase", 1L)))
+  }
+
+  test("retentionCohorts: two cohorts, offsets and counts, closed form") {
+    import java.sql.Timestamp
+    def d(day: String) = Timestamp.valueOf(s"$day 12:00:00")
+    // weeks (Monday-start): 2024-01-01, 2024-01-08, 2024-01-15.
+    // u1 joins wk0, active wk0+wk2; u2 joins wk0, active wk0 only;
+    // u3 joins wk1, active wk1+wk2
+    val ev = Seq(
+      (1L, d("2024-01-02")), (1L, d("2024-01-17")),
+      (2L, d("2024-01-03")),
+      (3L, d("2024-01-09")), (3L, d("2024-01-16"))
+    ).toDF("uid", "t")
+    val got = graft.operators.EventAnalytics
+      .retentionCohorts(ev, "uid", "t")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
 }
