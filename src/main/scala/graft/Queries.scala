@@ -1318,6 +1318,13 @@ object Queries {
         maxStepGapSec = 172800L)
       .orderBy("stage")
 
+  /** First-order Markov transition counts over per-user event
+    * timelines, totally ordered by (ts, event_id). */
+  def xEventTransitions(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.transitionCounts(events(s, d),
+        "user_id", "event_type", "ts", "event_id")
+      .orderBy("from_type", "to_type")
+
   /** Weekly retention cohorts over the event stream: (first-event week,
     * week offset) → active users. */
   def xRetention(s: SparkSession, d: String): DataFrame =

@@ -211,7 +211,10 @@ object ScaleSmoke {
       // counts constant — every stage is a user-keyed partial agg or
       // join, so time must track rows
       q("x_event_funnel", "events"),
-      q("x_retention", "events"))
+      q("x_retention", "events"),
+      // per-user window state is bounded by a user's event count, which
+      // the replica holds constant — time must track rows
+      q("x_event_transitions", "events"))
       // NOT here: x_entity_match. Replica customer names are
       // copy-identical (c_name is not tagged), so every cross-copy name
       // pair is a TRUE distance-0 match within its nation block — the

@@ -665,7 +665,8 @@ object SparkEntry {
     "x_pagerank" -> (Queries.xPageRank _),
     "x_curation_funnel" -> (Queries.xCurationFunnel _),
     "x_event_funnel" -> (Queries.xEventFunnel _),
-    "x_retention" -> (Queries.xRetention _)
+    "x_retention" -> (Queries.xRetention _),
+    "x_event_transitions" -> (Queries.xEventTransitions _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1396,7 +1397,13 @@ object SparkEntry {
         "SELECT CAST(f.cw AS DATE) AS cohort_week, " +
         "CAST(date_diff('day', f.cw, a.aw) // 7 AS BIGINT) AS week_offset, " +
         "COUNT(*) AS n_users FROM f JOIN a ON f.user_id = a.user_id " +
-        "GROUP BY 1, 2 ORDER BY cohort_week, week_offset")
+        "GROUP BY 1, 2 ORDER BY cohort_week, week_offset"),
+    // transition matrix: LAG over the same total (ts, event_id) order
+    "x_event_transitions" ->
+      ("WITH t AS (SELECT user_id, event_type, " +
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) " +
+        "SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n " +
+        "FROM t WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY from_type, to_type")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

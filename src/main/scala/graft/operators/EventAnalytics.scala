@@ -51,6 +51,33 @@ object EventAnalytics {
     }.reduce(_.unionByName(_))
   }
 
+  /** Per-user event-type transition counts (the first-order Markov
+    * matrix behind "what do users do next" path analysis): for every
+    * consecutive event pair in a user's timeline, count (from, to)
+    * occurrences across all users.
+    *
+    * Ordering inside a user must be TOTAL for determinism, so the
+    * window orders by (ts, tieCol) — pass the event id; two events at
+    * the same microsecond would otherwise make `lag` engine-dependent.
+    *
+    * Scale shape: one window PARTITIONED BY USER (state bounded by a
+    * user's event count — the natural key nothing here exceeds) feeding
+    * a partial-aggregating groupBy on the (from, to) pair, whose result
+    * is ≤ |event types|² rows at any corpus size.
+    *
+    * Output: (from_type, to_type, n) for every observed transition. */
+  def transitionCounts(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(typeCol),
+        lag(col(typeCol), 1).over(w).as("__prev"))
+      .where(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Weekly retention cohorts: users grouped by the week of their first
     * event; for each (cohort week, week offset) the number of cohort
     * users active in that week. The classic triangle every growth

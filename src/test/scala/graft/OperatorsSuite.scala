@@ -1030,6 +1030,25 @@ class OperatorsSuite extends AnyFunSuite {
       (3L, "purchase", 1L)))
   }
 
+  test("transitionCounts: tie-broken total order, closed form") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1 has two events at the SAME instant (ids 10, 11): the
+    // (ts, id) tie-break makes the path a → b → b → c deterministic;
+    // user 2 contributes an independent a → c
+    val ev = Seq(
+      (1L, 9L, "a", ts(1)), (1L, 10L, "b", ts(2)),
+      (1L, 11L, "b", ts(2)), (1L, 12L, "c", ts(3)),
+      (2L, 20L, "a", ts(1)), (2L, 21L, "c", ts(2))
+    ).toDF("uid", "eid", "etype", "t")
+    val got = graft.operators.EventAnalytics
+      .transitionCounts(ev, "uid", "etype", "t", "eid")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "b", 1L), ("a", "c", 1L),
+      ("b", "b", 1L), ("b", "c", 1L)))
+  }
+
   test("retentionCohorts: two cohorts, offsets and counts, closed form") {
     import java.sql.Timestamp
     def d(day: String) = Timestamp.valueOf(s"$day 12:00:00")
