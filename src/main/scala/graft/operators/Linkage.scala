@@ -12,54 +12,79 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
-  /** Edit-distance pairs via pigeonhole segment blocking.
+  /** Edit-distance pairs via an exact blocking front + Levenshtein
+    * verify.
     *
-    * Front: each record's string is cut into `maxDist + 1` contiguous
-    * segments (equal split by character position). Two EQUAL-LENGTH
-    * strings within edit distance `maxDist` differ in at most `maxDist`
-    * positions, so by pigeonhole they agree on at least one whole
-    * segment — a pair is a candidate iff it matches on
-    * (blockCols…, length, segment index, segment text). That makes
-    * candidate generation one self-equi-join on a narrow key; the
-    * Levenshtein verifier (O(len²) per pair) runs only on candidates.
+    * DECLARED SEMANTICS — equal-length (substitution) matching: every
+    * block key includes the string length, so pairs whose strings
+    * differ in length (edits containing an insert/delete) are NOT
+    * reported. That is the right contract for fixed-width identifier
+    * schemas (codes, padded names, SKUs). For `maxDist = 1` the front
+    * is EXACT under that contract (equal-length edit distance 1 ⟺
+    * exactly one substitution); for `maxDist ≥ 2` recall covers all
+    * ≤ maxDist-substitution pairs — an equal-length pair whose optimal
+    * edit script uses paired insert/deletes (a shifted span, possible
+    * at distance ≥ 2) is out of contract. Asserted front ≡ brute force
+    * in OperatorsSuite; the oracle carries the same length predicate.
     *
-    * DECLARED SEMANTICS — equal-length (substitution) matching: the
-    * length in the block key means pairs whose strings differ in length
-    * (edits containing an insert/delete) are NOT reported. That is the
-    * right contract for fixed-width identifier schemas (codes, padded
-    * names, SKUs) and is what makes the pigeonhole front EXACT — no
-    * recall loss vs an all-pairs scan under the same length predicate
-    * (asserted in OperatorsSuite). The oracle carries the same length
-    * predicate.
+    * Front, `maxDist = 1` (FastSS/deletion-neighborhood indexing):
+    * each string emits `len` keys — (position i, string with position i
+    * deleted). Two equal-length strings at hamming ≤ 1 share a masked
+    * variant, so the self-equi-join on (blockCols…, length, i, masked)
+    * generates candidates ∝ TRUE MATCHES, never blockwise all-pairs —
+    * immune to near-constant name structure ("Customer#…" shares its
+    * whole prefix; a segment front degenerates to |block|² there, the
+    * rewrite that took x_entity_match 13.4 s → sub-second at sf0.1).
+    * The staged frame grows ×len, the price of output-proportional
+    * candidates — right for identifier-length strings.
     *
-    * Scale shape: the front's join key includes the caller's blocking
-    * columns (e.g. nation, zip prefix) — segment values on structured
-    * names can be near-constant (every "Customer#0…" shares its first
-    * segments), so WITHOUT a discriminating block column the degenerate
-    * segment collapses toward blockwise all-pairs; with one, the
-    * candidate count is Σ_b |b|² over co-block groups, AQE-splittable on
-    * skewed blocks. Candidates are deduplicated on (id, id) BEFORE the
-    * verifier so a pair agreeing on several segments is verified once.
-    * Both sides of the self-join read one narrow staged projection.
+    * Front, `maxDist ≥ 2` (pigeonhole segments): the string splits into
+    * maxDist+1 equal segments; a ≤ maxDist-substitution pair agrees on
+    * at least one whole segment. Candidate volume is Σ_b |b|² over
+    * groups sharing (blockCols, a segment) — the caller's co-block
+    * column carries the selectivity when name structure makes segments
+    * near-constant; AQE splits skewed blocks.
+    *
+    * Both fronts deduplicate candidates on (id, id) BEFORE the
+    * O(len²) Levenshtein verifier.
     *
     * Output: (id1, id2, dist), id1 < id2, dist ≤ maxDist. */
   def editDistancePairs(df: DataFrame, idCol: String, nameCol: String,
                         blockCols: Seq[String], maxDist: Int): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
-    val segs = maxDist + 1
-    // segment i of s (0-based, equal split): chars
-    // [floor(i·L/segs)+1, floor((i+1)·L/segs)] in 1-based substring form
-    val lo = (floor(col("__seg") * col("__len") / segs) + 1).cast("int")
-    val hi = floor((col("__seg") + 1) * col("__len") / segs).cast("int")
-    val staged = df.select(
+    val base = df.select(
       (Seq(col(idCol).as("__id"), col(nameCol).as("__nm"),
         length(col(nameCol)).as("__len")) ++ blockCols.map(col)): _*)
-      .select((Seq(col("__id"), col("__nm"), col("__len"),
-        explode(sequence(lit(0), lit(segs - 1))).as("__seg"))
-        ++ blockCols.map(col)): _*)
-      .select((Seq(col("__id"), col("__nm"), col("__len"), col("__seg"),
-        col("__nm").substr(lo, hi - lo + 1).as("__segval"))
-        ++ blockCols.map(col)): _*)
+    val staged =
+      if (maxDist <= 1) {
+        // masked variant i = the string with 1-based position i+1 cut out
+        base
+          .select((Seq(col("__id"), col("__nm"), col("__len"),
+            // greatest guards len=0 (Spark's sequence(0,-1) would count
+            // DOWN); an empty string then emits one "" mask and still
+            // pairs with other empties at dist 0
+            explode(sequence(lit(0), greatest(col("__len") - 1, lit(0))))
+              .as("__seg"))
+            ++ blockCols.map(col)): _*)
+          .select((Seq(col("__id"), col("__nm"), col("__len"), col("__seg"),
+            concat(col("__nm").substr(lit(1), col("__seg")),
+              col("__nm").substr(col("__seg") + 2, col("__len")))
+              .as("__segval"))
+            ++ blockCols.map(col)): _*)
+      } else {
+        val segs = maxDist + 1
+        // segment i (0-based, equal split): chars
+        // [floor(i·L/segs)+1, floor((i+1)·L/segs)] in 1-based form
+        val lo = (floor(col("__seg") * col("__len") / segs) + 1).cast("int")
+        val hi = floor((col("__seg") + 1) * col("__len") / segs).cast("int")
+        base
+          .select((Seq(col("__id"), col("__nm"), col("__len"),
+            explode(sequence(lit(0), lit(segs - 1))).as("__seg"))
+            ++ blockCols.map(col)): _*)
+          .select((Seq(col("__id"), col("__nm"), col("__len"), col("__seg"),
+            col("__nm").substr(lo, hi - lo + 1).as("__segval"))
+            ++ blockCols.map(col)): _*)
+      }
     val key = Seq("__len", "__seg", "__segval") ++ blockCols
     val a = staged.toDF(staged.columns.map {
       case "__id" => "__ida"; case "__nm" => "__nma"; case other => other

@@ -964,6 +964,22 @@ class OperatorsSuite extends AnyFunSuite {
     assert(got.contains((9L, 10L, 1L)))
   }
 
+  test("editDistancePairs: maxDist=2 segment front covers substitution pairs") {
+    // maxDist ≥ 2 takes the pigeonhole-segment path: complete for
+    // ≤2-substitution pairs (martha→marsha→marsho chains), incl. the
+    // dist-2 pair the k=1 test excluded; dist-3 stays out
+    val rows = Seq((1L, "martha", 0), (2L, "marsho", 0), (3L, "bertha", 0),
+      (4L, "pppppp", 0))
+    val df = rows.toDF("id", "nm", "blk")
+    val got = graft.operators.Linkage
+      .editDistancePairs(df, "id", "nm", Seq("blk"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // martha/marsho: subs at positions 4,6 (dist 2, split halves mar|tha
+    // vs mar|sho share segment 0); martha/bertha dist 2 (ber vs mar →
+    // shares segment 1 "tha"); marsho/bertha dist 4; pppppp matches none
+    assert(got == Set((1L, 2L, 2L), (1L, 3L, 2L)))
+  }
+
   private def levBrute(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0 }
