@@ -559,4 +559,78 @@ class GeneratedPropsSuite extends AnyFunSuite {
       assert(keep == !expDropped(id), s"vec $id keep")
     }
   }
+
+  test("editDistancePairs ≡ brute force on random equal-length strings (maxDist 1 and 2)") {
+    // random fixed-alphabet strings of two lengths across two blocks —
+    // plenty of accidental distance-1/2 pairs at |Σ|=3, len 6
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 140).map { i =>
+      val len = if (i % 2 == 0) 6 else 7
+      val s = Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString
+      (i.toLong, s, i % 2) // block by parity (≡ length here, also mixed)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def hamming(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val df = rows.toDF("id", "nm", "blk")
+    for (k <- Seq(1, 2)) {
+      val got = graft.operators.Linkage
+        .editDistancePairs(df, "id", "nm", Seq("blk"), maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // contract: ALL equal-length ≤k-substitution pairs are found with
+      // their true edit distance …
+      val subPairs = (for {
+        (i1, n1, b1) <- rows; (i2, n2, b2) <- rows
+        if i1 < i2 && b1 == b2 && n1.length == n2.length
+        if hamming(n1, n2) <= k
+      } yield (i1, i2, lev(n1, n2).toLong)).toSet
+      assert(subPairs.subsetOf(got), s"k=$k missed ${subPairs -- got}")
+      // … and nothing outside the declared filter ever leaks out
+      got.foreach { case (i1, i2, d) =>
+        val n1 = rows(i1.toInt)._2; val n2 = rows(i2.toInt)._2
+        assert(n1.length == n2.length && d == lev(n1, n2) && d <= k,
+          s"k=$k bogus pair ($i1,$i2,$d)")
+      }
+      if (k == 1) assert(got == subPairs) // masked front is exact at k=1
+    }
+  }
+
+  test("funnelStages ≡ local first-touch replay on generated event streams") {
+    val rnd = new scala.util.Random(17)
+    val types = Seq("a", "b", "c")
+    val events = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextInt(60).toLong,
+        types(rnd.nextInt(types.size)),
+        new java.sql.Timestamp(rnd.nextInt(100000) * 1000L))
+    }
+    val df = events.toDF("eid", "uid", "etype", "t")
+    val gap = 20000L
+    val got = graft.operators.EventAnalytics
+      .funnelStages(df, "uid", "etype", "t", Seq("a", "b", "c"), gap)
+      .orderBy("stage").collect().map(_.getLong(2)).toSeq
+    // local replay of the same first-touch recurrence
+    val byUser = events.groupBy(_._2)
+    def stageTimes(prev: Map[Long, Long], stage: String): Map[Long, Long] =
+      prev.flatMap { case (u, t0) =>
+        byUser(u).collect {
+          case (_, _, tp, ts) if tp == stage &&
+            ts.getTime > t0 && ts.getTime <= t0 + gap * 1000L => ts.getTime
+        }.reduceOption(_ min _).map(u -> _)
+      }
+    val s1 = byUser.flatMap { case (u, es) =>
+      es.collect { case (_, _, "a", ts) => ts.getTime }
+        .reduceOption(_ min _).map(u -> _)
+    }.toMap
+    val s2 = stageTimes(s1, "b")
+    val s3 = stageTimes(s2, "c")
+    assert(got == Seq(s1.size.toLong, s2.size.toLong, s3.size.toLong))
+    assert(s1.size > s2.size && s2.size > s3.size) // generator discriminates
+  }
 }
