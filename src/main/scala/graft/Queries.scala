@@ -1332,6 +1332,28 @@ object Queries {
         "user_id", "ts")
       .orderBy("cohort_week", "week_offset")
 
+  /** Corpus version diff: the v2 snapshot drops every 11th doc, edits
+    * every 7th's text, and appends shifted copies of every 13th —
+    * row-level added/removed/changed status on (text, lang). */
+  def xCorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text", "lang")
+    val v2 = docs.where(col("doc_id") % 11 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(lit("v2 "), col("text"))).otherwise(col("text")))
+      .unionByName(docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text"), col("lang")))
+    Pipelines.corpusDiff(docs, v2, "doc_id", Seq("text", "lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Column profile over the documents table: per-column null and
+    * exact distinct counts in one aggregation pass. */
+  def xProfile(s: SparkSession, d: String): DataFrame =
+    Pipelines.profileColumns(documents(s, d),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy("col_name")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

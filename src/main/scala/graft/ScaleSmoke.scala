@@ -214,7 +214,11 @@ object ScaleSmoke {
       q("x_retention", "events"),
       // per-user window state is bounded by a user's event count, which
       // the replica holds constant — time must track rows
-      q("x_event_transitions", "events"))
+      q("x_event_transitions", "events"),
+      // diff = one full-outer keyed join over two narrow (id, hash)
+      // projections; profile = one multi-distinct agg pass — both ∝ rows
+      q("x_corpus_diff", "documents"),
+      q("x_profile", "documents"))
       // NOT here: x_entity_match. Replica customer names are
       // copy-identical (c_name is not tagged), so every cross-copy name
       // pair is a TRUE distance-0 match within its nation block — the

@@ -666,7 +666,9 @@ object SparkEntry {
     "x_curation_funnel" -> (Queries.xCurationFunnel _),
     "x_event_funnel" -> (Queries.xEventFunnel _),
     "x_retention" -> (Queries.xRetention _),
-    "x_event_transitions" -> (Queries.xEventTransitions _)
+    "x_event_transitions" -> (Queries.xEventTransitions _),
+    "x_corpus_diff" -> (Queries.xCorpusDiff _),
+    "x_profile" -> (Queries.xProfile _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1403,7 +1405,25 @@ object SparkEntry {
       ("WITH t AS (SELECT user_id, event_type, " +
         "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) " +
         "SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n " +
-        "FROM t WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY from_type, to_type")
+        "FROM t WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY from_type, to_type"),
+    // corpus diff: the oracle compares columns DIRECTLY (IS DISTINCT
+    // FROM per compare col) — equivalent to the engine's sentinel-md5
+    // equality modulo md5 collisions
+    "x_corpus_diff" ->
+      ("WITH o AS (SELECT doc_id, text, lang FROM documents), " +
+        "n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END AS text, lang " +
+        "FROM documents WHERE doc_id % 11 <> 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 13 = 0) " +
+        "SELECT * FROM (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.text IS DISTINCT FROM n.text OR o.lang IS DISTINCT FROM n.lang THEN 'changed' " +
+        "ELSE 'unchanged' END AS status FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
+        "WHERE status <> 'unchanged' ORDER BY doc_id"),
+    "x_profile" ->
+      (Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"SELECT '$c' AS col_name, COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls, " +
+          s"COUNT(DISTINCT $c) AS n_distinct FROM documents"
+      }.mkString(" UNION ALL ") + " ORDER BY col_name")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

@@ -771,6 +771,65 @@ object Pipelines {
         count(when(col("__kept") && bucket < keep256, lit(1))).as("n_sampled"))
   }
 
+  /** Corpus version diff: row-level added / removed / changed status
+    * between two snapshots of a keyed table — the data-ops primitive
+    * behind "what did this crawl/recuration actually change", audit
+    * trails, and incremental downstream invalidation.
+    *
+    * `changed` compares md5 over a U+0001-separated concat of
+    * `compareCols` (a U+0002 sentinel for NULL, so NULL ≠ empty string
+    * and ("a","bc") ≠ ("ab","c")); unchanged rows are dropped —
+    * at corpus scale they are the bulk, and emitting them would make
+    * the diff output ∝ corpus instead of ∝ churn.
+    *
+    * Scale shape: one full-outer equi-join on the id (sort-merge,
+    * AQE-sized) over two narrow (id, hash) projections — column pruning
+    * reaches both scans; the hash collapses arbitrarily wide compare
+    * column sets into one 32-char comparison.
+    *
+    * Output: (idCol, status ∈ added|removed|changed). */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "corpusDiff needs compare columns")
+    def keyed(df: DataFrame, h: String) = df.select(col(idCol),
+      md5(concat_ws("\u0001",
+        compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+        .as(h))
+    keyed(oldDf, "__ho")
+      .join(keyed(newDf, "__hn"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") =!= col("__hn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .where(col("status") =!= "unchanged")
+  }
+
+  /** Column profile: per-column null and exact distinct counts in ONE
+    * aggregation pass — the data-quality report run before a corpus
+    * ships (null-rate regressions, cardinality drift).
+    *
+    * Counts only (no min/max strings): integer metrics are the
+    * cross-engine-stable core; value-typed extremes re-enter formatting
+    * territory. Exact distincts expand to one aggregate each in the
+    * same job (Spark plans a multi-distinct expand); for approximate
+    * profiling at extreme widths use HLL (A3) instead.
+    *
+    * Output: (column, n_nulls, n_distinct), one row per profiled
+    * column. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs columns")
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, lit(1))).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', `__n_$c`, `__d_$c`").mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stacked) AS (col_name, n_nulls, n_distinct)")
+  }
+
   def sourceStats(df: DataFrame, srcCol: String, textCol: String,
                   langCol: String): DataFrame =
     df.select(col(srcCol), md5(col(textCol)).as("__h"),

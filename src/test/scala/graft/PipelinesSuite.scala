@@ -436,6 +436,37 @@ class PipelinesSuite extends AnyFunSuite {
     assert(out(1) == (("b.org", 1L, 1L, 1L, 1.0, 0.0, 1L)))
   }
 
+  test("corpusDiff: added/removed/changed, null-vs-empty and split-point hashes distinct") {
+    val oldV = Seq(
+      (1L, Option("a"), Option("x")),   // unchanged
+      (2L, Option("a"), Option("x")),   // removed
+      (3L, Option("a"), Option("x")),   // changed value
+      (4L, None: Option[String], Option("x")),  // null → "" must be CHANGED
+      (5L, Option("a"), Option("bc"))   // ("a","bc") vs ("ab","c") must be CHANGED
+    ).toDF("id", "c1", "c2")
+    val newV = Seq(
+      (1L, Option("a"), Option("x")),
+      (3L, Option("b"), Option("x")),
+      (4L, Option(""), Option("x")),
+      (5L, Option("ab"), Option("c")),
+      (6L, Option("a"), Option("x"))    // added
+    ).toDF("id", "c1", "c2")
+    val got = Pipelines.corpusDiff(oldV, newV, "id", Seq("c1", "c2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "removed", 3L -> "changed", 4L -> "changed",
+      5L -> "changed", 6L -> "added"))
+  }
+
+  test("profileColumns: null and distinct counts, closed form") {
+    val df = Seq(
+      (Option("a"), Option(1)), (Option("a"), Option(2)),
+      (Option("b"), None: Option[Int]), (None: Option[String], Option(2))
+    ).toDF("s", "n")
+    val got = Pipelines.profileColumns(df, Seq("s", "n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("s" -> ((1L, 2L)), "n" -> ((1L, 2L))))
+  }
+
   test("curationFunnel: stage counts match an independent recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val got = Pipelines.curationFunnel(docs, "doc_id", "text", "source",
