@@ -95,6 +95,61 @@ class SinkLayoutSuite extends AnyFunSuite {
       "writeRangeClustered must not touch the shared session conf")
   }
 
+  test("Layout: mortonCode interleaves quantile-bucket bits, closed form") {
+    import spark.implicits._
+    // 16 rows, x ascending / y descending, 4 buckets per dim: bucket of
+    // x is i/4, of y is 3 - i/4; dim0 bits land at 0,2 and dim1 at 1,3
+    val df = (0 until 16).map(i => (i, 15 - i)).toDF("x", "y")
+    val got = graft.sources.Layout
+      .mortonCode(df, Seq(col("x"), col("y")), bitsPerDim = 2)
+      .orderBy("x").collect().map(_.getAs[Long]("__z")).toSeq
+    val expected = (0 until 16).map { i =>
+      val bx = i / 4L; val by = 3L - i / 4
+      ((bx & 1) << 0) | ((by & 1) << 1) | (((bx >> 1) & 1) << 2) | (((by >> 1) & 1) << 3)
+    }
+    assert(got == expected)
+  }
+
+  test("Layout: z-order prunes on BOTH dimensions where single-key clustering prunes one") {
+    import graft.sources.Layout
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dir = Files.createTempDirectory("graft_zlayout").toString
+    val blk = 64 * 1024
+    ev.orderBy(rand(7)).coalesce(1)
+      .write.option("parquet.block.size", blk).parquet(s"$dir/rand")
+    // single-key comparison layout: clustered on user_id only
+    ev.repartitionByRange(1, col("user_id")).sortWithinPartitions("user_id")
+      .write.option("parquet.block.size", blk).parquet(s"$dir/single")
+    Layout.writeZOrdered(ev, s"$dir/z", Seq(col("user_id"), col("value")),
+      numFiles = 1, writeOptions = Map("parquet.block.size" -> blk.toString))
+    def run(path: String, pred: org.apache.spark.sql.Column): (Long, Seq[Long]) = {
+      val df = spark.read.parquet(path).where(pred)
+      val ids = df.collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+      val scanned = df.queryExecution.executedPlan.collectLeaves()
+        .head.metrics("numOutputRows").value
+      (scanned, ids)
+    }
+    // the long column's cut must stay a LONG literal — a double literal
+    // would cast the column and defeat parquet filter pushdown entirely
+    val uCut = ev.agg(expr("percentile(user_id, 0.1)")).head().getDouble(0).toLong
+    val vCut = ev.agg(expr("percentile(value, 0.1)")).head().getDouble(0)
+    for (pred <- Seq(col("user_id") <= uCut, col("value") <= vCut)) {
+      val (randScanned, randIds) = run(s"$dir/rand", pred)
+      val (zScanned, zIds) = run(s"$dir/z", pred)
+      assert(zIds == randIds && randIds.nonEmpty) // layout never changes answers
+      // z-order reads a fraction of the random layout on EITHER dim
+      assert(zScanned < randScanned / 2,
+        s"$pred: z read $zScanned of $randScanned")
+    }
+    // the single-key layout prunes its own key but NOT the other dim
+    val (sU, _) = run(s"$dir/single", col("user_id") <= uCut)
+    val (sV, _) = run(s"$dir/single", col("value") <= vCut)
+    val (randV, _) = run(s"$dir/rand", col("value") <= vCut)
+    assert(sU < randV / 2, s"single-key layout should prune its key, read $sU")
+    assert(sV >= randV, s"single-key layout should NOT prune value, read $sV of $randV")
+  }
+
   test("S7: maxRecordsPerFile bounds file sizes (roll policy)") {
     val warehouse = Files.createTempDirectory("graft_wh2").toString
     val df = spark.range(100).select(
