@@ -222,6 +222,71 @@ object StreamOps {
       }
       .toDF("shard", "token", "est")
   }
+
+  /** Streaming first-touch conversion funnel (the live counterpart of
+    * [[graft.operators.EventAnalytics.funnelStages]]): per-user stage
+    * instants held as flatMapGroupsWithState state — state is
+    * `stages.size` longs per user, nothing else — folded over each
+    * batch's events IN TIMESTAMP ORDER (the iterator is sorted; within
+    * one user a batch is small). The greedy in-order fold computes
+    * exactly the batch operator's first-touch recurrence: stage k's
+    * instant is the earliest stage-k event strictly after stage k−1's
+    * within the gap, and since instants only ever move earlier-to-fixed
+    * in ts order, the first qualifying event IS the minimum.
+    *
+    * DELIVERY ASSUMPTION (documented): per-user in-order arrival across
+    * batches — the Kafka-partition-keyed-by-user regime. An event
+    * arriving late (earlier ts than an already-fixed instant) is
+    * ignored rather than retracted; out-of-order streams need a
+    * watermark-buffered variant.
+    *
+    * Emits (user_id, stages_reached) per user per batch it appears in
+    * (Update-style progress; the last emission is the user's final
+    * stage). StreamingSuite asserts per-stage user counts equal the
+    * batch funnel's on a full replay. */
+  def streamingFunnel(events: DataFrame, stages: Seq[String],
+                      gapSec: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(stages.nonEmpty, "streamingFunnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nStages = stages.size
+    // a type may occur at several funnel positions ("view view" = two
+    // views strictly after each other) — expand each event to every
+    // matching stage index, ordered (ts, k): strict > already stops one
+    // event from satisfying two consecutive stages
+    val stageIdxs: Map[String, Seq[Int]] =
+      stages.zipWithIndex.groupBy(_._1).map { case (t, l) => t -> l.map(_._2) }
+    val gapMicros = gapSec * 1000000L
+    events
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelTimes, (Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[FunnelTimes]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+          val times = state.getOption
+            .map(_.times.toArray)
+            .getOrElse(Array.fill(nStages)(-1L))
+          rows.toSeq
+            .flatMap { case (_, tp, ts) =>
+              stageIdxs.getOrElse(tp, Nil).map((_, micros(ts))) }
+            .sortBy { case (k, t) => (t, k) }
+            .foreach { case (k, t) =>
+              if (times(k) < 0 &&
+                (k == 0 || (times(k - 1) >= 0 && t > times(k - 1) &&
+                  t <= times(k - 1) + gapMicros)))
+                times(k) = t
+            }
+          state.update(FunnelTimes(times.toSeq))
+          Iterator.single((uid, times.count(_ >= 0)))
+      }
+      .toDF("user_id", "stages_reached")
+  }
 }
 
 case class UserTotals(user_id: Long, n: Long, total: Double)
+case class FunnelTimes(times: Seq[Long])

@@ -350,4 +350,34 @@ class StreamingSuite extends AnyFunSuite {
     assert(sortedRows(spark.table("tjoin")) == sortedRows(batch))
     assert(batch.count() > 0)
   }
+
+  test("T7×funnel: streaming funnel equals the batch funnel across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    val gap = 172800L
+    val batch = graft.operators.EventAnalytics
+      .funnelStages(Tables.events(spark, sfDir), "user_id", "event_type",
+        "ts", stages, gap)
+      .orderBy("stage").collect().map(_.getLong(2)).toSeq
+    // feed the SAME rows in ts order split across two batches (the
+    // documented in-order delivery regime); the per-user final emission
+    // must reproduce the batch first-touch counts
+    val rows = eventRows.sortBy(_.ts.getTime)
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamingFunnel(mem.toDF(), stages, gap)
+      .writeStream.format("memory").queryName("tfunnel")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // last emission per user = final stage reached
+    val finals = spark.table("tfunnel")
+      .withColumn("__r", monotonically_increasing_id())
+      .groupBy("user_id").agg(max_by(col("stages_reached"), col("__r")).as("s"))
+      .select("s").as[Int].collect()
+    val got = (1 to stages.size).map(k => finals.count(_ >= k).toLong)
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(batch.head > batch.last && batch.last > 0) // fixture discriminates
+  }
 }
