@@ -46,7 +46,8 @@ object Linkage {
     * near-constant; AQE splits skewed blocks.
     *
     * Both fronts deduplicate candidates on (id, id) BEFORE the
-    * O(len²) Levenshtein verifier.
+    * O(len²) Levenshtein verifier. NULL name rows are silently excluded
+    * (a NULL has no length, no segments, and no defined edit distance).
     *
     * Output: (id1, id2, dist), id1 < id2, dist ≤ maxDist. */
   def editDistancePairs(df: DataFrame, idCol: String, nameCol: String,
