@@ -35,14 +35,21 @@ object EventAnalytics {
     require(stages.nonEmpty, "funnelStages needs at least one stage")
     require(maxStepGapSec > 0, "maxStepGapSec must be positive")
     val u = col(userCol)
+    // each stage frame is consumed TWICE — as the next stage's probe
+    // side and by its own count — and without the checkpoint stage k's
+    // plan re-executes every earlier stage's filter+join (O(k²) work
+    // over the funnel length); the frames shrink monotonically, so the
+    // checkpoints are cheap
     val first = events.where(col(typeCol) === stages.head)
       .groupBy(u.as("__u")).agg(min(col(tsCol)).as("__t"))
+      .localCheckpoint()
     val frames = stages.tail.scanLeft(first) { (prev, stage) =>
       events.where(col(typeCol) === stage)
         .join(prev, u === col("__u"))
         .where(col(tsCol) > col("__t") &&
           col(tsCol) <= col("__t") + expr(s"INTERVAL $maxStepGapSec SECONDS"))
         .groupBy(col("__u")).agg(min(col(tsCol)).as("__t"))
+        .localCheckpoint()
     }
     frames.zip(stages).zipWithIndex.map { case ((f, name), i) =>
       f.agg(count(lit(1)).as("n_users"))
