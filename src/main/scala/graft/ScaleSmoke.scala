@@ -384,6 +384,11 @@ object ScaleSmoke {
     tables.foreach { t =>
       val out = new java.io.File(s"$scaleDir/$t.parquet")
       val raw = spark.read.parquet(s"$baseDir/$t.parquet")
+      // loud guard: a table in neither map would replicate with
+      // unshifted ids — duplicate keys, cross-copy join fan-out, and
+      // silently corrupted ratios
+      require(dimTables(t) || idCols.contains(t),
+        s"table $t is in neither idCols nor dimTables — add its id shift")
       val tCopies = if (dimTables(t)) 1 else copies
       // unreadable replica (e.g. a crashed build left only _temporary/)
       // counts as stale, not fatal — that's the scenario this check is for

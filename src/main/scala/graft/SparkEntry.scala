@@ -252,8 +252,10 @@ object SparkEntry {
         s"FROM (SELECT vec_id, e, $dists AS ds FROM v)), " +
         s"cc AS (SELECT vec_id, cell, " +
         // zero-norm guard mirrors Similarity.semDeDup: cent_cos pinned
-        // to 0.0, never 0/0 (NULL in DuckDB, NaN in Spark)
-        "CASE WHEN sqrt(list_dot_product(e,e)) = 0 THEN 0.0 ELSE " +
+        // to 0.0 for a zero-norm ROW or CENTROID, never 0/0 (NULL in
+        // DuckDB, NaN in Spark)
+        "CASE WHEN sqrt(list_dot_product(e,e)) = 0 " +
+        s"OR (CAST($cnorms AS DOUBLE[]))[cell+1] = 0 THEN 0.0 ELSE " +
         s"ROUND(list_dot_product(e, (CAST($cents AS DOUBLE[][]))[cell+1]) / " +
         s"(sqrt(list_dot_product(e,e)) * (CAST($cnorms AS DOUBLE[]))[cell+1]), 4) + 0 END AS cent_cos, " +
         "CASE WHEN sqrt(list_dot_product(e,e)) = 0 THEN e " +

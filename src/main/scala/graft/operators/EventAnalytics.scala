@@ -34,6 +34,7 @@ object EventAnalytics {
                    maxStepGapSec: Long): DataFrame = {
     require(stages.nonEmpty, "funnelStages needs at least one stage")
     require(maxStepGapSec > 0, "maxStepGapSec must be positive")
+    Joins.requireFreeColumns("funnelStages", events.columns, "__u", "__t")
     val u = col(userCol)
     // each stage frame is consumed TWICE — as the next stage's probe
     // side and by its own count — and without the checkpoint stage k's
@@ -75,6 +76,8 @@ object EventAnalytics {
     * Output: (from_type, to_type, n) for every observed transition. */
   def transitionCounts(events: DataFrame, userCol: String, typeCol: String,
                        tsCol: String, tieCol: String): DataFrame = {
+    Joins.requireFreeColumns("transitionCounts", events.columns,
+      "__prev", "from_type", "to_type", "n")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     events
@@ -99,6 +102,8 @@ object EventAnalytics {
     * Output: (cohort_week date, week_offset, n_users). */
   def retentionCohorts(events: DataFrame, userCol: String,
                        tsCol: String): DataFrame = {
+    Joins.requireFreeColumns("retentionCohorts", events.columns,
+      "__u", "__u2", "__cw", "__aw", "cohort_week", "week_offset", "n_users")
     val u = col(userCol)
     val first = events.groupBy(u.as("__u"))
       .agg(date_trunc("week", min(col(tsCol))).as("__cw"))

@@ -53,6 +53,9 @@ object Linkage {
   def editDistancePairs(df: DataFrame, idCol: String, nameCol: String,
                         blockCols: Seq[String], maxDist: Int): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
+    Joins.requireFreeColumns("editDistancePairs", df.columns,
+      "__id", "__nm", "__len", "__seg", "__segval",
+      "__ida", "__idb", "__nma", "__nmb", "id1", "id2", "dist")
     val base = df.select(
       (Seq(col(idCol).as("__id"), col(nameCol).as("__nm"),
         length(col(nameCol)).as("__len")) ++ blockCols.map(col)): _*)

@@ -776,9 +776,11 @@ object Pipelines {
     * behind "what did this crawl/recuration actually change", audit
     * trails, and incremental downstream invalidation.
     *
-    * `changed` compares md5 over a U+0001-separated concat of
-    * `compareCols` (a U+0002 sentinel for NULL, so NULL ≠ empty string
-    * and ("a","bc") ≠ ("ab","c")); unchanged rows are dropped —
+    * `changed` compares md5 over the concat of FIXED-WIDTH per-column
+    * md5 tokens (NULL → a reserved non-hex token), so column boundaries
+    * are unambiguous whatever bytes the values contain — NULL ≠ empty
+    * string, ("a","bc") ≠ ("ab","c"), and a value equal to any sentinel
+    * text can never collide. Unchanged rows are dropped —
     * at corpus scale they are the bulk, and emitting them would make
     * the diff output ∝ corpus instead of ∝ churn.
     *
@@ -792,8 +794,9 @@ object Pipelines {
                  compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "corpusDiff needs compare columns")
     def keyed(df: DataFrame, h: String) = df.select(col(idCol),
-      md5(concat_ws("\u0001",
-        compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+      md5(concat(compareCols.map(c =>
+        coalesce(md5(col(c).cast("string")),
+          lit("!-------------------------------"))): _*))
         .as(h))
     keyed(oldDf, "__ho")
       .join(keyed(newDf, "__hn"), Seq(idCol), "full_outer")

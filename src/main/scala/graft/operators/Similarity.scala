@@ -768,11 +768,13 @@ object Similarity {
         }
         val nrm = math.sqrt(dvv)
         val u = if (nrm == 0) v else v.map(_ / nrm)
-        // zero-norm vectors pin cent_cos to 0.0 (not 0/0 = NaN): Spark
-        // orders NaN above all doubles while DuckDB division yields NULL,
-        // so a NaN here would silently diverge the precedence rule; the
-        // oracle mirrors this with an explicit CASE on the norm
-        val cc = if (nrm == 0.0) 0.0 else dvc / (nrm * math.sqrt(dcc))
+        // zero-norm vectors OR zero-norm centroids pin cent_cos to 0.0
+        // (not 0/0 = NaN): Spark orders NaN above all doubles while
+        // DuckDB division yields NULL, so a NaN here would silently
+        // diverge the precedence rule; the oracle mirrors this with an
+        // explicit CASE on both norms
+        val cc = if (nrm == 0.0 || dcc == 0.0) 0.0
+          else dvc / (nrm * math.sqrt(dcc))
         (id, cell, cc, u)
       }
       .toDF(idCol, "cell", "__cc", "__u")

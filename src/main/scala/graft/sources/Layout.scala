@@ -50,9 +50,11 @@ object Layout {
   }
 
   /** Morton (Z-order) code over `cols`: each column is rank-bucketed
-    * into 2^bitsPerDim quantile buckets (ntile over a window — exact
-    * quantiles, deterministic ties by the column itself) and the bucket
-    * bits are interleaved. Exposed for the writer below and its test.
+    * into 2^bitsPerDim quantile buckets (ntile over a window ordered by
+    * the column THEN the remaining cluster columns — deterministic up
+    * to rows whose whole cluster tuple is identical, which are
+    * interchangeable for layout purposes) and the bucket bits are
+    * interleaved. Exposed for the writer below and its test.
     *
     * Why ntile instead of raw value bits: Z-order only prunes when
     * every dimension's bits carry uniform selectivity; raw skewed
@@ -68,8 +70,9 @@ object Layout {
       s"bitsPerDim x dims must fit a long, got $bitsPerDim x ${cols.size}")
     val buckets = 1 << bitsPerDim
     val bucketed = cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      val tieBroken = c +: cols.filterNot(_ == c)
       acc.withColumn(s"__zb$i",
-        (ntile(buckets).over(Window.orderBy(c)) - 1).cast("long"))
+        (ntile(buckets).over(Window.orderBy(tieBroken: _*)) - 1).cast("long"))
     }
     val z = (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, bit) =>
       cols.indices.foldLeft(acc) { (a, dim) =>
