@@ -1355,6 +1355,18 @@ object Queries {
         Seq("doc_id", "text", "lang", "source", "n_chars"))
       .orderBy("col_name")
 
+  /** Per-source quota sample: exactly 30 docs per source by smallest
+    * md5(doc_id) — quota-exact, content-addressed. */
+  def xQuotaSample(s: SparkSession, d: String): DataFrame =
+    Pipelines.quotaSampleByMd5(
+        documents(s, d).select("doc_id", "source"), "source", "doc_id", k = 30)
+      .orderBy("doc_id")
+
+  /** Equi-width 12-bin histogram of document lengths (n_chars). */
+  def xHistogram(s: SparkSession, d: String): DataFrame =
+    Pipelines.equiWidthHistogram(documents(s, d), "n_chars", bins = 12)
+      .orderBy("bucket")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

@@ -218,7 +218,11 @@ object ScaleSmoke {
       // diff = one full-outer keyed join over two narrow (id, hash)
       // projections; profile = one multi-distinct agg pass — both ∝ rows
       q("x_corpus_diff", "documents"),
-      q("x_profile", "documents"))
+      q("x_profile", "documents"),
+      // quota window state is a per-stratum counter; histogram is a
+      // bounds agg + bucket groupBy — both ∝ rows
+      q("x_quota_sample", "documents"),
+      q("x_histogram", "documents"))
       // NOT here: x_entity_match. Replica customer names are
       // copy-identical (c_name is not tagged), so every cross-copy name
       // pair is a TRUE distance-0 match within its nation block — the

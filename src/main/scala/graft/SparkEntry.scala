@@ -670,7 +670,9 @@ object SparkEntry {
     "x_retention" -> (Queries.xRetention _),
     "x_event_transitions" -> (Queries.xEventTransitions _),
     "x_corpus_diff" -> (Queries.xCorpusDiff _),
-    "x_profile" -> (Queries.xProfile _)
+    "x_profile" -> (Queries.xProfile _),
+    "x_quota_sample" -> (Queries.xQuotaSample _),
+    "x_histogram" -> (Queries.xHistogram _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1425,7 +1427,23 @@ object SparkEntry {
       (Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
         s"SELECT '$c' AS col_name, COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls, " +
           s"COUNT(DISTINCT $c) AS n_distinct FROM documents"
-      }.mkString(" UNION ALL ") + " ORDER BY col_name")
+      }.mkString(" UNION ALL ") + " ORDER BY col_name"),
+    "x_quota_sample" ->
+      ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+        "ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
+        "FROM documents) WHERE rk <= 30 ORDER BY doc_id"),
+    // histogram: op order mirrors equiWidthHistogram exactly —
+    // floor((v - lo) / ((hi - lo) / bins)), max pinned to the last
+    // bucket, edges recomputed from (lo, hi, bucket) and rounded
+    "x_histogram" ->
+      ("WITH b AS (SELECT MIN(CAST(n_chars AS DOUBLE)) AS lo, MAX(CAST(n_chars AS DOUBLE)) AS hi FROM documents), " +
+        "g AS (SELECT CASE WHEN b.hi = b.lo THEN 0 ELSE " +
+        "LEAST(11, CAST(FLOOR((CAST(n_chars AS DOUBLE) - b.lo) / ((b.hi - b.lo) / 12)) AS INTEGER)) END AS bucket, " +
+        "b.lo, b.hi FROM documents, b WHERE n_chars IS NOT NULL) " +
+        "SELECT CAST(bucket AS BIGINT) AS bucket, " +
+        "ROUND(lo + bucket * (hi - lo) / 12, 4) AS lo_edge, " +
+        "ROUND(lo + (bucket + 1) * (hi - lo) / 12, 4) AS hi_edge, " +
+        "COUNT(*) AS n FROM g GROUP BY bucket, lo, hi ORDER BY bucket")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

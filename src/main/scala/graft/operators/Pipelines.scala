@@ -104,6 +104,31 @@ object Pipelines {
     df.where(bucket < keep256)
   }
 
+  /** Deterministic per-stratum QUOTA sample: exactly min(k, |stratum|)
+    * rows per stratum, chosen by smallest md5(id) — the "exactly 10k
+    * eval docs per domain" primitive. Content-addressed like
+    * [[sampleByMd5]] (same rows win on every engine and every run) but
+    * quota-exact where the byte threshold is only rate-exact; NOT
+    * append-stable (a new row with a smaller hash displaces the
+    * largest winner — the price of an exact count).
+    *
+    * Scale shape: one window PARTITIONED BY THE STRATUM ordered by
+    * (hash, id) — per-task state is a row counter; a mega-stratum
+    * lands on one task, so for quota-sampling a near-unkeyed corpus
+    * pre-shard the stratum or fall back to [[sampleByMd5]].
+    * Output: input columns, quota survivors only. */
+  def quotaSampleByMd5(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    Joins.requireFreeColumns("quotaSampleByMd5", df.columns, "__h", "__rk")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(col("__h"), col(idCol))))
+      .where(col("__rk") <= k)
+      .drop("__h", "__rk")
+  }
+
   /** Stratified sample: per-stratum fractions via seeded `sampleBy` —
     * e.g. downsample over-represented languages. Executor-local RNG per
     * row, no shuffle. */
@@ -806,6 +831,43 @@ object Pipelines {
           .when(col("__ho") =!= col("__hn"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
       .where(col("status") =!= "unchanged")
+  }
+
+  /** Equi-width histogram of a numeric column: `bins` equal-width
+    * buckets over [lo, hi] with the bounds taken from the data (one
+    * 1-row agg, broadcast), the distribution-profiling complement of
+    * the equi-depth [[quantile cut|graft.operators.TextAnalysis]]
+    * family. Bucket i covers [lo + i·w, lo + (i+1)·w); the max value
+    * lands in the last bucket (not a phantom bins+1). NULLs are
+    * excluded. One partial-agg groupBy — result is `bins` rows at any
+    * corpus size.
+    * Output: (bucket, lo_edge, hi_edge, n), dense over observed
+    * buckets. */
+  def equiWidthHistogram(df: DataFrame, valueCol: String,
+                         bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    Joins.requireFreeColumns("equiWidthHistogram", df.columns,
+      "__lo", "__hi", "bucket", "lo_edge", "hi_edge", "n")
+    val v = col(valueCol).cast("double")
+    val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
+    val w = (col("__hi") - col("__lo")) / bins
+    df.where(v.isNotNull)
+      .crossJoin(broadcast(bounds))
+      // degenerate all-equal column (w = 0) pins everything to bucket 0
+      // instead of 0/0 = NaN
+      .select(when(col("__hi") === col("__lo"), lit(0)).otherwise(
+        least(lit(bins - 1), floor((v - col("__lo")) / w).cast("int")))
+        .as("bucket"),
+        col("__lo"), col("__hi"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        first(col("__lo")).as("__l"), first(col("__hi")).as("__h2"))
+      .select(col("bucket").cast("long").as("bucket"),
+        round(col("__l") + col("bucket") * (col("__h2") - col("__l")) / bins, 4)
+          .as("lo_edge"),
+        round(col("__l") + (col("bucket") + 1) * (col("__h2") - col("__l")) / bins, 4)
+          .as("hi_edge"),
+        col("n"))
   }
 
   /** Column profile: per-column null and exact distinct counts in ONE

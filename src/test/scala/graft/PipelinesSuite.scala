@@ -467,6 +467,41 @@ class PipelinesSuite extends AnyFunSuite {
     assert(got == Map("s" -> ((1L, 2L)), "n" -> ((1L, 2L))))
   }
 
+  test("quotaSampleByMd5: exact quota, deterministic winners, small strata kept whole") {
+    val df = Seq.tabulate(40)(i => (i.toLong, if (i < 35) "big" else "small"))
+      .toDF("id", "src")
+    val got = Pipelines.quotaSampleByMd5(df, "src", "id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc("big").size == 10)
+    assert(bySrc("small") == (35L until 40L).toSet) // |stratum| < k: all kept
+    // winners = the k smallest md5(id) per stratum, independently computed
+    def h(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expBig = (0L until 35L).sortBy(i => (h(i), i)).take(10).toSet
+    assert(bySrc("big") == expBig)
+    // deterministic across runs
+    val again = Pipelines.quotaSampleByMd5(df, "src", "id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("equiWidthHistogram: edges, max-in-last-bucket, degenerate and null handling") {
+    val df = Seq[java.lang.Double](0.0, 1.0, 2.5, 5.0, 9.9, 10.0, null)
+      .toDF("v")
+    val got = Pipelines.equiWidthHistogram(df, "v", bins = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    // width 2.5 over [0,10]: 0,1→b0; 2.5→b1; 5→b2; 9.9,10→b3 (max pinned)
+    assert(got == Seq((0L, 0.0, 2.5, 2L), (1L, 2.5, 5.0, 1L),
+      (2L, 5.0, 7.5, 1L), (3L, 7.5, 10.0, 2L)))
+    // all-equal column: single bucket 0, no NaN
+    val deg = Pipelines.equiWidthHistogram(
+        Seq(7.0, 7.0, 7.0).toDF("v"), "v", bins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(deg == Seq((0L, 3L)))
+  }
+
   test("curationFunnel: stage counts match an independent recomputation") {
     val docs = Tables.documents(spark, sfDir)
     val got = Pipelines.curationFunnel(docs, "doc_id", "text", "source",
