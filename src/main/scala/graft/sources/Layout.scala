@@ -49,31 +49,69 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Morton (Z-order) code over `cols`: each column is rank-bucketed
-    * into 2^bitsPerDim quantile buckets (ntile over a window ordered by
-    * the column THEN the remaining cluster columns — deterministic up
-    * to rows whose whole cluster tuple is identical, which are
-    * interchangeable for layout purposes) and the bucket bits are
+  /** Morton (Z-order) code over `cols`: each column is bucketed into
+    * up to 2^bitsPerDim quantile buckets via approxQuantile-sampled
+    * range boundaries (one stat pass over ALL dimensions at once,
+    * boundaries broadcast as literals into a scan-side comparison —
+    * no window, no single-task funnel) and the bucket bits are
     * interleaved. Exposed for the writer below and its test.
     *
-    * Why ntile instead of raw value bits: Z-order only prunes when
-    * every dimension's bits carry uniform selectivity; raw skewed
-    * values waste high bits on empty regions. Rank-bucketing is the
-    * standard fix (what table formats' OPTIMIZE ZORDER does via range
-    * boundaries). */
+    * Why quantile buckets instead of raw value bits: Z-order only
+    * prunes when every dimension's bits carry uniform selectivity; raw
+    * skewed values waste high bits on empty regions. Range-boundary
+    * bucketing is the standard fix (what table formats' OPTIMIZE
+    * ZORDER does). Rows equal to a sampled boundary share its bucket;
+    * NULLs land in bucket 0 — both interchangeable for layout.
+    *
+    * `relativeError` is the approxQuantile rank error; the default
+    * (quarter of a bucket width) keeps boundaries within a quarter
+    * bucket of exact at any scale with a bounded sketch. Pass 0 only
+    * on small frames (exact sketch retains every value). */
   private[graft] def mortonCode(df: DataFrame, cols: Seq[Column],
-                                bitsPerDim: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                                bitsPerDim: Int,
+                                relativeError: Double = -1.0): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     require(cols.size >= 2, "z-ordering needs at least 2 dimensions")
     require(bitsPerDim >= 1 && bitsPerDim * cols.size <= 62,
       s"bitsPerDim x dims must fit a long, got $bitsPerDim x ${cols.size}")
     val buckets = 1 << bitsPerDim
-    val bucketed = cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
-      val tieBroken = c +: cols.filterNot(_ == c)
-      acc.withColumn(s"__zb$i",
-        (ntile(buckets).over(Window.orderBy(tieBroken: _*)) - 1).cast("long"))
+    graft.operators.Joins.requireFreeColumns("writeZOrdered", df.columns,
+      ("__z" +: cols.indices.flatMap(i => Seq(s"__zb$i", s"__zq$i"))): _*)
+    val err = if (relativeError >= 0) relativeError else 0.25 / buckets
+    // Order-preserving double proxy per dimension so one approxQuantile
+    // pass covers every supported type. Strings collapse to their first
+    // 6 bytes (48 bits — exact in a double); ties past that share a
+    // bucket, which only costs layout tightness, never correctness.
+    def proxy(c: Column, dt: DataType): Column = dt match {
+      case _: NumericType => c.cast("double")
+      case DateType       => unix_date(c).cast("double")
+      case _: TimestampType | TimestampNTZType =>
+        unix_micros(c.cast("timestamp")).cast("double")
+      case StringType =>
+        conv(rpad(substring(hex(c.cast("binary")), 1, 12), 12, "0"), 16, 10)
+          .cast("double")
+      case other => throw new IllegalArgumentException(
+        s"writeZOrdered: unsupported cluster-column type $other")
     }
+    val dims = cols.zipWithIndex.map { case (c, i) =>
+      (i, proxy(c, df.select(c).schema.head.dataType))
+    }
+    val proxied = dims.foldLeft(df) { case (acc, (i, p)) =>
+      acc.withColumn(s"__zq$i", p)
+    }
+    // ONE sampling pass for all dimensions: interior quantile cuts,
+    // broadcast back as literal arrays (empty on an all-null/empty dim).
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = proxied.stat.approxQuantile(
+      cols.indices.map(i => s"__zq$i").toArray, probs, err)
+    val bucketed = cols.indices.foldLeft(proxied) { (acc, i) =>
+      val bs = bounds(i).distinct.sorted
+      val b =
+        if (bs.isEmpty) lit(0L)
+        else size(filter(lit(bs), x => acc(s"__zq$i") > x)).cast("long")
+      acc.withColumn(s"__zb$i", b)
+    }.drop(cols.indices.map(i => s"__zq$i"): _*)
     val z = (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, bit) =>
       cols.indices.foldLeft(acc) { (a, dim) =>
         // bit `bit` of dim `dim` lands at interleaved position
@@ -94,12 +132,11 @@ object Layout {
     * generalization of [[writeRangeClustered]], which favors exactly
     * one key. Same fresh-session micros-timestamp isolation.
     *
-    * Scale caveat (documented, deliberate): the exact ntile ranks run
-    * through one unpartitioned window per dimension at write time —
-    * fine for layout jobs up to the hundreds of millions of rows a
-    * single compaction handles; past that, swap the rank source for
-    * approxQuantile-derived range boundaries (same interleave, sampled
-    * buckets) — the read-side contract is identical. */
+    * Scale posture: bucket ranks come from approxQuantile-sampled
+    * boundaries broadcast into the scan (see [[mortonCode]]) — the
+    * write plan carries no window and no single-partition funnel, so
+    * the layout job parallelizes like any shuffle write; cost is one
+    * extra bounded-sketch stat pass over the clustered columns. */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[Column],
                     numFiles: Int, bitsPerDim: Int = 8,
                     writeOptions: Map[String, String] = Map.empty): Unit = {

@@ -100,9 +100,14 @@ class SinkLayoutSuite extends AnyFunSuite {
     // 16 rows, x ascending / y descending, 4 buckets per dim: bucket of
     // x is i/4, of y is 3 - i/4; dim0 bits land at 0,2 and dim1 at 1,3
     val df = (0 until 16).map(i => (i, 15 - i)).toDF("x", "y")
-    val got = graft.sources.Layout
-      .mortonCode(df, Seq(col("x"), col("y")), bitsPerDim = 2)
-      .orderBy("x").collect().map(_.getAs[Long]("__z")).toSeq
+    val coded = graft.sources.Layout
+      .mortonCode(df, Seq(col("x"), col("y")), bitsPerDim = 2,
+        relativeError = 0.0)
+    // scale posture: the bucketing must be boundary-broadcast, never a
+    // window (the old ntile form funneled the corpus through one task)
+    val plan = coded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"z-order plan must be window-free:\n$plan")
+    val got = coded.orderBy("x").collect().map(_.getAs[Long]("__z")).toSeq
     val expected = (0 until 16).map { i =>
       val bx = i / 4L; val by = 3L - i / 4
       ((bx & 1) << 0) | ((by & 1) << 1) | (((bx >> 1) & 1) << 2) | (((by >> 1) & 1) << 3)
