@@ -1281,6 +1281,30 @@ object Queries {
         blockCols = Seq("c_nationkey"), maxDist = 1)
       .orderBy("id1", "id2")
 
+  /** Indel-capable linkage: the full edit-distance-1 relation
+    * (substitution OR insert/delete) over customers augmented with
+    * deterministic planted deletion typos — every 7th customer also
+    * appears (id + 10M) with the character at position
+    * custkey % len + 1 removed, so the fixture provably contains
+    * length-differing true pairs. The deletion-neighborhood front
+    * covers indels with one extra masked-vs-full equi-join
+    * (candidates still ∝ true matches). */
+  def xEntityMatchIndel(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val typo = c.where(col("c_custkey") % 7 === 0)
+      .select(
+        (col("c_custkey") + lit(10000000L)).as("c_custkey"),
+        expr("concat(substring(c_name, 1, cast(c_custkey % length(c_name) as int)), " +
+          "substring(c_name, cast(c_custkey % length(c_name) as int) + 2))")
+          .as("c_name"),
+        col("c_nationkey"))
+    graft.operators.Linkage.editDistancePairs(
+        c.unionByName(typo), "c_custkey", "c_name",
+        blockCols = Seq("c_nationkey"), maxDist = 1, indels = true)
+      .orderBy("id1", "id2")
+  }
+
   /** PageRank over the nation trade graph: edges customer-nation →
     * supplier-nation weighted by order-line count (the 100 TB-scale
     * part is the 4-way join + groupBy edge extraction; the power

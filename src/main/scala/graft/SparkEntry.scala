@@ -664,6 +664,7 @@ object SparkEntry {
     "x_cluster_split" -> (Queries.xClusterSplit _),
     "x_temperature" -> (Queries.xTemperature _),
     "x_entity_match" -> (Queries.xEntityMatch _),
+    "x_entity_match_indel" -> (Queries.xEntityMatchIndel _),
     "x_pagerank" -> (Queries.xPageRank _),
     "x_curation_funnel" -> (Queries.xCurationFunnel _),
     "x_event_funnel" -> (Queries.xEventFunnel _),
@@ -1359,6 +1360,24 @@ object SparkEntry {
         "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
         "FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey " +
         "AND length(a.c_name) = length(b.c_name) AND a.c_custkey < b.c_custkey " +
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY id1, id2"),
+    // indel linkage: same all-pairs oracle WITHOUT the length predicate,
+    // over customers augmented with the same deterministic planted
+    // deletion typos the Spark query builds (every 7th custkey, char at
+    // custkey % len + 1 removed, id + 10M)
+    "x_entity_match_indel" ->
+      ("WITH aug AS (" +
+        "SELECT c_custkey, c_name, c_nationkey FROM customer " +
+        "UNION ALL " +
+        "SELECT c_custkey + 10000000, " +
+        "concat(substring(c_name, 1, CAST(c_custkey % length(c_name) AS INT)), " +
+        "substring(c_name, CAST(c_custkey % length(c_name) AS INT) + 2)), " +
+        "c_nationkey FROM customer WHERE c_custkey % 7 = 0) " +
+        "SELECT a.c_custkey AS id1, b.c_custkey AS id2, " +
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
+        "FROM aug a JOIN aug b ON a.c_nationkey = b.c_nationkey " +
+        "AND a.c_custkey < b.c_custkey " +
+        "AND abs(length(a.c_name) - length(b.c_name)) <= 1 " +
         "WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY id1, id2"),
     "x_pagerank" -> pageRankOracleSql(5),
     // curation funnel: x_gopher's proven quality fragment (minWords 20)

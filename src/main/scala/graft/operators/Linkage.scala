@@ -15,17 +15,29 @@ object Linkage {
   /** Edit-distance pairs via an exact blocking front + Levenshtein
     * verify.
     *
-    * DECLARED SEMANTICS — equal-length (substitution) matching: every
-    * block key includes the string length, so pairs whose strings
-    * differ in length (edits containing an insert/delete) are NOT
-    * reported. That is the right contract for fixed-width identifier
-    * schemas (codes, padded names, SKUs). For `maxDist = 1` the front
-    * is EXACT under that contract (equal-length edit distance 1 ⟺
-    * exactly one substitution); for `maxDist ≥ 2` recall covers all
-    * ≤ maxDist-substitution pairs — an equal-length pair whose optimal
-    * edit script uses paired insert/deletes (a shifted span, possible
-    * at distance ≥ 2) is out of contract. Asserted front ≡ brute force
-    * in OperatorsSuite; the oracle carries the same length predicate.
+    * DECLARED SEMANTICS — by default, equal-length (substitution)
+    * matching: every block key includes the string length, so pairs
+    * whose strings differ in length (edits containing an insert/
+    * delete) are NOT reported. That is the right contract for
+    * fixed-width identifier schemas (codes, padded names, SKUs). For
+    * `maxDist = 1` the front is EXACT under that contract
+    * (equal-length edit distance 1 ⟺ exactly one substitution); for
+    * `maxDist ≥ 2` recall covers all ≤ maxDist-substitution pairs —
+    * an equal-length pair whose optimal edit script uses paired
+    * insert/deletes (a shifted span, possible at distance ≥ 2) is out
+    * of contract. Asserted front ≡ brute force in OperatorsSuite; the
+    * oracle carries the same length predicate.
+    *
+    * `indels = true` (maxDist = 1 only) lifts the length restriction:
+    * the full edit-distance-1 relation — substitution, insertion OR
+    * deletion. The FastSS deletion neighborhood the substitution front
+    * already stages covers indels nearly for free: ed(s,t) = 1 with
+    * |s| = |t|+1 ⟺ some single-character deletion of s equals t
+    * exactly, so ONE extra equi-join of the masked variants against
+    * full strings (key: block cols + variant text; the length
+    * relation is implied by string equality) yields every indel pair
+    * with zero false positives. Candidates stay ∝ true matches.
+    * Asserted ≡ length-unrestricted brute force in OperatorsSuite.
     *
     * Front, `maxDist = 1` (FastSS/deletion-neighborhood indexing):
     * each string emits `len` keys — (position i, string with position i
@@ -51,8 +63,12 @@ object Linkage {
     *
     * Output: (id1, id2, dist), id1 < id2, dist ≤ maxDist. */
   def editDistancePairs(df: DataFrame, idCol: String, nameCol: String,
-                        blockCols: Seq[String], maxDist: Int): DataFrame = {
+                        blockCols: Seq[String], maxDist: Int,
+                        indels: Boolean = false): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
+    require(!indels || maxDist == 1,
+      "indel matching is supported at maxDist = 1 only (the deletion-" +
+        "neighborhood front is exact there); use maxDist = 1 or indels = false")
     Joins.requireFreeColumns("editDistancePairs", df.columns,
       "__id", "__nm", "__len", "__seg", "__segval",
       "__ida", "__idb", "__nma", "__nmb", "id1", "id2", "dist")
@@ -96,9 +112,32 @@ object Linkage {
     val b = staged.toDF(staged.columns.map {
       case "__id" => "__idb"; case "__nm" => "__nmb"; case other => other
     }: _*)
-    a.join(b, key)
+    val subCand = a.join(b, key)
       .where(col("__ida") < col("__idb"))
       .select(col("__ida"), col("__idb"), col("__nma"), col("__nmb"))
+    val cand = if (!indels) subCand else {
+      // indel front: a masked variant of the longer string equal to the
+      // FULL shorter string ⟺ one deletion apart. String equality on
+      // the join key implies the len-1 relation, so the key drops both
+      // __len and __seg; normalize to id1 < id2 before the shared dedup
+      // ("aab" masks to "ab" at two positions — distinct() collapses).
+      val full = base.where(col("__nm").isNotNull).select(
+        (Seq(col("__id").as("__idb"), col("__nm").as("__nmb"),
+          col("__nm").as("__segval")) ++ blockCols.map(col)): _*)
+      val masked = staged.select(
+        (Seq(col("__id").as("__ida"), col("__nm").as("__nma"),
+          col("__segval")) ++ blockCols.map(col)): _*)
+      val flip = col("__ida") > col("__idb")
+      val indelCand = masked.join(full, "__segval" +: blockCols)
+        .where(col("__ida") =!= col("__idb"))
+        .select(
+          when(flip, col("__idb")).otherwise(col("__ida")).as("__ida"),
+          when(flip, col("__ida")).otherwise(col("__idb")).as("__idb"),
+          when(flip, col("__nmb")).otherwise(col("__nma")).as("__nma"),
+          when(flip, col("__nma")).otherwise(col("__nmb")).as("__nmb"))
+      subCand.unionByName(indelCand)
+    }
+    cand
       .distinct()
       .select(col("__ida").as("id1"), col("__idb").as("id2"),
         levenshtein(col("__nma"), col("__nmb")).cast("long").as("dist"))

@@ -964,6 +964,33 @@ class OperatorsSuite extends AnyFunSuite {
     assert(got.contains((9L, 10L, 1L)))
   }
 
+  test("editDistancePairs: indels=true ≡ brute force WITHOUT the length predicate") {
+    // full ed≤1 relation at k=1: substitutions (1-2, 1-3), pure indels
+    // (1-4 append, 9-11 deletion, "" vs 1-char), multi-position masks
+    // ("aab"→"ab" two ways, must dedup), and dist-2 still excluded
+    val rows = Seq(
+      (1L, "martha", 0), (2L, "marsha", 0), (3L, "marthe", 0),
+      (4L, "marthaa", 0),                        // indel vs 1 AND vs 2? (vs 2: dist 2)
+      (5L, "bertha", 0),                         // dist 2 vs martha
+      (6L, "martha", 1),                         // other block: no pair with 1
+      (7L, "aab", 1), (8L, "ab", 1),             // two masks collapse to one pair
+      (9L, "qq", 0), (10L, "qr", 0), (11L, "q", 0),
+      (12L, "", 0), (13L, "z", 0))               // empty vs 1-char: deletion
+    val df = rows.toDF("id", "nm", "blk")
+    val got = graft.operators.Linkage
+      .editDistancePairs(df, "id", "nm", Seq("blk"), maxDist = 1, indels = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (i1, n1, b1) <- rows; (i2, n2, b2) <- rows
+      if i1 < i2 && b1 == b2
+      d = levBrute(n1, n2) if d <= 1
+    } yield (i1, i2, d.toLong)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 4L, 1L)) && got.contains((7L, 8L, 1L)) &&
+      got.contains((9L, 11L, 1L)) && got.contains((12L, 13L, 1L)))
+    assert(!got.exists(p => Set(p._1, p._2) == Set(2L, 4L))) // dist 2
+  }
+
   test("editDistancePairs: maxDist=2 segment front covers substitution pairs") {
     // maxDist ≥ 2 takes the pigeonhole-segment path: complete for
     // ≤2-substitution pairs (martha→marsha→marsho chains), incl. the
