@@ -906,9 +906,11 @@ object SparkEntry {
         "'\\s+', ' ', 'g')) AS clean FROM h ORDER BY doc_id"),
     // trained trigram naive-Bayes lang-id: ONE count CTE from the train
     // slice (totals/vocab re-agg the profile-sized count table, mirroring
-    // TextAnalysis.langIdNgram), per-(doc, lang) trigram-ordered fold of
-    // m·lp (same list_reduce ≡ aggregate identity as x_lm_score — both
-    // engines fold the identical trigram order), argmax window
+    // TextAnalysis.langIdNgram), FIXED-POINT log-probs quantized in the
+    // profile — lpfx = round(lp·1e9) BIGINT — then per-(doc, lang) sums
+    // of m·lpfx: integer arithmetic is order-free, so plain SUM matches
+    // the engine's position-level plain SUM exactly (the 1e-9 log-prob
+    // quantization is declared semantics on both sides), argmax window
     "x_lang_id_ngram" ->
       (s"WITH aug AS ($langMarkedSql), " +
         "tr AS (SELECT lang, lower(text) AS t FROM aug WHERE doc_id % 5 = 1), " +
@@ -916,12 +918,12 @@ object SparkEntry {
         "c AS (SELECT lang, tri, CAST(COUNT(*) AS DOUBLE) AS c FROM tri_t GROUP BY lang, tri), " +
         "n AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS n FROM c GROUP BY lang), " +
         "v AS (SELECT CAST(COUNT(DISTINCT tri) AS DOUBLE) AS v FROM c), " +
-        "dt AS (SELECT doc_id, tri, CAST(COUNT(*) AS DOUBLE) AS m FROM (SELECT doc_id, substring(t, pos, 3) AS tri FROM (SELECT doc_id, lower(text) AS t FROM aug), UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(pos)) GROUP BY doc_id, tri), " +
-        "sc AS (SELECT doc_id, dt.tri, n.lang, m, m * ln((COALESCE(c.c, 0) + 1.0) / (n.n + v.v)) AS mlp " +
+        "dt AS (SELECT doc_id, tri, CAST(COUNT(*) AS BIGINT) AS m FROM (SELECT doc_id, substring(t, pos, 3) AS tri FROM (SELECT doc_id, lower(text) AS t FROM aug), UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(pos)) GROUP BY doc_id, tri), " +
+        "sc AS (SELECT doc_id, dt.tri, n.lang, m, m * CAST(ROUND(ln((COALESCE(c.c, 0) + 1.0) / (n.n + v.v)) * 1e9) AS BIGINT) AS mlp " +
         "FROM dt CROSS JOIN n LEFT JOIN c ON c.lang = n.lang AND c.tri = dt.tri CROSS JOIN v), " +
-        "a AS (SELECT doc_id, lang, CAST(SUM(m) AS BIGINT) AS nt, list_reduce(list(mlp ORDER BY tri), (acc,x) -> acc + x) AS sm FROM sc GROUP BY doc_id, lang), " +
+        "a AS (SELECT doc_id, lang, CAST(SUM(m) AS BIGINT) AS nt, CAST(SUM(mlp) AS BIGINT) AS sm FROM sc GROUP BY doc_id, lang), " +
         "b AS (SELECT doc_id, nt, lang, sm, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sm DESC, lang) AS rn FROM a) " +
-        "SELECT d.doc_id, COALESCE(b.nt, 0) AS n_trigrams, COALESCE(b.lang, 'und') AS lang_pred, ROUND(b.sm / b.nt, 4) + 0.0 AS nb_score " +
+        "SELECT d.doc_id, COALESCE(b.nt, 0) AS n_trigrams, COALESCE(b.lang, 'und') AS lang_pred, ROUND(CAST(b.sm AS DOUBLE) / 1e9 / b.nt, 4) + 0.0 AS nb_score " +
         "FROM documents d LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (doc_id) ORDER BY doc_id"),
     // URL canonicalization: shared nrm CTE chain over the synthetic URLs
     "x_url_normalize" ->

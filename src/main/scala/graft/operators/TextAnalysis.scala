@@ -67,30 +67,36 @@ object TextAnalysis {
     * corpus-sized. The LABEL SPACE is then collected to the driver —
     * one row per language, bounded by definition (same capped-collect
     * posture as IVF's trainCap) — so the profile can be pivoted WIDE:
-    * one broadcast row per trigram carrying a map lang→lp. Scoring
-    * collapses the target corpus to per-(doc, trigram) multiplicities
-    * (one partial-aggregable shuffle), broadcast-joins the wide profile
-    * WITHOUT any ×langs row fan-out, folds ALL languages' `m · lp`
-    * sums in a single per-doc pass over the trigram-sorted array (an
-    * array accumulator, one slot per language — each language's
-    * addition sequence is identical to a per-language fold, so the
-    * result is bit-equal and the oracle's per-language `list_reduce`
-    * still matches), and argmaxes locally over the score array
-    * (`array_position` of the max = first/lexicographically-smallest
-    * language on ties). No per-(doc, lang) shuffle, no argmax window.
-    * Docs with no trigram (< 3 chars) pass through as `und` with a
-    * null score. Output: (id, n_trigrams, lang_pred, nb_score). */
+    * one broadcast row per trigram carrying a dense lang-ordered array
+    * of FIXED-POINT log-probs — `round(lp · 1e9)` longs, quantized
+    * once at vocab scale. Scoring broadcast-joins trigram POSITION
+    * rows against that profile and aggregates STRAIGHT to per-doc,
+    * per-language integer sums: no per-(doc, trigram) multiplicity
+    * shuffle, no ×langs row fan-out, and plain long SUM columns that
+    * are associative/commutative (order-free ⇒ deterministic under any
+    * partial-agg order, map-side combining, whole-stage codegen — no
+    * collect_list, no per-doc sort, no interpreted fold). The 1e-9
+    * log-prob quantization is part of the declared semantics; the
+    * oracle computes the identical integer sums. Argmax is local
+    * over the score array (`array_position` of the max = first/
+    * lexicographically-smallest language on ties — exact on integer
+    * ties). No per-(doc, lang) shuffle, no argmax window. Docs with no
+    * trigram (< 3 chars) pass through as `und` with a null score.
+    * Output: (id, n_trigrams, lang_pred, nb_score). */
   def langIdNgram(docs: DataFrame, train: DataFrame,
                   idCol: String, textCol: String, langCol: String): DataFrame = {
     Joins.requireFreeColumns("langIdNgram", docs.columns,
       "n_trigrams", "lang_pred", "nb_score")
     val txt = col("__txt")
+    // one row per trigram POSITION: explode the int position sequence
+    // and slice post-explode — the generate + projection fuse in one
+    // codegen stage, so no per-doc array of substrings is ever built
     def instances(df: DataFrame, key: Column, keyName: String): DataFrame =
       df.withColumn("__txt", lower(col(textCol)))
         .where(length(txt) >= 3)
-        .select(key.as(keyName),
-          explode(transform(sequence(lit(1), length(txt) - 2),
-            i => txt.substr(i, lit(3)))).as("__tri"))
+        .select(key.as(keyName), txt,
+          explode(sequence(lit(1), length(txt) - 2)).as("__p"))
+        .select(col(keyName), txt.substr(col("__p"), lit(3)).as("__tri"))
     // localCheckpoint: the count table is profile-sized (langs × vocab),
     // but its LINEAGE is the train-corpus trigram explode — and it feeds
     // several separate subplans (per-lang totals, the vocab agg, the
@@ -120,36 +126,43 @@ object TextAnalysis {
         lit("und").as("lang_pred"),              // old empty-profile output
         lit(null).cast("double").as("nb_score"))
     val nvs = langRows.map(r => r.getDouble(1) + r.getDouble(2)).toIndexedSeq
-    val lp0s = nvs.map(nv => math.log(1.0 / nv))
+    // FIXED-POINT profile: lp is quantized to round(lp·1e9) longs IN
+    // THE PROFILE (vocab-sized work), mirroring Spark round's
+    // BigDecimal HALF_UP so the driver-side lp0 literals land on the
+    // same integers the in-plan round produces.
+    def fx(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val lp0Fxs = nvs.map(nv => fx(math.log(1.0 / nv) * 1e9))
     val langsLit = array(langs.map(lit): _*)
-    val lp0Lit = array(lp0s.map(lit): _*)
+    val lp0FxLit = array(lp0Fxs.map(lit): _*)
     val nvMap = map(langs.zip(nvs).flatMap { case (l, nv) =>
       Seq(lit(l), lit(nv)) }: _*)
-    // wide profile: one row per trigram, lang→lp map — (vocab) rows,
-    // broadcast; lp = ln((c+1)/(n+v)) exactly as the narrow form.
+    // wide profile: one row per trigram, DENSE lang-ordered array of
+    // fixed-point lp — (vocab) rows, broadcast; lp = ln((c+1)/(n+v))
+    // exactly as the narrow form, a (lang, tri) the train slice never
+    // saw smooths to c=0 ⟹ lp = lp0 for that language.
     val profWide = counts
       .select(col("__tri"), col("__lang"),
-        log((col("__c") + 1.0) / element_at(nvMap, col("__lang"))).as("__lp"))
+        round(log((col("__c") + 1.0) / element_at(nvMap, col("__lang")))
+          * 1e9).cast("long").as("__lpfx"))
       .groupBy("__tri")
       .agg(map_from_entries(sort_array(
-        collect_list(struct(col("__lang"), col("__lp"))))).as("__pm"))
-    val docTri = instances(docs, col(idCol), idCol)
-      .groupBy(col(idCol), col("__tri"))
-      .agg(count(lit(1)).cast("double").as("__m"))
-    // per-(doc, trigram): the m·lp contribution for EVERY language at
-    // once (unseen-in-profile trigrams fall back to each language's
-    // lp0); __mlps is built at column level so the fold's inner lambda
-    // stays free of outer-lambda references.
-    val contrib = docTri
+        collect_list(struct(col("__lang"), col("__lpfx"))))).as("__pm"))
+      .select(col("__tri"), zip_with(langsLit, lp0FxLit,
+        (l, d) => coalesce(element_at(col("__pm"), l), d)).as("__lps"))
+    // score pass: one row per trigram POSITION joins the broadcast
+    // profile and aggregates STRAIGHT to per-doc integer sums — no
+    // per-(doc, trigram) multiplicity shuffle at all. Integer addition
+    // is order-free, so plain SUM columns are deterministic under any
+    // partial-agg order, map-side combining, whole-stage codegen.
+    val contrib = instances(docs, col(idCol), idCol)
       .join(broadcast(profWide), Seq("__tri"), "left")
-      .withColumn("__mlps", zip_with(langsLit, lp0Lit,
-        (l, d) => col("__m") * coalesce(element_at(col("__pm"), l), d)))
-    val zeros = array(langs.map(_ => lit(0.0)): _*)
+      .withColumn("__mlps", coalesce(col("__lps"), lp0FxLit))
+    val slotSums = langs.indices.map(i =>
+      sum(element_at(col("__mlps"), i + 1)).as(s"__s$i"))
     val perDoc = contrib.groupBy(col(idCol))
-      .agg(sum(col("__m")).cast("long").as("__nt"),
-        sort_array(collect_list(struct(col("__tri"), col("__mlps")))).as("__a"))
-      .withColumn("__sms", aggregate(col("__a"), zeros,
-        (acc, x) => zip_with(acc, x.getField("__mlps"), (a, b) => a + b)))
+      .agg(count(lit(1)).as("__nt"), slotSums: _*)
+      .withColumn("__sms", array(langs.indices.map(i => col(s"__s$i")): _*))
       .withColumn("__pos",
         array_position(col("__sms"), array_max(col("__sms"))).cast("int"))
       .select(col(idCol), col("__nt"),
@@ -159,7 +172,8 @@ object TextAnalysis {
       .select(col(idCol),
         coalesce(col("__nt"), lit(0L)).as("n_trigrams"),
         coalesce(col("__lang"), lit("und")).as("lang_pred"),
-        (round(col("__sm") / col("__nt"), 4) + 0.0).as("nb_score"))
+        (round(col("__sm").cast("double") / 1e9 / col("__nt"), 4) + 0.0)
+          .as("nb_score"))
   }
 
   /** C4-style blocklist screen (Raffel et al. 2020 §2.2's bad-word
