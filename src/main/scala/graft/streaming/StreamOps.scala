@@ -243,11 +243,22 @@ object StreamOps {
     * Emits (user_id, stages_reached) per user per batch it appears in
     * (Update-style progress; the last emission is the user's final
     * stage). StreamingSuite asserts per-stage user counts equal the
-    * batch funnel's on a full replay. */
+    * batch funnel's on a full replay.
+    *
+    * STATE EVICTION: by default (`idleTimeoutSec = 0`) per-user state
+    * lives forever — unbounded user cardinality grows state without
+    * limit, acceptable only for bounded user populations. Pass a
+    * positive `idleTimeoutSec` to evict a user's funnel state after
+    * that much processing-time inactivity; a user reappearing later
+    * restarts from stage 0 (the standard analytics-funnel reading of
+    * an expired session). */
   def streamingFunnel(events: DataFrame, stages: Seq[String],
-                      gapSec: Long): DataFrame = {
+                      gapSec: Long, userCol: String = "user_id",
+                      typeCol: String = "event_type", tsCol: String = "ts",
+                      idleTimeoutSec: Long = 0L): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(stages.nonEmpty, "streamingFunnel needs at least one stage")
+    require(idleTimeoutSec >= 0L, "idleTimeoutSec must be >= 0 (0 = never evict)")
     val spark = events.sparkSession
     import spark.implicits._
     val nStages = stages.size
@@ -258,35 +269,170 @@ object StreamOps {
     val stageIdxs: Map[String, Seq[Int]] =
       stages.zipWithIndex.groupBy(_._1).map { case (t, l) => t -> l.map(_._2) }
     val gapMicros = gapSec * 1000000L
+    val timeout = if (idleTimeoutSec > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
-      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .select(col(userCol).cast("long"), col(typeCol), col(tsCol))
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelTimes, (Long, Int)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
          state: GroupState[FunnelTimes]) =>
-          def micros(t: java.sql.Timestamp): Long =
-            t.getTime / 1000 * 1000000L + t.getNanos / 1000L
-          val times = state.getOption
-            .map(_.times.toArray)
-            .getOrElse(Array.fill(nStages)(-1L))
-          rows.toSeq
-            .flatMap { case (_, tp, ts) =>
-              stageIdxs.getOrElse(tp, Nil).map((_, micros(ts))) }
-            .sortBy { case (k, t) => (t, k) }
-            .foreach { case (k, t) =>
-              if (times(k) < 0 &&
-                (k == 0 || (times(k - 1) >= 0 && t > times(k - 1) &&
-                  t <= times(k - 1) + gapMicros)))
-                times(k) = t
-            }
-          state.update(FunnelTimes(times.toSeq))
-          Iterator.single((uid, times.count(_ >= 0)))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            def micros(t: java.sql.Timestamp): Long =
+              t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+            val times = state.getOption
+              .map(_.times.toArray)
+              .getOrElse(Array.fill(nStages)(-1L))
+            rows.toSeq
+              .flatMap { case (_, tp, ts) =>
+                stageIdxs.getOrElse(tp, Nil).map((_, micros(ts))) }
+              .sortBy { case (k, t) => (t, k) }
+              .foreach { case (k, t) =>
+                if (times(k) < 0 &&
+                  (k == 0 || (times(k - 1) >= 0 && t > times(k - 1) &&
+                    t <= times(k - 1) + gapMicros)))
+                  times(k) = t
+              }
+            state.update(FunnelTimes(times.toSeq))
+            if (idleTimeoutSec > 0L)
+              state.setTimeoutDuration(idleTimeoutSec * 1000L)
+            Iterator.single((uid, times.count(_ >= 0)))
+          }
       }
       .toDF("user_id", "stages_reached")
+  }
+
+  /** Streaming per-user event-type transitions (the live counterpart of
+    * [[graft.operators.EventAnalytics.transitionCounts]]): state is the
+    * user's LAST event (its (ts, tie) position and type — three fields,
+    * nothing else); each batch's rows fold in (ts, tie) order emitting
+    * one (from_type, to_type) row per consecutive pair, the first pair
+    * bridging the previous batch through the stored last event.
+    *
+    * Same delivery assumption as [[streamingFunnel]]: per-user in-order
+    * arrival across batches. A row at or before the stored last (ts,
+    * tie) position is late/duplicate and is dropped rather than
+    * retracted. `tieCol` must be a numeric total-order tie-break (the
+    * event id), exactly as the batch operator requires.
+    *
+    * Emits transition INSTANCES (one row each); pipe into
+    * `groupBy("from_type", "to_type").count()` in update mode for the
+    * live matrix — counting downstream keeps this operator append-only
+    * and the running totals in Spark's own agg state. StreamingSuite
+    * asserts instance counts over a multi-batch replay equal the batch
+    * matrix. Same `idleTimeoutSec` eviction contract as
+    * [[streamingFunnel]] (a user reappearing after eviction starts a
+    * fresh timeline: the bridging transition is not emitted). */
+  def streamingTransitions(events: DataFrame, userCol: String = "user_id",
+                           typeCol: String = "event_type",
+                           tsCol: String = "ts", tieCol: String = "event_id",
+                           idleTimeoutSec: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(idleTimeoutSec >= 0L, "idleTimeoutSec must be >= 0 (0 = never evict)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeout = if (idleTimeoutSec > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .select(col(userCol).cast("long"), col(typeCol), col(tsCol),
+        col(tieCol).cast("long"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, (String, String)](
+        OutputMode.Append(), timeout) {
+        (uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+         state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            def micros(t: java.sql.Timestamp): Long =
+              t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+            val ordered = rows.toSeq
+              .map { case (_, tp, ts, tie) => (micros(ts), tie, tp) }
+              .sortBy { case (t, tie, _) => (t, tie) }
+            var last = state.getOption
+            val out = Seq.newBuilder[(String, String)]
+            ordered.foreach { case (t, tie, tp) =>
+              val fresh = last.forall(l =>
+                t > l.tsMicros || (t == l.tsMicros && tie > l.tie))
+              if (fresh) {
+                last.foreach(l => out += ((l.tp, tp)))
+                last = Some(LastEvent(t, tie, tp))
+              }
+            }
+            last.foreach(state.update)
+            if (idleTimeoutSec > 0L)
+              state.setTimeoutDuration(idleTimeoutSec * 1000L)
+            out.result().iterator
+          }
+      }
+      .toDF("from_type", "to_type")
+  }
+
+  /** Streaming weekly retention activity (the live counterpart of
+    * [[graft.operators.EventAnalytics.retentionCohorts]]): per-user
+    * state is the cohort week plus the set of week offsets already
+    * emitted (bounded by weeks-since-cohort). Each batch emits one
+    * (user_id, cohort_week, week_offset) row per NEWLY-SEEN offset, so
+    * a downstream `groupBy(cohort_week, week_offset).count()` in
+    * update mode is exactly the batch triangle's n_users — each user
+    * contributes to each cell at most once.
+    *
+    * Week arithmetic happens IN THE PLAN (`date_trunc("week")` +
+    * epoch-day datediff) before the stateful fold, so cohort/offset
+    * values are bit-identical to the batch operator's, whatever the
+    * session timezone. Same delivery assumption as [[streamingFunnel]]
+    * (first arrival = first event ⇒ cohort matches the batch min);
+    * an out-of-contract earlier-week late event (negative offset) is
+    * dropped. State grows one int per active week per user — pair with
+    * a processing-time eviction policy at unbounded user cardinality
+    * (offsets of evicted users would re-emit on return, overcounting;
+    * eviction is therefore NOT offered here, by contract). */
+  def streamingCohortActivity(events: DataFrame,
+                              userCol: String = "user_id",
+                              tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val epoch = to_date(lit("1970-01-01"))
+    events
+      .select(col(userCol).cast("long").as("__u"),
+        datediff(date_trunc("week", col(tsCol)), epoch).as("__wd"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CohortSeen, (Long, Int, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Int)],
+         state: GroupState[CohortSeen]) =>
+          val weeks = rows.map(_._2).toSeq
+          if (weeks.isEmpty) Iterator.empty
+          else {
+            val st = state.getOption
+              .getOrElse(CohortSeen(weeks.min, Seq.empty))
+            val seen = scala.collection.mutable.Set(st.offsets: _*)
+            val fresh = Seq.newBuilder[(Long, Int, Int)]
+            weeks.foreach { wd =>
+              val off = (wd - st.cohortDays) / 7
+              if (off >= 0 && seen.add(off)) fresh += ((uid, st.cohortDays, off))
+            }
+            state.update(CohortSeen(st.cohortDays, seen.toSeq.sorted))
+            fresh.result().iterator
+          }
+      }
+      .toDF("__u", "__cwd", "__off")
+      .select(col("__u").as("user_id"),
+        date_add(to_date(lit("1970-01-01")), col("__cwd")).as("cohort_week"),
+        col("__off").cast("long").as("week_offset"))
   }
 }
 
 case class UserTotals(user_id: Long, n: Long, total: Double)
 case class FunnelTimes(times: Seq[Long])
+case class LastEvent(tsMicros: Long, tie: Long, tp: String)
+case class CohortSeen(cohortDays: Int, offsets: Seq[Int])

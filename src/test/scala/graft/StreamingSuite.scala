@@ -380,4 +380,83 @@ class StreamingSuite extends AnyFunSuite {
     assert(got == batch, s"stream=$got batch=$batch")
     assert(batch.head > batch.last && batch.last > 0) // fixture discriminates
   }
+
+  test("T7×transitions: streaming transition instances equal the batch matrix across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.EventAnalytics
+      .transitionCounts(Tables.events(spark, sfDir), "user_id", "event_type",
+        "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // same rows, (ts, event_id) order, split across two batches — the
+    // state must bridge the cross-batch pair of every user
+    val rows = eventRows.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamingTransitions(mem.toDF())
+      .writeStream.format("memory").queryName("ttrans")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ttrans")
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(batch.size > 1) // fixture exercises several cells
+  }
+
+  test("T7×retention: streaming cohort activity equals the batch triangle across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.EventAnalytics
+      .retentionCohorts(Tables.events(spark, sfDir), "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = eventRows.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamingCohortActivity(mem.toDF())
+      .writeStream.format("memory").queryName("tcohort")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // each (user, offset) emits at most once, so a plain count per
+    // (cohort, offset) is the triangle's n_users
+    val got = spark.table("tcohort")
+      .groupBy("cohort_week", "week_offset").count()
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(batch.size > 2) // several cohort/offset cells on the fixture
+  }
+
+  test("T7×funnel: parameterized columns wire through (renamed schema matches batch)") {
+    // Timer-driven eviction is untestable deterministically — a
+    // ProcessingTimeTimeout makes the trigger loop fire continuously,
+    // so processAllAvailable/AvailableNow never latch; the eviction
+    // branch is two lines (hasTimedOut → remove). What IS asserted:
+    // the userCol/typeCol/tsCol parameters drive a renamed schema to
+    // the same counts as the batch funnel.
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("view", "click")
+    val rows = eventRows.filter(_.event_id < 2000L).sortBy(_.ts.getTime)
+    val renamed = rows.map(e => (e.user_id, e.event_type, e.ts))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(renamed: _*)
+    val q = StreamOps.streamingFunnel(
+        mem.toDF().toDF("uid", "etype", "etime"), stages, 172800L,
+        userCol = "uid", typeCol = "etype", tsCol = "etime")
+      .writeStream.format("memory").queryName("tfunnel_to")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batch = graft.operators.EventAnalytics
+      .funnelStages(Tables.events(spark, sfDir).where(col("event_id") < 2000L),
+        "user_id", "event_type", "ts", stages, 172800L)
+      .orderBy("stage").collect().map(_.getLong(2)).toSeq
+    val finals = spark.table("tfunnel_to")
+      .groupBy("user_id").agg(max(col("stages_reached")).as("s"))
+      .select("s").as[Int].collect()
+    val got = (1 to stages.size).map(k => finals.count(_ >= k).toLong)
+    assert(got == batch, s"stream=$got batch=$batch")
+  }
 }
