@@ -1386,6 +1386,15 @@ object Queries {
         documents(s, d).select("doc_id", "source"), "source", "doc_id", k = 30)
       .orderBy("doc_id")
 
+  /** Weighted sample without replacement (A-ES): 200 documents drawn
+    * by length weight — longer docs proportionally more likely, exact
+    * count, content-addressed keys (deterministic on every engine). */
+  def xWeightedSample(s: SparkSession, d: String): DataFrame =
+    Pipelines.weightedSampleByMd5(
+        documents(s, d).select("doc_id", "source", "n_chars"),
+        "doc_id", "n_chars", k = 200)
+      .orderBy("doc_id")
+
   /** Equi-width 12-bin histogram of document lengths (n_chars). */
   def xHistogram(s: SparkSession, d: String): DataFrame =
     Pipelines.equiWidthHistogram(documents(s, d), "n_chars", bins = 12)

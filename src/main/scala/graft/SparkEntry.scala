@@ -673,6 +673,7 @@ object SparkEntry {
     "x_corpus_diff" -> (Queries.xCorpusDiff _),
     "x_profile" -> (Queries.xProfile _),
     "x_quota_sample" -> (Queries.xQuotaSample _),
+    "x_weighted_sample" -> (Queries.xWeightedSample _),
     "x_histogram" -> (Queries.xHistogram _)
   )
 
@@ -1453,6 +1454,17 @@ object SparkEntry {
       ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
         "ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
         "FROM documents) WHERE rk <= 30 ORDER BY doc_id"),
+    // A-ES weighted sample: same md5-derived uniform ((j+0.5)/2^52 from
+    // the first 13 hex nibbles), same log-space key ln(u)/w rounded to
+    // 10 dp (near-equal keys become exact ties broken by doc_id), same
+    // top-200
+    "x_weighted_sample" ->
+      ("SELECT doc_id, source, n_chars FROM (" +
+        "SELECT doc_id, source, n_chars, " +
+        "ROUND(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 0.5) / 4503599627370496.0) " +
+        "/ CAST(n_chars AS DOUBLE), 10) AS k " +
+        "FROM documents WHERE CAST(n_chars AS DOUBLE) > 0 " +
+        "ORDER BY k DESC, doc_id LIMIT 200) ORDER BY doc_id"),
     // histogram: op order mirrors equiWidthHistogram exactly —
     // floor((v - lo) / ((hi - lo) / bins)), max pinned to the last
     // bucket, edges recomputed from (lo, hi, bucket) and rounded

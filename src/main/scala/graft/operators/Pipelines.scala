@@ -115,7 +115,8 @@ object Pipelines {
     * Scale shape: one window PARTITIONED BY THE STRATUM ordered by
     * (hash, id) — per-task state is a row counter; a mega-stratum
     * lands on one task, so for quota-sampling a near-unkeyed corpus
-    * pre-shard the stratum or fall back to [[sampleByMd5]].
+    * use [[quotaSampleByMd5TwoPhase]] (identical winners, sharded
+    * phase-1 top-k) or fall back to [[sampleByMd5]].
     * Output: input columns, quota survivors only. */
   def quotaSampleByMd5(df: DataFrame, stratumCol: String, idCol: String,
                        k: Int): DataFrame = {
@@ -127,6 +128,72 @@ object Pipelines {
         Window.partitionBy(col(stratumCol)).orderBy(col("__h"), col(idCol))))
       .where(col("__rk") <= k)
       .drop("__h", "__rk")
+  }
+
+  /** [[quotaSampleByMd5]] without the mega-stratum pin: the SAME
+    * (md5(id), id)-smallest winners, selected in TWO phases — a
+    * shard-local top-k (window over (stratum, shard), shard = md5-tail
+    * mod `shards`) and then a per-stratum top-k over only the phase-1
+    * survivors. Exact by a standard argument: the global k smallest
+    * of a stratum are each among their own shard's k smallest, so
+    * top-k(∪ shard-local top-ks) ≡ top-k(stratum). No task ever sees
+    * more than max(shard size, shards·k) rows: phase 1 parallelizes a
+    * mega-stratum across `shards` tasks and phase 2's per-stratum
+    * input is ≤ shards·k rows — this is the escape hatch the
+    * single-window form's scaladoc points at. Output: input columns,
+    * quota survivors only (row order unspecified). */
+  def quotaSampleByMd5TwoPhase(df: DataFrame, stratumCol: String,
+                               idCol: String, k: Int,
+                               shards: Int = 32): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    require(shards >= 1, "shards must be >= 1")
+    Joins.requireFreeColumns("quotaSampleByMd5TwoPhase", df.columns,
+      "__h", "__shard", "__rk", "__rk2")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__h", md5(col(idCol).cast("string")))
+      // tail nibbles of the same hash: deterministic, balance-only
+      // (selection never depends on WHICH shard a row lands in)
+      .withColumn("__shard", pmod(
+        conv(substring(col("__h"), 25, 8), 16, 10).cast("long"),
+        lit(shards.toLong)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(stratumCol), col("__shard"))
+          .orderBy(col("__h"), col(idCol))))
+      .where(col("__rk") <= k)
+      .withColumn("__rk2", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(col("__h"), col(idCol))))
+      .where(col("__rk2") <= k)
+      .drop("__h", "__shard", "__rk", "__rk2")
+  }
+
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-ES), content-addressed: each row draws
+    * its uniform u ∈ (0,1) from md5(id) — first 13 hex nibbles j →
+    * (j + 0.5) / 2^52 — and the k rows with the largest u^(1/w) win,
+    * computed in log space as ln(u)/w (same argmax, no underflow at
+    * tiny weights). Higher weight ⇒ key closer to 0 ⇒ more likely
+    * selected; raising one row's weight can only keep or add it
+    * (monotone), never drop it. The key is rounded to 10 dp so
+    * near-equal keys become EXACT ties broken by id — the ordering an
+    * independent engine reproduces bit-for-bit.
+    *
+    * Scale shape: global top-k via orderBy+limit ⇒
+    * TakeOrderedAndProject (per-partition partial top-k, single
+    * k-sized merge) — no window, no full sort. Rows with w ≤ 0 or
+    * null are excluded (A-ES is defined on positive weights).
+    * Output: input columns, sample members only. */
+  def weightedSampleByMd5(df: DataFrame, idCol: String, weightCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    Joins.requireFreeColumns("weightedSampleByMd5", df.columns, "__key")
+    val j = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("double")
+    val u = (j + 0.5) / 4503599627370496.0 // 2^52
+    df.where(col(weightCol).cast("double") > 0.0)
+      .withColumn("__key", round(log(u) / col(weightCol).cast("double"), 10))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
   }
 
   /** Stratified sample: per-stratum fractions via seeded `sampleBy` —

@@ -486,6 +486,59 @@ class PipelinesSuite extends AnyFunSuite {
     assert(got.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("quotaSampleByMd5TwoPhase ≡ single-window quota; plan shows per-shard partial top-k") {
+    val df = Seq.tabulate(300)(i =>
+      (i.toLong, if (i % 10 == 0) "small" else "mega")).toDF("id", "src")
+    val single = Pipelines.quotaSampleByMd5(df, "src", "id", k = 25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    for (shards <- Seq(1, 4, 32)) {
+      val two = Pipelines.quotaSampleByMd5TwoPhase(df, "src", "id", k = 25,
+          shards = shards)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(two == single, s"shards=$shards diverged")
+    }
+    // phase 1 must be a (stratum, shard)-partitioned window — the
+    // whole point is that no single task ever sees a full mega-stratum
+    val plan = Pipelines.quotaSampleByMd5TwoPhase(df, "src", "id", 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__shard"), s"expected sharded phase-1 window:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 2, s"expected two windows:\n$plan")
+  }
+
+  test("weightedSampleByMd5: exact k, deterministic, w<=0 excluded, monotone in weight") {
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, if (i >= 96) 0.0 - (i - 96) else 1.0 + (i % 7))).toDF("id", "w")
+    val got = Pipelines.weightedSampleByMd5(df, "id", "w", k = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 20)
+    assert(got.intersect((96L until 100L).toSet).isEmpty) // w <= 0 never sampled
+    val again = Pipelines.weightedSampleByMd5(df, "id", "w", k = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == again)
+    // A-ES matches a local reference: top-k of ln(u)/w with the same
+    // md5-derived u, rounded key, id tie-break
+    def u(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.substring(0, 13), 16) + 0.5) / 4503599627370496.0
+    }
+    def key(id: Long, w: Double): Double = java.math.BigDecimal
+      .valueOf(math.log(u(id)) / w) // valueOf: Spark round's own path
+      .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expect = Seq.tabulate(100)(i =>
+        (i.toLong, if (i >= 96) 0.0 - (i - 96) else 1.0 + (i % 7)))
+      .filter(_._2 > 0)
+      .sortBy { case (id, w) => (-key(id, w), id) }.take(20).map(_._1).toSet
+    assert(got == expect)
+    // monotone: raising a WINNER's weight keeps it in the sample
+    val winner = got.head
+    val boosted = df.withColumn("w",
+      when(col("id") === winner, col("w") * 100).otherwise(col("w")))
+    val after = Pipelines.weightedSampleByMd5(boosted, "id", "w", k = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(after.contains(winner))
+  }
+
   test("equiWidthHistogram: edges, max-in-last-bucket, degenerate and null handling") {
     val df = Seq[java.lang.Double](0.0, 1.0, 2.5, 5.0, 9.9, 10.0, null)
       .toDF("v")
