@@ -1310,8 +1310,15 @@ object Queries {
     * part is the 4-way join + groupBy edge extraction; the power
     * iteration then runs on the aggregated graph). 5 iterations,
     * d = 0.85, ranks rounded to 6 dp. */
-  def xPageRank(s: SparkSession, d: String): DataFrame = {
-    val edges = lineitem(s, d)
+  def xPageRank(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graphs.pageRank(nationTradeEdges(s, d),
+        "cnation", "snation", "w", iters = 5)
+      .orderBy("node")
+
+  /** The nation trade graph both PageRank entries walk: edges
+    * customer-nation → supplier-nation weighted by order-line count. */
+  private def nationTradeEdges(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
@@ -1320,8 +1327,18 @@ object Queries {
       .join(nation(s, d).select(col("n_nationkey").as("__snk"),
         col("n_name").as("snation")), col("s_nationkey") === col("__snk"))
       .groupBy("cnation", "snation").agg(count(lit(1)).as("w"))
-    graft.operators.Graphs.pageRank(edges, "cnation", "snation", "w",
-        iters = 5)
+
+  /** Personalized PageRank over the nation trade graph, seeded at the
+    * ASIA nations: proximity-to-Asia trade authority — the
+    * crawl-frontier/domain-expansion scoring pattern. 5 iterations,
+    * d = 0.85, 6 dp. */
+  def xPpr(s: SparkSession, d: String): DataFrame = {
+    val seeds = nation(s, d)
+      .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .select(col("n_name"))
+    graft.operators.Graphs.personalizedPageRank(nationTradeEdges(s, d),
+        "cnation", "snation", "w", seeds, "n_name", iters = 5)
       .orderBy("node")
   }
 

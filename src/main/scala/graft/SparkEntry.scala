@@ -227,6 +227,40 @@ object SparkEntry {
     head + steps + s" SELECT node, ROUND(r, 6) + 0 AS pr FROM r$iters ORDER BY node"
   }
 
+  /** Unrolled-CTE PPR oracle: same trade-graph CTEs as the PageRank
+    * oracle, restart vector = uniform over the ASIA-seed nodes present
+    * in the graph, recurrence mirrored op-for-op against
+    * Graphs.pprSuperstep ((1-d)*s + d*(cb + dm*s)). */
+  private def pprOracleSql(iters: Int, damping: String = "0.85"): String = {
+    val head =
+      "WITH e AS (SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey " +
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey GROUP BY 1, 2), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "seedset AS (SELECT DISTINCT n.node FROM nodes n " +
+        "JOIN nation na ON n.node = na.n_name " +
+        "JOIN region re ON na.n_regionkey = re.r_regionkey WHERE re.r_name = 'ASIA'), " +
+        "kk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM seedset), " +
+        "outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src), " +
+        "frac AS (SELECT e.src, e.dst, e.w / o.ow AS p FROM e JOIN outw o ON e.src = o.src), " +
+        "s0 AS (SELECT n.node, CASE WHEN ss.node IS NOT NULL THEN 1.0 / (SELECT k FROM kk) ELSE 0.0 END AS s " +
+        "FROM nodes n LEFT JOIN seedset ss ON n.node = ss.node), " +
+        "r0 AS (SELECT node, s AS r FROM s0)"
+    val steps = (1 to iters).map { t =>
+      val prev = s"r${t - 1}"
+      s", d$t AS (SELECT COALESCE(SUM(r.r), 0) AS dm FROM $prev r " +
+        "LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL)" +
+        s", r$t AS (SELECT n.node, (1 - $damping) * n.s + " +
+        s"$damping * (COALESCE(c.cb, 0) + (SELECT dm FROM d$t) * n.s) AS r " +
+        "FROM s0 n LEFT JOIN (SELECT f.dst, SUM(f.p * r.r) AS cb " +
+        s"FROM frac f JOIN $prev r ON f.src = r.node GROUP BY f.dst) c ON n.node = c.dst)"
+    }.mkString
+    head + steps + s" SELECT node, ROUND(r, 6) + 0 AS pr FROM r$iters ORDER BY node"
+  }
+
   private def semDedupOracles: Map[String, String] = scala.util.Try {
     import Queries.SemDedupFixture._
     val spark = SparkSession.active
@@ -666,6 +700,7 @@ object SparkEntry {
     "x_entity_match" -> (Queries.xEntityMatch _),
     "x_entity_match_indel" -> (Queries.xEntityMatchIndel _),
     "x_pagerank" -> (Queries.xPageRank _),
+    "x_ppr" -> (Queries.xPpr _),
     "x_curation_funnel" -> (Queries.xCurationFunnel _),
     "x_event_funnel" -> (Queries.xEventFunnel _),
     "x_retention" -> (Queries.xRetention _),
@@ -1383,6 +1418,7 @@ object SparkEntry {
         "AND abs(length(a.c_name) - length(b.c_name)) <= 1 " +
         "WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY id1, id2"),
     "x_pagerank" -> pageRankOracleSql(5),
+    "x_ppr" -> pprOracleSql(5),
     // curation funnel: x_gopher's proven quality fragment (minWords 20)
     // + min-id exemplar per text + the x_sample md5-byte threshold,
     // counted per stage with COUNT(CASE ...) ≡ Spark count(when(...))

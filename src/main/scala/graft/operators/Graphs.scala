@@ -58,9 +58,7 @@ object Graphs {
     // srcs all derive from it, and without the checkpoint each of their
     // (eager) checkpoints re-executes the caller's whole edge-extraction
     // plan — for x_pagerank that was the 4-way TPC-H join running 4×
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("double").as("w"))
-      .localCheckpoint()
+    val e = projectEdges(edges, srcCol, dstCol, weightCol)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -80,6 +78,98 @@ object Graphs {
     }
     ranks.select(col("node"), (round(col("r"), roundDp) + 0.0).as("pr"))
   }
+
+  /** Personalized PageRank (seed-restart random walk — Page et al.
+    * 1999 §6's personalized vector; the crawl-frontier / domain-
+    * expansion scorer next to [[pageRank]]):
+    *
+    *   s(v)     = 1/|S| for v ∈ S, else 0   (S = seed nodes in graph)
+    *   r₀(v)    = s(v)
+    *   rₜ₊₁(v) = (1−d)·s(v) + d·( Σ_{u→v} w/outw · rₜ(u) + dmₜ·s(v) )
+    *
+    * i.e. the uniform teleport AND the dangling redistribution both
+    * return to the seed distribution instead of 1/N — rank measures
+    * proximity to the seeds, Σr = 1 throughout (conservation asserted
+    * in OperatorsSuite). Seeds not present in the graph are ignored;
+    * at least one seed must survive.
+    *
+    * Same superstep scale shape, checkpointing discipline, fixed-iters
+    * determinism and `roundDp` contract as [[pageRank]] — replayable
+    * by an unrolled-CTE oracle.
+    *
+    * Output: (node, pr) for every node. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           weightCol: String, seeds: DataFrame,
+                           seedCol: String, iters: Int,
+                           damping: Double = 0.85,
+                           roundDp: Int = 6): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val e = projectEdges(edges, srcCol, dstCol, weightCol)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, "node")
+      .localCheckpoint()
+    val k = seedNodes.count().toDouble
+    require(k > 0, "personalizedPageRank: no seed appears in the graph")
+    val outw = e.groupBy("src").agg(sum("w").as("ow"))
+    val frac = e.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+      .localCheckpoint()
+    val srcs = outw.select(col("src").as("node")).localCheckpoint()
+    // node frame CARRIES its restart probability: the seed indicator
+    // join happens once, not once per iteration
+    val nodesS = nodes
+      .join(seedNodes.withColumn("__isSeed", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__isSeed").isNotNull, lit(1.0 / k)).otherwise(lit(0.0))
+          .as("s"))
+      .localCheckpoint()
+    var ranks = nodesS.select(col("node"), col("s").as("r")).localCheckpoint()
+    var t = 0
+    while (t < iters) {
+      ranks = pprSuperstep(nodesS, frac, srcs, ranks, damping).localCheckpoint()
+      t += 1
+    }
+    ranks.select(col("node"), (round(col("r"), roundDp) + 0.0).as("pr"))
+  }
+
+  /** One un-checkpointed PPR step (see [[Graphs.superstep]] for the
+    * plan-shape rationale — identical join/agg skeleton, with the
+    * restart column riding on the node frame and the dangling mass
+    * teleporting to the seeds): r = (1−d)·s + d·(cb + dm·s). */
+  private[graft] def pprSuperstep(nodesS: DataFrame, frac: DataFrame,
+                                  srcs: DataFrame, ranks: DataFrame,
+                                  damping: Double): DataFrame = {
+    val dmDf = ranks.join(srcs, Seq("node"), "left_anti")
+      .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
+    val contrib = frac.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy("dst").agg(sum(col("p") * col("r")).as("cb"))
+    nodesS
+      .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .crossJoin(broadcast(dmDf))
+      .select(col("node"), col("s"),
+        (lit(1.0 - damping) * col("s") + lit(damping) *
+          (coalesce(col("cb"), lit(0.0)) + col("dm") * col("s"))).as("r"))
+  }
+
+  /** Shared edge projection: non-positive-weight edges are DROPPED —
+    * they carry no rank mass, and keeping them would admit a source
+    * whose out-weight sums to 0, whose w/outw fractions are NaN/∞ in
+    * Spark but NULL in an independent SQL engine (the cross-engine
+    * divergence class the zero-norm cosine guard also closes). A node
+    * whose every out-edge is dropped is simply dangling, which both
+    * recurrences already redistribute. A dropped edge contributes
+    * nothing at all — including its endpoints' node membership. */
+  private def projectEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                           weightCol: String): DataFrame =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w"))
+      .where(col("w") > 0.0)
+      .localCheckpoint()
 
   /** One un-checkpointed power-iteration step (exposed so PlanShapeSuite
     * can assert the superstep's physical plan — the public path

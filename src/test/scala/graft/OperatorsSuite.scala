@@ -1047,6 +1047,45 @@ class OperatorsSuite extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
 
+  test("personalizedPageRank: matches local seed-restart iteration; rank concentrates at seeds") {
+    // same graph incl. the dangling node; seeds {a, d} (d dangling) +
+    // an out-of-graph seed that must be ignored
+    val edges = Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L),
+      ("c", "a", 1L), ("b", "d", 3L)).toDF("s", "t", "w")
+    val seeds = Seq("a", "d", "zz_not_in_graph").toDF("seed")
+    val got = graft.operators.Graphs
+      .personalizedPageRank(edges, "s", "t", "w", seeds, "seed",
+        iters = 8, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val out = Map("a" -> Seq(("b", 2.0 / 3), ("c", 1.0 / 3)),
+      "b" -> Seq(("c", 0.25), ("d", 0.75)), "c" -> Seq(("a", 1.0)))
+    val nodes = Seq("a", "b", "c", "d")
+    val s = Map("a" -> 0.5, "b" -> 0.0, "c" -> 0.0, "d" -> 0.5)
+    var r = s
+    for (_ <- 1 to 8) {
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map { v =>
+        val cb = out.toSeq.flatMap { case (u, es) =>
+          es.collect { case (dst, p) if dst == v => p * r(u) } }.sum
+        v -> ((1.0 - 0.85) * s(v) + 0.85 * (cb + dm * s(v)))
+      }.toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-6, s"$v: ${got(v)} vs ${r(v)}")
+    }
+    // conservation: teleport + dangling both return to the seeds
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+    // personalization: the uniform walk ranks c highest (two in-edges);
+    // seeding at {a, d} must rank a seed above c
+    assert(got("a") > got("c"))
+    // zero-weight edges are dropped, not NaN-poisoned (the w<=0 guard)
+    val withZero = edges.unionByName(Seq(("e", "f", 0L)).toDF("s", "t", "w"))
+    val guarded = graft.operators.Graphs
+      .pageRank(withZero, "s", "t", "w", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(!guarded.contains("e") && guarded.values.forall(v => !v.isNaN))
+  }
+
   test("funnelStages: strict-after and gap-boundary semantics, closed form") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
