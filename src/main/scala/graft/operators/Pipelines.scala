@@ -943,17 +943,30 @@ object Pipelines {
     *
     * Counts only (no min/max strings): integer metrics are the
     * cross-engine-stable core; value-typed extremes re-enter formatting
-    * territory. Exact distincts expand to one aggregate each in the
-    * same job (Spark plans a multi-distinct expand); for approximate
-    * profiling at extreme widths use HLL (A3) instead.
+    * territory.
+    *
+    * Distinct mode: `approxRsd = 0` (default) keeps EXACT distincts —
+    * each expands to its own aggregate in the same job (Spark's
+    * multi-distinct Expand duplicates the input ×cols, expensive at
+    * 100 TB). A positive `approxRsd` switches every n_distinct to
+    * HLL++ `approx_count_distinct` at that relative standard
+    * deviation: one plain (non-Expand) agg pass, constant sketch
+    * memory per column, map-side partial merge — the scale path;
+    * error bound asserted in SketchPropsSuite. Null counts stay exact
+    * in both modes.
     *
     * Output: (column, n_nulls, n_distinct), one row per profiled
     * column. */
-  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profileColumns(df: DataFrame, cols: Seq[String],
+                     approxRsd: Double = 0.0): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs columns")
+    require(approxRsd >= 0.0 && approxRsd < 1.0,
+      "approxRsd must be in [0, 1): 0 = exact, else the HLL++ rsd")
     val aggs = cols.flatMap { c =>
+      val nd = if (approxRsd > 0.0) approx_count_distinct(col(c), approxRsd)
+        else countDistinct(col(c))
       Seq(count(when(col(c).isNull, lit(1))).as(s"__n_$c"),
-        countDistinct(col(c)).as(s"__d_$c"))
+        nd.as(s"__d_$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stacked = cols.map(c =>

@@ -20,6 +20,29 @@ class SketchPropsSuite extends AnyFunSuite {
       s"exact=$exact approx=$approx")
   }
 
+  test("profileColumns approx mode: exact nulls, distincts within 3×rsd, no Expand in plan") {
+    import graft.operators.Pipelines
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_returnflag")
+    val rsd = 0.05
+    val exact = Pipelines.profileColumns(li, Seq("l_partkey", "l_suppkey", "l_returnflag"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val approxDf = Pipelines.profileColumns(
+      li, Seq("l_partkey", "l_suppkey", "l_returnflag"), approxRsd = rsd)
+    val approx = approxDf
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    exact.foreach { case (c, (nNull, nDist)) =>
+      val (aNull, aDist) = approx(c)
+      assert(aNull == nNull, s"$c null counts must stay exact")
+      assert(math.abs(aDist - nDist).toDouble / nDist <= 3 * rsd,
+        s"$c: exact=$nDist approx=$aDist")
+    }
+    // the scale rationale: approx mode must plan ONE plain agg pass,
+    // not the multi-distinct Expand the exact mode pays
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+  }
+
   test("A7: percentile_approx brackets the exact median") {
     val li = Tables.lineitem(spark, sfDir)
     val r = li.agg(
