@@ -1412,6 +1412,15 @@ object Queries {
         "doc_id", "n_chars", k = 200)
       .orderBy("doc_id")
 
+  /** Per-source weighted quota: the best 30 docs per source drawn by
+    * length-weighted A-ES keys — weighted sampling and quota exactness
+    * composed. */
+  def xWeightedQuota(s: SparkSession, d: String): DataFrame =
+    Pipelines.weightedQuotaSampleByMd5(
+        documents(s, d).select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", k = 30)
+      .orderBy("doc_id")
+
   /** Equi-width 12-bin histogram of document lengths (n_chars). */
   def xHistogram(s: SparkSession, d: String): DataFrame =
     Pipelines.equiWidthHistogram(documents(s, d), "n_chars", bins = 12)

@@ -152,9 +152,10 @@ object ScaleSmoke {
           Tables.documents(s, d), "doc_id", "text", k = 8)),
       // trained trigram lang-id over the full corpus (train slice grows
       // with the corpus): one count pass over the train text, profile
-      // stays (langs × vocab) and vocab saturates, scoring collapses to
-      // per-(doc,trigram) multiplicities before the language fan-out —
-      // both shuffles are keyed partial-aggs, so time must track rows
+      // stays (langs × vocab) and vocab saturates, scoring joins trigram
+      // position rows against the broadcast fixed-point profile and
+      // partial-aggregates straight to per-doc integer sums — the one
+      // corpus-sized shuffle is doc-keyed, so time must track rows
       ("x_lang_id_full", Seq("documents"), (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
         graft.operators.TextAnalysis.langIdNgram(
@@ -202,6 +203,11 @@ object ScaleSmoke {
       // iteration cost is constant, and time must track the 4-way
       // extraction join, i.e. rows
       q("x_pagerank", "lineitem", "orders", "customer", "supplier", "nation"),
+      // PPR shares the pagerank posture: node set stays the 25 nations,
+      // edge weights grow ∝ copies, the seed set is a dim-table join —
+      // time must track the extraction join
+      q("x_ppr", "lineitem", "orders", "customer", "supplier", "nation",
+        "region"),
       // curation funnel over the replica: the c<i> text tag breaks
       // cross-copy EXACT duplication, so dedup groups stay within-copy
       // and every stage's work is one keyed pass — time must track rows
@@ -222,10 +228,23 @@ object ScaleSmoke {
       // quota window state is a per-stratum counter; histogram is a
       // bounds agg + bucket groupBy — both ∝ rows
       q("x_quota_sample", "documents"),
-      q("x_histogram", "documents"))
-      // NOT here: x_entity_match. Replica customer names are
-      // copy-identical (c_name is not tagged), so every cross-copy name
-      // pair is a TRUE distance-0 match within its nation block — the
+      q("x_histogram", "documents"),
+      // A-ES sample: one projection + TakeOrderedAndProject (partial
+      // per-partition top-k, k-sized merge) — time must track rows
+      q("x_weighted_sample", "documents"),
+      // two-phase quota on a deliberately UNKEYED mega-stratum (every
+      // doc in one stratum): phase 1 shards it across 32 windows,
+      // phase 2 sees ≤ 32·k rows — time must track rows where the
+      // single-window form would serialize the whole corpus
+      ("x_quota2_full", Seq("documents"), (s: SparkSession, d: String) =>
+        graft.operators.Pipelines.quotaSampleByMd5TwoPhase(
+          Tables.documents(s, d).select(col("doc_id"), lit("all").as("k1")),
+          "k1", "doc_id", k = 1000, shards = 32)))
+      // NOT here: x_entity_match / x_entity_match_indel. Replica
+      // customer names are copy-identical (c_name is not tagged), so
+      // every cross-copy name pair is a TRUE distance-0 match (and
+      // every planted indel typo matches every copy of its original)
+      // within its nation block — the
       // verified-pair output grows as copies² by workload semantics,
       // the same exclusion class as x_simhash_pairs. Its scale evidence
       // is the front ≡ brute-force equivalence in OperatorsSuite plus
@@ -259,7 +278,7 @@ object ScaleSmoke {
     * nationkey join by `copies` instead of growing the fact side. The
     * unshifted c_nationkey/s_nationkey in the replicated customer and
     * supplier copies still resolve against the base dimension. */
-  private val dimTables: Set[String] = Set("nation")
+  private val dimTables: Set[String] = Set("nation", "region")
 
   /** Text columns made copy-distinct in the replica (a leading
     * `c<copy>` token on copies 1..n-1; copy 0 stays byte-identical to

@@ -709,6 +709,7 @@ object SparkEntry {
     "x_profile" -> (Queries.xProfile _),
     "x_quota_sample" -> (Queries.xQuotaSample _),
     "x_weighted_sample" -> (Queries.xWeightedSample _),
+    "x_weighted_quota" -> (Queries.xWeightedQuota _),
     "x_histogram" -> (Queries.xHistogram _)
   )
 
@@ -1501,6 +1502,16 @@ object SparkEntry {
         "/ CAST(n_chars AS DOUBLE), 10) AS k " +
         "FROM documents WHERE CAST(n_chars AS DOUBLE) > 0 " +
         "ORDER BY k DESC, doc_id LIMIT 200) ORDER BY doc_id"),
+    // per-stratum weighted quota: the same A-ES key ranked inside each
+    // source by ROW_NUMBER
+    "x_weighted_quota" ->
+      ("SELECT doc_id, source, n_chars FROM (" +
+        "SELECT doc_id, source, n_chars, " +
+        "ROW_NUMBER() OVER (PARTITION BY source ORDER BY " +
+        "ROUND(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 0.5) / 4503599627370496.0) " +
+        "/ CAST(n_chars AS DOUBLE), 10) DESC, doc_id) AS rk " +
+        "FROM documents WHERE CAST(n_chars AS DOUBLE) > 0) " +
+        "WHERE rk <= 30 ORDER BY doc_id"),
     // histogram: op order mirrors equiWidthHistogram exactly —
     // floor((v - lo) / ((hi - lo) / bins)), max pinned to the last
     // bucket, edges recomputed from (lo, hi, bucket) and rounded

@@ -196,6 +196,52 @@ object Pipelines {
       .drop("__key")
   }
 
+  /** Per-stratum weighted sample WITHOUT replacement: A-ES
+    * ([[weightedSampleByMd5]]'s key — ln(u)/w from md5(id), rounded
+    * 10 dp, id tie-break) ranked INSIDE each stratum by the quota
+    * machinery ([[quotaSampleByMd5]]'s window shape) — "the best-k
+    * documents per domain, quality-weighted", the primitive that
+    * closes the quota (uniform, exact-k) vs weighted (global-k) gap.
+    *
+    * Same mega-stratum caveat as [[quotaSampleByMd5]]: the per-stratum
+    * window pins a stratum to one task. For a near-unkeyed corpus,
+    * the two-phase trick applies identically (shard-local top-k on the
+    * SAME key, then per-stratum top-k over ≤ shards·k survivors) —
+    * pass `shards > 1` to take that path; winners are identical.
+    * Rows with w ≤ 0 or null are excluded.
+    * Output: input columns, sample members only. */
+  def weightedQuotaSampleByMd5(df: DataFrame, stratumCol: String,
+                               idCol: String, weightCol: String, k: Int,
+                               shards: Int = 1): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    require(shards >= 1, "shards must be >= 1")
+    Joins.requireFreeColumns("weightedQuotaSampleByMd5", df.columns,
+      "__h", "__key", "__shard", "__rk", "__rk2")
+    import org.apache.spark.sql.expressions.Window
+    val j = conv(substring(col("__h"), 1, 13), 16, 10).cast("double")
+    val u = (j + 0.5) / 4503599627370496.0 // 2^52
+    val staged = df
+      .where(col(weightCol).cast("double") > 0.0)
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__key", round(log(u) / col(weightCol).cast("double"), 10))
+    val phase1 =
+      if (shards == 1) staged
+      else staged
+        .withColumn("__shard", pmod(
+          conv(substring(col("__h"), 25, 8), 16, 10).cast("long"),
+          lit(shards.toLong)))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col(stratumCol), col("__shard"))
+            .orderBy(col("__key").desc, col(idCol))))
+        .where(col("__rk") <= k)
+    phase1
+      .withColumn("__rk2", row_number().over(
+        Window.partitionBy(col(stratumCol))
+          .orderBy(col("__key").desc, col(idCol))))
+      .where(col("__rk2") <= k)
+      .drop("__h", "__key", "__shard", "__rk", "__rk2")
+  }
+
   /** Stratified sample: per-stratum fractions via seeded `sampleBy` —
     * e.g. downsample over-represented languages. Executor-local RNG per
     * row, no shuffle. */

@@ -539,6 +539,39 @@ class PipelinesSuite extends AnyFunSuite {
     assert(after.contains(winner))
   }
 
+  test("weightedQuotaSampleByMd5: per-stratum A-ES winners; sharded path identical") {
+    val df = Seq.tabulate(120)(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b",
+        if (i >= 115 ) 0.0 else 1.0 + (i % 5))).toDF("id", "src", "w")
+    val got = Pipelines.weightedQuotaSampleByMd5(df, "src", "id", "w", k = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // local reference: per-stratum top-8 by (rounded ln(u)/w desc, id)
+    def u(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.substring(0, 13), 16) + 0.5) / 4503599627370496.0
+    }
+    def key(id: Long, w: Double): Double = java.math.BigDecimal
+      .valueOf(math.log(u(id)) / w)
+      .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expect = Seq.tabulate(120)(i =>
+        (i.toLong, if (i % 3 == 0) "a" else "b",
+          if (i >= 115) 0.0 else 1.0 + (i % 5)))
+      .filter(_._3 > 0)
+      .groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        rows.sortBy { case (id, _, w) => (-key(id, w), id) }.take(8)
+          .map(r => (r._1, src))
+      }.sorted
+    assert(got == expect)
+    // the sharded escape hatch must pick identical winners
+    for (shards <- Seq(4, 32)) {
+      val sharded = Pipelines
+        .weightedQuotaSampleByMd5(df, "src", "id", "w", k = 8, shards = shards)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(sharded == got, s"shards=$shards diverged")
+    }
+  }
+
   test("equiWidthHistogram: edges, max-in-last-bucket, degenerate and null handling") {
     val df = Seq[java.lang.Double](0.0, 1.0, 2.5, 5.0, 9.9, 10.0, null)
       .toDF("v")
