@@ -414,6 +414,31 @@ class PlanShapeSuite extends AnyFunSuite {
       "expected the broadcast dangling-mass crossJoin in:\n" + p)
   }
 
+  test("graph: one PPR superstep is equi-join + partial agg, window-free") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0), ("a", "c", 2.0))
+      .toDF("src", "dst", "w")
+    val nodesS = Seq(("a", 0.5), ("b", 0.5), ("c", 0.0)).toDF("node", "s")
+    val frac = edges.select(col("src"), col("dst"), col("w").as("p"))
+    val srcs = edges.select(col("src").as("node")).distinct()
+    val ranks = nodesS.select(col("node"), col("s").as("r"))
+    val p = plan(graft.operators.Graphs.pprSuperstep(
+      nodesS, frac, srcs, ranks, damping = 0.85))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected the broadcast dangling-mass crossJoin in:\n" + p)
+  }
+
+  test("sampling: A-ES top-k plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan(graft.operators.Pipelines.weightedSampleByMd5(
+      Tables.documents(spark, sfDir).select("doc_id", "n_chars"),
+      "doc_id", "n_chars", k = 100))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("funnel: curation funnel has no window and a partial-agg funnel count") {
     val p = plan(graft.operators.Pipelines.curationFunnel(
       Tables.documents(spark, sfDir), "doc_id", "text", "source",
