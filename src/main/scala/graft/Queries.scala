@@ -1426,6 +1426,118 @@ object Queries {
     Pipelines.equiWidthHistogram(documents(s, d), "n_chars", bins = 12)
       .orderBy("bucket")
 
+  /** CDC-style change log derived from the event stream: user_id as the
+    * business key, (ts, event_id) as the total per-key order, 'error'
+    * events as tombstones — the generic log shape [[ChangeData]]
+    * materializes. */
+  private def changeLog(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+        .as("op"),
+      col("value"))
+
+  /** Latest-wins snapshot compaction of the change log: one row per
+    * live user (latest change not a tombstone), map-side-combining
+    * max_by — no window. */
+  def xLatestSnapshot(s: SparkSession, d: String): DataFrame =
+    graft.operators.ChangeData.latestSnapshot(changeLog(s, d),
+        Seq("user_id"), "ts", "event_id", "op")
+      .orderBy("user_id")
+
+  /** SCD type-2 validity history of the change log: every non-delete
+    * change annotated with its [valid_from, valid_to) interval;
+    * tombstones close intervals without emitting rows. */
+  def xScd2(s: SparkSession, d: String): DataFrame =
+    graft.operators.ChangeData.scd2History(changeLog(s, d),
+        Seq("user_id"), "ts", "event_id", "op")
+      .orderBy("user_id", "ts", "event_id")
+
+  /** Incremental SCD2 maintenance: history built from the first half of
+    * the change log (ts < Jan 16), the second half folded in with
+    * [[graft.operators.ChangeData.mergeScd2]] — the oracle is the
+    * FROM-SCRATCH history over the full log, so the hash gate proves
+    * incremental ≡ rebuild cross-engine. */
+  def xScd2Merge(s: SparkSession, d: String): DataFrame = {
+    val log = changeLog(s, d)
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val hist = graft.operators.ChangeData.scd2History(
+      log.where(col("ts") < cut), Seq("user_id"), "ts", "event_id", "op")
+    graft.operators.ChangeData.mergeScd2(hist,
+        log.where(col("ts") >= cut), Seq("user_id"), "ts", "event_id", "op")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Trade edges thinned to above-average weight — the sparse graph the
+    * triangle/HITS entries walk (the full 25-nation graph is
+    * near-complete, which makes structure metrics degenerate). The
+    * average rides in-plan as a broadcast 1-row aggregate; integer
+    * counts sum exactly in double, so the threshold is cross-engine
+    * deterministic. */
+  private def thinTradeEdges(s: SparkSession, d: String): DataFrame = {
+    // checkpoint: the 625-row edge list feeds BOTH the average subplan
+    // and the cut — without it the 4-way fact join runs twice
+    val e = nationTradeEdges(s, d).localCheckpoint()
+    e.crossJoin(broadcast(e.agg(avg(col("w")).as("__aw"))))
+      .where(col("w") > col("__aw"))
+      .select("cnation", "snation")
+  }
+
+  /** Per-nation triangle counts over the thinned (undirected) trade
+    * graph — degree-ordered orientation, all keyed equi-joins. */
+  def xTriangles(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graphs.triangleCounts(thinTradeEdges(s, d),
+        "cnation", "snation")
+      .orderBy("node")
+
+  /** HITS hubs/authorities over the thinned trade graph: 3 mutual-
+    * reinforcement rounds, L1-normalized, 6 dp. */
+  def xHits(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graphs.hits(thinTradeEdges(s, d),
+        "cnation", "snation", iters = 3)
+      .orderBy("node")
+
+  /** Deterministic label-propagation communities over the thinned trade
+    * graph: 3 synchronous rounds, most-frequent-neighbor label,
+    * min-label tie-break. */
+  def xCommunities(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graphs.labelPropagation(thinTradeEdges(s, d),
+        "cnation", "snation", iters = 3)
+      .orderBy("node")
+
+  /** Multi-touch attribution: view/click touches credited for the
+    * purchases they preceded within 48 h — last-touch and linear models
+    * in one pass, range-join paired. */
+  def xAttribution(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.attribution(events(s, d),
+        "user_id", "event_type", "ts", "event_id",
+        touchTypes = Seq("click", "view"), convType = "purchase",
+        lookbackSec = 172800L)
+      .orderBy("channel")
+
+  /** Declarative data-quality gate over the documents table: five rule
+    * types, one aggregation pass; the lang in-set rule fails by design
+    * (en+de+fr ≈ 70 % < 80 %) so both verdicts are exercised. */
+  def xExpectations(s: SparkSession, d: String): DataFrame = {
+    import Pipelines.Expectation._
+    Pipelines.checkExpectations(documents(s, d), Seq(
+        NotNull("text"),
+        Unique("doc_id"),
+        InRange("n_chars", 100, 400, minFrac = 0.5),
+        MatchesRegex("text", "the", minFrac = 0.5),
+        InSet("lang", Seq("en", "de", "fr"), minFrac = 0.8)))
+      .orderBy("rule", "col_name")
+  }
+
+  /** Robust per-(event-type) outlier screen on the value column:
+    * modified z-score (median/MAD), |z| > 3.5 — exact percentiles so
+    * the DuckDB quantile_cont oracle replays them. */
+  def xOutliers(s: SparkSession, d: String): DataFrame =
+    Pipelines.robustOutliers(
+        events(s, d).select(col("event_id"), col("event_type"),
+          col("value")),
+        "event_type", "value")
+      .orderBy("event_type", "event_id")
+
   /** CDC-envelope ingest round-trip (S2-S5): build reference-shaped
     * envelopes from nation rows, parse them back typed. */
   def xCdcIngest(s: SparkSession, d: String): DataFrame = {

@@ -232,6 +232,29 @@ object ScaleSmoke {
       // A-ES sample: one projection + TakeOrderedAndProject (partial
       // per-partition top-k, k-sized merge) — time must track rows
       q("x_weighted_sample", "documents"),
+      // CDC materialization over the replicated event log: compaction
+      // is one map-side-combining max_by groupBy, SCD2 one per-key
+      // window — both must track the log linearly (user_id is shifted
+      // per copy, so per-key version counts stay constant)
+      q("x_latest_snapshot", "events"),
+      q("x_scd2", "events"),
+      q("x_scd2_merge", "events"),
+      // robust outliers: two exact-percentile agg passes + keyed joins;
+      // output ∝ outliers, wall must track the event log
+      q("x_outliers", "events"),
+      // attribution: the rangeJoin front buckets on (user, time), and
+      // replica users are copy-distinct — pair count stays ∝ events
+      q("x_attribution", "events"),
+      // graph structure metrics share x_pagerank's profile: the 4-way
+      // trade-edge extraction grows with the facts while the 25-node
+      // graph work is constant — the probe checks the extraction
+      // dominates and nothing re-walks the facts per wedge
+      q("x_triangles", "lineitem", "orders", "customer", "supplier",
+        "nation"),
+      q("x_hits", "lineitem", "orders", "customer", "supplier", "nation"),
+      // the expectations gate is ONE aggregation pass whatever the rule
+      // count — per-row cost constant, wall must track the corpus
+      q("x_expectations", "documents"),
       // two-phase quota on a deliberately UNKEYED mega-stratum (every
       // doc in one stratum): phase 1 shards it across 32 windows,
       // phase 2 sees ≤ 32·k rows — time must track rows where the

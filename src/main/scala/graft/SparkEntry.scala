@@ -261,6 +261,123 @@ object SparkEntry {
     head + steps + s" SELECT node, ROUND(r, 6) + 0 AS pr FROM r$iters ORDER BY node"
   }
 
+  /** Shared CTE prefix for the graph-structure oracles: the trade-edge
+    * extraction (same 4-way join as the PageRank oracle) thinned to
+    * above-average weight. Integer-valued counts sum exactly in double,
+    * so AVG is order-independent and the `w > avg` cut is cross-engine
+    * deterministic. */
+  private val thinTradeCte: String =
+    "WITH e AS (SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w " +
+      "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+      "JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+      "JOIN nation cn ON c.c_nationkey = cn.n_nationkey " +
+      "JOIN nation sn ON s.s_nationkey = sn.n_nationkey GROUP BY 1, 2), " +
+      "thin AS (SELECT src, dst FROM e WHERE w > (SELECT AVG(w) FROM e))"
+
+  /** DuckDB oracle for x_triangles: id-ordered canonical enumeration —
+    * each triangle {p<q<r} found exactly once via edges (p,q),(p,r),(q,r)
+    * — deliberately a DIFFERENT orientation than the engine's
+    * degree-ordering (Graphs.triangleCounts), which only changes WORK,
+    * never the triangle set, so agreement is a real independent check. */
+  private def trianglesOracleSql: String =
+    thinTradeCte +
+      ", canon AS (SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y FROM thin WHERE src <> dst)" +
+      ", nodes AS (SELECT x AS node FROM canon UNION SELECT y FROM canon)" +
+      ", tri AS (SELECT a.x AS n1, a.y AS n2, b.y AS n3 FROM canon a " +
+      "JOIN canon b ON a.x = b.x AND a.y < b.y " +
+      "JOIN canon c ON c.x = a.y AND c.y = b.y)" +
+      ", pern AS (SELECT node, COUNT(*) AS t FROM (" +
+      "SELECT n1 AS node FROM tri UNION ALL SELECT n2 FROM tri UNION ALL SELECT n3 FROM tri) GROUP BY node) " +
+      "SELECT n.node, COALESCE(p.t, 0) AS triangles FROM nodes n " +
+      "LEFT JOIN pern p ON n.node = p.node ORDER BY n.node"
+
+  /** DuckDB oracle for x_hits: the mutual-reinforcement recurrence
+    * UNROLLED (h0 → a1/h1 → … → a`iters`/h`iters`), mirroring
+    * Graphs.hitsHalfStep op-for-op (raw sum joined onto all nodes,
+    * COALESCE 0, L1-normalize); summation-order ulps absorbed by the
+    * 6 dp rounding — the PageRank-oracle contract.
+    *
+    * Plan hygiene, learned the hard way: each normalizer is a
+    * `SUM() OVER ()` INSIDE its step CTE (one reference to the raw
+    * frame, not a scalar subquery that doubles references), and the
+    * shared graph CTEs are AS MATERIALIZED — DuckDB 1.0 inlines CTEs
+    * at every reference site, so the scalar-subquery form multiplies
+    * the 4-way trade join 8× PER ITERATION and never finishes. */
+  private def hitsOracleSql(iters: Int): String = {
+    val head =
+      "WITH e AS MATERIALIZED (SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey " +
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey GROUP BY 1, 2), " +
+        "thin AS MATERIALIZED (SELECT src, dst FROM e WHERE w > (SELECT AVG(w) FROM e)), " +
+        "ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM thin), " +
+        "nodes AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst FROM ed), " +
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) / COUNT(*) OVER () AS h FROM nodes)"
+    val steps = (1 to iters).map { t =>
+      val prev = s"h${t - 1}"
+      s", a$t AS (SELECT node, raw / SUM(raw) OVER () AS a FROM (" +
+        "SELECT n.node, COALESCE(x.s, 0) AS raw FROM nodes n " +
+        s"LEFT JOIN (SELECT e2.dst AS node, SUM(h.h) AS s FROM ed e2 JOIN $prev h ON e2.src = h.node GROUP BY e2.dst) x " +
+        "ON n.node = x.node))" +
+        s", h$t AS (SELECT node, raw / SUM(raw) OVER () AS h FROM (" +
+        "SELECT n.node, COALESCE(x.s, 0) AS raw FROM nodes n " +
+        s"LEFT JOIN (SELECT e2.src AS node, SUM(a.a) AS s FROM ed e2 JOIN a$t a ON e2.dst = a.node GROUP BY e2.src) x " +
+        "ON n.node = x.node))"
+    }.mkString
+    head + steps +
+      s" SELECT n.node, ROUND(h.h, 6) + 0 AS hub, ROUND(a.a, 6) + 0 AS auth " +
+      s"FROM nodes n JOIN h$iters h ON n.node = h.node " +
+      s"JOIN a$iters a ON n.node = a.node ORDER BY n.node"
+  }
+
+  /** SCD2 from-scratch oracle: lead(ts) over ALL changes (deletes close
+    * intervals), delete rows filtered after — same op order as
+    * ChangeData.scd2History. Shared by x_scd2 and x_scd2_merge (the
+    * incremental merge must reproduce the rebuild row-for-row). */
+  private val scd2OracleSqlText: String =
+    "WITH log AS (SELECT user_id, ts, event_id, " +
+      "CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op, value FROM events), " +
+      "h AS (SELECT *, ts AS valid_from, " +
+      "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM log) " +
+      "SELECT user_id, ts, event_id, op, value, valid_from, valid_to, " +
+      "(valid_to IS NULL) AS is_current FROM h WHERE op <> 'd' " +
+      "ORDER BY user_id, ts, event_id"
+
+  /** DuckDB oracle for x_communities: the synchronous min-tie-break LPA
+    * recurrence unrolled; the winner pick is a ROW_NUMBER replay of the
+    * engine's min_by over (−count, label). All-string output — no
+    * float tolerance at all. Base CTEs AS MATERIALIZED (the x_hits
+    * inlining lesson); l${t-1} is referenced twice per round, so 2^t
+    * inlining is bounded by materializing each round too. */
+  private def lpaOracleSql(iters: Int): String = {
+    val head =
+      "WITH e AS MATERIALIZED (SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey " +
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey GROUP BY 1, 2), " +
+        "thin AS MATERIALIZED (SELECT src, dst FROM e WHERE w > (SELECT AVG(w) FROM e)), " +
+        "canon AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y FROM thin WHERE src <> dst), " +
+        "nbrs AS MATERIALIZED (SELECT x AS node, y AS nbr FROM canon UNION ALL SELECT y, x FROM canon), " +
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM nbrs), " +
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"
+    val steps = (1 to iters).map { t =>
+      val prev = s"l${t - 1}"
+      s", l$t AS MATERIALIZED (SELECT n.node, COALESCE(w.label, pl.label) AS label FROM nodes n " +
+        "LEFT JOIN (SELECT node, label FROM (SELECT node, label, " +
+        "ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn FROM (" +
+        s"SELECT nb.node, l.label, COUNT(*) AS c FROM nbrs nb JOIN $prev l ON nb.nbr = l.node " +
+        "GROUP BY nb.node, l.label)) WHERE rn = 1) w ON n.node = w.node " +
+        s"JOIN $prev pl ON n.node = pl.node)"
+    }.mkString
+    head + steps +
+      s" SELECT node, label FROM l$iters ORDER BY node"
+  }
+
   private def semDedupOracles: Map[String, String] = scala.util.Try {
     import Queries.SemDedupFixture._
     val spark = SparkSession.active
@@ -710,7 +827,16 @@ object SparkEntry {
     "x_quota_sample" -> (Queries.xQuotaSample _),
     "x_weighted_sample" -> (Queries.xWeightedSample _),
     "x_weighted_quota" -> (Queries.xWeightedQuota _),
-    "x_histogram" -> (Queries.xHistogram _)
+    "x_histogram" -> (Queries.xHistogram _),
+    "x_latest_snapshot" -> (Queries.xLatestSnapshot _),
+    "x_scd2" -> (Queries.xScd2 _),
+    "x_scd2_merge" -> (Queries.xScd2Merge _),
+    "x_triangles" -> (Queries.xTriangles _),
+    "x_hits" -> (Queries.xHits _),
+    "x_communities" -> (Queries.xCommunities _),
+    "x_attribution" -> (Queries.xAttribution _),
+    "x_expectations" -> (Queries.xExpectations _),
+    "x_outliers" -> (Queries.xOutliers _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1523,7 +1649,73 @@ object SparkEntry {
         "SELECT CAST(bucket AS BIGINT) AS bucket, " +
         "ROUND(lo + bucket * (hi - lo) / 12, 4) AS lo_edge, " +
         "ROUND(lo + (bucket + 1) * (hi - lo) / 12, 4) AS hi_edge, " +
-        "COUNT(*) AS n FROM g GROUP BY bucket, lo, hi ORDER BY bucket")
+        "COUNT(*) AS n FROM g GROUP BY bucket, lo, hi ORDER BY bucket"),
+    // latest-wins compaction: row_number replay of the max_by((ts, tie))
+    // pick — (ts, event_id) is a total per-key order, so both agree
+    "x_latest_snapshot" ->
+      ("WITH log AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op, value FROM events), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM log) " +
+        "SELECT user_id, ts, event_id, op, value FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id"),
+    // SCD2: lead(ts) over ALL changes (deletes close intervals), delete
+    // rows filtered after — same op order as scd2History
+    "x_scd2" -> scd2OracleSqlText,
+    // the merge entry's oracle is the FROM-SCRATCH history over the
+    // full log — hash agreement proves incremental ≡ rebuild
+    "x_scd2_merge" -> scd2OracleSqlText,
+    "x_triangles" -> trianglesOracleSql,
+    "x_hits" -> hitsOracleSql(3),
+    "x_communities" -> lpaOracleSql(3),
+    // attribution: the rangeJoin window in timestamp arithmetic
+    // (micros are exact either way), last-touch via row_number replay
+    // of max_by((tts, ttie)), linear credit = Σ cnt/n rounded 6 dp
+    "x_attribution" ->
+      ("WITH t AS (SELECT user_id AS u, event_type AS ch, ts AS tts, event_id AS ttie FROM events " +
+        "WHERE event_type IN ('click', 'view')), " +
+        "c AS (SELECT user_id AS cu, ts AS cts, event_id AS cid FROM events WHERE event_type = 'purchase'), " +
+        "p AS (SELECT ch, tts, ttie, cid FROM t JOIN c ON u = cu AND cts > tts AND cts <= tts + INTERVAL 172800 SECOND), " +
+        "pc AS (SELECT cid, ch, COUNT(*) AS cnt FROM p GROUP BY cid, ch), " +
+        "pn AS (SELECT cid, SUM(cnt) AS n FROM pc GROUP BY cid), " +
+        "lin AS (SELECT ch AS channel, SUM(CAST(cnt AS DOUBLE) / n) AS l FROM pc JOIN pn USING (cid) GROUP BY ch), " +
+        "lt AS (SELECT ch AS channel, COUNT(*) AS c FROM (" +
+        "SELECT ch, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tts DESC, ttie DESC) AS rn FROM p) WHERE rn = 1 GROUP BY ch), " +
+        "chans AS (SELECT 'click' AS channel UNION ALL SELECT 'view') " +
+        "SELECT ch.channel, COALESCE(lt.c, 0) AS last_touch, " +
+        "ROUND(COALESCE(lin.l, 0.0), 6) + 0 AS linear FROM chans ch " +
+        "LEFT JOIN lt ON ch.channel = lt.channel " +
+        "LEFT JOIN lin ON ch.channel = lin.channel ORDER BY ch.channel"),
+    // expectations: each metric recomputed as a ratio of exact longs
+    // (checkExpectations' frac, den-0 → 1.0); passed compares the
+    // UNROUNDED ratio, metric rounds to 6 dp — same as the engine
+    "x_expectations" ->
+      ("WITH m AS (SELECT " +
+        "CASE WHEN COUNT(*) = 0 THEN 1.0 ELSE CAST(COUNT(CASE WHEN text IS NULL THEN 1 END) AS DOUBLE) / COUNT(*) END AS m0, " +
+        "CASE WHEN COUNT(doc_id) = 0 THEN 1.0 ELSE CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / COUNT(doc_id) END AS m1, " +
+        "CASE WHEN COUNT(n_chars) = 0 THEN 1.0 ELSE CAST(COUNT(CASE WHEN CAST(n_chars AS DOUBLE) BETWEEN 100 AND 400 THEN 1 END) AS DOUBLE) / COUNT(n_chars) END AS m2, " +
+        "CASE WHEN COUNT(text) = 0 THEN 1.0 ELSE CAST(COUNT(CASE WHEN regexp_matches(text, 'the') THEN 1 END) AS DOUBLE) / COUNT(text) END AS m3, " +
+        "CASE WHEN COUNT(lang) = 0 THEN 1.0 ELSE CAST(COUNT(CASE WHEN lang IN ('en', 'de', 'fr') THEN 1 END) AS DOUBLE) / COUNT(lang) END AS m4 " +
+        "FROM documents) " +
+        "SELECT * FROM (" +
+        "SELECT 'not_null' AS rule, 'text' AS col_name, ROUND(m0, 6) + 0 AS metric, CAST(0.0 AS DOUBLE) AS threshold, m0 <= 0.0 AS passed FROM m " +
+        "UNION ALL SELECT 'unique', 'doc_id', ROUND(m1, 6) + 0, CAST(1.0 AS DOUBLE), m1 >= 1.0 FROM m " +
+        "UNION ALL SELECT 'in_range', 'n_chars', ROUND(m2, 6) + 0, CAST(0.5 AS DOUBLE), m2 >= 0.5 FROM m " +
+        "UNION ALL SELECT 'matches_regex', 'text', ROUND(m3, 6) + 0, CAST(0.5 AS DOUBLE), m3 >= 0.5 FROM m " +
+        "UNION ALL SELECT 'in_set', 'lang', ROUND(m4, 6) + 0, CAST(0.8 AS DOUBLE), m4 >= 0.8 FROM m" +
+        ") ORDER BY rule, col_name"),
+    // outliers: quantile_cont ≡ Spark's exact interpolating percentile;
+    // the flag compares the UNROUNDED score, outputs round to 6 dp;
+    // MAD = 0 degenerates to value <> median, score NULL — both engines
+    "x_outliers" ->
+      ("WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type), " +
+        "d2 AS (SELECT event_type, quantile_cont(ABS(value - med), 0.5) AS mad " +
+        "FROM events JOIN m USING (event_type) GROUP BY event_type), " +
+        "s AS (SELECT e.event_id, e.event_type, e.value, m.med, d2.mad, " +
+        "CASE WHEN d2.mad > 0 THEN 0.6745 * (e.value - m.med) / d2.mad END AS score " +
+        "FROM events e JOIN m USING (event_type) JOIN d2 USING (event_type)) " +
+        "SELECT event_id, event_type, value, ROUND(med, 6) + 0 AS med, " +
+        "ROUND(mad, 6) + 0 AS mad, ROUND(score, 6) + 0 AS score FROM s " +
+        "WHERE (mad > 0 AND ABS(score) > 3.5) OR (mad = 0 AND value <> med) " +
+        "ORDER BY event_type, event_id")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

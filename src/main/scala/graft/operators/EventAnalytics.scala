@@ -88,6 +88,73 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Multi-touch conversion attribution: credit each touch channel for
+    * the conversions it preceded, under the two standard models at once —
+    * last-touch (the final touch before the conversion takes the whole
+    * conversion) and linear (each of a conversion's n window touches
+    * takes 1/n).
+    *
+    * Window semantics: a touch attributes to a conversion of the same
+    * user when `touch_ts ∈ [conv_ts − lookbackSec, conv_ts)` — strictly
+    * before the conversion, at most the lookback older. Conversions with
+    * no in-window touch are unattributed and carry no credit (the
+    * organic remainder every attribution product reports separately);
+    * `touchTypes` channels that never earn credit still appear with
+    * zeros, so the output row set is exactly `touchTypes`.
+    *
+    * Scale shape: the touch×conversion pairing reuses [[Joins.rangeJoin]]
+    * — the lookback window becomes an equi-join on (user, time-bucket),
+    * hash/SMJ eligible, never a per-user cross product over the raw
+    * timeline. Everything after is map-side partial groupBys whose
+    * keyspaces are ≤ conversions (per-conversion stats) and then
+    * ≤ |channels| — the last-touch pick is a `max_by` over the totally
+    * ordered (ts, tie) pair, not a window. Credits are rounded to
+    * `roundDp` (summation-order ulps, the PageRank contract).
+    *
+    * Output: (channel, last_touch, linear), one row per touch type,
+    * `last_touch` a conversion count, `linear` the rounded fractional
+    * credit sum. */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, tieCol: String, touchTypes: Seq[String],
+                  convType: String, lookbackSec: Long,
+                  roundDp: Int = 6): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(lookbackSec > 0, "lookbackSec must be positive")
+    Joins.requireFreeColumns("attribution", events.columns,
+      "__ch", "__tts", "__ttie", "__cu", "__cts", "__cid", "__n", "__cnt",
+      "channel", "last_touch", "linear")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(typeCol).as("__ch"),
+        col(tsCol).as("__tts"), col(tieCol).as("__ttie"))
+    val convs = events.where(col(typeCol) === convType)
+      .select(col(userCol).as("__cu"), col(tsCol).as("__cts"),
+        col(tieCol).as("__cid"))
+    // conv_ts ∈ (touch_ts, touch_ts + lookback] ⇔
+    // touch_ts ∈ [conv_ts − lookback, conv_ts)
+    val pairs = Joins.rangeJoin(touches, userCol, "__tts",
+        convs, "__cu", "__cts", lookbackSec)
+      .localCheckpoint() // consumed by both models below
+    val perConvCh = pairs.groupBy("__cid", "__ch")
+      .agg(count(lit(1)).as("__cnt"))
+    val perConv = perConvCh.groupBy("__cid").agg(sum("__cnt").as("__n"))
+    val linear = perConvCh.join(perConv, "__cid")
+      .groupBy(col("__ch").as("channel"))
+      .agg(sum(col("__cnt") / col("__n")).as("linear"))
+    val last = pairs.groupBy("__cid")
+      .agg(max_by(col("__ch"), struct(col("__tts"), col("__ttie")))
+        .as("channel"))
+      .groupBy("channel").agg(count(lit(1)).as("last_touch"))
+    touchTypes.toDF("channel")
+      .join(last, Seq("channel"), "left")
+      .join(linear, Seq("channel"), "left")
+      .select(col("channel"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        (round(coalesce(col("linear"), lit(0.0)), roundDp) + 0.0)
+          .as("linear"))
+  }
+
   /** Weekly retention cohorts: users grouped by the week of their first
     * event; for each (cohort week, week offset) the number of cohort
     * users active in that week. The classic triangle every growth

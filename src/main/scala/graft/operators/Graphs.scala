@@ -171,6 +171,213 @@ object Graphs {
       .where(col("w") > 0.0)
       .localCheckpoint()
 
+  /** Per-node triangle counts over the undirected simple graph induced
+    * by the edge list (self-loops dropped, direction and multiplicity
+    * ignored). The local clustering signal behind community/spam
+    * structure scoring on link graphs.
+    *
+    * Scale shape — the degree-ordered orientation (Schank & Wagner
+    * 2005, the MapReduce-folklore form): every canonical edge is
+    * oriented from its lower-(degree, id) endpoint to the higher, which
+    * bounds every node's OUT-degree by O(√m) however skewed the raw
+    * degree distribution is. The wedge enumeration is then a self
+    * equi-join of the oriented edges on their source — work
+    * Σ outdeg(u)² = O(m^1.5) worst case, NOT the Σ deg(u)² a naive
+    * neighbor join pays (catastrophic on power-law hubs) — and each
+    * wedge (v, w) is closed by one more equi-join against the oriented
+    * edge set. Every join is keyed (hash/SMJ eligible); no node's
+    * adjacency list is ever collected.
+    *
+    * The orientation affects WORK ONLY: the triangle set is orientation
+    * -independent, so an independent oracle may enumerate with plain
+    * id-ordering and must agree.
+    *
+    * Output: (node, triangles) for every node of the graph, zeros
+    * included. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    Joins.requireFreeColumns("triangleCounts", Seq(srcCol, dstCol),
+      "__x", "__y", "__u", "__v", "__du", "__dv", "node", "triangles")
+    val canon = edges
+      .where(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("__x"),
+        greatest(col(srcCol), col(dstCol)).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val deg = canon.select(col("__x").as("node"))
+      .union(canon.select(col("__y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+    val nodes = deg.select("node").localCheckpoint()
+    // attach both endpoint degrees, then orient low-(deg, id) → high
+    val dx = deg.select(col("node").as("__x"), col("__d").as("__dx"))
+    val dy = deg.select(col("node").as("__y"), col("__d").as("__dy"))
+    val lowFirst = col("__dx") < col("__dy") ||
+      (col("__dx") === col("__dy") && col("__x") < col("__y"))
+    val oriented = canon.join(dx, "__x").join(dy, "__y")
+      .select(
+        when(lowFirst, col("__x")).otherwise(col("__y")).as("__u"),
+        when(lowFirst, col("__y")).otherwise(col("__x")).as("__v"),
+        when(lowFirst, col("__dy")).otherwise(col("__dx")).as("__dv"))
+      .localCheckpoint()
+    val o1 = oriented.select(col("__u"), col("__v").as("__v1"),
+      col("__dv").as("__dv1"))
+    val o2 = oriented.select(col("__u"), col("__v").as("__v2"),
+      col("__dv").as("__dv2"))
+    // wedge (v1, v2) ordered by (deg, id) — the same order `oriented`
+    // uses, so closure is a direct equi-join on (src, dst)
+    val wedges = o1.join(o2, "__u")
+      .where(col("__dv1") < col("__dv2") ||
+        (col("__dv1") === col("__dv2") && col("__v1") < col("__v2")))
+      .select(col("__u"), col("__v1"), col("__v2"))
+    val tris = wedges.join(oriented
+        .select(col("__u").as("__v1"), col("__v").as("__v2")),
+        Seq("__v1", "__v2"))
+      .localCheckpoint()
+    val perNode = tris.select(col("__u").as("node"))
+      .union(tris.select(col("__v1").as("node")))
+      .union(tris.select(col("__v2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__t"))
+    nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__t"), lit(0L)).as("triangles"))
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) with L1 normalization,
+    * fixed `iters` mutual-reinforcement rounds over the DISTINCT edge
+    * set (standard HITS is unweighted; multiplicity is ignored):
+    *
+    *   h₀(u)    = 1/N
+    *   aᵣₐᵥ(v) = Σ_{u→v} hₜ₋₁(u);   aₜ = aᵣₐᵥ / Σ aᵣₐᵥ
+    *   hᵣₐᵥ(u) = Σ_{u→v} aₜ(v);     hₜ = hᵣₐᵥ / Σ hᵣₐᵥ
+    *
+    * L1 (sum) normalization instead of the textbook L2: it is exactly
+    * replayable in portable SQL (an unrolled-CTE oracle, like
+    * [[pageRank]]'s) and yields identical rankings — normalization in
+    * HITS only fixes the scale. Fixed iteration count and `roundDp`
+    * rounding for the same determinism contract as [[pageRank]].
+    *
+    * Scale shape per iteration: two keyed join + partial-agg groupBy
+    * passes (edges ⋈ hubs on src, edges ⋈ auths on dst) with each
+    * normalization sum riding in-plan as a broadcast 1-row aggregate —
+    * ONE Spark job per iteration (the checkpoint), no driver collects.
+    * Score frames are (node, double) — broadcastable at cluster scale
+    * while the edge frame never moves twice.
+    *
+    * Output: (node, hub, auth) for every node, rounded to `roundDp`. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+           roundDp: Int = 6): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count().toDouble
+    require(n > 0, "hits: empty graph")
+    var hubs = nodes.select(col("node"), lit(1.0 / n).as("h"))
+      .localCheckpoint()
+    var auths = hubs.select(col("node"), lit(0.0).as("a")) // overwritten in round 1
+    var t = 0
+    while (t < iters) {
+      auths = hitsHalfStep(nodes, e, hubs, "src", "dst", "h", "a")
+        .localCheckpoint()
+      hubs = hitsHalfStep(nodes, e, auths, "dst", "src", "a", "h")
+        .localCheckpoint()
+      t += 1
+    }
+    nodes
+      .join(hubs, "node").join(auths, "node")
+      .select(col("node"), (round(col("h"), roundDp) + 0.0).as("hub"),
+        (round(col("a"), roundDp) + 0.0).as("auth"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, made
+    * deterministic): community detection over the undirected simple
+    * graph. Every node starts labeled with itself; each round, every
+    * node adopts the most frequent label among its neighbors, ties
+    * broken by the SMALLEST label — the synchronous min-tie-break
+    * variant, so the result is a pure function of the graph and `iters`
+    * (classic LPA's random update order is deliberately dropped: it
+    * cannot be oracled and cannot be reproduced across runs).
+    * Isolated nodes keep their own label.
+    *
+    * Scale shape per round: one equi-join of the (≤2m)-row undirected
+    * neighbor frame against the (n)-row label frame, one
+    * partial-aggregating (node, label) count, and one min_by groupBy —
+    * all keyed, no windows; the label frame localCheckpoints per round
+    * (O(1) lineage, same discipline as [[pageRank]]). Power-law hubs
+    * cost Σdeg — the same bound as any message-passing round — and AQE
+    * skew-splits the hot node's count.
+    *
+    * Output: (node, label) for every node after `iters` rounds. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 0, "labelPropagation needs iters >= 0")
+    val canon = edges
+      .where(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("__x"),
+        greatest(col(srcCol), col(dstCol)).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    // both directions: each undirected edge delivers a label both ways
+    val nbrs = canon.select(col("__x").as("node"), col("__y").as("nbr"))
+      .union(canon.select(col("__y").as("node"), col("__x").as("nbr")))
+      .localCheckpoint()
+    val nodes = nbrs.select("node").distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var t = 0
+    while (t < iters) {
+      labels = lpaRound(nodes, nbrs, labels).localCheckpoint()
+      t += 1
+    }
+    labels
+  }
+
+  /** One un-checkpointed LPA round (exposed for PlanShapeSuite): join
+    * neighbor frame to labels on the SENDING endpoint, count received
+    * labels per node, adopt the (max count, min label) winner; nodes
+    * with no neighbors (can't occur here — nodes is derived from nbrs)
+    * would keep their label via the left join. */
+  private[graft] def lpaRound(nodes: DataFrame, nbrs: DataFrame,
+                              labels: DataFrame): DataFrame = {
+    val received = nbrs
+      .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+      .groupBy("node", "label").agg(count(lit(1)).as("__c"))
+    // min over (−count, label): the most frequent label, smallest wins
+    // ties — a total order, so the round is deterministic
+    val winner = received.groupBy("node")
+      .agg(min_by(col("label"), struct(-col("__c"), col("label")))
+        .as("__w"))
+    nodes.join(winner, Seq("node"), "left")
+      .join(labels, Seq("node"))
+      .select(col("node"), coalesce(col("__w"), col("label")).as("label"))
+  }
+
+  /** One un-checkpointed HITS half-step (exposed for PlanShapeSuite):
+    * propagate `scores` across the edges from `fromCol` to `toCol`,
+    * partial-agg groupBy on the receiving endpoint, left join back onto
+    * the node set, L1-normalize by an in-plan broadcast 1-row sum.
+    * Zero-sum cannot occur mid-iteration: scores start strictly
+    * positive and every edge endpoint is a node. */
+  private[graft] def hitsHalfStep(nodes: DataFrame, e: DataFrame,
+                                  scores: DataFrame, fromCol: String,
+                                  toCol: String, inCol: String,
+                                  outCol: String): DataFrame = {
+    val raw = e.join(scores.withColumnRenamed("node", fromCol), Seq(fromCol))
+      .groupBy(col(toCol).as("node")).agg(sum(col(inCol)).as("__raw"))
+    val joined = nodes.join(raw, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__raw"), lit(0.0)).as("__raw"))
+    val total = joined.agg(sum("__raw").as("__s"))
+    joined.crossJoin(broadcast(total))
+      .select(col("node"), (col("__raw") / col("__s")).as(outCol))
+  }
+
   /** One un-checkpointed power-iteration step (exposed so PlanShapeSuite
     * can assert the superstep's physical plan — the public path
     * checkpoints each round, which truncates the visible plan to a

@@ -1021,6 +1021,138 @@ object Pipelines {
       s"stack(${cols.size}, $stacked) AS (col_name, n_nulls, n_distinct)")
   }
 
+  /** A declarative data-quality constraint for [[checkExpectations]].
+    * Each rule reduces to a conditional-count metric over one column;
+    * `threshold` and the comparison direction are part of the rule. */
+  sealed trait Expectation { def column: String }
+  object Expectation {
+    /** Null fraction must be ≤ `maxNullFrac`. */
+    final case class NotNull(column: String, maxNullFrac: Double = 0.0)
+      extends Expectation
+    /** Distinct / non-null count must be ≥ `minDistinctFrac`
+      * (1.0 = strictly unique; vacuously 1.0 on an all-null column). */
+    final case class Unique(column: String, minDistinctFrac: Double = 1.0)
+      extends Expectation
+    /** Fraction of non-null values in [lo, hi] must be ≥ `minFrac`. */
+    final case class InRange(column: String, lo: Double, hi: Double,
+                             minFrac: Double = 1.0) extends Expectation
+    /** Fraction of non-null values matching `pattern` (Java-regex
+      * partial match, `rlike`) must be ≥ `minFrac`. */
+    final case class MatchesRegex(column: String, pattern: String,
+                                  minFrac: Double = 1.0) extends Expectation
+    /** Fraction of non-null values in `values` must be ≥ `minFrac`. */
+    final case class InSet(column: String, values: Seq[String],
+                           minFrac: Double = 1.0) extends Expectation
+  }
+
+  /** Data-quality gate (the Deequ-style publish check a corpus runs
+    * before it ships): evaluate every [[Expectation]] and report one
+    * row per rule — the measured metric, the rule's threshold, and the
+    * verdict. The caller fails the pipeline on `passed = false` rows;
+    * nothing here throws, because a quality report must always
+    * materialize.
+    *
+    * Scale shape: ALL rules evaluate in ONE aggregation pass — each
+    * rule is a conditional count (map-side partial) over its column;
+    * only `Unique` adds a distinct aggregate (Spark's multi-distinct
+    * Expand — the same documented cost as [[profileColumns]] exact
+    * mode). One job, one 1-row result, however many rules.
+    *
+    * Metrics are ratios of exact longs (IEEE division is bit-identical
+    * cross-engine), rounded to 6 dp on output; `passed` compares the
+    * UNROUNDED ratio so the verdict never flips on a rounding edge.
+    *
+    * Output: (rule, col_name, metric, threshold, passed), in rule
+    * order. */
+  def checkExpectations(df: DataFrame,
+                        rules: Seq[Expectation]): DataFrame = {
+    import Expectation._
+    require(rules.nonEmpty, "checkExpectations needs at least one rule")
+    Joins.requireFreeColumns("checkExpectations", df.columns,
+      rules.indices.map(i => s"__m$i") :+ "__e": _*)
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(1.0)).otherwise(num.cast("double") / den)
+    val metric: Seq[Column] = rules.map {
+      case NotNull(c, _) =>
+        frac(count(when(col(c).isNull, lit(1))), count(lit(1)))
+      case Unique(c, _) => frac(countDistinct(col(c)), count(col(c)))
+      case InRange(c, lo, hi, _) =>
+        frac(count(when(col(c).cast("double").between(lo, hi), lit(1))),
+          count(col(c)))
+      case MatchesRegex(c, p, _) =>
+        frac(count(when(col(c).rlike(p), lit(1))), count(col(c)))
+      case InSet(c, vs, _) =>
+        frac(count(when(col(c).isin(vs: _*), lit(1))), count(col(c)))
+    }
+    val wide = df.agg(metric.head.as("__m0"),
+      metric.tail.zipWithIndex.map { case (m, i) => m.as(s"__m${i + 1}") }: _*)
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      val m = col(s"__m$i")
+      val (name, thr, passed) = r match {
+        case NotNull(_, t)       => ("not_null", t, m <= t)
+        case Unique(_, t)        => ("unique", t, m >= t)
+        case InRange(_, _, _, t) => ("in_range", t, m >= t)
+        case MatchesRegex(_, _, t) => ("matches_regex", t, m >= t)
+        case InSet(_, _, t)      => ("in_set", t, m >= t)
+      }
+      struct(lit(name).as("rule"), lit(r.column).as("col_name"),
+        (round(m, 6) + 0.0).as("metric"), lit(thr).as("threshold"),
+        passed.as("passed"))
+    }
+    wide.select(explode(array(rows: _*)).as("__e")).select(col("__e.*"))
+  }
+
+  /** Robust per-group outlier detection — the modified z-score of
+    * Iglewicz & Hoaglin (1993): score = 0.6745·(v − median)/MAD, flag
+    * |score| > `cutoff` (default 3.5, their recommended threshold).
+    * Median/MAD instead of mean/stddev because corpus metrics are
+    * heavy-tailed and the outliers being hunted would otherwise inflate
+    * the very scale they're judged against.
+    *
+    * Degenerate MAD = 0 (a majority-constant group): every value ≠
+    * median is flagged, score NULL — the statistically honest reading
+    * (any deviation from a >50%-constant group is anomalous) and a
+    * deterministic one.
+    *
+    * Scale shape: two aggregation passes (median, then MAD of the
+    * residuals) + two keyed joins on the group column — output ∝
+    * outliers, never a window. Exact `percentile` buffers a group's
+    * values on one executor (the oracle path); `approxAcc > 0` swaps
+    * both passes to `approx_percentile` — a mergeable, bounded-memory
+    * sketch, the 100 TB path (same exact/approx split as
+    * [[profileColumns]]).
+    *
+    * Output: the input columns + (med, mad, score) rounded to 6 dp,
+    * outlier rows only; the flag compares the UNROUNDED score. */
+  def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
+                     cutoff: Double = 3.5, approxAcc: Int = 0): DataFrame = {
+    require(cutoff > 0, "robustOutliers cutoff must be positive")
+    graft.operators.Joins.requireFreeColumns("robustOutliers", df.columns,
+      "med", "mad", "score", "__med", "__mad", "__score")
+    // exact `percentile` interpolates like SQL quantile_cont (the
+    // oracle semantics); approx_percentile returns a sketch ELEMENT —
+    // close, but only the approx path may use it
+    def pct(c: Column): Column =
+      if (approxAcc > 0) approx_percentile(c, lit(0.5), lit(approxAcc))
+        .cast("double")
+      else percentile(c, lit(0.5)).cast("double")
+    val med = df.groupBy(col(groupCol)).agg(pct(col(valCol)).as("__med"))
+    val mad = df.join(med, groupCol)
+      .groupBy(col(groupCol))
+      .agg(pct(abs(col(valCol) - col("__med"))).as("__mad"))
+    val scored = df.join(med, groupCol).join(mad, groupCol)
+      .withColumn("__score",
+        when(col("__mad") > 0,
+          lit(0.6745) * (col(valCol) - col("__med")) / col("__mad")))
+    scored
+      .where((col("__mad") > 0 && abs(col("__score")) > cutoff) ||
+        (col("__mad") === 0 && col(valCol) =!= col("__med")))
+      .select(df.columns.map(col) ++ Seq(
+        (round(col("__med"), 6) + 0.0).as("med"),
+        (round(col("__mad"), 6) + 0.0).as("mad"),
+        (round(col("__score"), 6) + 0.0).as("score")): _*)
+  }
+
   def sourceStats(df: DataFrame, srcCol: String, textCol: String,
                   langCol: String): DataFrame =
     df.select(col(srcCol), md5(col(textCol)).as("__h"),

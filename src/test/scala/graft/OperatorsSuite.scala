@@ -1150,4 +1150,226 @@ class OperatorsSuite extends AnyFunSuite {
       ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
       ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
   }
+
+  test("triangleCounts ≡ brute-force enumeration on a seeded random multigraph") {
+    // seeded graph with self-loops, duplicates, and both directions —
+    // exercises canonicalization; brute force ignores orientation entirely
+    val rnd = new scala.util.Random(42)
+    val raw = Seq.fill(160)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+    val got = graft.operators.Graphs
+      .triangleCounts(raw.toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val canon = raw.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = canon.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val adj = nodes.map(n => n -> canon.collect {
+      case (a, b) if a == n => b
+      case (a, b) if b == n => a
+    }).toMap
+    val expect = nodes.map { n =>
+      val nb = adj(n).toSeq
+      n -> (for {
+        i <- nb.indices; j <- (i + 1) until nb.size
+        if canon((math.min(nb(i), nb(j)), math.max(nb(i), nb(j))))
+      } yield 1).size.toLong
+    }.toMap
+    assert(got == expect)
+    // sanity: the fixture actually has triangles to count
+    assert(expect.values.sum > 0)
+  }
+
+  test("hits: matches local mutual-reinforcement iteration; L1 sums to 1") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("b", "d"), ("a", "b") /* dup must not double-count */)
+      .toDF("s", "t")
+    val got = graft.operators.Graphs.hits(edges, "s", "t", iters = 4)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // Seq, NOT Set: collect-then-sum over a Set dedupes EQUAL scores
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "d"))
+    val nodes = Seq("a", "b", "c", "d")
+    var h = nodes.map(_ -> 0.25).toMap
+    var a = nodes.map(_ -> 0.0).toMap
+    for (_ <- 1 to 4) {
+      val ar = nodes.map(v => v -> e.collect {
+        case (u, `v`) => h(u) }.sum).toMap
+      val as = ar.values.sum
+      a = ar.map { case (k, v) => k -> v / as }
+      val hr = nodes.map(u => u -> e.collect {
+        case (`u`, v) => a(v) }.sum).toMap
+      val hs = hr.values.sum
+      h = hr.map { case (k, v) => k -> v / hs }
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v)._1 - h(v)) < 1e-6, s"hub $v")
+      assert(math.abs(got(v)._2 - a(v)) < 1e-6, s"auth $v")
+    }
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-5)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-5)
+    // b points at c and d; a points at b and c → a is the top hub
+    assert(nodes.maxBy(v => got(v)._1) == "a")
+  }
+
+  test("labelPropagation ≡ local synchronous simulation; cliques converge to min labels") {
+    val rnd = new scala.util.Random(11)
+    val raw = Seq.fill(120)((rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+    val canon = raw.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nbrs = canon.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    val nodes = nbrs.keySet.toSeq.sorted
+    for (iters <- Seq(0, 1, 3)) {
+      val got = graft.operators.Graphs
+        .labelPropagation(raw.toDF("s", "t"), "s", "t", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var lab = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        lab = nodes.map { n =>
+          val cnt = nbrs(n).map(lab).groupBy(identity)
+            .map { case (l, xs) => l -> xs.size }
+          // max count, ties to the smallest label — the engine's order
+          n -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }.toMap
+      }
+      assert(got == lab, s"iters=$iters")
+    }
+    // two disjoint 4-cliques: each converges to its min node's label
+    val clique = (for {
+      base <- Seq(0L, 10L); i <- 0 to 3; j <- (i + 1) to 3
+    } yield (base + i, base + j)).toDF("s", "t")
+    val comm = graft.operators.Graphs
+      .labelPropagation(clique, "s", "t", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(comm(_) == 0L))
+    assert((10L to 13L).forall(comm(_) == 10L))
+  }
+
+  test("latestSnapshot: max_by pick, tie-break, tombstone drop, re-insert") {
+    import java.sql.Timestamp
+    def d(day: String) = Timestamp.valueOf(s"2024-01-0$day 00:00:00")
+    val log = Seq(
+      (1L, d("1"), 1L, "u", 10.0), (1L, d("2"), 2L, "u", 11.0),
+      (2L, d("1"), 3L, "u", 20.0), (2L, d("3"), 4L, "d", 0.0),
+      (3L, d("1"), 5L, "u", 30.0), (3L, d("1"), 6L, "u", 31.0),
+      (4L, d("1"), 7L, "d", 0.0), (4L, d("2"), 8L, "u", 40.0)
+    ).toDF("k", "t", "tie", "op", "v")
+    val got = graft.operators.ChangeData
+      .latestSnapshot(log, Seq("k"), "t", "tie", "op")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    // k=1 latest update wins; k=2 tombstoned; k=3 same-ts tie → higher
+    // tie wins; k=4 delete-then-reinsert is live
+    assert(got == Seq((1L, 2L, "u", 11.0), (3L, 6L, "u", 31.0),
+      (4L, 8L, "u", 40.0)))
+    // output schema: input columns, original order
+    assert(graft.operators.ChangeData
+      .latestSnapshot(log, Seq("k"), "t", "tie", "op")
+      .columns.toSeq == Seq("k", "t", "tie", "op", "v"))
+  }
+
+  test("scd2History: intervals chain; tombstones close but emit nothing") {
+    import java.sql.Timestamp
+    def d(day: String) = Timestamp.valueOf(s"2024-01-0$day 00:00:00")
+    val log = Seq(
+      (1L, d("1"), 1L, "u", 10.0), (1L, d("2"), 2L, "u", 11.0),
+      (2L, d("1"), 3L, "u", 20.0), (2L, d("3"), 4L, "d", 0.0),
+      (4L, d("1"), 7L, "d", 0.0), (4L, d("2"), 8L, "u", 40.0)
+    ).toDF("k", "t", "tie", "op", "v")
+    val got = graft.operators.ChangeData
+      .scd2History(log, Seq("k"), "t", "tie", "op")
+      .orderBy("k", "t", "tie").collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        Option(r.getTimestamp(5)).map(_.toString).orNull,
+        Option(r.getTimestamp(6)).map(_.toString).orNull,
+        r.getBoolean(7)))
+      .toSeq
+    assert(got == Seq(
+      // k=1: v1 superseded by v2; v2 open and current
+      (1L, 1L, "2024-01-01 00:00:00.0", "2024-01-02 00:00:00.0", false),
+      (1L, 2L, "2024-01-02 00:00:00.0", null, true),
+      // k=2: interval CLOSED by the tombstone, which emits no row
+      (2L, 3L, "2024-01-01 00:00:00.0", "2024-01-03 00:00:00.0", false),
+      // k=4: pre-insert delete emits nothing; the re-insert is current
+      (4L, 8L, "2024-01-02 00:00:00.0", null, true)))
+  }
+
+  test("mergeScd2 ≡ from-scratch scd2History across every split of a seeded log") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    val ops = Seq("u", "u", "u", "d") // 25% tombstones
+    // globally unique, shuffled timestamps: the strictly-newer contract
+    // is about ORDER, and unique ts keep every split contract-clean
+    val secs = rnd.shuffle((1 to 120).toVector)
+    val log = (1 to 120).map { i =>
+      (rnd.nextInt(8).toLong,
+        new Timestamp(1700000000000L + secs(i - 1) * 1000L),
+        i.toLong, ops(rnd.nextInt(ops.size)), rnd.nextDouble())
+    }.toDF("k", "t", "tie", "op", "v")
+    val full = graft.operators.ChangeData
+      .scd2History(log, Seq("k"), "t", "tie", "op")
+      .orderBy("k", "t", "tie").collect().toSeq
+    // per-key split: history = each key's first half BY (t, tie); the
+    // delta is strictly newer per key — the merge contract
+    for (frac <- Seq(0.0, 0.3, 0.7, 1.0)) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("t", "tie")
+      val marked = log
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")))
+      val histLog = marked.where(col("__rn") <= col("__n") * frac)
+        .drop("__rn", "__n")
+      val delta = marked.where(col("__rn") > col("__n") * frac)
+        .drop("__rn", "__n")
+      val hist = graft.operators.ChangeData
+        .scd2History(histLog, Seq("k"), "t", "tie", "op")
+      // frac 0.0 → empty history, frac 1.0 → empty delta: both legal
+      val got = graft.operators.ChangeData
+        .mergeScd2(hist, delta, Seq("k"), "t", "tie", "op")
+      assert(got.orderBy("k", "t", "tie").collect().toSeq == full,
+        s"frac=$frac")
+    }
+  }
+
+  test("mergeScd2 raises loudly when the delta is not strictly newer") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val histLog = Seq((1L, t(100), 1L, "u", 1.0)).toDF("k", "t", "tie", "op", "v")
+    val hist = graft.operators.ChangeData
+      .scd2History(histLog, Seq("k"), "t", "tie", "op")
+    val stale = Seq((1L, t(100), 0L, "u", 2.0)).toDF("k", "t", "tie", "op", "v")
+    val ex = intercept[Exception] {
+      graft.operators.ChangeData
+        .mergeScd2(hist, stale, Seq("k"), "t", "tie", "op").collect()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("not strictly newer")), ex.toString)
+  }
+
+  test("attribution: window boundaries, last-touch pick, linear split, zero channels") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // lookback 15 s: touch qualifies iff conv-15 <= touch < conv
+    val ev = Seq(
+      (1L, "click", ts(10), 1L), (1L, "view", ts(20), 2L),
+      (1L, "purchase", ts(25), 3L), // click@10 exactly at the 15 s edge: in
+      (2L, "view", ts(100), 4L), (2L, "purchase", ts(200), 5L), // stale
+      (3L, "click", ts(5), 6L), (3L, "click", ts(8), 7L),
+      (3L, "purchase", ts(9), 8L),
+      (5L, "view", ts(50), 9L), (5L, "purchase", ts(50), 10L) // ts==conv: out
+    ).toDF("uid", "etype", "t", "eid")
+    val got = graft.operators.EventAnalytics
+      .attribution(ev, "uid", "etype", "t", "eid",
+        touchTypes = Seq("click", "view", "email"), convType = "purchase",
+        lookbackSec = 15L)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // u1: {click@10, view@20} → last view, linear ½ each
+    // u3: {click@5, click@8} → last click, linear 1.0 to click
+    // u2/u5 unattributed; email never touched → explicit zero row
+    assert(got == Seq(("click", 1L, 1.5), ("email", 0L, 0.0),
+      ("view", 1L, 0.5)))
+  }
 }

@@ -623,4 +623,56 @@ class PipelinesSuite extends AnyFunSuite {
       assert(a >= b && b >= c && c >= d)
     }
   }
+
+  test("robustOutliers: closed form, MAD-0 degenerate, approx mode agrees on clear outliers") {
+    // group g: median 5, MAD 1 → 0.6745·(25−5)/1 = 13.49 flags; 6 stays
+    val g = Seq(1.0, 3.0, 4.0, 5.0, 5.0, 6.0, 6.0, 7.0, 25.0).map(("g", _))
+    // group c: 5 of 7 constant → MAD 0; both deviants flag, score NULL
+    val c = Seq(2.0, 2.0, 2.0, 2.0, 2.0, 9.0, 0.5).map(("c", _))
+    val df = (g ++ c).zipWithIndex
+      .map { case ((k, v), i) => (i.toLong, k, v) }.toDF("id", "grp", "v")
+    val got = Pipelines.robustOutliers(df, "grp", "v")
+      .orderBy("id").collect()
+      .map(r => (r.getString(1), r.getDouble(2), Option(r.get(5)))).toSeq
+    assert(got.map(x => (x._1, x._2)) ==
+      Seq(("g", 25.0), ("c", 9.0), ("c", 0.5)))
+    val zg = got.head._3.get.asInstanceOf[Double]
+    assert(math.abs(zg - 0.6745 * 20.0 / 1.0) < 1e-9)
+    assert(got.tail.forall(_._3.isEmpty)) // MAD-0 scores are NULL
+    // approx mode: same clear outliers on this fixture, no exact agg
+    val approx = Pipelines.robustOutliers(df, "grp", "v", approxAcc = 1000)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(approx == Seq(8L, 14L, 15L))
+  }
+
+  test("checkExpectations: every rule type, exact metrics, both verdicts, empty-den convention") {
+    import Pipelines.Expectation._
+    val df = Seq(
+      (1L, Option("a"), 1.0, "apple"),
+      (2L, Option("b"), 2.0, "avocado"),
+      (3L, Option.empty[String], 7.0, "banana"),
+      (4L, Option("c"), 3.0, "apricot"),
+      (5L, Option.empty[String], 9.0, "cherry")
+    ).toDF("id", "s", "x", "txt")
+      .withColumn("alln", lit(null).cast("string"))
+    val got = Pipelines.checkExpectations(df, Seq(
+        NotNull("s", maxNullFrac = 0.4),   // 2/5 nulls, at the edge → pass
+        NotNull("s"),                      // default 0.0 → fail
+        Unique("id"),                      // 5/5 → pass
+        Unique("alln"),                    // 0-denominator → 1.0 → pass
+        InRange("x", 0, 5, minFrac = 0.6), // 3/5 at the edge → pass
+        MatchesRegex("txt", "^a", minFrac = 0.7), // 3/5 → fail
+        InSet("txt", Seq("apple", "banana"), minFrac = 0.4))) // 2/5 → pass
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      ("not_null", "s", 0.4, 0.4, true),
+      ("not_null", "s", 0.4, 0.0, false),
+      ("unique", "id", 1.0, 1.0, true),
+      ("unique", "alln", 1.0, 1.0, true),
+      ("in_range", "x", 0.6, 0.6, true),
+      ("matches_regex", "txt", 0.6, 0.7, false),
+      ("in_set", "txt", 0.4, 0.4, true)))
+  }
 }

@@ -439,6 +439,62 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("CDC: latest-wins compaction is a partial max_by groupBy, window-free") {
+    import spark.implicits._
+    val log = Seq((1L, 1L, 1L, "u", 1.0)).toDF("k", "t", "tie", "op", "v")
+    val p = plan(graft.operators.ChangeData
+      .latestSnapshot(log, Seq("k"), "t", "tie", "op"))
+    // the row_number-window form ships every version of every key
+    // through the shuffle; max_by combines map-side — hot CDC keys
+    // (millions of updates to one row) must collapse before the shuffle
+    assert(!p.contains("Window"), p)
+    assert(p.contains("max_by"), p)
+    assert(p.contains("partial_max_by"), p)
+  }
+
+  test("graph: LPA round is keyed join + partial agg, window-free") {
+    import spark.implicits._
+    val nbrs = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("node", "nbr")
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val labels = nodes.select(col("node"), col("node").as("label"))
+    val p = plan(graft.operators.Graphs.lpaRound(nodes, nbrs, labels))
+    // the winner pick must be the min_by groupBy, not a per-node
+    // row_number window; everything joins on a key
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("min_by"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("graph: HITS half-step is keyed join + partial agg, window-free") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst")
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val hubs = nodes.select(col("node"), lit(1.0 / 3).as("h"))
+    val p = plan(graft.operators.Graphs
+      .hitsHalfStep(nodes, e, hubs, "src", "dst", "h", "a"))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+    // the only nested-loop is the broadcast 1-row L1 normalizer
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected the broadcast normalizer crossJoin in:\n" + p)
+  }
+
+  test("quality: expectations gate is one aggregation, no join, no window") {
+    import graft.operators.Pipelines.Expectation._
+    val p = plan(graft.operators.Pipelines.checkExpectations(
+      Tables.documents(spark, sfDir), Seq(
+        NotNull("text"), Unique("doc_id"),
+        InRange("n_chars", 100, 400, minFrac = 0.5))))
+    // N rules must never mean N passes or a rule-wise join — one
+    // aggregation computes every metric (Unique adds the documented
+    // multi-distinct Expand, same as profileColumns exact mode)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("funnel: curation funnel has no window and a partial-agg funnel count") {
     val p = plan(graft.operators.Pipelines.curationFunnel(
       Tables.documents(spark, sfDir), "doc_id", "text", "source",

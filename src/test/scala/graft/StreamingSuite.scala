@@ -405,6 +405,112 @@ class StreamingSuite extends AnyFunSuite {
     assert(batch.size > 1) // fixture exercises several cells
   }
 
+  test("CDC snapshot store: stream ≡ batch compaction, idempotent replay, tombstone retention") {
+    import graft.jobs.CdcSnapshotJob
+    val dir = Files.createTempDirectory("graft_snap").toString
+    val src = s"$dir/in"; val store = s"$dir/store"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val cfg = CdcSnapshotJob.Config(Seq("k"), tsCol = "t", tieCol = "tie",
+      opCol = "op", nBuckets = 8)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("k LONG, t LONG, tie LONG, op STRING, v DOUBLE")
+        .json(s"$src/*")
+      val q = CdcSnapshotJob.runStreaming(stream, store, ckpt, cfg,
+        Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    val b1 = (1L to 20L).map(i => (i, 100L + i, i, "u", i * 1.0))
+    val b2 = (1L to 5L).map(i => (i, 300L + i, 100L + i, "u", i * 10.0)) ++
+      Seq((6L, 306L, 106L, "d", 0.0), (21L, 321L, 121L, "u", 21.0))
+    b1.toDF("k", "t", "tie", "op", "v").write.json(s"$src/batch1")
+    runOnce()
+    b2.toDF("k", "t", "tie", "op", "v").write.json(s"$src/batch2")
+    runOnce()
+    // stream-maintained snapshot ≡ one-shot batch compaction of the log
+    val fullLog = (b1 ++ b2).toDF("k", "t", "tie", "op", "v")
+    val want = graft.operators.ChangeData
+      .latestSnapshot(fullLog, Seq("k"), "t", "tie", "op")
+      .orderBy("k").collect().toSeq
+    def snap() = CdcSnapshotJob.readSnapshot(spark, store, cfg)
+      .select("k", "t", "tie", "op", "v").orderBy("k")
+    assert(snap().collect().toSeq == want)
+    assert(snap().where(col("k") === 6L).isEmpty) // tombstoned key gone
+    // replaying a landed batch merges to the identical store
+    CdcSnapshotJob.mergeBatch(store,
+      b2.toDF("k", "t", "tie", "op", "v"), cfg)
+    assert(snap().collect().toSeq == want)
+    // a LATE pre-delete update must NOT resurrect key 6: the store
+    // keeps the tombstone and max_by keeps it winning
+    CdcSnapshotJob.mergeBatch(store,
+      Seq((6L, 200L, 50L, "u", 666.0)).toDF("k", "t", "tie", "op", "v"),
+      cfg)
+    assert(snap().where(col("k") === 6L).isEmpty)
+    assert(snap().collect().toSeq == want)
+    // the store really is bucket-partitioned parquet
+    val bucketDirs = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("__bucket="))
+    assert(bucketDirs.nonEmpty)
+  }
+
+  test("quality monitor: per-batch streaming expectation reports equal the batch gate") {
+    import graft.operators.Pipelines.Expectation._
+    val dir = Files.createTempDirectory("graft_qm").toString
+    val src = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val rules = Seq(NotNull("text", maxNullFrac = 0.2),
+      InRange("n", 0, 50, minFrac = 0.9))
+    // batch 1 clean; batch 2 null-floods text and drifts n out of range
+    val b1 = (1L to 20L).map(i => (i, s"doc $i", i % 40))
+    val b2 = (21L to 40L).map(i =>
+      (i, if (i % 2 == 0) null else s"doc $i", 100 + i))
+    // one PHYSICAL file per source batch: maxFilesPerTrigger=1 makes
+    // files the batch unit, and DataFrame.write emits many parts
+    def jsonLine(r: (Long, String, Long)): String = {
+      val t = Option(r._2).map(s => "\"" + s + "\"").getOrElse("null")
+      s"""{"id":${r._1},"text":$t,"n":${r._3}}"""
+    }
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      b1.map(jsonLine).mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(s"$src/b2.json"),
+      b2.map(jsonLine).mkString("\n").getBytes)
+    val stream = spark.readStream
+      .schema("id LONG, text STRING, n LONG")
+      .option("maxFilesPerTrigger", 1)
+      .json(s"$src/*")
+    val q = graft.jobs.QualityMonitorJob.runStreaming(
+      stream, rules, out, ckpt, Trigger.AvailableNow())
+    q.awaitTermination()
+    val report = spark.read.parquet(out)
+    val ids = report.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.length == 2, s"one report per micro-batch, got ${ids.toSeq}")
+    assert(report.count() == 2L * rules.size)
+    // each batch's report rows ≡ the batch operator on that batch's
+    // rows; map report ids to source batches by the null-fraction
+    // metric (file pickup order is not contractual)
+    val cleanId = report
+      .where(col("rule") === "not_null" && col("metric") === 0.0)
+      .select("batch_id").collect().map(_.getLong(0)).toSeq
+    assert(cleanId.size == 1)
+    val dirtyId = ids.filterNot(_ == cleanId.head).head
+    val perBatch = Map(
+      cleanId.head -> b1.toDF("id", "text", "n"),
+      dirtyId -> b2.toDF("id", "text", "n"))
+    for ((bid, df) <- perBatch) {
+      val want = graft.operators.Pipelines.checkExpectations(df, rules)
+        .collect().map(_.toString).sorted.toSeq
+      val got = report.where(col("batch_id") === bid).drop("batch_id")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"batch $bid")
+    }
+    // the alarm fires where it should: clean batch passes, drifted fails
+    assert(report.where(col("batch_id") === cleanId.head && !col("passed"))
+      .isEmpty)
+    assert(report.where(col("batch_id") === dirtyId && !col("passed"))
+      .count() == 2)
+  }
+
   test("T7×retention: streaming cohort activity equals the batch triangle across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val batch = graft.operators.EventAnalytics
