@@ -453,6 +453,68 @@ class StreamingSuite extends AnyFunSuite {
     assert(bucketDirs.nonEmpty)
   }
 
+  test("CDC history store: stream ≡ batch SCD2, replay no-op, time travel") {
+    import graft.jobs.{CdcHistoryJob, CdcSnapshotJob}
+    val dir = Files.createTempDirectory("graft_hist").toString
+    val src = s"$dir/in"; val store = s"$dir/store"; val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val cfg = CdcSnapshotJob.Config(Seq("k"), tsCol = "t", tieCol = "tie",
+      opCol = "op", nBuckets = 8)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("k LONG, t LONG, tie LONG, op STRING, v DOUBLE")
+        .json(s"$src/*")
+      val q = CdcHistoryJob.runStreaming(stream, store, ckpt, cfg,
+        Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    // b1: v1 of keys 1-10; b2: v2 of keys 1-5, delete key 6, new key 11
+    val b1 = (1L to 10L).map(i => (i, 100L + i, i, "u", i * 1.0))
+    val b2 = (1L to 5L).map(i => (i, 300L + i, 100L + i, "u", i * 10.0)) ++
+      Seq((6L, 306L, 106L, "d", 0.0), (11L, 311L, 111L, "u", 11.0))
+    def jl(r: (Long, Long, Long, String, Double)) =
+      s"""{"k":${r._1},"t":${r._2},"tie":${r._3},"op":"${r._4}","v":${r._5}}"""
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      b1.map(jl).mkString("\n").getBytes)
+    runOnce()
+    Files.write(java.nio.file.Paths.get(s"$src/b2.json"),
+      b2.map(jl).mkString("\n").getBytes)
+    runOnce()
+    val fullLog = (b1 ++ b2).toDF("k", "t", "tie", "op", "v")
+    val want = graft.operators.ChangeData
+      .scd2History(fullLog, Seq("k"), "t", "tie", "op")
+      .orderBy("k", "t", "tie").collect().toSeq
+    def hist() = CdcHistoryJob.readHistory(spark, store)
+      .select("k", "t", "tie", "op", "v",
+        "valid_from", "valid_to", "is_current").orderBy("k", "t", "tie")
+    assert(hist().collect().toSeq == want)
+    // replaying a landed batch is a no-op (events deduped, incl. the
+    // tombstone via the interval it closed)
+    CdcHistoryJob.mergeBatch(store,
+      b2.toDF("k", "t", "tie", "op", "v"), cfg)
+    assert(hist().collect().toSeq == want)
+    // time travel: at t=200 every key 1-10 is at v1; at t=400 keys 1-5
+    // are at v2, key 6 is deleted, key 11 exists
+    val at200 = CdcHistoryJob.asOfSnapshot(spark, store, lit(200L))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(at200.toSeq == (1L to 10L).map(i => (i, i * 1.0)))
+    val at400 = CdcHistoryJob.asOfSnapshot(spark, store, lit(400L))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(at400.toSeq ==
+      ((1L to 5L).map(i => (i, i * 10.0)) ++
+        (7L to 10L).map(i => (i, i * 1.0)) :+ ((11L, 11.0))))
+    // a genuinely NEW out-of-order event still raises loudly
+    val ex = intercept[Exception] {
+      CdcHistoryJob.mergeBatch(store,
+        Seq((7L, 50L, 999L, "u", 7.5)).toDF("k", "t", "tie", "op", "v"),
+        cfg)
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("not strictly newer")), ex.toString)
+    assert(hist().collect().toSeq == want, "failed merge must not corrupt")
+  }
+
   test("quality monitor: per-batch streaming expectation reports equal the batch gate") {
     import graft.operators.Pipelines.Expectation._
     val dir = Files.createTempDirectory("graft_qm").toString
