@@ -1528,6 +1528,13 @@ object Queries {
       .orderBy("rule", "col_name")
   }
 
+  /** Key-skew report over the lineitem supplier key: the 20 heaviest
+    * suppliers, count-desc with key tie-break — the pre-salting
+    * diagnostic. */
+  def xSkewReport(s: SparkSession, d: String): DataFrame =
+    Pipelines.skewReport(lineitem(s, d), Seq("l_suppkey"), topK = 20)
+      .orderBy("rank")
+
   /** Robust per-(event-type) outlier screen on the value column:
     * modified z-score (median/MAD), |z| > 3.5 — exact percentiles so
     * the DuckDB quantile_cont oracle replays them. */

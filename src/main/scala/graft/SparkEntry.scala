@@ -836,7 +836,8 @@ object SparkEntry {
     "x_communities" -> (Queries.xCommunities _),
     "x_attribution" -> (Queries.xAttribution _),
     "x_expectations" -> (Queries.xExpectations _),
-    "x_outliers" -> (Queries.xOutliers _)
+    "x_outliers" -> (Queries.xOutliers _),
+    "x_skew_report" -> (Queries.xSkewReport _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1715,7 +1716,15 @@ object SparkEntry {
         "SELECT event_id, event_type, value, ROUND(med, 6) + 0 AS med, " +
         "ROUND(mad, 6) + 0 AS mad, ROUND(score, 6) + 0 AS score FROM s " +
         "WHERE (mad > 0 AND ABS(score) > 3.5) OR (mad = 0 AND value <> med) " +
-        "ORDER BY event_type, event_id")
+        "ORDER BY event_type, event_id"),
+    // skew report: ROW_NUMBER replay of the count-desc/key-asc top-k;
+    // share is a ratio of exact longs rounded 6 dp
+    "x_skew_report" ->
+      ("WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey), " +
+        "t AS (SELECT SUM(n) AS tot FROM c), " +
+        "r AS (SELECT l_suppkey, n, ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey) AS rank FROM c) " +
+        "SELECT rank, l_suppkey, n, ROUND(CAST(n AS DOUBLE) / (SELECT tot FROM t), 6) + 0 AS share " +
+        "FROM r WHERE rank <= 20 ORDER BY rank")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

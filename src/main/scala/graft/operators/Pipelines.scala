@@ -1102,6 +1102,39 @@ object Pipelines {
     wide.select(explode(array(rows: _*)).as("__e")).select(col("__e.*"))
   }
 
+  /** Key-skew diagnostics: the top-`topK` heaviest keys with their row
+    * counts and corpus share — what an engineer reads BEFORE picking a
+    * salt factor for [[graft.operators.Joins.saltedJoin]] or blaming a
+    * straggler task. Deterministic: count-desc with full key-asc
+    * tie-break.
+    *
+    * Scale shape: one map-side-combining groupBy(keys) count, then an
+    * `orderBy().limit(topK)` — planned as TakeOrderedAndProject, a
+    * per-partition partial top-k with NO global sort and NO unbounded
+    * window; the total rides as a broadcast 1-row aggregate. The only
+    * window (the rank number) runs over the ≤ topK survivors.
+    *
+    * Output: (rank, keyCols…, n, share), share rounded to 6 dp. */
+  def skewReport(df: DataFrame, keyCols: Seq[String],
+                 topK: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "skewReport needs at least one key column")
+    require(topK > 0, "skewReport needs topK > 0")
+    graft.operators.Joins.requireFreeColumns("skewReport", df.columns,
+      "rank", "n", "share", "__tot")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds both the total and the top-k
+    val total = counts.agg(sum("n").as("__tot"))
+    val order = col("n").desc +: keyCols.map(col(_).asc)
+    val top = counts.orderBy(order: _*).limit(topK)
+    top.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n") / col("__tot"), 6) + 0.0)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+      .select(col("rank") +: keyCols.map(col) :+ col("n") :+
+        col("share"): _*)
+  }
+
   /** Robust per-group outlier detection — the modified z-score of
     * Iglewicz & Hoaglin (1993): score = 0.6745·(v − median)/MAD, flag
     * |score| > `cutoff` (default 3.5, their recommended threshold).

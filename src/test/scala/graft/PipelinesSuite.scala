@@ -624,6 +624,21 @@ class PipelinesSuite extends AnyFunSuite {
     }
   }
 
+  test("skewReport: top-k heaviest keys, deterministic tie-break, exact shares") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm2") ++
+      Seq.fill(3)("warm1") ++ Seq("cold1", "cold2"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "pay")
+    val got = Pipelines.skewReport(df, Seq("k"), topK = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      .sortBy(_._1)
+    // ties (warm1/warm2 at 3) break by key ASC; shares are n/14
+    assert(got == Seq(
+      (1, "hot", 6L, math.rint(6.0 / 14 * 1e6) / 1e6),
+      (2, "warm1", 3L, math.rint(3.0 / 14 * 1e6) / 1e6),
+      (3, "warm2", 3L, math.rint(3.0 / 14 * 1e6) / 1e6)))
+  }
+
   test("robustOutliers: closed form, MAD-0 degenerate, approx mode agrees on clear outliers") {
     // group g: median 5, MAD 1 → 0.6745·(25−5)/1 = 13.49 flags; 6 stays
     val g = Seq(1.0, 3.0, 4.0, 5.0, 5.0, 6.0, 6.0, 7.0, 25.0).map(("g", _))

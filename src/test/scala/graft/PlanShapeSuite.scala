@@ -482,6 +482,22 @@ class PlanShapeSuite extends AnyFunSuite {
       "expected the broadcast normalizer crossJoin in:\n" + p)
   }
 
+  test("diagnostics: skew report tops-k via TakeOrdered, window only over survivors") {
+    val p = plan(graft.operators.Pipelines.skewReport(
+      Tables.lineitem(spark, sfDir), Seq("l_suppkey"), topK = 20))
+    // the heavy-key pick must be a per-partition partial top-k, never a
+    // global sort or a corpus-wide rank window; the rank window runs
+    // AFTER the limit, over ≤ topK rows
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val windowIdx = p.indexOf("Window")
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && takeIdx > windowIdx,
+      "rank window must sit above the TakeOrdered front:\n" + p)
+    // the count groupBy sits below skewReport's localCheckpoint (lineage
+    // truncated), so its partial agg isn't visible here; the
+    // OperatorsSuite-side closed form covers its semantics
+  }
+
   test("quality: expectations gate is one aggregation, no join, no window") {
     import graft.operators.Pipelines.Expectation._
     val p = plan(graft.operators.Pipelines.checkExpectations(
