@@ -1528,6 +1528,14 @@ object Queries {
       .orderBy("rule", "col_name")
   }
 
+  /** Equal-population binning of document lengths into octiles: the
+    * feature-discretizer counterpart of the equi-width histogram. */
+  def xQuantileBins(s: SparkSession, d: String): DataFrame =
+    Pipelines.quantileBins(
+        documents(s, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", nBins = 8)
+      .orderBy("doc_id")
+
   /** Key-skew report over the lineitem supplier key: the 20 heaviest
     * suppliers, count-desc with key tie-break — the pre-salting
     * diagnostic. */

@@ -837,7 +837,8 @@ object SparkEntry {
     "x_attribution" -> (Queries.xAttribution _),
     "x_expectations" -> (Queries.xExpectations _),
     "x_outliers" -> (Queries.xOutliers _),
-    "x_skew_report" -> (Queries.xSkewReport _)
+    "x_skew_report" -> (Queries.xSkewReport _),
+    "x_quantile_bins" -> (Queries.xQuantileBins _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1724,7 +1725,15 @@ object SparkEntry {
         "t AS (SELECT SUM(n) AS tot FROM c), " +
         "r AS (SELECT l_suppkey, n, ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey) AS rank FROM c) " +
         "SELECT rank, l_suppkey, n, ROUND(CAST(n AS DOUBLE) / (SELECT tot FROM t), 6) + 0 AS share " +
-        "FROM r WHERE rank <= 20 ORDER BY rank")
+        "FROM r WHERE rank <= 20 ORDER BY rank"),
+    // quantile bins: boundary ulp differences can't flip a bucket — an
+    // interpolated bound lies strictly between adjacent data values —
+    // so the strict v > b count replays exactly
+    "x_quantile_bins" ->
+      ("WITH b AS (SELECT quantile_cont(n_chars, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs FROM documents) " +
+        "SELECT doc_id, n_chars, CASE WHEN n_chars IS NULL THEN NULL " +
+        "ELSE 1 + len(list_filter(bs, x -> n_chars > x)) END AS bin " +
+        "FROM documents, b ORDER BY doc_id")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

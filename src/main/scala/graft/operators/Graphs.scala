@@ -283,10 +283,13 @@ object Graphs {
     var auths = hubs.select(col("node"), lit(0.0).as("a")) // overwritten in round 1
     var t = 0
     while (t < iters) {
+      // the half-step checkpoints its RAW propagation internally (the
+      // normalizer and the output both read it — without that the
+      // edge⋈scores join would run twice per half-step); the returned
+      // frame is checkpoint-scan + broadcast-normalize, already O(1)
+      // lineage, so no outer checkpoint is needed
       auths = hitsHalfStep(nodes, e, hubs, "src", "dst", "h", "a")
-        .localCheckpoint()
       hubs = hitsHalfStep(nodes, e, auths, "dst", "src", "a", "h")
-        .localCheckpoint()
       t += 1
     }
     nodes
@@ -359,20 +362,28 @@ object Graphs {
       .select(col("node"), coalesce(col("__w"), col("label")).as("label"))
   }
 
-  /** One un-checkpointed HITS half-step (exposed for PlanShapeSuite):
-    * propagate `scores` across the edges from `fromCol` to `toCol`,
-    * partial-agg groupBy on the receiving endpoint, left join back onto
-    * the node set, L1-normalize by an in-plan broadcast 1-row sum.
+  /** One HITS half-step (exposed for PlanShapeSuite): propagate
+    * `scores` across the edges from `fromCol` to `toCol`, partial-agg
+    * groupBy on the receiving endpoint, left join back onto the node
+    * set, L1-normalize by an in-plan broadcast 1-row sum. The raw
+    * propagation frame is localCheckpoint'd (unless `checkpoint =
+    * false`, the plan-inspection path): BOTH the normalizer and the
+    * output consume it, and un-materialized that reference duplication
+    * re-runs the edge⋈scores join — the half-step's only big-data work
+    * — twice. The checkpoint also leaves the returned frame with O(1)
+    * lineage, so the iteration loop needs no checkpoints of its own.
     * Zero-sum cannot occur mid-iteration: scores start strictly
     * positive and every edge endpoint is a node. */
   private[graft] def hitsHalfStep(nodes: DataFrame, e: DataFrame,
                                   scores: DataFrame, fromCol: String,
                                   toCol: String, inCol: String,
-                                  outCol: String): DataFrame = {
+                                  outCol: String,
+                                  checkpoint: Boolean = true): DataFrame = {
     val raw = e.join(scores.withColumnRenamed("node", fromCol), Seq(fromCol))
       .groupBy(col(toCol).as("node")).agg(sum(col(inCol)).as("__raw"))
-    val joined = nodes.join(raw, Seq("node"), "left")
+    val lazyJoined = nodes.join(raw, Seq("node"), "left")
       .select(col("node"), coalesce(col("__raw"), lit(0.0)).as("__raw"))
+    val joined = if (checkpoint) lazyJoined.localCheckpoint() else lazyJoined
     val total = joined.agg(sum("__raw").as("__s"))
     joined.crossJoin(broadcast(total))
       .select(col("node"), (col("__raw") / col("__s")).as(outCol))

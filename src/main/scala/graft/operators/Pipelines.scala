@@ -1102,6 +1102,45 @@ object Pipelines {
     wide.select(explode(array(rows: _*)).as("__e")).select(col("__e.*"))
   }
 
+  /** Quantile binning (feature discretizer): label every row with its
+    * `nBins`-quantile bucket of `valCol` — equal-POPULATION bins, the
+    * feature-prep counterpart of [[equiWidthHistogram]]'s equal-width
+    * buckets. Bucket k covers (b_{k-1}, b_k]; ties at a boundary go to
+    * the lower bin (strict `v > b` count); NULL values get a NULL bin.
+    *
+    * Cross-engine determinism is structural, not rounding-based: an
+    * interpolated boundary lies strictly BETWEEN two adjacent data
+    * values, so engines that disagree about it by accumulation ulps
+    * still classify every data value identically (a boundary that lands
+    * ON a value is position-integral and exact in both engines).
+    *
+    * Scale shape: one aggregation computes ALL boundaries (a single
+    * (nBins−1)-element array), broadcast as a 1-row frame; bucket
+    * lookup is a codegen'd `aggregate` HOF over the array — zero
+    * shuffles beyond the boundary agg, output ∝ input. Exact
+    * `percentile` buffers the column once (the oracle path);
+    * `approxAcc > 0` swaps to the mergeable approx sketch — the 100 TB
+    * path ([[robustOutliers]]' split). */
+  def quantileBins(df: DataFrame, valCol: String, nBins: Int,
+                   binCol: String = "bin", approxAcc: Int = 0): DataFrame = {
+    require(nBins >= 2, "quantileBins needs nBins >= 2")
+    graft.operators.Joins.requireFreeColumns("quantileBins",
+      df.columns, binCol, "__b")
+    val fracs = (1 until nBins).map(_.toDouble / nBins).toArray
+    val pct =
+      if (approxAcc > 0)
+        approx_percentile(col(valCol), lit(fracs), lit(approxAcc))
+          .cast("array<double>")
+      else percentile(col(valCol), lit(fracs)).cast("array<double>")
+    val bounds = df.agg(pct.as("__b"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(binCol,
+        when(col(valCol).isNull, lit(null).cast("int"))
+          .otherwise(lit(1) + aggregate(col("__b"), lit(0),
+            (acc, b) => acc + when(col(valCol) > b, 1).otherwise(0))))
+      .drop("__b")
+  }
+
   /** Key-skew diagnostics: the top-`topK` heaviest keys with their row
     * counts and corpus share — what an engineer reads BEFORE picking a
     * salt factor for [[graft.operators.Joins.saltedJoin]] or blaming a

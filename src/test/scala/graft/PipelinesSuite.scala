@@ -624,6 +624,38 @@ class PipelinesSuite extends AnyFunSuite {
     }
   }
 
+  test("quantileBins: equal-population buckets, boundary ties go low, NULL in, approx agrees") {
+    // 8 values into 4 bins: quartile bounds interpolate at 2.75/4.5/6.25
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0).map(Option(_))
+      :+ Option.empty[Double])
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Pipelines.quantileBins(df, "v", nBins = 4)
+      .orderBy("id").collect()
+      .map(r => Option(r.get(2)).map(_.asInstanceOf[Int])).toSeq
+    assert(got == Seq(Some(1), Some(1), Some(2), Some(2), Some(3),
+      Some(3), Some(4), Some(4), None))
+    // each non-degenerate bin holds n/nBins rows — the defining property
+    val bins = Pipelines.quantileBins(
+      (1 to 400).map(i => (i.toLong, (i * 7919 % 1000).toDouble))
+        .toDF("id", "v"), "v", nBins = 8)
+    val sizes = bins.groupBy("bin").count()
+      .collect().map(_.getLong(1)).toSeq
+    assert(sizes.length == 8 && sizes.forall(s => s >= 48 && s <= 52),
+      sizes.toString)
+    // a boundary that lands ON a repeated value sends ties to the
+    // LOWER bin (strict v > b)
+    // median position 3.5 sits between two 2.0s → boundary = 2.0 EXACTLY
+    val tied = Seq(1.0, 2.0, 2.0, 2.0, 2.0, 9.0, 9.5, 9.9)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val tiedBins = Pipelines.quantileBins(tied, "v", nBins = 2)
+      .orderBy("id").collect().map(_.getInt(2)).toSeq
+    assert(tiedBins == Seq(1, 1, 1, 1, 1, 2, 2, 2))
+    // approx mode classifies this well-separated fixture identically
+    val approx = Pipelines.quantileBins(tied, "v", nBins = 2,
+      approxAcc = 1000).orderBy("id").collect().map(_.getInt(2)).toSeq
+    assert(approx == tiedBins)
+  }
+
   test("skewReport: top-k heaviest keys, deterministic tie-break, exact shares") {
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm2") ++
       Seq.fill(3)("warm1") ++ Seq("cold1", "cold2"))

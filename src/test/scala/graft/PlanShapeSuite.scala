@@ -473,7 +473,8 @@ class PlanShapeSuite extends AnyFunSuite {
     val nodes = Seq("a", "b", "c").toDF("node")
     val hubs = nodes.select(col("node"), lit(1.0 / 3).as("h"))
     val p = plan(graft.operators.Graphs
-      .hitsHalfStep(nodes, e, hubs, "src", "dst", "h", "a"))
+      .hitsHalfStep(nodes, e, hubs, "src", "dst", "h", "a",
+        checkpoint = false))
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_sum"), p)
