@@ -1528,6 +1528,14 @@ object Queries {
       .orderBy("rule", "col_name")
   }
 
+  /** Daily LOCF resampling of each user's event value: one row per
+    * (user, day) from first to last activity, gaps carrying the prior
+    * day's last value. */
+  def xResample(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.resampleLocf(events(s, d),
+        "user_id", "ts", "event_id", "value", stepSec = 86400L)
+      .orderBy("user_id", "bucket")
+
   /** Equal-population binning of document lengths into octiles: the
     * feature-discretizer counterpart of the equi-width histogram. */
   def xQuantileBins(s: SparkSession, d: String): DataFrame =

@@ -838,7 +838,8 @@ object SparkEntry {
     "x_expectations" -> (Queries.xExpectations _),
     "x_outliers" -> (Queries.xOutliers _),
     "x_skew_report" -> (Queries.xSkewReport _),
-    "x_quantile_bins" -> (Queries.xQuantileBins _)
+    "x_quantile_bins" -> (Queries.xQuantileBins _),
+    "x_resample" -> (Queries.xResample _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1733,7 +1734,20 @@ object SparkEntry {
       ("WITH b AS (SELECT quantile_cont(n_chars, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs FROM documents) " +
         "SELECT doc_id, n_chars, CASE WHEN n_chars IS NULL THEN NULL " +
         "ELSE 1 + len(list_filter(bs, x -> n_chars > x)) END AS bin " +
-        "FROM documents, b ORDER BY doc_id")
+        "FROM documents, b ORDER BY doc_id"),
+    // LOCF resample: generate_series grid + bucketed last-event pick
+    // (row_number replay of max_by) + IGNORE NULLS carry-forward; both
+    // engines floor epoch seconds identically
+    "x_resample" ->
+      ("WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket, ts, event_id, value FROM events), " +
+        "pb AS (SELECT user_id, bucket, value AS v FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rn FROM e) WHERE rn = 1), " +
+        "span AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM e GROUP BY user_id), " +
+        "grid AS (SELECT user_id, UNNEST(generate_series(lo, hi, 86400)) AS bucket FROM span) " +
+        "SELECT g.user_id, g.bucket, " +
+        "LAST_VALUE(pb.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.bucket) AS value " +
+        "FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket " +
+        "ORDER BY g.user_id, g.bucket")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

@@ -155,6 +155,51 @@ object EventAnalytics {
           .as("linear"))
   }
 
+  /** Regular-grid resampling with last-observation-carried-forward
+    * (LOCF) gap fill: for every key, one row per `stepSec` bucket from
+    * its first to its last event, carrying the value of the latest
+    * event at-or-before the bucket — the time-series normalization
+    * every downstream joiner/aggregator of irregular event data wants.
+    *
+    * Within a bucket the LAST event wins (max_by over the total
+    * (ts, tie) order); empty buckets inherit the previous bucket's
+    * value. No leading nulls: a key's grid starts at its own first
+    * event's bucket. Buckets are epoch-second multiples of `stepSec`
+    * (floor alignment), emitted as BIGINT epoch seconds.
+    *
+    * Scale shape: one map-side-combining per-(key, bucket) max_by, one
+    * per-key (lo, hi) agg, grid generation via `sequence` + `explode`
+    * (rows ∝ the OUTPUT, which is the operator's contract), a keyed
+    * left join, and one per-key window (state ∝ a key's grid length —
+    * span/stepSec, which the caller bounds by choosing the step). No
+    * window ever sees more than one key's grid.
+    *
+    * Output: (keyCol, bucket, valCol), LOCF-filled. */
+  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, valCol: String,
+                   stepSec: Long): DataFrame = {
+    require(stepSec > 0, "resampleLocf needs a positive step")
+    Joins.requireFreeColumns("resampleLocf", events.columns,
+      "bucket", "__lo", "__hi", "__v")
+    val bucket = (floor(unix_timestamp(col(tsCol)) / stepSec) * stepSec)
+      .cast("long")
+    val e = events.select(col(keyCol), bucket.as("bucket"),
+      col(tsCol), col(tieCol), col(valCol))
+    val perBucket = e.groupBy(col(keyCol), col("bucket"))
+      .agg(max_by(col(valCol), struct(col(tsCol), col(tieCol)))
+        .as("__v"))
+    val span = e.groupBy(col(keyCol))
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+    val grid = span.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"), lit(stepSec)))
+        .as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("bucket")
+    grid.join(perBucket, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        last(col("__v"), ignoreNulls = true).over(w).as(valCol))
+  }
+
   /** Weekly retention cohorts: users grouped by the week of their first
     * event; for each (cohort week, week offset) the number of cohort
     * users active in that week. The classic triangle every growth

@@ -1294,6 +1294,30 @@ class OperatorsSuite extends AnyFunSuite {
       (4L, 8L, "2024-01-02 00:00:00.0", null, true)))
   }
 
+  test("resampleLocf: grid bounds, in-bucket last wins, LOCF gap fill") {
+    import java.sql.Timestamp
+    val day = 86400L
+    def ts(d: Long, sec: Long) = new Timestamp((d * day + sec) * 1000L)
+    val ev = Seq(
+      // user 1: two events in day 0 (the later wins the bucket), a gap
+      // at day 1, then day 2
+      (1L, ts(19700, 9 * 3600), 1L, 1.0),
+      (1L, ts(19700, 18 * 3600), 2L, 2.0),
+      (1L, ts(19702, 100), 3L, 5.0),
+      // user 2: one event → a one-row grid
+      (2L, ts(19701, 50), 4L, 7.0)
+    ).toDF("u", "t", "tie", "v")
+    val got = graft.operators.EventAnalytics
+      .resampleLocf(ev, "u", "t", "tie", "v", stepSec = day)
+      .orderBy("u", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      (1L, 19700 * day, 2.0), // later same-bucket event wins
+      (1L, 19701 * day, 2.0), // empty bucket carries forward
+      (1L, 19702 * day, 5.0),
+      (2L, 19701 * day, 7.0)))
+  }
+
   test("mergeScd2 ≡ from-scratch scd2History across every split of a seeded log") {
     import java.sql.Timestamp
     val rnd = new scala.util.Random(7)
