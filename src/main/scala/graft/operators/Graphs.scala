@@ -305,8 +305,10 @@ object Graphs {
     * broken by the SMALLEST label — the synchronous min-tie-break
     * variant, so the result is a pure function of the graph and `iters`
     * (classic LPA's random update order is deliberately dropped: it
-    * cannot be oracled and cannot be reproduced across runs).
-    * Isolated nodes keep their own label.
+    * cannot be oracled and cannot be reproduced across runs). The node
+    * set is derived from the simple graph, so a node with no non-loop
+    * edges does not appear — an isolated node is its own community by
+    * definition and carries no information for the propagation.
     *
     * Scale shape per round: one equi-join of the (≤2m)-row undirected
     * neighbor frame against the (n)-row label frame, one

@@ -1077,8 +1077,11 @@ object Pipelines {
         frac(count(when(col(c).isNull, lit(1))), count(lit(1)))
       case Unique(c, _) => frac(countDistinct(col(c)), count(col(c)))
       case InRange(c, lo, hi, _) =>
-        frac(count(when(col(c).cast("double").between(lo, hi), lit(1))),
-          count(col(c)))
+        // try_cast, not cast: ANSI mode makes CAST('junk' AS DOUBLE)
+        // THROW, and a quality report must always materialize — an
+        // unparseable value simply counts as out-of-range
+        frac(count(when(col(c).try_cast("double").between(lo, hi),
+          lit(1))), count(col(c)))
       case MatchesRegex(c, p, _) =>
         frac(count(when(col(c).rlike(p), lit(1))), count(col(c)))
       case InSet(c, vs, _) =>
@@ -1195,7 +1198,10 @@ object Pipelines {
     * [[profileColumns]]).
     *
     * Output: the input columns + (med, mad, score) rounded to 6 dp,
-    * outlier rows only; the flag compares the UNROUNDED score. */
+    * outlier rows only; the flag compares the UNROUNDED score. Rows
+    * with a NULL group key are excluded (the equi-joins drop them —
+    * there is no population to be an outlier OF); screen for them with
+    * an [[Expectation.NotNull]] rule first. */
   def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
                      cutoff: Double = 3.5, approxAcc: Int = 0): DataFrame = {
     require(cutoff > 0, "robustOutliers cutoff must be positive")

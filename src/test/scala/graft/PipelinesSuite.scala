@@ -708,6 +708,9 @@ class PipelinesSuite extends AnyFunSuite {
         Unique("id"),                      // 5/5 → pass
         Unique("alln"),                    // 0-denominator → 1.0 → pass
         InRange("x", 0, 5, minFrac = 0.6), // 3/5 at the edge → pass
+        // ANSI would THROW on cast('apple' as double); the gate must
+        // not — unparseable counts as out-of-range (0/5 here)
+        InRange("txt", 0, 5, minFrac = 0.5),
         MatchesRegex("txt", "^a", minFrac = 0.7), // 3/5 → fail
         InSet("txt", Seq("apple", "banana"), minFrac = 0.4))) // 2/5 → pass
       .collect()
@@ -719,6 +722,7 @@ class PipelinesSuite extends AnyFunSuite {
       ("unique", "id", 1.0, 1.0, true),
       ("unique", "alln", 1.0, 1.0, true),
       ("in_range", "x", 0.6, 0.6, true),
+      ("in_range", "txt", 0.0, 0.5, false),
       ("matches_regex", "txt", 0.6, 0.7, false),
       ("in_set", "txt", 0.4, 0.4, true)))
   }
