@@ -1473,12 +1473,13 @@ object Queries {
     * average rides in-plan as a broadcast 1-row aggregate; integer
     * counts sum exactly in double, so the threshold is cross-engine
     * deterministic. */
-  private def thinTradeEdges(s: SparkSession, d: String): DataFrame = {
+  private def thinTradeEdges(s: SparkSession, d: String,
+                             mult: Double = 1.0): DataFrame = {
     // checkpoint: the 625-row edge list feeds BOTH the average subplan
     // and the cut — without it the 4-way fact join runs twice
     val e = nationTradeEdges(s, d).localCheckpoint()
     e.crossJoin(broadcast(e.agg(avg(col("w")).as("__aw"))))
-      .where(col("w") > col("__aw"))
+      .where(col("w") > lit(mult) * col("__aw"))
       .select("cnation", "snation")
   }
 
@@ -1494,6 +1495,14 @@ object Queries {
   def xHits(s: SparkSession, d: String): DataFrame =
     graft.operators.Graphs.hits(thinTradeEdges(s, d),
         "cnation", "snation", iters = 3)
+      .orderBy("node")
+
+  /** 4-core of the 1.2×-average-thinned trade graph: the dense trading
+    * kernel after iterative peeling (the sharper 1.2× cut leaves a
+    * graph the peel actually bites at every scale factor). */
+  def xKcore(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graphs.kCore(thinTradeEdges(s, d, mult = 1.2),
+        "cnation", "snation", k = 4, maxRounds = 6)
       .orderBy("node")
 
   /** Deterministic label-propagation communities over the thinned trade

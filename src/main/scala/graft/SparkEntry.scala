@@ -378,6 +378,33 @@ object SparkEntry {
       s" SELECT node, label FROM l$iters ORDER BY node"
   }
 
+  /** DuckDB oracle for x_kcore: `rounds` peel applications unrolled,
+    * every round MATERIALIZED (the CTE-inlining lesson); the engine's
+    * early exit at a fixpoint is exactly equivalent because peeling a
+    * fixpoint is the identity. The 1.2× cut multiplies in the same
+    * order as the engine (literal × avg, both double). */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      "WITH e AS MATERIALIZED (SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey " +
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey GROUP BY 1, 2), " +
+        "thin AS MATERIALIZED (SELECT src, dst FROM e WHERE w > 1.2 * (SELECT AVG(w) FROM e)), " +
+        "c0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y FROM thin WHERE src <> dst)"
+    val steps = (1 to rounds).map { t =>
+      val prev = s"c${t - 1}"
+      s", kp$t AS MATERIALIZED (SELECT node FROM (SELECT node, COUNT(*) AS c FROM (" +
+        s"SELECT x AS node FROM $prev UNION ALL SELECT y FROM $prev) GROUP BY node) WHERE c >= $k)" +
+        s", c$t AS MATERIALIZED (SELECT x, y FROM $prev " +
+        s"WHERE x IN (SELECT node FROM kp$t) AND y IN (SELECT node FROM kp$t))"
+    }.mkString
+    head + steps +
+      s" SELECT node, COUNT(*) AS deg FROM (SELECT x AS node FROM c$rounds " +
+      s"UNION ALL SELECT y FROM c$rounds) GROUP BY node ORDER BY node"
+  }
+
   private def semDedupOracles: Map[String, String] = scala.util.Try {
     import Queries.SemDedupFixture._
     val spark = SparkSession.active
@@ -834,6 +861,7 @@ object SparkEntry {
     "x_triangles" -> (Queries.xTriangles _),
     "x_hits" -> (Queries.xHits _),
     "x_communities" -> (Queries.xCommunities _),
+    "x_kcore" -> (Queries.xKcore _),
     "x_attribution" -> (Queries.xAttribution _),
     "x_expectations" -> (Queries.xExpectations _),
     "x_outliers" -> (Queries.xOutliers _),
@@ -1669,6 +1697,7 @@ object SparkEntry {
     "x_triangles" -> trianglesOracleSql,
     "x_hits" -> hitsOracleSql(3),
     "x_communities" -> lpaOracleSql(3),
+    "x_kcore" -> kcoreOracleSql(4, 6),
     // attribution: the rangeJoin window in timestamp arithmetic
     // (micros are exact either way), last-touch via row_number replay
     // of max_by((tts, ttie)), linear credit = Σ cnt/n rounded 6 dp

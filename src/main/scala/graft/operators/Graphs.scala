@@ -344,6 +344,58 @@ object Graphs {
     labels
   }
 
+  /** k-core decomposition (Seidman 1983): iteratively peel nodes of
+    * degree < k from the undirected simple graph until none remain —
+    * the surviving subgraph is the k-core, the density filter behind
+    * link-spam screens and community seeding. Returns (node, degree)
+    * over the surviving subgraph; empty when the graph has no k-core.
+    *
+    * Fixed `maxRounds` bounds the loop for the oracle-determinism
+    * contract; peeling a fixpoint is the identity, so an early exit
+    * when no node was removed is EXACTLY equivalent to running all
+    * rounds — the result is a pure function of (graph, k, maxRounds),
+    * and converged whenever maxRounds ≥ the peel depth (≤ n, in
+    * practice a handful: each round removes every currently-light
+    * node at once).
+    *
+    * Scale shape per round: one partial-agg degree count over the
+    * surviving edge frame + two semi-joins (both endpoints must
+    * survive); the edge frame localCheckpoints per round — O(1)
+    * lineage, shrinking input. The early-exit count rides on the
+    * already-checkpointed survivor frame. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, "kCore needs k >= 1")
+    require(maxRounds >= 1, "kCore needs maxRounds >= 1")
+    var canon = edges
+      .where(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("__x"),
+        greatest(col(srcCol), col(dstCol)).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    def degrees(c: DataFrame): DataFrame = c
+      .select(col("__x").as("node")).union(c.select(col("__y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    var prevNodes = -1L
+    var t = 0
+    var done = false
+    while (t < maxRounds && !done) {
+      val keep = degrees(canon).where(col("deg") >= k).localCheckpoint()
+      val m = keep.count()
+      if (m == prevNodes) done = true // fixpoint: further peels are identity
+      else {
+        canon = canon
+          .join(keep.select(col("node").as("__x")), Seq("__x"), "left_semi")
+          .join(keep.select(col("node").as("__y")), Seq("__y"), "left_semi")
+          .localCheckpoint()
+        prevNodes = m
+        t += 1
+      }
+    }
+    degrees(canon).select(col("node"), col("deg"))
+  }
+
   /** One un-checkpointed LPA round (exposed for PlanShapeSuite): join
     * neighbor frame to labels on the SENDING endpoint, count received
     * labels per node, adopt the (max count, min label) winner; nodes

@@ -1210,6 +1210,43 @@ class OperatorsSuite extends AnyFunSuite {
     assert(nodes.maxBy(v => got(v)._1) == "a")
   }
 
+  test("kCore ≡ local peeling on a seeded graph; clique survives, tree dissolves") {
+    val rnd = new scala.util.Random(5)
+    val raw = Seq.fill(90)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    def localCore(k: Int): Map[Long, Int] = {
+      var e = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      var changed = true
+      while (changed) {
+        val deg = e.toSeq.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val e2 = e.filter { case (a, b) => keep(a) && keep(b) }
+        changed = e2 != e; e = e2
+      }
+      e.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+    }
+    for (k <- Seq(2, 3, 4)) {
+      val got = graft.operators.Graphs
+        .kCore(raw.toDF("s", "t"), "s", "t", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got == localCore(k), s"k=$k")
+    }
+    // closed form: a 5-clique hung with pendant nodes — the 4-core is
+    // exactly the clique, every pendant peeled
+    val clique = (for { i <- 0 to 4; j <- (i + 1) to 4 }
+      yield (i.toLong, j.toLong)) ++
+      Seq((0L, 100L), (100L, 101L), (1L, 102L))
+    val core = graft.operators.Graphs
+      .kCore(clique.toDF("s", "t"), "s", "t", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == (0L to 4L).map(_ -> 4L).toMap)
+    // k above the max degree → empty core
+    assert(graft.operators.Graphs
+      .kCore(clique.toDF("s", "t"), "s", "t", k = 20).isEmpty)
+  }
+
   test("labelPropagation ≡ local synchronous simulation; cliques converge to min labels") {
     val rnd = new scala.util.Random(11)
     val raw = Seq.fill(120)((rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
