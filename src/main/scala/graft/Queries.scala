@@ -1497,6 +1497,13 @@ object Queries {
         "cnation", "snation", iters = 3)
       .orderBy("node")
 
+  /** Market-basket co-occurrence over order line items: part pairs
+    * co-purchased in ≥ 2 orders, baskets capped at 20 distinct parts. */
+  def xCooccurrence(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.cooccurrence(lineitem(s, d),
+        "l_orderkey", "l_partkey", maxDegree = 20, minCount = 2L)
+      .orderBy("item_a", "item_b")
+
   /** 4-core of the 1.2×-average-thinned trade graph: the dense trading
     * kernel after iterative peeling (the sharper 1.2× cut leaves a
     * graph the peel actually bites at every scale factor). */

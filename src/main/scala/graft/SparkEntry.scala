@@ -862,6 +862,7 @@ object SparkEntry {
     "x_hits" -> (Queries.xHits _),
     "x_communities" -> (Queries.xCommunities _),
     "x_kcore" -> (Queries.xKcore _),
+    "x_cooccurrence" -> (Queries.xCooccurrence _),
     "x_attribution" -> (Queries.xAttribution _),
     "x_expectations" -> (Queries.xExpectations _),
     "x_outliers" -> (Queries.xOutliers _),
@@ -1698,6 +1699,15 @@ object SparkEntry {
     "x_hits" -> hitsOracleSql(3),
     "x_communities" -> lpaOracleSql(3),
     "x_kcore" -> kcoreOracleSql(4, 6),
+    // co-occurrence: distinct basket-item projection, degree-capped
+    // baskets, basket-keyed pair join, min-support filter
+    "x_cooccurrence" ->
+      ("WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem), " +
+        "ok AS (SELECT k FROM b GROUP BY k HAVING COUNT(*) <= 20), " +
+        "bb AS (SELECT b.k, b.i FROM b JOIN ok USING (k)) " +
+        "SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS n " +
+        "FROM bb a JOIN bb b2 ON a.k = b2.k AND a.i < b2.i " +
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"),
     // attribution: the rangeJoin window in timestamp arithmetic
     // (micros are exact either way), last-touch via row_number replay
     // of max_by((tts, ttie)), linear credit = Σ cnt/n rounded 6 dp

@@ -155,6 +155,46 @@ object EventAnalytics {
           .as("linear"))
   }
 
+  /** Item co-occurrence (the bipartite projection / market-basket
+    * count): for every unordered item pair sharing a basket, the number
+    * of baskets containing both — the association signal behind
+    * related-items, co-citation, and query-expansion features.
+    *
+    * Two explicit caps make it scale-safe, both part of the contract:
+    *  - baskets with more than `maxDegree` distinct items are EXCLUDED
+    *    (a basket's pair fan-out is O(d²); mega-baskets are the classic
+    *    quadratic blowup AND carry near-zero association signal — the
+    *    standard capping practice in co-citation/basket mining). Total
+    *    pair work is then ≤ maxDegree × Σ basket sizes — linear.
+    *  - pairs seen in fewer than `minCount` baskets are dropped, so the
+    *    output is the (always far smaller) frequent tail.
+    *
+    * Scale shape: distinct projection → per-basket degree (partial-agg
+    * groupBy) → semi-join cap filter → basket-keyed self equi-join with
+    * `itemA < itemB` (hash/SMJ, never cartesian) → map-side-combining
+    * pair count. Skewed popular ITEMS are fine — work is keyed by
+    * basket, not item.
+    *
+    * Output: (item_a, item_b, n) with item_a < item_b. */
+  def cooccurrence(df: DataFrame, keyCol: String, itemCol: String,
+                   maxDegree: Int, minCount: Long = 1L): DataFrame = {
+    require(maxDegree >= 2, "cooccurrence needs maxDegree >= 2")
+    require(minCount >= 1, "cooccurrence needs minCount >= 1")
+    Joins.requireFreeColumns("cooccurrence", Seq(keyCol, itemCol),
+      "item_a", "item_b", "n", "__d")
+    val b = df.select(col(keyCol), col(itemCol)).distinct()
+      .localCheckpoint() // feeds the degree agg AND both join sides
+    val ok = b.groupBy(col(keyCol)).agg(count(lit(1)).as("__d"))
+      .where(col("__d") <= maxDegree).select(col(keyCol))
+    val bb = b.join(ok, Seq(keyCol), "left_semi")
+    val left = bb.select(col(keyCol), col(itemCol).as("item_a"))
+    val right = bb.select(col(keyCol), col(itemCol).as("item_b"))
+    left.join(right, Seq(keyCol))
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
   /** Regular-grid resampling with last-observation-carried-forward
     * (LOCF) gap fill: for every key, one row per `stepSec` bucket from
     * its first to its last event, carrying the value of the latest

@@ -1210,6 +1210,29 @@ class OperatorsSuite extends AnyFunSuite {
     assert(nodes.maxBy(v => got(v)._1) == "a")
   }
 
+  test("cooccurrence: pair counts, duplicate-line dedup, degree cap, min support") {
+    val rows = Seq(
+      // basket 1: {a, b, c} — b listed twice, must count once
+      (1L, "a"), (1L, "b"), (1L, "b"), (1L, "c"),
+      // basket 2: {a, b}
+      (2L, "a"), (2L, "b"),
+      // basket 3: {a, b} again → (a,b) support 3
+      (3L, "a"), (3L, "b"),
+      // basket 4: a 5-item mega-basket, over the cap → contributes 0
+      (4L, "a"), (4L, "b"), (4L, "c"), (4L, "d"), (4L, "e")
+    ).toDF("k", "i")
+    val got = graft.operators.EventAnalytics
+      .cooccurrence(rows, "k", "i", maxDegree = 4, minCount = 1L)
+      .orderBy("item_a", "item_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 1L)))
+    // min support prunes the singles
+    val sup = graft.operators.EventAnalytics
+      .cooccurrence(rows, "k", "i", maxDegree = 4, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(sup == Seq(("a", "b")))
+  }
+
   test("kCore ≡ local peeling on a seeded graph; clique survives, tree dissolves") {
     val rnd = new scala.util.Random(5)
     val raw = Seq.fill(90)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
