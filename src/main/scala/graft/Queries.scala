@@ -1504,6 +1504,13 @@ object Queries {
         "l_orderkey", "l_partkey", maxDegree = 20, minCount = 2L)
       .orderBy("item_a", "item_b")
 
+  /** Association rules over the order baskets: confidence and lift for
+    * every part pair co-purchased in ≥ 3 orders, both orientations. */
+  def xAssocRules(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.associationRules(lineitem(s, d),
+        "l_orderkey", "l_partkey", maxDegree = 20, minCount = 3L)
+      .orderBy("ante", "cons")
+
   /** 4-core of the 1.2×-average-thinned trade graph: the dense trading
     * kernel after iterative peeling (the sharper 1.2× cut leaves a
     * graph the peel actually bites at every scale factor). */

@@ -863,6 +863,7 @@ object SparkEntry {
     "x_communities" -> (Queries.xCommunities _),
     "x_kcore" -> (Queries.xKcore _),
     "x_cooccurrence" -> (Queries.xCooccurrence _),
+    "x_assoc_rules" -> (Queries.xAssocRules _),
     "x_attribution" -> (Queries.xAttribution _),
     "x_expectations" -> (Queries.xExpectations _),
     "x_outliers" -> (Queries.xOutliers _),
@@ -1708,6 +1709,22 @@ object SparkEntry {
         "SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS n " +
         "FROM bb a JOIN bb b2 ON a.k = b2.k AND a.i < b2.i " +
         "GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2"),
+    // association rules: same capped projection; confidence/lift doubles
+    // computed in the engine's exact operation order, 6 dp rounded
+    "x_assoc_rules" ->
+      ("WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem), " +
+        "ok AS (SELECT k FROM b GROUP BY k HAVING COUNT(*) <= 20), " +
+        "bb AS (SELECT b.k, b.i FROM b JOIN ok USING (k)), " +
+        "p AS (SELECT a.i AS ia, b2.i AS ib, COUNT(*) AS n " +
+        "FROM bb a JOIN bb b2 ON a.k = b2.k AND a.i < b2.i GROUP BY 1, 2 HAVING COUNT(*) >= 3), " +
+        "it AS (SELECT i, COUNT(*) AS c FROM bb GROUP BY i), " +
+        "nn AS (SELECT COUNT(DISTINCT k) AS n FROM bb), " +
+        "r AS (SELECT ia AS ante, ib AS cons, n FROM p UNION ALL SELECT ib, ia, n FROM p) " +
+        "SELECT r.ante, r.cons, r.n, " +
+        "ROUND(CAST(r.n AS DOUBLE) / ca.c, 6) + 0 AS confidence, " +
+        "ROUND(CAST(r.n AS DOUBLE) / ca.c * (SELECT n FROM nn) / cb.c, 6) + 0 AS lift " +
+        "FROM r JOIN it ca ON r.ante = ca.i JOIN it cb ON r.cons = cb.i " +
+        "ORDER BY r.ante, r.cons"),
     // attribution: the rangeJoin window in timestamp arithmetic
     // (micros are exact either way), last-touch via row_number replay
     // of max_by((tts, ttie)), linear credit = Σ cnt/n rounded 6 dp

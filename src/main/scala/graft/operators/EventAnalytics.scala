@@ -178,21 +178,78 @@ object EventAnalytics {
     * Output: (item_a, item_b, n) with item_a < item_b. */
   def cooccurrence(df: DataFrame, keyCol: String, itemCol: String,
                    maxDegree: Int, minCount: Long = 1L): DataFrame = {
-    require(maxDegree >= 2, "cooccurrence needs maxDegree >= 2")
     require(minCount >= 1, "cooccurrence needs minCount >= 1")
     Joins.requireFreeColumns("cooccurrence", Seq(keyCol, itemCol),
       "item_a", "item_b", "n", "__d")
+    pairCounts(cappedBaskets(df, keyCol, itemCol, maxDegree),
+      keyCol, itemCol, minCount)
+  }
+
+  /** Distinct (basket, item) projection with mega-baskets excluded —
+    * the shared front of [[cooccurrence]] and [[associationRules]].
+    * Checkpointed: it feeds the degree agg and both pair-join sides. */
+  private def cappedBaskets(df: DataFrame, keyCol: String,
+                            itemCol: String, maxDegree: Int): DataFrame = {
+    require(maxDegree >= 2, "basket projection needs maxDegree >= 2")
     val b = df.select(col(keyCol), col(itemCol)).distinct()
-      .localCheckpoint() // feeds the degree agg AND both join sides
+      .localCheckpoint()
     val ok = b.groupBy(col(keyCol)).agg(count(lit(1)).as("__d"))
       .where(col("__d") <= maxDegree).select(col(keyCol))
-    val bb = b.join(ok, Seq(keyCol), "left_semi")
+    b.join(ok, Seq(keyCol), "left_semi").localCheckpoint()
+  }
+
+  private def pairCounts(bb: DataFrame, keyCol: String, itemCol: String,
+                         minCount: Long): DataFrame = {
     val left = bb.select(col(keyCol), col(itemCol).as("item_a"))
     val right = bb.select(col(keyCol), col(itemCol).as("item_b"))
     left.join(right, Seq(keyCol))
       .where(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
+  }
+
+  /** Association rules over the capped basket projection: for every
+    * ordered rule antecedent → consequent whose pair support clears
+    * `minCount`,
+    *
+    *   confidence = n_ab / n_a        (P(cons | ante))
+    *   lift       = confidence · N / n_b   (vs independence; > 1 ⇒
+    *                                        positively associated)
+    *
+    * with n_a/n_b the items' capped-basket frequencies and N the number
+    * of capped baskets — all frequencies measured over the SAME
+    * projection the pairs were mined from, so the probabilities are
+    * coherent. Both orientations of each unordered pair are emitted.
+    *
+    * Scale shape: [[cooccurrence]]'s linear pair mine + one item-count
+    * groupBy + two broadcastable item-frequency joins; N rides as an
+    * in-plan broadcast 1-row aggregate. Doubles are computed in the
+    * exact order the oracle mirrors and rounded to `roundDp`.
+    *
+    * Output: (ante, cons, n, confidence, lift). */
+  def associationRules(df: DataFrame, keyCol: String, itemCol: String,
+                       maxDegree: Int, minCount: Long = 1L,
+                       roundDp: Int = 6): DataFrame = {
+    Joins.requireFreeColumns("associationRules", Seq(keyCol, itemCol),
+      "ante", "cons", "n", "confidence", "lift", "__ca", "__cb", "__nn")
+    val bb = cappedBaskets(df, keyCol, itemCol, maxDegree)
+    val pairs = pairCounts(bb, keyCol, itemCol, minCount)
+    val items = bb.groupBy(col(itemCol)).agg(count(lit(1)).as("__ca"))
+    val total = bb.select(col(keyCol)).distinct()
+      .agg(count(lit(1)).as("__nn"))
+    val rules = pairs
+      .select(col("item_a").as("ante"), col("item_b").as("cons"), col("n"))
+      .unionByName(pairs.select(col("item_b").as("ante"),
+        col("item_a").as("cons"), col("n")))
+    rules
+      .join(items.withColumnRenamed(itemCol, "ante"), "ante")
+      .join(items.withColumnRenamed(itemCol, "cons")
+        .withColumnRenamed("__ca", "__cb"), "cons")
+      .crossJoin(broadcast(total))
+      .select(col("ante"), col("cons"), col("n"),
+        (round(col("n") / col("__ca"), roundDp) + 0.0).as("confidence"),
+        (round(col("n") / col("__ca") * col("__nn") / col("__cb"),
+          roundDp) + 0.0).as("lift"))
   }
 
   /** Regular-grid resampling with last-observation-carried-forward

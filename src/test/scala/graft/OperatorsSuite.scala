@@ -1233,6 +1233,30 @@ class OperatorsSuite extends AnyFunSuite {
     assert(sup == Seq(("a", "b")))
   }
 
+  test("associationRules: confidence and lift closed form, coherent frequencies") {
+    // 4 baskets: {a,b} ×3, {a,c} — n(a)=4, n(b)=3, n(c)=1, N=4
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (4L, "a"), (4L, "c")).toDF("k", "i")
+    val got = graft.operators.EventAnalytics
+      .associationRules(rows, "k", "i", maxDegree = 5)
+      .orderBy("ante", "cons").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("a", "b", 3L, 0.75, 1.0),  // conf 3/4; lift (3/4)·4/3 = 1
+      ("a", "c", 1L, 0.25, 1.0),  // conf 1/4; lift (1/4)·4/1 = 1
+      ("b", "a", 3L, 1.0, 1.0),   // b always with a
+      ("c", "a", 1L, 1.0, 1.0)))
+    // a genuinely lifted pair: {x,y} in both baskets, z alone elsewhere
+    val l2 = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "z"), (4L, "z")).toDF("k", "i")
+    val lift = graft.operators.EventAnalytics
+      .associationRules(l2, "k", "i", maxDegree = 5)
+      .where(col("ante") === "x" && col("cons") === "y")
+      .collect().map(r => (r.getDouble(3), r.getDouble(4))).head
+    assert(lift == ((1.0, 2.0))) // conf 2/2 = 1; lift 1·4/2 = 2
+  }
+
   test("kCore ≡ local peeling on a seeded graph; clique survives, tree dissolves") {
     val rnd = new scala.util.Random(5)
     val raw = Seq.fill(90)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
