@@ -255,6 +255,12 @@ object ScaleSmoke {
       // the expectations gate is ONE aggregation pass whatever the rule
       // count — per-row cost constant, wall must track the corpus
       q("x_expectations", "documents"),
+      // basket mining: l_orderkey shifts per copy, so baskets stay
+      // base-sized and the degree-capped pair fan-out is ∝ rows
+      q("x_cooccurrence", "lineitem"),
+      // LOCF grid: user_id shifts per copy — per-user spans constant,
+      // grid rows ∝ users ∝ copies
+      q("x_resample", "events"),
       // two-phase quota on a deliberately UNKEYED mega-stratum (every
       // doc in one stratum): phase 1 shards it across 32 windows,
       // phase 2 sees ≤ 32·k rows — time must track rows where the

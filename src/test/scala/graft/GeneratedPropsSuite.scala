@@ -633,4 +633,47 @@ class GeneratedPropsSuite extends AnyFunSuite {
     assert(got == Seq(s1.size.toLong, s2.size.toLong, s3.size.toLong))
     assert(s1.size > s2.size && s2.size > s3.size) // generator discriminates
   }
+
+  test("attribution ≡ local replay on generated event streams") {
+    val rnd = new scala.util.Random(23)
+    val types = Seq("click", "view", "email", "buy")
+    val events = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextInt(50).toLong,
+        types(rnd.nextInt(types.size)),
+        rnd.nextInt(100000).toLong)
+    }
+    val df = events.map { case (eid, uid, tp, sec) =>
+      (eid, uid, tp, new java.sql.Timestamp(sec * 1000L))
+    }.toDF("eid", "uid", "etype", "t")
+    val touchTypes = Seq("click", "view", "email")
+    val look = 30000L
+    val got = graft.operators.EventAnalytics
+      .attribution(df, "uid", "etype", "t", "eid", touchTypes, "buy",
+        lookbackSec = look)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // local replay: per conversion, its window touches; last by (t, eid)
+    val convs = events.filter(_._3 == "buy")
+    val last = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val linear = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    convs.foreach { case (_, cu, _, cts) =>
+      val win = events.filter { case (_, u, tp, ts) =>
+        u == cu && touchTypes.contains(tp) &&
+          ts >= cts - look && ts < cts }
+      if (win.nonEmpty) {
+        val w = win.maxBy { case (eid, _, _, ts) => (ts, eid) }
+        last(w._3) += 1
+        win.foreach { case (_, _, tp, _) =>
+          linear(tp) += 1.0 / win.size }
+      }
+    }
+    val want = touchTypes.sorted.map(c =>
+      (c, last(c), math.rint(linear(c) * 1e6) / 1e6))
+    assert(got.map(x => (x._1, x._2)) == want.map(x => (x._1, x._2)))
+    got.zip(want).foreach { case ((c, _, l), (_, _, le)) =>
+      assert(math.abs(l - le) < 1e-6, s"linear $c") }
+    assert(got.map(_._2).sum > 50, "generator should attribute plenty")
+  }
 }
