@@ -1594,4 +1594,54 @@ object Queries {
       (lit(1704067200000L) + col("n_nationkey").cast("long") * 86400000L).as("c_ms"))
     CdcIngest.parse(CdcIngest.toEnvelope(src, "c_ms"), "payload").orderBy("ref")
   }
+
+  /** PII scan-and-redact over documents salted with deterministic
+    * synthetic PII (the corpus itself is digit-free, so the oracle
+    * plants e-mails/IPs/phones as a pure function of doc_id — both
+    * engines build the identical augmented text, then redact it). */
+  def xPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val aug = documents(s, d).select(id, concat(
+        col("text"),
+        when(id % 3 === 0, concat(lit(" mail user"), id.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit(" host 10."),
+          (id % 250).cast("string"), lit(".0."),
+          ((id * 7) % 250).cast("string"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      .as("text"))
+    TextAnalysis.redactPii(aug, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Intra-document repetition trimming: consecutive duplicate tokens
+    * collapsed to one (the synthetic corpus has real runs). */
+  def xCollapseRuns(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.collapseTokenRuns(documents(s, d), "doc_id", "text",
+        maxRun = 1)
+      .orderBy("doc_id")
+
+  /** Bloom-semi-reduction join: one nation's suppliers bloom-prefilter
+    * the lineitem scan before the exact equi-join — result ≡ the plain
+    * join (the oracle IS the plain join). */
+  def xBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d)
+      .join(nation(s, d).where(col("n_name") === "NATION_7"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    Joins.bloomFilteredJoin(lineitem(s, d), "l_suppkey", sup, "s_suppkey",
+        expectedKeys = 100000L)
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Bounded-horizon EWMA (decay 0.5, horizon 8) of each user's value
+    * series — one keyed window, H lag terms, no recurrence. */
+  def xEwma(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.ewmaBounded(events(s, d),
+        "user_id", "ts", "event_id", "value", decay = 0.5, horizon = 8)
+      .orderBy("event_id")
 }

@@ -869,7 +869,11 @@ object SparkEntry {
     "x_outliers" -> (Queries.xOutliers _),
     "x_skew_report" -> (Queries.xSkewReport _),
     "x_quantile_bins" -> (Queries.xQuantileBins _),
-    "x_resample" -> (Queries.xResample _)
+    "x_resample" -> (Queries.xResample _),
+    "x_pii_redact" -> (Queries.xPiiRedact _),
+    "x_collapse_runs" -> (Queries.xCollapseRuns _),
+    "x_bloom_join" -> (Queries.xBloomJoin _),
+    "x_ewma" -> (Queries.xEwma _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1803,7 +1807,56 @@ object SparkEntry {
         "SELECT g.user_id, g.bucket, " +
         "LAST_VALUE(pb.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.bucket) AS value " +
         "FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket " +
-        "ORDER BY g.user_id, g.bucket")
+        "ORDER BY g.user_id, g.bucket"),
+    // PII redaction replay: both engines build the identical augmented
+    // text (PII is a pure function of doc_id — the corpus is digit-free),
+    // then count+replace in the same fixed e-mail → IP → phone order; the
+    // patterns live in the Java∩RE2 regex subset (TextAnalysis scaladoc)
+    "x_pii_redact" ->
+      ("WITH aug AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' host 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 250 AS VARCHAR) ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text FROM documents), " +
+        "r1 AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
+        "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t FROM aug), " +
+        "r2 AS (SELECT doc_id, n_email, CAST(len(regexp_extract_all(t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ip, " +
+        "regexp_replace(t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS t FROM r1), " +
+        "r3 AS (SELECT doc_id, n_email, n_ip, CAST(len(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS BIGINT) AS n_phone, " +
+        "regexp_replace(t, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS t FROM r2) " +
+        "SELECT doc_id, n_email, n_ip, n_phone, t AS clean_text FROM r3 ORDER BY doc_id"),
+    // run-collapse replay: DuckDB's indexed list_filter lambda (1-based i;
+    // toks[0] is NULL and TRUE OR NULL = TRUE, so the first token is safe)
+    // mirrors Spark's 0-based indexed filter HOF
+    "x_collapse_runs" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks FROM documents), " +
+        "k AS (SELECT doc_id, toks, list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1]) AS kept FROM t) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(toks) - len(kept) AS BIGINT) AS n_removed, " +
+        "array_to_string(kept, ' ') AS clean_text FROM k ORDER BY doc_id"),
+    // the bloom prefilter only prunes definite misses — the exact
+    // equi-join eliminates its false positives, so the oracle is the
+    // PLAIN join (that equivalence is the operator's contract)
+    "x_bloom_join" ->
+      ("SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_items, ROUND(SUM(l.l_extendedprice), 2) AS revenue " +
+        "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "WHERE n.n_name = 'NATION_7' GROUP BY s.s_suppkey, s.s_name ORDER BY s.s_suppkey"),
+    // EWMA replay: identical left-to-right term order and power-of-two
+    // weights (exact binary fractions) make the doubles bit-identical
+    // before the shared ROUND(.,6)
+    "x_ewma" ->
+      ("WITH b AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x, " +
+        "ROW_NUMBER() OVER w AS rn, " +
+        (1 to 7).map(k => s"LAG(CAST(value AS DOUBLE), $k) OVER w AS x$k")
+          .mkString(", ") +
+        " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT user_id, ts, event_id, x AS value, ROUND((x * 1.0 + " +
+        (1 to 7).map(k => s"COALESCE(x$k, 0.0) * ${math.pow(0.5, k)}")
+          .mkString(" + ") +
+        ") / (1.0 + " +
+        (1 to 7).map(k => s"CASE WHEN rn > $k THEN ${math.pow(0.5, k)} ELSE 0.0 END")
+          .mkString(" + ") +
+        "), 6) AS ewma FROM b ORDER BY event_id")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

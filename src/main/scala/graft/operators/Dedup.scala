@@ -73,18 +73,18 @@ object Dedup {
     if (expectedSeen > maxBloomItems)
       return incrementalExactDedupJoin(delta, seen, textCol, seenTextCol)
     val seenH = seen.select(md5(col(seenTextCol)).as("__h"))
-    val bfBytes = bloomOf(seenH, expectedSeen)
+    val bfBytes = Joins.bloomOf(seenH, expectedSeen)
     val hashed = delta.withColumn("__h", md5(col(textCol)))
     if (bfBytes == null) hashed.drop("__h") // empty seen corpus: all-new
     else {
-      val might = mightContain(bfBytes)
+      val might = Joins.mightContain(bfBytes, col("__h"))
       val definiteNew = hashed.where(!might)
       val maybe = hashed.where(might)
-      val deltaBfBytes = bloomOf(maybe.select(col("__h")), expectedDelta)
+      val deltaBfBytes = Joins.bloomOf(maybe.select(col("__h")), expectedDelta)
       if (deltaBfBytes == null) definiteNew.drop("__h") // no maybe-hits
       else {
         val verified = maybe.join(
-          seenH.where(mightContain(deltaBfBytes)), Seq("__h"), "left_anti")
+          seenH.where(Joins.mightContain(deltaBfBytes, col("__h"))), Seq("__h"), "left_anti")
         definiteNew.unionByName(verified).drop("__h")
       }
     }
@@ -108,30 +108,6 @@ object Dedup {
       .join(seen.select(md5(col(seenTextCol)).as("__h")).distinct(),
         Seq("__h"), "left_anti")
       .drop("__h")
-  }
-
-  /** Serialized bloom filter over a one-column frame of hashes (null
-    * when the frame is empty). */
-  private def bloomOf(hashes: DataFrame, expectedItems: Long): Array[Byte] = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val h = hashes.columns.head
-    hashes.select(ColumnBridge.column(
-        new BloomFilterAggregate(
-          new XxHash64(Seq(ColumnBridge.loweredExpression(col(h)))),
-          expectedItems).toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-  }
-
-  /** Probe predicate for [[bloomOf]]'s serialized filter over `__h`. */
-  private def mightContain(bfBytes: Array[Byte]): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
-    ColumnBridge.column(BloomFilterMightContain(
-      Literal.create(bfBytes, BinaryType),
-      new XxHash64(Seq(ColumnBridge.loweredExpression(col("__h"))))))
   }
 
   private def jaccard(t1: Column, t2: Column): Column =

@@ -326,4 +326,42 @@ object EventAnalytics {
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Bounded-horizon exponentially-weighted moving average per key —
+    * the adjust=true EWM every time-series library exposes, truncated
+    * to the last `horizon` observations:
+    *
+    *   ewma_i = Σ_{k<H} decay^k·x_{i−k} / Σ_{k<H, k<i} decay^k
+    *
+    * The truncation is what makes it a WINDOW expression instead of a
+    * sequential recurrence: each row needs only its `horizon−1`
+    * predecessors (H lag() terms over one per-key window), so the
+    * whole operator is one shuffle on the key — no iterative state,
+    * no driver loop, and past ~20 terms the dropped tail weighs
+    * < decay²⁰ anyway. decay = 0.5 keeps every weight an exact binary
+    * fraction, so the weighted terms are exact scalings and the sum
+    * order (a fixed left-to-right fold both here and in the oracle)
+    * yields bit-identical doubles across engines.
+    *
+    * Output: input key/ts/tie/value columns + `ewma` (rounded 6dp). */
+  def ewmaBounded(events: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, valCol: String,
+                  decay: Double = 0.5, horizon: Int = 8): DataFrame = {
+    require(decay > 0.0 && decay < 1.0, "decay must be in (0, 1)")
+    require(horizon >= 1, "horizon must be >= 1")
+    Joins.requireFreeColumns("ewmaBounded", events.columns, "__rn", "ewma")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val x = col(valCol).cast("double")
+    val num = (0 until horizon).map { k =>
+      coalesce(lag(x, k).over(w), lit(0.0)) * lit(math.pow(decay, k))
+    }.reduce(_ + _)
+    val den = (0 until horizon).map { k =>
+      when(col("__rn") > k, lit(math.pow(decay, k))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    events.select(col(keyCol), col(tsCol), col(tieCol), col(valCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("ewma", round(num / den, 6))
+      .drop("__rn")
+  }
 }

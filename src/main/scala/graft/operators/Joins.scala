@@ -122,4 +122,67 @@ object Joins {
       explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Serialized bloom filter over a one-column frame (null when the frame
+    * is empty). Internal seam shared by [[bloomFilteredJoin]] and
+    * [[graft.operators.Dedup.incrementalExactDedup]]. */
+  private[graft] def bloomOf(keys: DataFrame, expectedItems: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val k = keys.columns.head
+    keys.select(ColumnBridge.column(
+        new BloomFilterAggregate(
+          new XxHash64(Seq(ColumnBridge.loweredExpression(col(k)))),
+          expectedItems).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+  }
+
+  /** Probe predicate for [[bloomOf]]'s serialized filter. */
+  private[graft] def mightContain(bfBytes: Array[Byte], probe: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bfBytes, BinaryType),
+      new XxHash64(Seq(ColumnBridge.loweredExpression(probe)))))
+  }
+
+  /** Bloom-filter semi-reduction join (the classic distributed "bloom
+    * join"): fold the small side's join keys into a Bloom filter (one
+    * tiny map-side-combining aggregate job), plant it as a
+    * `might_contain` literal predicate on the big side, then run the
+    * exact equi-join on the survivors. Bloom false positives are
+    * eliminated by the equi-match itself, so the output is EXACTLY the
+    * plain join at any false-positive rate — the filter only decides how
+    * many definite-miss rows skip the shuffle.
+    *
+    * When it pays: `small` is too large to broadcast (so the join must
+    * shuffle BOTH sides) but its key set still fits a few MB of bloom
+    * bits, and the join is selective — at 100 TB this turns "shuffle the
+    * whole fact table" into "shuffle the ~matching fraction". Spark's
+    * own runtime bloom injection (`spark.sql.optimizer.runtime.
+    * bloomFilter.enabled`) makes the same trade adaptively; this
+    * operator is the explicit, always-on form with a caller-controlled
+    * key estimate. The probe predicate lands BELOW the big side's
+    * Exchange (PlanShapeSuite asserts it), which is the whole point.
+    *
+    * Inner and left-semi only: outer joins must keep bloom-missed rows,
+    * which the prefilter by construction discards. */
+  def bloomFilteredJoin(big: DataFrame, bigKey: String,
+                        small: DataFrame, smallKey: String,
+                        expectedKeys: Long = 1000000L,
+                        joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_semi", "leftsemi").contains(joinType.toLowerCase),
+      s"bloomFilteredJoin supports inner/left_semi joins, not $joinType " +
+        "(the prefilter drops bloom-missed big-side rows)")
+    require(expectedKeys > 0, "expectedKeys must be positive")
+    val bf = bloomOf(small.select(col(smallKey)), expectedKeys)
+    // empty small side → no bloom to probe; the join result is empty for
+    // both supported join types, so keep the schema and drop every row
+    val pre =
+      if (bf == null) big.where(lit(false))
+      else big.where(mightContain(bf, col(bigKey)))
+    pre.join(small, pre(bigKey) === small(smallKey), joinType)
+  }
 }

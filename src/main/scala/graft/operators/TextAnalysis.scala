@@ -900,4 +900,73 @@ object TextAnalysis {
         round(col("n_shared").cast("double") / col("__en").cast("double"), 4)
           .as("containment"))
   }
+
+  /** PII patterns shared by [[redactPii]] and its oracle. Deliberately
+    * restricted to the regex subset Java (`java.util.regex`) and RE2
+    * interpret identically — character classes, bounded quantifiers,
+    * non-capturing groups, ASCII `\b` — so the same pattern strings run
+    * in Spark and in DuckDB. */
+  val piiEmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4Pattern: String = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val piiPhonePattern: String = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII scan-and-redact (the mandatory pre-training privacy pass):
+    * e-mail addresses, dotted-quad IPs, and NNN-NNN-NNNN phone numbers
+    * are counted and replaced with typed placeholder tags, applied in a
+    * FIXED order (e-mail → IP → phone) so a span is attributed to
+    * exactly one category — each stage counts on the previous stage's
+    * output, never re-matching inside an already-planted tag.
+    *
+    * This is the AUDITED form — per-doc counts feed a compliance report
+    * and the whole pass is oracle-replayable; the curation pipeline's
+    * in-line column fold ([[Pipelines.scrubPii]], which also strips
+    * URLs/SSNs but reports nothing) is its fire-and-forget sibling.
+    *
+    * Scale shape: pure per-row column algebra (three regexp_count +
+    * three regexp_replace), no shuffle at all — the plan is a single
+    * map over the scan, so it runs at parquet-read speed on any corpus
+    * size and composes with the curation funnel as one more narrow
+    * stage.
+    *
+    * Output: (id, n_email, n_ip, n_phone, clean_text). */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, piiEmailPattern, "<EMAIL>")
+    val t2 = regexp_replace(t1, piiIpv4Pattern, "<IP>")
+    val t3 = regexp_replace(t2, piiPhonePattern, "<PHONE>")
+    docs.select(col(idCol),
+      regexp_count(t0, lit(piiEmailPattern)).cast("long").as("n_email"),
+      regexp_count(t1, lit(piiIpv4Pattern)).cast("long").as("n_ip"),
+      regexp_count(t2, lit(piiPhonePattern)).cast("long").as("n_phone"),
+      t3.as("clean_text"))
+  }
+
+  /** Token-run collapsing (repetition trimming): runs of the same token
+    * repeated more than `maxRun` times in a row are cut down to
+    * `maxRun` occurrences — the cheap intra-document counterpart of the
+    * Gopher repetition FLAGS (which only score; this one edits).
+    *
+    * Scale shape: split + two indexed-lambda array HOFs + join back —
+    * per-row narrow work, no shuffle.
+    *
+    * Output: (id, n_tokens, n_removed, clean_text). */
+  def collapseTokenRuns(docs: DataFrame, idCol: String, textCol: String,
+                        maxRun: Int = 1): DataFrame = {
+    require(maxRun >= 1, "maxRun must be >= 1")
+    Joins.requireFreeColumns("collapseTokenRuns", docs.columns, "__toks")
+    val toks = col("__toks")
+    // keep token i unless the maxRun tokens before it are all equal to
+    // it (1-based element_at; i is the lambda's 0-based index)
+    val kept = filter(toks, (t, i) => {
+      val runBefore = (1 to maxRun).map { back =>
+        i >= back && element_at(toks, (i - back + 1).cast("int")) === t
+      }.reduce(_ && _)
+      !runBefore
+    })
+    docs.select(col(idCol), split(col(textCol), " +").as("__toks"))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks) - size(kept)).cast("long").as("n_removed"),
+        array_join(kept, " ").as("clean_text"))
+  }
 }

@@ -305,4 +305,44 @@ class CleaningSuite extends AnyFunSuite {
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
     assert(cut == Map((1L, 10L) -> ((1L, 0.5))))
   }
+
+  test("PII redaction: e-mail → IP → phone applied in order, each span tagged once, counts per type") {
+    val df = Seq(
+      (1L, "write to bob.smith+x@mail.example.org today"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call 555-123-4567 now"),
+      (4L, "a@b.co at 1.2.3.4 or 555-000-1111"),
+      (5L, "no pii here, just 12345 and 1.5 numbers")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 0L, 0L, "write to <EMAIL> today"),
+      (2L, 0L, 2L, 0L, "server <IP> and <IP> up"),
+      (3L, 0L, 0L, 1L, "call <PHONE> now"),
+      (4L, 1L, 1L, 1L, "<EMAIL> at <IP> or <PHONE>"),
+      (5L, 0L, 0L, 0L, "no pii here, just 12345 and 1.5 numbers")))
+  }
+
+  test("PII redaction: an IP inside an e-mail is consumed by the e-mail pass, never double-tagged") {
+    val df = Seq((1L, "odd but legal u@1.2.3.4x.com plus bare 5.6.7.8")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].head()
+    assert(out == ((1L, 1L, 1L, 0L, "odd but legal <EMAIL> plus bare <IP>")))
+  }
+
+  test("token-run collapse: runs cut to maxRun, order kept, non-adjacent repeats survive") {
+    val df = Seq(
+      (1L, "a a a b b a c c c c"),
+      (2L, "x y z")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.collapseTokenRuns(df, "doc_id", "text", maxRun = 1)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(r1 == Seq(
+      (1L, 10L, 6L, "a b a c"),
+      (2L, 3L, 0L, "x y z")))
+    val r2 = TextAnalysis.collapseTokenRuns(df, "doc_id", "text", maxRun = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(r2 == Seq(
+      (1L, 10L, 3L, "a a b b a c c"),
+      (2L, 3L, 0L, "x y z")))
+  }
 }

@@ -1480,4 +1480,68 @@ class OperatorsSuite extends AnyFunSuite {
     assert(got == Seq(("click", 1L, 1.5), ("email", 0L, 0.0),
       ("view", 1L, 0.5)))
   }
+
+  test("bloomFilteredJoin ≡ plain join (inner + left_semi), including an empty small side") {
+    import graft.operators.Joins
+    val li = Tables.lineitem(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir)
+      .where(col("s_nationkey") % 3 === 0)
+      .select(col("s_suppkey"), col("s_name"))
+    for (jt <- Seq("inner", "left_semi")) {
+      val bloom = Joins.bloomFilteredJoin(li, "l_suppkey", sup, "s_suppkey",
+        expectedKeys = 64L, joinType = jt)
+      val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"), jt)
+      assert(rows(bloom) == rows(plain), s"joinType=$jt")
+    }
+    val empty = Joins.bloomFilteredJoin(li, "l_suppkey",
+      sup.where(lit(false)), "s_suppkey", expectedKeys = 64L)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq ==
+      li.columns.toSeq ++ Seq("s_suppkey", "s_name"))
+  }
+
+  test("bloomFilteredJoin at a deliberately tiny bloom (high FPP) still matches the plain join") {
+    import graft.operators.Joins
+    val li = Tables.lineitem(spark, sfDir)
+    val one = Tables.supplier(spark, sfDir).limit(1)
+      .select(col("s_suppkey"), col("s_name"))
+    // expectedKeys=1 → saturated-filter false positives are likely; the
+    // equi-join must still remove every one of them
+    val bloom = Joins.bloomFilteredJoin(li, "l_suppkey", one, "s_suppkey",
+      expectedKeys = 1L)
+    val plain = li.join(one, li("l_suppkey") === one("s_suppkey"))
+    assert(rows(bloom) == rows(plain))
+  }
+
+  test("ewmaBounded matches a per-key scala fold at every row (truncated adjust=true weights)") {
+    import graft.operators.EventAnalytics
+    val data = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 5.0), (1L, 4L, 40.0),
+      (1L, 5L, 1.0), (1L, 6L, 2.0), (1L, 7L, 3.0), (1L, 8L, 4.0),
+      (1L, 9L, 100.0), (1L, 10L, 6.0), // row 9+ exercises the horizon cut
+      (2L, 1L, 7.0), (2L, 2L, 7.0),
+      (3L, 1L, -5.0))
+    val df = data.map { case (u, i, v) =>
+      (u, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d"), i, v)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val got = EventAnalytics.ewmaBounded(df, "user_id", "ts", "event_id",
+        "value", decay = 0.5, horizon = 8)
+      .orderBy("user_id", "event_id")
+      .as[(Long, java.sql.Timestamp, Long, Double, Double)].collect()
+      .map(r => (r._1, r._3) -> r._5).toMap
+    val byKey = data.groupBy(_._1)
+    for (((u, i), ew) <- got) {
+      val series = byKey(u).sortBy(_._2).map(_._3)
+      val idx = byKey(u).sortBy(_._2).indexWhere(_._2 == i)
+      val terms = (0 until math.min(8, idx + 1))
+        .map(k => (series(idx - k) * math.pow(0.5, k), math.pow(0.5, k)))
+      val expected = BigDecimal(terms.map(_._1).sum / terms.map(_._2).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(math.abs(ew - expected) < 1e-9, s"user=$u row=$i")
+    }
+    // first row of every key is the raw value; steady repeats stay put
+    assert(got((2L, 1L)) == 7.0 && got((2L, 2L)) == 7.0 && got((3L, 1L)) == -5.0)
+    // horizon cut: row 10 of user 1 no longer sees row 1's value
+    assert(got.size == data.size)
+  }
 }

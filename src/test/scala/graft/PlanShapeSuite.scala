@@ -522,4 +522,30 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("PII redaction and run collapse are map-only plans: zero Exchange, zero Window") {
+    val docs = Tables.documents(spark, sfDir)
+    val pii = plan(graft.operators.TextAnalysis.redactPii(docs, "doc_id", "text"))
+    assert(!pii.contains("Exchange") && !pii.contains("Window"), pii)
+    val runs = plan(graft.operators.TextAnalysis.collapseTokenRuns(
+      docs, "doc_id", "text"))
+    assert(!runs.contains("Exchange") && !runs.contains("Window"), runs)
+  }
+
+  test("bloom join: might_contain prefilters the big side BELOW its shuffle") {
+    val li = Tables.lineitem(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"))
+    val df = graft.operators.Joins.bloomFilteredJoin(
+      li, "l_suppkey", sup, "s_suppkey", expectedKeys = 1000L)
+    val p = plan(df)
+    // the bloom literal must gate lineitem rows before any join movement:
+    // the probe appears in a Filter over the scan, so definite misses
+    // never reach the Exchange (or the broadcast probe at test SF)
+    assert(p.contains("might_contain"), p)
+    val scanSide = p.split("\n").dropWhile(!_.contains("might_contain"))
+    assert(scanSide.exists(_.contains("lineitem")),
+      "bloom probe must sit on the lineitem scan side:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
