@@ -1627,7 +1627,7 @@ object Queries {
     * join (the oracle IS the plain join). */
   def xBloomJoin(s: SparkSession, d: String): DataFrame = {
     val sup = supplier(s, d)
-      .join(nation(s, d).where(col("n_name") === "NATION_7"),
+      .join(nation(s, d).where(col("n_name") === "NATION_3"),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"))
     Joins.bloomFilteredJoin(lineitem(s, d), "l_suppkey", sup, "s_suppkey",
@@ -1644,4 +1644,33 @@ object Queries {
     graft.operators.EventAnalytics.ewmaBounded(events(s, d),
         "user_id", "ts", "event_id", "value", decay = 0.5, horizon = 8)
       .orderBy("event_id")
+
+  /** BFS hop distances over the 1.05×-thinned trade graph, seeded at
+    * NATION_12 (multi-hop structure at every fixture SF), capped at 4
+    * hops — oracled by a bounded-depth recursive CTE. */
+  def xBfs(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graphs.bfsHops(thinTradeEdges(s, d, mult = 1.05),
+        "cnation", "snation",
+        nation(s, d).where(col("n_name") === "NATION_12")
+          .select(col("n_name")),
+        "n_name", maxHops = 4)
+      .orderBy("node")
+
+  /** Per-event-type winsorization of the value column at the exact
+    * [p05, p95] band (the oracle path; approxAcc>0 is the 100 TB
+    * sketch path). */
+  def xWinsorize(s: SparkSession, d: String): DataFrame =
+    Pipelines.winsorize(
+        events(s, d).select(col("event_id"), col("event_type"),
+          col("value")),
+        "event_type", "value", pLo = 0.05, pHi = 0.95)
+      .orderBy("event_id")
+
+  /** EXACT prefix-filtered Jaccard self-join at tau=0.9 on the capped
+    * corpus — the oracle is the brute-force all-pairs join, so the
+    * hash match IS the exactness proof of the candidate principle. */
+  def xJaccardJoin(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardJoinPrefix(documents(s, d).where(col("doc_id") < 300),
+        "doc_id", "text", tau = 0.9)
+      .orderBy("d1", "d2")
 }

@@ -261,6 +261,22 @@ object ScaleSmoke {
       // LOCF grid: user_id shifts per copy — per-user spans constant,
       // grid rows ∝ users ∝ copies
       q("x_resample", "events"),
+      // PII redact + run collapse: map-only column algebra — the purest
+      // linear probes in the suite, wall must track scan+write
+      q("x_pii_redact", "documents"),
+      q("x_collapse_runs", "documents"),
+      // bloom join: the bloom build is supplier-sized, the probe is a
+      // per-row literal predicate — the lineitem side must stay linear
+      q("x_bloom_join", "lineitem", "supplier", "nation"),
+      // EWMA: one keyed window, H lag terms per row; user_id shifts per
+      // copy so per-key series stay base-length
+      q("x_ewma", "events"),
+      // BFS shares the pagerank/k-core posture: the 4-way extraction
+      // grows with the facts, the 25-node frontier walk is constant
+      q("x_bfs", "lineitem", "orders", "customer", "supplier", "nation"),
+      // winsorize: one exact-percentile agg (25 event-type groups) +
+      // a broadcastable band join — time must track the event log
+      q("x_winsorize", "events"),
       // two-phase quota on a deliberately UNKEYED mega-stratum (every
       // doc in one stratum): phase 1 shards it across 32 windows,
       // phase 2 sees ≤ 32·k rows — time must track rows where the

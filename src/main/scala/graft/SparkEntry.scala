@@ -873,7 +873,10 @@ object SparkEntry {
     "x_pii_redact" -> (Queries.xPiiRedact _),
     "x_collapse_runs" -> (Queries.xCollapseRuns _),
     "x_bloom_join" -> (Queries.xBloomJoin _),
-    "x_ewma" -> (Queries.xEwma _)
+    "x_ewma" -> (Queries.xEwma _),
+    "x_bfs" -> (Queries.xBfs _),
+    "x_winsorize" -> (Queries.xWinsorize _),
+    "x_jaccard_join" -> (Queries.xJaccardJoin _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1840,7 +1843,7 @@ object SparkEntry {
       ("SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_items, ROUND(SUM(l.l_extendedprice), 2) AS revenue " +
         "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
         "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
-        "WHERE n.n_name = 'NATION_7' GROUP BY s.s_suppkey, s.s_name ORDER BY s.s_suppkey"),
+        "WHERE n.n_name = 'NATION_3' GROUP BY s.s_suppkey, s.s_name ORDER BY s.s_suppkey"),
     // EWMA replay: identical left-to-right term order and power-of-two
     // weights (exact binary fractions) make the doubles bit-identical
     // before the shared ROUND(.,6)
@@ -1856,7 +1859,43 @@ object SparkEntry {
         ") / (1.0 + " +
         (1 to 7).map(k => s"CASE WHEN rn > $k THEN ${math.pow(0.5, k)} ELSE 0.0 END")
           .mkString(" + ") +
-        "), 6) AS ewma FROM b ORDER BY event_id")
+        "), 6) AS ewma FROM b ORDER BY event_id"),
+    // BFS replay: same thinned-edge extraction as the k-core oracle
+    // (1.3× here), then a bounded-depth recursive CTE — UNION dedups
+    // (node, dist) states so the recursion terminates, MIN picks the
+    // hop distance; the operator's empty-frontier early exit is exactly
+    // the recursion running dry
+    "x_bfs" ->
+      ("WITH RECURSIVE e AS MATERIALIZED (SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey " +
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey GROUP BY 1, 2), " +
+        "thin AS MATERIALIZED (SELECT src, dst FROM e WHERE w > 1.05 * (SELECT AVG(w) FROM e)), " +
+        "bb AS (SELECT 'NATION_12' AS node, CAST(0 AS BIGINT) AS dist " +
+        "UNION SELECT thin.dst, bb.dist + 1 FROM bb JOIN thin ON bb.node = thin.src WHERE bb.dist < 4) " +
+        "SELECT node, MIN(dist) AS dist FROM bb GROUP BY node ORDER BY node"),
+    // winsorize replay: quantile_cont ≡ Spark's exact interpolating
+    // percentile (the x_outliers-proven equivalence); flags compare the
+    // UNROUNDED bounds on both sides
+    "x_winsorize" ->
+      ("WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS qlo, quantile_cont(value, 0.95) AS qhi FROM events GROUP BY event_type) " +
+        "SELECT e.event_id, e.event_type, e.value, " +
+        "ROUND(b.qlo, 6) + 0 AS lo, ROUND(b.qhi, 6) + 0 AS hi, " +
+        "ROUND(LEAST(GREATEST(e.value, b.qlo), b.qhi), 6) + 0 AS clipped, " +
+        "e.value < b.qlo AS clipped_lo, e.value > b.qhi AS clipped_hi " +
+        "FROM events e JOIN b USING (event_type) ORDER BY e.event_id"),
+    // the prefix-filtered join's oracle is the BRUTE-FORCE all-pairs
+    // join: the hash match is the exactness proof of the candidate
+    // principle (prefix filter may only add candidates the exact verify
+    // then removes)
+    "x_jaccard_join" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS tok FROM documents WHERE doc_id < 300), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
+        "len(list_intersect(a.tok,b.tok))/CAST(len(list_distinct(list_concat(a.tok,b.tok))) AS DOUBLE) AS jr " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id) " +
+        "SELECT d1, d2, ROUND(jr,4) AS j FROM p WHERE jr >= 0.9 ORDER BY d1, d2")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

@@ -128,6 +128,75 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("__j"), 4).as("j"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin candidate principle (Chaudhuri et al. ICDE'06,
+    * Bayardo et al. WWW'07): output ≡ [[jaccardPairs]] at the same tau
+    * (every pair with unrounded token-set Jaccard ≥ tau, j rounded
+    * 4 dp) with NO all-pairs stage — the exact counterpart of the
+    * probabilistic [[minHashLshPairs]], for when recall must be 1.0 by
+    * construction rather than by banding odds.
+    *
+    * Candidate principle: order every doc's distinct tokens by a GLOBAL
+    * (corpus frequency, token) order — rarest first — and keep each
+    * doc's first m − ⌈tau·m⌉ + 1 tokens (computed as
+    * m − floor(tau·m) + 1, one token longer under float jitter, never
+    * shorter — recall is never at the mercy of a ulp). Two docs with
+    * J ≥ tau MUST share a prefix token, so candidates = equi-join of
+    * the prefix-token rows on the token. The exact verify then filters
+    * false candidates.
+    *
+    * Scale shape: token-frequency table = one map-side-combining
+    * groupBy; the prefix rank is a per-DOC window (state ∝ one doc's
+    * tokens); candidates are a keyed equi-join whose buckets hold
+    * PREFIX occurrences only — prefixes are each doc's RAREST tokens,
+    * so the head of the token frequency distribution (the skew that
+    * makes a naive token-inverted join quadratic) is structurally
+    * excluded from long docs and survives only via short docs; a
+    * tau-slack length filter (|b| ≥ tau·|a|, epsilon-padded toward
+    * keeping) prunes cross-length candidates before the verify. Exact
+    * verify work ∝ candidates, which at high tau ∝ true pairs. */
+  def jaccardJoinPrefix(docs: DataFrame, idCol: String, textCol: String,
+                        tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    Joins.requireFreeColumns("jaccardJoinPrefix", docs.columns,
+      "__id", "__toks", "__m", "__tok", "__tf", "__rn", "d1", "d2", "j")
+    // checkpoint: the token-set frame feeds the prefix build AND both
+    // sides of the verify join — three consumers, one scan
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        tokenSet(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .localCheckpoint()
+    val tokRows = toks.select(col("__id"),
+      size(col("__toks")).as("__m"), explode(col("__toks")).as("__tok"))
+    val tf = tokRows.groupBy("__tok").agg(count(lit(1)).as("__tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__tf"), col("__tok"))
+    // checkpoint: the prefix frame is BOTH sides of the candidate
+    // self-join — without it the freq join + window run twice
+    val prefix = tokRows.join(tf, "__tok")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <=
+        col("__m") - floor(col("__m") * lit(tau)) + 1)
+      .select(col("__tok"), col("__id"), col("__m"))
+      .localCheckpoint()
+    val cand = prefix.select(col("__tok"), col("__id").as("d1"),
+        col("__m").as("__m1"))
+      .join(prefix.select(col("__tok"), col("__id").as("d2"),
+        col("__m").as("__m2")), Seq("__tok"))
+      .where(col("d1") < col("d2") &&
+        // J ≥ tau ⇒ min size ≥ tau·max size; epsilon pads toward KEEPING
+        col("__m1").cast("double") >= col("__m2") * tau - 1e-9 &&
+        col("__m2").cast("double") >= col("__m1") * tau - 1e-9)
+      .select("d1", "d2").distinct()
+    cand
+      .join(toks.select(col("__id").as("d1"), col("__toks").as("__t1")), "d1")
+      .join(toks.select(col("__id").as("d2"), col("__toks").as("__t2")), "d2")
+      .withColumn("__j", jaccard(col("__t1"), col("__t2")))
+      .where(col("__j") >= tau)
+      .select(col("d1"), col("d2"), round(col("__j"), 4).as("j"))
+  }
+
   /** MinHash signature column: for seed i, min over tokens of
     * xxhash64(token, i). Seed-pinned → deterministic across runs. */
   private def minHashSig(tok: Column, numHashes: Int): Column =

@@ -453,6 +453,52 @@ object Graphs {
     * per-iteration driver collect — one Spark job per superstep, not
     * two; at cluster scale that halves the scheduler round-trips of the
     * whole power iteration. */
+  /** Multi-source BFS hop distances: shortest directed hop count from
+    * ANY seed to every reachable node, capped at `maxHops`. The
+    * reachability/proximity primitive under crawl-frontier expansion,
+    * link-graph blast-radius, and lineage-impact queries.
+    *
+    * Scale shape — level-synchronous frontier expansion, the standard
+    * distributed BFS: per hop ONE keyed equi-join (frontier ⋈ edges on
+    * src) + a distinct + a left-anti join against the visited set, all
+    * hash-partitioned on the node id; work per hop ∝ edges out of the
+    * frontier, never the whole graph re-walked. Each level
+    * localCheckpoints — O(1) lineage however deep the graph. Early exit
+    * on an empty frontier is EXACT (expanding an empty frontier is the
+    * identity), so the result is a pure function of (graph, seeds,
+    * maxHops) and an independent bounded-depth recursive oracle must
+    * agree. Seeds are dist 0 whether or not they touch any edge.
+    *
+    * Output: (node, dist) for every node within `maxHops` of a seed. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "bfsHops needs maxHops >= 0")
+    Joins.requireFreeColumns("bfsHops", Seq(srcCol, dstCol, seedCol),
+      "node", "dist", "__src", "__dst")
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("node"))
+      .where(col("node").isNotNull).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist.select("node")
+    var h = 1L
+    while (h <= maxHops && !frontier.isEmpty) {
+      val nxt = frontier.join(e, col("node") === col("__src"))
+        .select(col("__dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("dist"))
+        .localCheckpoint()
+      dist = dist.unionByName(nxt).localCheckpoint()
+      frontier = nxt.select("node")
+      h += 1
+    }
+    dist
+  }
+
   private[graft] def superstep(nodes: DataFrame, frac: DataFrame,
                                srcs: DataFrame, ranks: DataFrame,
                                n: Double, damping: Double): DataFrame = {

@@ -1231,6 +1231,47 @@ object Pipelines {
         (round(col("__score"), 6) + 0.0).as("score")): _*)
   }
 
+  /** Per-group winsorization: values are clipped to the group's
+    * [pLo, pHi] percentile band — the standard tail-taming pass before
+    * feature scaling / reward normalization, the EDITING counterpart of
+    * [[robustOutliers]] (which only flags).
+    *
+    * Scale shape: one percentile aggregation per group (group-count
+    * rows) joined back — broadcastable whenever the group cardinality
+    * is; the clip itself is codegen'd least/greatest. Like
+    * [[robustOutliers]], `approxAcc > 0` swaps the exact interpolating
+    * `percentile` (the oracle path — ≡ SQL quantile_cont) for the
+    * mergeable bounded-memory `approx_percentile` sketch, the 100 TB
+    * path. Clip flags compare the UNROUNDED bounds so they cannot flip
+    * on display rounding; NULL values pass through unclipped with null
+    * flags.
+    *
+    * Output: input columns + (lo, hi, clipped — 6 dp — and clipped_lo/
+    * clipped_hi booleans). */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+                pLo: Double = 0.01, pHi: Double = 0.99,
+                approxAcc: Int = 0): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      "winsorize needs 0 <= pLo < pHi <= 1")
+    graft.operators.Joins.requireFreeColumns("winsorize", df.columns,
+      "lo", "hi", "clipped", "clipped_lo", "clipped_hi", "__lo", "__hi")
+    def pct(c: Column, p: Double): Column =
+      if (approxAcc > 0) approx_percentile(c, lit(p), lit(approxAcc))
+        .cast("double")
+      else percentile(c, lit(p)).cast("double")
+    val v = col(valCol).cast("double")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(pct(v, pLo).as("__lo"), pct(v, pHi).as("__hi"))
+    df.join(bounds, groupCol)
+      .select(df.columns.map(col) ++ Seq(
+        (round(col("__lo"), 6) + 0.0).as("lo"),
+        (round(col("__hi"), 6) + 0.0).as("hi"),
+        (round(least(greatest(v, col("__lo")), col("__hi")), 6) + 0.0)
+          .as("clipped"),
+        (v < col("__lo")).as("clipped_lo"),
+        (v > col("__hi")).as("clipped_hi")): _*)
+  }
+
   def sourceStats(df: DataFrame, srcCol: String, textCol: String,
                   langCol: String): DataFrame =
     df.select(col(srcCol), md5(col(textCol)).as("__h"),

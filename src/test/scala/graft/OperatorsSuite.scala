@@ -1513,6 +1513,45 @@ class OperatorsSuite extends AnyFunSuite {
     assert(rows(bloom) == rows(plain))
   }
 
+  test("bfsHops: chain+cycle closed form, hop cap, exact early exit, isolated seed") {
+    import graft.operators.Graphs
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (5L, 6L))
+      .toDF("s", "t")
+    def run(seeds: Seq[Long], cap: Int): Map[Long, Long] =
+      Graphs.bfsHops(edges, "s", "t", seeds.toDF("n"), "n", cap)
+        .as[(Long, Long)].collect().toMap
+    // directed: 1→2→3→4, 4→2 closes a cycle the visited set must stop
+    assert(run(Seq(1L), 4) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    assert(run(Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // early exit: nothing new past hop 3 → cap 10 ≡ cap 4
+    assert(run(Seq(1L), 10) == run(Seq(1L), 4))
+    // multi-source: each node gets its NEAREST seed's distance
+    assert(run(Seq(1L, 5L), 4) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 0L, 6L -> 1L))
+    // a seed off the graph is still dist 0 (and expands to nothing)
+    assert(run(Seq(99L), 4) == Map(99L -> 0L))
+    assert(run(Seq(1L), 0) == Map(1L -> 0L))
+  }
+
+  test("jaccardJoinPrefix ≡ brute-force jaccardPairs on random corpora at three taus") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(1234)
+    // 60 docs over a 30-token vocab, lengths 3-12 — dense enough that
+    // every tau bracket has true pairs AND false candidates
+    val docs = (1L to 60L).map { id =>
+      val n = 3 + rnd.nextInt(10)
+      (id, Seq.fill(n)(s"t${rnd.nextInt(30)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    docs.cache().count()
+    for (tau <- Seq(0.3, 0.6, 0.9)) {
+      val brute = rows(Dedup.jaccardPairs(docs, "doc_id", "text", tau))
+      val fast = rows(Dedup.jaccardJoinPrefix(docs, "doc_id", "text", tau))
+      assert(brute.nonEmpty || tau > 0.5, s"fixture too sparse at tau=$tau")
+      assert(fast == brute, s"tau=$tau")
+    }
+    docs.unpersist()
+  }
+
   test("ewmaBounded matches a per-key scala fold at every row (truncated adjust=true weights)") {
     import graft.operators.EventAnalytics
     val data = Seq(

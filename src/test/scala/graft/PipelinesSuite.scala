@@ -726,4 +726,37 @@ class PipelinesSuite extends AnyFunSuite {
       ("matches_regex", "txt", 0.6, 0.7, false),
       ("in_set", "txt", 0.4, 0.4, true)))
   }
+
+  test("winsorize: interpolated band closed form, flags, singleton group untouched") {
+    val df = ((1L to 100L).map(v => (v, "g", v.toDouble)) :+
+      ((101L, "solo", 42.0))).toDF("id", "grp", "v")
+    val out = Pipelines.winsorize(df, "grp", "v", pLo = 0.05, pHi = 0.95)
+      .orderBy("id")
+      .as[(Long, String, Double, Double, Double, Double, Boolean, Boolean)]
+      .collect()
+    // exact interpolating percentile over 1..100: p05 = 1 + 0.05·99,
+    // p95 = 1 + 0.95·99
+    val lo = 5.95; val hi = 95.05
+    for ((id, _, v, gotLo, gotHi, clipped, fLo, fHi) <- out.take(100)) {
+      assert(gotLo == lo && gotHi == hi, s"id=$id")
+      assert(clipped == math.min(math.max(v, lo), hi), s"id=$id")
+      assert(fLo == (v < lo) && fHi == (v > hi), s"id=$id")
+    }
+    assert(out.count(r => r._7) == 5 && out.count(r => r._8) == 5)
+    // singleton group: band collapses to the value, nothing clips
+    assert(out.last == ((101L, "solo", 42.0, 42.0, 42.0, 42.0, false, false)))
+  }
+
+  test("winsorize: approx mode clips to sketch elements, exact flags agree on well-separated data") {
+    val df = (1L to 200L).map(v => (v, "g", v.toDouble)).toDF("id", "grp", "v")
+    val exact = Pipelines.winsorize(df, "grp", "v", pLo = 0.05, pHi = 0.95)
+    val approx = Pipelines.winsorize(df, "grp", "v", pLo = 0.05, pHi = 0.95,
+      approxAcc = 10000)
+    // sketch bounds are data ELEMENTS near the exact interpolated band
+    val (elo, ehi) = (10.95, 190.05)
+    val a = approx.select("lo", "hi").distinct().as[(Double, Double)].head()
+    assert(math.abs(a._1 - elo) <= 1.0 && math.abs(a._2 - ehi) <= 1.0, a)
+    assert(exact.where(col("clipped_lo")).count() == 10)
+    assert(approx.where(col("clipped_lo")).count() >= 9)
+  }
 }

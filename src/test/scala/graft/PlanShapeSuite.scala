@@ -532,6 +532,14 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!runs.contains("Exchange") && !runs.contains("Window"), runs)
   }
 
+  test("prefix-filtered jaccard join: keyed joins only, never all-pairs") {
+    val p = plan(graft.operators.Dedup.jaccardJoinPrefix(
+      Tables.documents(spark, sfDir), "doc_id", "text", tau = 0.6))
+    // the candidate stage must be the token-keyed equi-join — a theta
+    // or cross join here would be jaccardPairs all over again
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bloom join: might_contain prefilters the big side BELOW its shuffle") {
     val li = Tables.lineitem(spark, sfDir)
     val sup = Tables.supplier(spark, sfDir)
