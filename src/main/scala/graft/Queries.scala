@@ -1673,4 +1673,29 @@ object Queries {
     Dedup.jaccardJoinPrefix(documents(s, d).where(col("doc_id") < 300),
         "doc_id", "text", tau = 0.9)
       .orderBy("d1", "d2")
+
+  /** Incremental rollup maintenance: per-supplier quantity stats kept
+    * as mergeable state — history (3/4 of orders) merged with a delta
+    * (1/4) must equal the from-scratch rollup, which IS the oracle. */
+  def xAggMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ChangeData
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      col("l_quantity"))
+    val hist = ChangeData.aggState(li.where(col("l_orderkey") % 4 =!= 0),
+      Seq("l_suppkey"), "l_quantity")
+    val delta = ChangeData.aggState(li.where(col("l_orderkey") % 4 === 0),
+      Seq("l_suppkey"), "l_quantity")
+    ChangeData.mergeAggState(Seq(hist, delta), Seq("l_suppkey"))
+      .select(col("l_suppkey"), col("cnt"),
+        round(col("vsum"), 4).as("vsum"), col("vmin"), col("vmax"))
+      .orderBy("l_suppkey")
+  }
+
+  /** Token-distribution drift (KL both ways + JS) between the src0 and
+    * src1 corpus slices — the corpus-version health metric. */
+  def xDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Pipelines.tokenDrift(docs.where(col("source") === "src0"),
+      docs.where(col("source") === "src1"), "text")
+  }
 }

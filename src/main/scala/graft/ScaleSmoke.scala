@@ -277,6 +277,12 @@ object ScaleSmoke {
       // winsorize: one exact-percentile agg (25 event-type groups) +
       // a broadcastable band join — time must track the event log
       q("x_winsorize", "events"),
+      // rollup merge: both states and the merge groupBy are key-sized;
+      // the aggState passes must track the fact rows
+      q("x_agg_merge", "lineitem"),
+      // drift: token counts ∝ rows, the divergence join ∝ vocab (the
+      // c<i> replica tag grows vocab ∝ copies, still ≪ token instances)
+      q("x_drift", "documents"),
       // two-phase quota on a deliberately UNKEYED mega-stratum (every
       // doc in one stratum): phase 1 shards it across 32 windows,
       // phase 2 sees ≤ 32·k rows — time must track rows where the

@@ -876,7 +876,9 @@ object SparkEntry {
     "x_ewma" -> (Queries.xEwma _),
     "x_bfs" -> (Queries.xBfs _),
     "x_winsorize" -> (Queries.xWinsorize _),
-    "x_jaccard_join" -> (Queries.xJaccardJoin _)
+    "x_jaccard_join" -> (Queries.xJaccardJoin _),
+    "x_agg_merge" -> (Queries.xAggMerge _),
+    "x_drift" -> (Queries.xDrift _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1895,7 +1897,31 @@ object SparkEntry {
         "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, " +
         "len(list_intersect(a.tok,b.tok))/CAST(len(list_distinct(list_concat(a.tok,b.tok))) AS DOUBLE) AS jr " +
         "FROM t a JOIN t b ON a.doc_id < b.doc_id) " +
-        "SELECT d1, d2, ROUND(jr,4) AS j FROM p WHERE jr >= 0.9 ORDER BY d1, d2")
+        "SELECT d1, d2, ROUND(jr,4) AS j FROM p WHERE jr >= 0.9 ORDER BY d1, d2"),
+    // the merge contract is mergeAggState(state(hist), state(delta)) ≡
+    // aggState(hist ∪ delta), so the oracle is the FROM-SCRATCH rollup
+    // over the whole table — the hash match proves the incremental path
+    "x_agg_merge" ->
+      ("SELECT l_suppkey, COUNT(l_quantity) AS cnt, ROUND(SUM(l_quantity), 4) AS vsum, " +
+        "MIN(l_quantity) AS vmin, MAX(l_quantity) AS vmax " +
+        "FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"),
+    // drift replay: identical smoothed p/q/m formulas; per-token
+    // contributions quantized to round(x·1e12) BIGINTs exactly like the
+    // plan (the lang-id fixed-point pattern), so the reductions are
+    // order-free integer sums in both engines
+    "x_drift" ->
+      ("WITH ca AS (SELECT tok, COUNT(*) AS ca FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents WHERE source = 'src0') GROUP BY 1), " +
+        "cb AS (SELECT tok, COUNT(*) AS cb FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents WHERE source = 'src1') GROUP BY 1), " +
+        "j AS (SELECT COALESCE(ca.tok, cb.tok) AS tok, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok), " +
+        "tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v, CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb FROM j), " +
+        "c AS (SELECT (CAST(ca AS DOUBLE) + 1.0) / (na + v) AS p, (CAST(cb AS DOUBLE) + 1.0) / (nb + v) AS q, v, na, nb FROM j CROSS JOIN tt), " +
+        "s AS (SELECT v, na, nb, SUM(CAST(round(p * ln(p / q) * 1e12) AS BIGINT)) AS sab, " +
+        "SUM(CAST(round(q * ln(q / p) * 1e12) AS BIGINT)) AS sba, " +
+        "SUM(CAST(round(p * ln(p / ((p + q) / 2.0)) * 1e12) AS BIGINT)) AS spm, " +
+        "SUM(CAST(round(q * ln(q / ((p + q) / 2.0)) * 1e12) AS BIGINT)) AS sqm FROM c GROUP BY v, na, nb) " +
+        "SELECT CAST(v AS BIGINT) AS vocab, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "ROUND(CAST(sab AS DOUBLE) / 1e12, 6) AS kl_ab, ROUND(CAST(sba AS DOUBLE) / 1e12, 6) AS kl_ba, " +
+        "ROUND(CAST(spm + sqm AS DOUBLE) / 2e12, 6) AS js FROM s")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

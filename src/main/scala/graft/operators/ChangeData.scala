@@ -143,4 +143,43 @@ object ChangeData {
       .unionByName(scd2History(delta, keyCols, tsCol, tieCol, opCol,
         deleteOp))
   }
+
+  /** Mergeable per-key aggregate state — (cnt, vsum, vmin, vmax) per
+    * key, the materialized-rollup building block. NULL values are
+    * excluded (SQL aggregate semantics); a key whose values are all
+    * NULL still appears with cnt 0 and NULL extrema. Derived stats
+    * (avg = vsum/cnt) belong at READ time, never in the state — they
+    * don't merge. */
+  def aggState(df: DataFrame, keyCols: Seq[String],
+               valCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "aggState needs at least one key column")
+    graft.operators.Joins.requireFreeColumns("aggState",
+      df.columns.filterNot(keyCols.contains),
+      "cnt", "vsum", "vmin", "vmax")
+    val v = col(valCol).cast("double")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(v).as("cnt"), sum(v).as("vsum"),
+        min(v).as("vmin"), max(v).as("vmax"))
+  }
+
+  /** Incremental rollup maintenance: merge any number of [[aggState]]
+    * frames into the state of their combined inputs WITHOUT rescanning
+    * history — the contract is `mergeAggState(aggState(a), aggState(b))
+    * ≡ aggState(a ∪ b)` (modulo float-sum association, which the
+    * caller's display rounding absorbs; cnt/min/max are exact).
+    *
+    * Scale shape: union + ONE map-side-combining groupBy over
+    * state-sized inputs (distinct keys, not raw rows) — the nightly
+    * "fold today's partition into the running rollup" job touches no
+    * historical raw data, which at 100 TB is the difference between a
+    * delta-sized job and a full recompute. count merges as SUM(cnt),
+    * sum as SUM, extrema as MIN/MAX — every field is associative and
+    * commutative, so states compose in any order and any grouping. */
+  def mergeAggState(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeAggState needs at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+  }
 }

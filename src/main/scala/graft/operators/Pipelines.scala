@@ -1272,6 +1272,51 @@ object Pipelines {
         (v > col("__hi")).as("clipped_hi")): _*)
   }
 
+  /** Token-distribution drift between two corpus slices — add-one-
+    * smoothed KL divergence both ways plus the symmetric bounded
+    * Jensen-Shannon divergence (natural log), THE health metric for
+    * "did this crawl/version shift the data": p_t = (c_a(t)+1)/(n_a+V)
+    * over the joint vocabulary V, q_t likewise.
+    *
+    * Scale shape: one map-side-combining token count per side, a
+    * full-outer vocab join (vocab-sized, not corpus-sized), totals ride
+    * as a broadcast 1-row aggregate. Cross-engine determinism follows
+    * the lang-id fixed-point pattern: each token's four divergence
+    * contributions are quantized to round(x·1e12) LONGS in the plan, so
+    * the reduction is an order-free integer sum — no float-association
+    * drift however the partial aggregation schedules; the oracle
+    * computes the identical integers.
+    *
+    * Output (1 row): (vocab, n_a, n_b, kl_ab, kl_ba, js — 6 dp). */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(split(col(textCol), " ")).as("__tok"))
+        .groupBy("__tok").agg(count(lit(1)).as(as))
+    val joint = counts(a, "__ca")
+      .join(counts(b, "__cb"), Seq("__tok"), "full_outer")
+      .select(col("__tok"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = joint.agg(count(lit(1)).cast("double").as("__v"),
+      sum("__ca").cast("double").as("__na"),
+      sum("__cb").cast("double").as("__nb"))
+    val p = (col("__ca").cast("double") + 1.0) / (col("__na") + col("__v"))
+    val q = (col("__cb").cast("double") + 1.0) / (col("__nb") + col("__v"))
+    val m = (p + q) / 2.0
+    def fx(x: Column): Column = round(x * 1e12, 0).cast("long")
+    val sums = joint.crossJoin(broadcast(totals))
+      .select(fx(p * log(p / q)).as("__ab"), fx(q * log(q / p)).as("__ba"),
+        fx(p * log(p / m)).as("__pm"), fx(q * log(q / m)).as("__qm"),
+        col("__v"), col("__na"), col("__nb"))
+      .groupBy("__v", "__na", "__nb")
+      .agg(sum("__ab").as("__sab"), sum("__ba").as("__sba"),
+        sum("__pm").as("__spm"), sum("__qm").as("__sqm"))
+    sums.select(col("__v").cast("long").as("vocab"),
+      col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+      round(col("__sab").cast("double") / 1e12, 6).as("kl_ab"),
+      round(col("__sba").cast("double") / 1e12, 6).as("kl_ba"),
+      round((col("__spm") + col("__sqm")).cast("double") / 2e12, 6).as("js"))
+  }
+
   def sourceStats(df: DataFrame, srcCol: String, textCol: String,
                   langCol: String): DataFrame =
     df.select(col(srcCol), md5(col(textCol)).as("__h"),

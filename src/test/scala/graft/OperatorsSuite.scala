@@ -1513,6 +1513,59 @@ class OperatorsSuite extends AnyFunSuite {
     assert(rows(bloom) == rows(plain))
   }
 
+  test("mergeAggState of any split ≡ from-scratch aggState (exact cnt/extrema, sum to 1e-9)") {
+    import graft.operators.ChangeData
+    val rnd = new scala.util.Random(77)
+    val rows = (1L to 500L).map(i =>
+      (i, s"k${rnd.nextInt(7)}", rnd.nextDouble() * 100 - 50))
+    val df = rows.toDF("id", "k", "v").cache()
+    val full = ChangeData.aggState(df, Seq("k"), "v")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for (parts <- Seq(2, 5)) {
+      val states = (0 until parts).map(p =>
+        ChangeData.aggState(df.where(col("id") % parts === p), Seq("k"), "v"))
+      val merged = ChangeData.mergeAggState(states, Seq("k"))
+        .as[(String, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(merged.keySet == full.keySet, s"parts=$parts")
+      for ((k, (_, cnt, vsum, vmin, vmax)) <- merged) {
+        val (_, c0, s0, lo0, hi0) = full(k)
+        assert(cnt == c0 && vmin == lo0 && vmax == hi0, s"k=$k parts=$parts")
+        assert(math.abs(vsum - s0) < 1e-9, s"k=$k parts=$parts")
+      }
+    }
+    // merging a merged state with a fresh delta composes (associativity)
+    val a = ChangeData.aggState(df.where(col("id") <= 200), Seq("k"), "v")
+    val b = ChangeData.aggState(
+      df.where(col("id") > 200 && col("id") <= 400), Seq("k"), "v")
+    val c = ChangeData.aggState(df.where(col("id") > 400), Seq("k"), "v")
+    val staged = ChangeData.mergeAggState(
+      Seq(ChangeData.mergeAggState(Seq(a, b), Seq("k")), c), Seq("k"))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2, r._4, r._5)).toSet
+    assert(staged == full.values.map(r => (r._1, r._2, r._4, r._5)).toSet)
+    df.unpersist()
+  }
+
+  test("tokenDrift: zero on identical slices, symmetric, JS bounded by ln 2 on disjoint vocab") {
+    import graft.operators.Pipelines
+    val a = Seq((1L, "x y z x"), (2L, "y z")).toDF("id", "text")
+    val same = Pipelines.tokenDrift(a, a, "text")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(same == ((3L, 6L, 6L, 0.0, 0.0, 0.0)))
+    val b = Seq((3L, "p q r p q")).toDF("id", "text")
+    val ab = Pipelines.tokenDrift(a, b, "text")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    val ba = Pipelines.tokenDrift(b, a, "text")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(ab._1 == 6L && ab._2 == 6L && ab._3 == 5L)
+    assert(ab._4 > 0 && ab._5 > 0 && ab._6 > 0)
+    // KL is direction-swapped under argument swap; JS is symmetric
+    assert(ab._4 == ba._5 && ab._5 == ba._4 && ab._6 == ba._6)
+    assert(ab._6 <= math.log(2.0) + 1e-9)
+  }
+
   test("bfsHops: chain+cycle closed form, hop cap, exact early exit, isolated seed") {
     import graft.operators.Graphs
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (5L, 6L))
