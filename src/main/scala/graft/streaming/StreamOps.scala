@@ -430,9 +430,83 @@ object StreamOps {
         date_add(to_date(lit("1970-01-01")), col("__cwd")).as("cohort_week"),
         col("__off").cast("long").as("week_offset"))
   }
+
+  /** Streaming bounded-horizon EWMA — the live counterpart of
+    * [[graft.operators.EventAnalytics.ewmaBounded]]: per-key state is
+    * the last `horizon − 1` values plus the last (ts, tie) high-water
+    * mark, so state is O(horizon) doubles per key REGARDLESS of stream
+    * length — exactly the bound the batch operator's window truncation
+    * buys. Each event emits its smoothed value; the fold replays the
+    * batch expression's term order (ascending k, left-assoc double
+    * adds, the same pow(decay, k) weights) and the same HALF_UP 6 dp
+    * round, so stream ≡ batch BIT-FOR-BIT under the family's in-order
+    * delivery contract (rows not strictly after the high-water mark
+    * are dropped, same as [[streamingTransitions]]). Optional
+    * processing-time idle eviction; an evicted key restarts its window
+    * cold, diverging from batch — 0 (never evict) is the parity mode. */
+  def streamingEwma(events: DataFrame, decay: Double = 0.5,
+                    horizon: Int = 8, userCol: String = "user_id",
+                    tsCol: String = "ts", tieCol: String = "event_id",
+                    valCol: String = "value",
+                    idleTimeoutSec: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(decay > 0.0 && decay < 1.0, "decay must be in (0, 1)")
+    require(horizon >= 1, "horizon must be >= 1")
+    require(idleTimeoutSec >= 0L, "idleTimeoutSec must be >= 0 (0 = never evict)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeout = if (idleTimeoutSec > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val weights = (0 until horizon).map(k => math.pow(decay, k)).toArray
+    events
+      .select(col(userCol).cast("long"), col(tsCol), col(tieCol).cast("long"),
+        col(valCol).cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaWindow, (Long, Long, Double)](
+        OutputMode.Append(), timeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         state: GroupState[EwmaWindow]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            def micros(t: java.sql.Timestamp): Long =
+              t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+            val ordered = rows.toSeq
+              .map { case (_, ts, tie, v) => (micros(ts), tie, v) }
+              .sortBy { case (t, tie, _) => (t, tie) }
+            var st = state.getOption
+              .getOrElse(EwmaWindow(Long.MinValue, Long.MinValue, Nil))
+            val out = Seq.newBuilder[(Long, Long, Double)]
+            ordered.foreach { case (t, tie, v) =>
+              val fresh = t > st.tsMicros ||
+                (t == st.tsMicros && tie > st.tie)
+              if (fresh) {
+                val window = (v +: st.recent).take(horizon) // newest first
+                var num = 0.0; var den = 0.0; var k = 0
+                while (k < window.length) { // ascending k ≡ the batch fold
+                  num += window(k) * weights(k); den += weights(k); k += 1
+                }
+                val ewma = BigDecimal(num / den)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble + 0.0
+                out += ((uid, tie, ewma))
+                st = EwmaWindow(t, tie, window.take(horizon - 1))
+              }
+            }
+            if (st.tsMicros != Long.MinValue) state.update(st)
+            if (idleTimeoutSec > 0L)
+              state.setTimeoutDuration(idleTimeoutSec * 1000L)
+            out.result().iterator
+          }
+      }
+      .toDF("user_id", "event_id", "ewma")
+  }
 }
 
 case class UserTotals(user_id: Long, n: Long, total: Double)
 case class FunnelTimes(times: Seq[Long])
 case class LastEvent(tsMicros: Long, tie: Long, tp: String)
 case class CohortSeen(cohortDays: Int, offsets: Seq[Int])
+case class EwmaWindow(tsMicros: Long, tie: Long, recent: Seq[Double])

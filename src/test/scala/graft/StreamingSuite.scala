@@ -405,6 +405,31 @@ class StreamingSuite extends AnyFunSuite {
     assert(batch.size > 1) // fixture exercises several cells
   }
 
+  test("T7×ewma: streaming EWMA equals the batch window bit-for-bit across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.EventAnalytics
+      .ewmaBounded(Tables.events(spark, sfDir), "user_id", "ts", "event_id",
+        "value", decay = 0.5, horizon = 8)
+      .select("user_id", "event_id", "ewma")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = eventRows.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamingEwma(mem.toDF(), decay = 0.5, horizon = 8)
+      .writeStream.format("memory").queryName("tewma")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tewma")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == batch.size)
+    // bit-for-bit: the streaming fold replays the batch expression's
+    // term order and rounding, so == on doubles, no tolerance
+    val diff = batch.collect { case (k, v) if got.get(k) != Some(v) => k }
+    assert(diff.isEmpty, s"mismatched rows: ${diff.take(5)}")
+  }
+
   test("CDC snapshot store: stream ≡ batch compaction, idempotent replay, tombstone retention") {
     import graft.jobs.CdcSnapshotJob
     val dir = Files.createTempDirectory("graft_snap").toString
