@@ -1698,4 +1698,11 @@ object Queries {
     Pipelines.tokenDrift(docs.where(col("source") === "src0"),
       docs.where(col("source") === "src1"), "text")
   }
+
+  /** RFM segmentation of the event log: per-user recency/frequency/
+    * monetary with quintile scores from broadcast boundaries. */
+  def xRfm(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.rfmSegments(events(s, d),
+        "user_id", "ts", "value", nBins = 5)
+      .orderBy("user_id")
 }

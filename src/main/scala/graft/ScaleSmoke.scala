@@ -280,6 +280,9 @@ object ScaleSmoke {
       // rollup merge: both states and the merge groupBy are key-sized;
       // the aggState passes must track the fact rows
       q("x_agg_merge", "lineitem"),
+      // RFM: one user-keyed partial agg + three broadcast-boundary bin
+      // passes; replica users are copy-distinct, so keys ∝ copies
+      q("x_rfm", "events"),
       // drift: token counts ∝ rows, the divergence join ∝ vocab (the
       // c<i> replica tag grows vocab ∝ copies, still ≪ token instances)
       q("x_drift", "documents"),

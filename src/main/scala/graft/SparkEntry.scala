@@ -878,7 +878,8 @@ object SparkEntry {
     "x_winsorize" -> (Queries.xWinsorize _),
     "x_jaccard_join" -> (Queries.xJaccardJoin _),
     "x_agg_merge" -> (Queries.xAggMerge _),
-    "x_drift" -> (Queries.xDrift _)
+    "x_drift" -> (Queries.xDrift _),
+    "x_rfm" -> (Queries.xRfm _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1921,7 +1922,22 @@ object SparkEntry {
         "SUM(CAST(round(q * ln(q / ((p + q) / 2.0)) * 1e12) AS BIGINT)) AS sqm FROM c GROUP BY v, na, nb) " +
         "SELECT CAST(v AS BIGINT) AS vocab, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
         "ROUND(CAST(sab AS DOUBLE) / 1e12, 6) AS kl_ab, ROUND(CAST(sba AS DOUBLE) / 1e12, 6) AS kl_ba, " +
-        "ROUND(CAST(spm + sqm AS DOUBLE) / 2e12, 6) AS js FROM s")
+        "ROUND(CAST(spm + sqm AS DOUBLE) / 2e12, 6) AS js FROM s"),
+    // RFM replay: exact integer-microsecond day division (no
+    // truncation-vs-fraction seam), quantile_cont boundaries ≡ Spark's
+    // exact percentile, strict-greater bin counts, inverted r_score
+    "x_rfm" ->
+      ("WITH per AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency, SUM(value) AS monetary FROM events GROUP BY user_id), " +
+        "mx AS (SELECT MAX(ts) AS maxts FROM events), " +
+        "base AS (SELECT user_id, (epoch_us(maxts) - epoch_us(last_ts)) // 86400000000 AS recency_days, frequency, monetary FROM per CROSS JOIN mx), " +
+        "qb AS (SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb, " +
+        "quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb, " +
+        "quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb FROM base) " +
+        "SELECT user_id, recency_days, frequency, ROUND(monetary, 4) AS monetary, " +
+        "6 - (1 + len(list_filter(rb, x -> recency_days > x))) AS r_score, " +
+        "1 + len(list_filter(fb, x -> frequency > x)) AS f_score, " +
+        "1 + len(list_filter(mb, x -> monetary > x)) AS m_score " +
+        "FROM base CROSS JOIN qb ORDER BY user_id")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

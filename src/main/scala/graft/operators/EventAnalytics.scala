@@ -327,6 +327,51 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** RFM segmentation — the classic customer-value triage over an
+    * event log: per key, recency (whole days between the key's LAST
+    * event and the corpus max event time), frequency (event count) and
+    * monetary (value sum), each scored into `nBins` equal-population
+    * bins. The recency score is inverted (`nBins+1 − bin`) so the
+    * conventional reading holds: high r_score = recently active.
+    *
+    * Scale shape: one map-side-combining groupBy(key), the corpus max
+    * as a broadcast 1-row aggregate, and THREE broadcast-boundary
+    * discretizer passes ([[Pipelines.quantileBins]]) — no global
+    * window anywhere, so no single task ever sees the key population.
+    * Recency arithmetic is exact integer microseconds (`unix_micros`
+    * diff, integer day division) — no truncation-vs-fraction seam for
+    * an independent engine to diverge on. `approxAcc > 0` swaps the
+    * exact bin boundaries for the mergeable sketch (the 100 TB path).
+    *
+    * Output: (key, recency_days, frequency, monetary 4 dp, r_score,
+    * f_score, m_score). */
+  def rfmSegments(events: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, nBins: Int = 5,
+                  approxAcc: Int = 0): DataFrame = {
+    require(nBins >= 2, "rfmSegments needs nBins >= 2")
+    Joins.requireFreeColumns("rfmSegments", Seq(keyCol),
+      "recency_days", "frequency", "monetary", "r_score", "f_score",
+      "m_score", "__last", "__maxts", "__rb", "__fb", "__mb")
+    val per = events.groupBy(col(keyCol)).agg(
+      max(col(tsCol)).as("__last"),
+      count(lit(1)).as("frequency"),
+      sum(col(valCol).cast("double")).as("monetary"))
+    val maxTs = events.agg(max(col(tsCol)).as("__maxts"))
+    val base = per.crossJoin(broadcast(maxTs))
+      .select(col(keyCol),
+        ((unix_micros(col("__maxts")) - unix_micros(col("__last")))
+          .divide(lit(86400000000L)).cast("long")).as("recency_days"),
+        col("frequency"), col("monetary"))
+    val binned = Seq(("recency_days", "__rb"), ("frequency", "__fb"),
+      ("monetary", "__mb")).foldLeft(base) { case (df, (v, b)) =>
+        Pipelines.quantileBins(df, v, nBins, b, approxAcc)
+      }
+    binned.select(col(keyCol), col("recency_days"), col("frequency"),
+      round(col("monetary"), 4).as("monetary"),
+      (lit(nBins + 1) - col("__rb")).as("r_score"),
+      col("__fb").as("f_score"), col("__mb").as("m_score"))
+  }
+
   /** Bounded-horizon exponentially-weighted moving average per key —
     * the adjust=true EWM every time-series library exposes, truncated
     * to the last `horizon` observations:

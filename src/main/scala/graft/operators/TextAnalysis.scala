@@ -930,6 +930,8 @@ object TextAnalysis {
     *
     * Output: (id, n_email, n_ip, n_phone, clean_text). */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Joins.requireFreeColumns("redactPii", Seq(idCol),
+      "n_email", "n_ip", "n_phone", "clean_text")
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, piiEmailPattern, "<EMAIL>")
     val t2 = regexp_replace(t1, piiIpv4Pattern, "<IP>")
@@ -953,7 +955,8 @@ object TextAnalysis {
   def collapseTokenRuns(docs: DataFrame, idCol: String, textCol: String,
                         maxRun: Int = 1): DataFrame = {
     require(maxRun >= 1, "maxRun must be >= 1")
-    Joins.requireFreeColumns("collapseTokenRuns", docs.columns, "__toks")
+    Joins.requireFreeColumns("collapseTokenRuns", Seq(idCol),
+      "__toks", "n_tokens", "n_removed", "clean_text")
     val toks = col("__toks")
     // keep token i unless the maxRun tokens before it are all equal to
     // it (1-based element_at; i is the lambda's 0-based index)

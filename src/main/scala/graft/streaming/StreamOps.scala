@@ -143,6 +143,30 @@ object StreamOps {
         col("r.event_id").as("r_event_id"), col("r.ts").as("r_ts"))
   }
 
+  /** Left-outer [[intervalJoin]]: every left row survives; unmatched
+    * rows carry NULL right columns. In streaming, Spark REQUIRES a
+    * watermark on both sides plus the time bound for outer joins —
+    * a left row's NULL verdict can only be emitted once the right-side
+    * watermark proves no match can still arrive, so outer results
+    * trail the watermark by `within` (the correctness-over-latency
+    * trade; inner rows still emit immediately). Same bounded-buffer
+    * posture as the inner form; batch frames plan the identical plain
+    * outer range join (StreamingSuite asserts stream ≡ batch). */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            keyCol: String = "user_id",
+                            within: String = "10 minutes"): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    l.join(r,
+        col(s"l.$keyCol") === col(s"r.$keyCol") &&
+          col("r.ts") > col("l.ts") &&
+          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"),
+        "left_outer")
+      .select(col(s"l.$keyCol").as(keyCol),
+        col("l.event_id").as("l_event_id"), col("l.ts").as("l_ts"),
+        col("r.event_id").as("r_event_id"), col("r.ts").as("r_ts"))
+  }
+
   /** T7: per-key running aggregate (update-mode friendly). */
   def runningTotals(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))

@@ -1513,6 +1513,31 @@ class OperatorsSuite extends AnyFunSuite {
     assert(rows(bloom) == rows(plain))
   }
 
+  test("rfmSegments: closed-form median split at nBins=2, inverted recency, exact day math") {
+    import graft.operators.EventAnalytics
+    val day = 86400000L
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00.25").getTime
+    def ts(d: Int, plusMs: Long = 0L) = new java.sql.Timestamp(base + d * day + plusMs)
+    val df = Seq(
+      (1L, ts(0), 10.0),
+      (2L, ts(1), 20.0), (2L, ts(2), 30.0),
+      (3L, ts(3), 5.0), (3L, ts(3, 1), 5.0), (3L, ts(3, 2), 5.0),
+      (4L, ts(4), 100.0), (4L, ts(4, 1), 100.0), (4L, ts(4, 2), 100.0),
+      (4L, ts(4, 3), 100.0)).toDF("user_id", "ts", "value")
+    val out = EventAnalytics.rfmSegments(df, "user_id", "ts", "value", nBins = 2)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Double, Int, Int, Int)].collect().toSeq
+    // recency [4,2,1,0] median 1.5; freq [1,2,3,4] median 2.5;
+    // monetary [10,50,15,400] median 32.5 — r_score inverted (2 = fresh)
+    assert(out == Seq(
+      (1L, 4L, 1L, 10.0, 1, 1, 1),
+      (2L, 2L, 2L, 50.0, 1, 1, 2),
+      (3L, 1L, 3L, 15.0, 2, 2, 1),
+      (4L, 0L, 4L, 400.0, 2, 2, 2)))
+    // sub-day offsets never round a recency up: max ts has +3ms jitter
+    assert(out.map(_._2).toSeq == Seq(4L, 2L, 1L, 0L))
+  }
+
   test("mergeAggState of any split ≡ from-scratch aggState (exact cnt/extrema, sum to 1e-9)") {
     import graft.operators.ChangeData
     val rnd = new scala.util.Random(77)

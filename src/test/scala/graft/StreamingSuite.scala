@@ -405,6 +405,38 @@ class StreamingSuite extends AnyFunSuite {
     assert(batch.size > 1) // fixture exercises several cells
   }
 
+  test("T-join: left-outer stream-stream interval join equals batch once the watermark flushes") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows
+    val batch = StreamOps.intervalJoinLeftOuter(
+      Tables.events(spark, sfDir), Tables.events(spark, sfDir))
+    val memL = MemoryStream[Ev]
+    val memR = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoinLeftOuter(
+      memL.toDF().withWatermark("ts", "1 minute"),
+      memR.toDF().withWatermark("ts", "1 minute"))
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("tojoin")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    memL.addData(rows: _*); memR.addData(rows: _*)
+    q.processAllAvailable()
+    // outer NULL verdicts trail the watermark: two future sentinel
+    // batches (filtered out below) push it past every real row's bound
+    val maxTs = rows.map(_.ts.getTime).max
+    def flush(id: Long, plusDays: Int) =
+      Ev(id, new Timestamp(maxTs + plusDays * 86400000L), -1L, "flush", 0.0)
+    memL.addData(flush(-1L, 1)); memR.addData(flush(-1L, 1))
+    q.processAllAvailable()
+    memL.addData(flush(-2L, 2)); memR.addData(flush(-2L, 2))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tojoin").where(col("l_event_id") >= 0)
+    assert(sortedRows(got) == sortedRows(batch))
+    // the fixture exercises both verdicts
+    assert(batch.where(col("r_event_id").isNull).count() > 0)
+    assert(batch.where(col("r_event_id").isNotNull).count() > 0)
+  }
+
   test("T7×ewma: streaming EWMA equals the batch window bit-for-bit across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val batch = graft.operators.EventAnalytics
