@@ -1705,4 +1705,10 @@ object Queries {
     graft.operators.EventAnalytics.rfmSegments(events(s, d),
         "user_id", "ts", "value", nBins = 5)
       .orderBy("user_id")
+
+  /** 6-hour OHLC bars of each user's value series. */
+  def xOhlc(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.ohlcBars(events(s, d),
+        "user_id", "ts", "event_id", "value", stepSec = 21600L)
+      .orderBy("user_id", "bucket")
 }

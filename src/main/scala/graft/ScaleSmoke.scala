@@ -283,6 +283,8 @@ object ScaleSmoke {
       // RFM: one user-keyed partial agg + three broadcast-boundary bin
       // passes; replica users are copy-distinct, so keys ∝ copies
       q("x_rfm", "events"),
+      // OHLC: one (key, bucket)-keyed partial agg — bars ∝ users
+      q("x_ohlc", "events"),
       // drift: token counts ∝ rows, the divergence join ∝ vocab (the
       // c<i> replica tag grows vocab ∝ copies, still ≪ token instances)
       q("x_drift", "documents"),

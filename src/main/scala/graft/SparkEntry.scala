@@ -879,7 +879,8 @@ object SparkEntry {
     "x_jaccard_join" -> (Queries.xJaccardJoin _),
     "x_agg_merge" -> (Queries.xAggMerge _),
     "x_drift" -> (Queries.xDrift _),
-    "x_rfm" -> (Queries.xRfm _)
+    "x_rfm" -> (Queries.xRfm _),
+    "x_ohlc" -> (Queries.xOhlc _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1937,7 +1938,19 @@ object SparkEntry {
         "6 - (1 + len(list_filter(rb, x -> recency_days > x))) AS r_score, " +
         "1 + len(list_filter(fb, x -> frequency > x)) AS f_score, " +
         "1 + len(list_filter(mb, x -> monetary > x)) AS m_score " +
-        "FROM base CROSS JOIN qb ORDER BY user_id")
+        "FROM base CROSS JOIN qb ORDER BY user_id"),
+    // OHLC replay: bucket floors agree (integer seconds dominate the
+    // sub-second fraction), open/close via ROW_NUMBER replay of
+    // min_by/max_by over the (ts, tie) total order
+    "x_ohlc" ->
+      ("WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket, ts, event_id, value FROM events), " +
+        "o AS (SELECT user_id, bucket, value, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) AS ra, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rd FROM e) " +
+        "SELECT user_id, bucket, MAX(CASE WHEN ra = 1 THEN value END) AS open, " +
+        "MAX(value) AS high, MIN(value) AS low, " +
+        "MAX(CASE WHEN rd = 1 THEN value END) AS close, COUNT(*) AS n " +
+        "FROM o GROUP BY user_id, bucket ORDER BY user_id, bucket")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

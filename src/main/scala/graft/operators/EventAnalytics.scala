@@ -327,6 +327,36 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** OHLC bar resampling: per (key, bucket) the open (value at the
+    * earliest (ts, tie)), high, low, close (value at the latest
+    * (ts, tie)) and event count — the time-series bar aggregation next
+    * to [[resampleLocf]] (which grid-fills; this one summarizes).
+    *
+    * Scale shape: ONE map-side-combining groupBy on (key, bucket) —
+    * open/close ride as min_by/max_by over the (ts, tie) total-order
+    * struct, so each partition reduces to one candidate per bar before
+    * the shuffle; no window, no per-key sort. Empty buckets are simply
+    * absent (compose with [[resampleLocf]] to grid-fill).
+    *
+    * Output: (key, bucket epoch-sec, open, high, low, close, n). */
+  def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
+               tieCol: String, valCol: String, stepSec: Long): DataFrame = {
+    require(stepSec > 0, "ohlcBars needs a positive step")
+    Joins.requireFreeColumns("ohlcBars", Seq(keyCol),
+      "bucket", "open", "high", "low", "close", "n", "__ord")
+    val bucket = (floor(unix_timestamp(col(tsCol)) / stepSec) * stepSec)
+      .cast("long")
+    val v = col(valCol).cast("double")
+    events
+      .select(col(keyCol), bucket.as("bucket"),
+        struct(col(tsCol), col(tieCol)).as("__ord"), v.as("__v"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(min_by(col("__v"), col("__ord")).as("open"),
+        max(col("__v")).as("high"), min(col("__v")).as("low"),
+        max_by(col("__v"), col("__ord")).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** RFM segmentation — the classic customer-value triage over an
     * event log: per key, recency (whole days between the key's LAST
     * event and the corpus max event time), frequency (event count) and

@@ -1513,6 +1513,29 @@ class OperatorsSuite extends AnyFunSuite {
     assert(rows(bloom) == rows(plain))
   }
 
+  test("ohlcBars: open/close follow the (ts, tie) total order, bars independent per key") {
+    import graft.operators.EventAnalytics
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      // key 1, bucket 0: open = first by (ts, tie), close = last; a
+      // same-ts pair (5, 6) resolved by the tie column
+      (1L, ts(10), 1L, 5.0), (1L, ts(20), 2L, 9.0), (1L, ts(20), 3L, 2.0),
+      (1L, ts(50), 5L, 4.0), (1L, ts(50), 6L, 7.0),
+      // key 1, bucket 60: single event — all four stats equal
+      (1L, ts(70), 7L, 3.0),
+      // key 2 shares bucket 0 but must not mix with key 1
+      (2L, ts(15), 8L, 100.0), (2L, ts(45), 9L, 50.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = EventAnalytics.ohlcBars(df, "user_id", "ts", "event_id",
+        "value", stepSec = 60L)
+      .orderBy("user_id", "bucket")
+      .as[(Long, Long, Double, Double, Double, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 5.0, 9.0, 2.0, 7.0, 5L),
+      (1L, 60L, 3.0, 3.0, 3.0, 3.0, 1L),
+      (2L, 0L, 100.0, 100.0, 50.0, 50.0, 2L)))
+  }
+
   test("rfmSegments: closed-form median split at nBins=2, inverted recency, exact day math") {
     import graft.operators.EventAnalytics
     val day = 86400000L
