@@ -676,4 +676,56 @@ class GeneratedPropsSuite extends AnyFunSuite {
       assert(math.abs(l - le) < 1e-6, s"linear $c") }
     assert(got.map(_._2).sum > 50, "generator should attribute plenty")
   }
+
+  test("bfsHops ≡ a local level-BFS on seeded random digraphs (two seed sets, two caps)") {
+    import graft.operators.Graphs
+    val rnd = new scala.util.Random(2024)
+    val n = 40
+    val edges = (0 until 150).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    def localBfs(seeds: Seq[Long], cap: Int): Map[Long, Long] = {
+      var dist = seeds.distinct.map(_ -> 0L).toMap
+      var frontier = seeds.distinct
+      var h = 1L
+      while (h <= cap && frontier.nonEmpty) {
+        val nxt = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .distinct.filterNot(dist.contains)
+        nxt.foreach(v => dist += v -> h)
+        frontier = nxt
+        h += 1
+      }
+      dist
+    }
+    val edf = edges.toDF("s", "t").cache()
+    edf.count()
+    for ((seeds, cap) <- Seq((Seq(0L), 3), (Seq(1L, 2L, 3L), 50))) {
+      val got = Graphs.bfsHops(edf, "s", "t", seeds.toDF("n"), "n", cap)
+        .as[(Long, Long)].collect().toMap
+      assert(got == localBfs(seeds, cap), s"seeds=$seeds cap=$cap")
+    }
+    edf.unpersist()
+  }
+
+  test("tokenDrift invariants on generated corpora: KL ≥ 0 (Gibbs), JS ∈ [0, ln 2], zero iff same counts") {
+    import graft.operators.Pipelines
+    val rnd = new scala.util.Random(9)
+    def corpus(vocab: Int, docs: Int, off: Int) = (1 to docs).map { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(20))(
+        s"w${off + rnd.nextInt(vocab)}").mkString(" "))
+    }
+    for (trial <- 1 to 3) {
+      val a = corpus(15, 10, 0).toDF("id", "text")
+      val b = corpus(15, 10, trial * 3).toDF("id", "text") // partial overlap
+      val r = Pipelines.tokenDrift(a, b, "text")
+        .as[(Long, Long, Long, Double, Double, Double)].head()
+      assert(r._4 >= 0.0 && r._5 >= 0.0, s"trial $trial: KL must be ≥ 0")
+      assert(r._6 >= 0.0 && r._6 <= math.log(2.0) + 1e-9, s"trial $trial: JS bound")
+      // permuting doc ids preserves counts → all three divergences zero
+      val sameCounts = Pipelines.tokenDrift(
+        a, a.withColumn("id", -col("id")), "text")
+        .as[(Long, Long, Long, Double, Double, Double)].head()
+      assert(sameCounts._4 == 0.0 && sameCounts._5 == 0.0 && sameCounts._6 == 0.0)
+    }
+  }
 }
