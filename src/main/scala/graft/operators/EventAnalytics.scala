@@ -418,6 +418,10 @@ object EventAnalytics {
     * order (a fixed left-to-right fold both here and in the oracle)
     * yields bit-identical doubles across engines.
     *
+    * Contract: values are assumed non-NULL (a NULL row would contribute
+    * 0 to the numerator while still carrying full denominator weight —
+    * filter or impute first).
+    *
     * Output: input key/ts/tie/value columns + `ewma` (rounded 6dp). */
   def ewmaBounded(events: DataFrame, keyCol: String, tsCol: String,
                   tieCol: String, valCol: String,

@@ -1287,7 +1287,9 @@ object Pipelines {
     * drift however the partial aggregation schedules; the oracle
     * computes the identical integers.
     *
-    * Output (1 row): (vocab, n_a, n_b, kl_ab, kl_ba, js — 6 dp). */
+    * Output (1 row): (vocab, n_a, n_b, kl_ab, kl_ba, js — 6 dp); when
+    * BOTH sides are token-free the joint vocabulary is empty and the
+    * output has no rows (there is no distribution to diverge from). */
   def tokenDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
     def counts(df: DataFrame, as: String): DataFrame =
       df.select(explode(split(col(textCol), " ")).as("__tok"))
