@@ -1711,4 +1711,95 @@ object Queries {
     graft.operators.EventAnalytics.ohlcBars(events(s, d),
         "user_id", "ts", "event_id", "value", stepSec = 21600L)
       .orderBy("user_id", "bucket")
+
+  /** Daily growth accounting: new / retained / resurrected / churned
+    * user counts per calendar day. */
+  def xGrowth(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.growthAccounting(events(s, d),
+        "user_id", "ts")
+      .orderBy("day")
+
+  /** Funnel conversion latency: per consecutive stage pair of the
+    * view → click → purchase funnel (48 h step gap), count and exact
+    * p50/p90/mean delay in seconds. */
+  def xTimeToConvert(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.timeToConvert(events(s, d),
+        "user_id", "event_type", "ts",
+        stages = Seq("view", "click", "purchase"),
+        maxStepGapSec = 172800L)
+      .orderBy("step")
+
+  /** Session path mining: 6 h inactivity-gap sessions, first-8-event
+    * type paths, paths followed by ≥ 2 sessions. */
+  def xSessionPaths(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.sessionPaths(events(s, d),
+        "user_id", "event_type", "ts", "event_id",
+        gapSec = 21600L, maxLen = 8, minCount = 2L)
+      .orderBy("path")
+
+  /** Two-sided CUSUM changepoint scores over each event type's daily
+    * volume series (slack 1.0, the window-algebra closed form). */
+  def xCusum(s: SparkSession, d: String): DataFrame = {
+    val series = events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.EventAnalytics.cusum(series,
+        "event_type", "day", "n", slack = 1.0)
+      .orderBy("event_type", "day")
+  }
+
+  /** Adamic-Adar link prediction over the thinned trade graph:
+    * non-adjacent nation pairs scored by their shared neighbors'
+    * inverse-log degrees (centers capped at degree 20). */
+  def xAdamicAdar(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graphs.adamicAdar(thinTradeEdges(s, d),
+        "cnation", "snation", maxDegree = 20)
+      .orderBy("node_a", "node_b")
+
+  /** The weighted thinned trade graph [[xSssp]] walks: same 1.05×
+    * above-average cut as the BFS entry, keeping the integer
+    * line-count weight. */
+  private def thinTradeEdgesW(s: SparkSession, d: String): DataFrame = {
+    val e = nationTradeEdges(s, d).localCheckpoint()
+    e.crossJoin(broadcast(e.agg(avg(col("w")).as("__aw"))))
+      .where(col("w") > lit(1.05) * col("__aw"))
+      .select("cnation", "snation", "w")
+  }
+
+  /** Bounded-hop weighted shortest paths over the 1.05×-thinned trade
+    * graph from NATION_12: min total line-count weight within 4 hops —
+    * oracled by a bounded-depth recursive CTE (exact integer costs). */
+  def xSssp(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graphs.shortestPaths(thinTradeEdgesW(s, d),
+        "cnation", "snation", "w",
+        nation(s, d).where(col("n_name") === "NATION_12")
+          .select(col("n_name")),
+        "n_name", maxHops = 4)
+      .orderBy("node")
+
+  /** Pointwise mutual information between document language and
+    * source — the stratification-independence screen. */
+  def xMutualInfo(s: SparkSession, d: String): DataFrame =
+    Pipelines.mutualInfo(documents(s, d), "lang", "source")
+      .orderBy("lang", "source")
+
+  /** Inverted index over the documents table: tokens with df ≥ 5,
+    * id-sorted posting lists capped at 20 ids, sharded two-phase
+    * build. */
+  def xInvertedIndex(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.invertedIndex(documents(s, d), "doc_id", "text",
+        minDf = 5L, maxPostings = 20, shards = 8)
+      .orderBy("token")
+
+  /** Q54: unpivot/melt — the four lineitem measures as
+    * (measure, value) rows, the wide→long reshape. */
+  def q54(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+  }
 }

@@ -880,7 +880,16 @@ object SparkEntry {
     "x_agg_merge" -> (Queries.xAggMerge _),
     "x_drift" -> (Queries.xDrift _),
     "x_rfm" -> (Queries.xRfm _),
-    "x_ohlc" -> (Queries.xOhlc _)
+    "x_ohlc" -> (Queries.xOhlc _),
+    "x_growth" -> (Queries.xGrowth _),
+    "x_time_to_convert" -> (Queries.xTimeToConvert _),
+    "x_session_paths" -> (Queries.xSessionPaths _),
+    "x_cusum" -> (Queries.xCusum _),
+    "x_adamic_adar" -> (Queries.xAdamicAdar _),
+    "x_sssp" -> (Queries.xSssp _),
+    "x_mutual_info" -> (Queries.xMutualInfo _),
+    "x_inverted_index" -> (Queries.xInvertedIndex _),
+    "q54_unpivot" -> (Queries.q54 _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1950,7 +1959,123 @@ object SparkEntry {
         "SELECT user_id, bucket, MAX(CASE WHEN ra = 1 THEN value END) AS open, " +
         "MAX(value) AS high, MIN(value) AS low, " +
         "MAX(CASE WHEN rd = 1 THEN value END) AS close, COUNT(*) AS n " +
-        "FROM o GROUP BY user_id, bucket ORDER BY user_id, bucket")
+        "FROM o GROUP BY user_id, bucket ORDER BY user_id, bucket"),
+    // growth accounting: per-user active-day lag/lead classification;
+    // churn credits the first inactive day (incl. past the final event)
+    "x_growth" ->
+      ("WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "c AS (SELECT user_id, day, " +
+        "LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev, " +
+        "LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next FROM a), " +
+        "s AS (SELECT day, " +
+        "CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS n_new, " +
+        "CASE WHEN date_diff('day', prev, day) = 1 THEN 1 ELSE 0 END AS n_retained, " +
+        "CASE WHEN prev IS NOT NULL AND date_diff('day', prev, day) > 1 THEN 1 ELSE 0 END AS n_resurrected, " +
+        "0 AS n_churned FROM c " +
+        "UNION ALL SELECT day + 1, 0, 0, 0, 1 FROM c WHERE next IS NULL OR date_diff('day', day, next) > 1) " +
+        "SELECT day, CAST(SUM(n_new) AS BIGINT) AS n_new, " +
+        "CAST(SUM(n_retained) AS BIGINT) AS n_retained, " +
+        "CAST(SUM(n_resurrected) AS BIGINT) AS n_resurrected, " +
+        "CAST(SUM(n_churned) AS BIGINT) AS n_churned FROM s GROUP BY day ORDER BY day"),
+    // conversion latency: the funnel CTEs (same first-touch semantics
+    // as x_event_funnel), deltas as exact integer micros, quantile_cont
+    // ≡ Spark's exact percentile interpolation
+    "x_time_to_convert" ->
+      ("WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "u2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN u1 ON e.user_id = u1.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > u1.t1 AND e.ts <= u1.t1 + INTERVAL 172800 SECOND GROUP BY e.user_id), " +
+        "u3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN u2 ON e.user_id = u2.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > u2.t2 AND e.ts <= u2.t2 + INTERVAL 172800 SECOND GROUP BY e.user_id), " +
+        "d1 AS (SELECT epoch_us(u2.t2) - epoch_us(u1.t1) AS dus FROM u2 JOIN u1 ON u2.user_id = u1.user_id), " +
+        "d2 AS (SELECT epoch_us(u3.t3) - epoch_us(u2.t2) AS dus FROM u3 JOIN u2 ON u3.user_id = u2.user_id) " +
+        "SELECT CAST(1 AS BIGINT) AS step, 'view' AS from_type, 'click' AS to_type, COUNT(*) AS n_users, " +
+        "ROUND(quantile_cont(dus, 0.5) / 1e6, 4) AS p50_sec, ROUND(quantile_cont(dus, 0.9) / 1e6, 4) AS p90_sec, " +
+        "ROUND(AVG(dus) / 1e6, 4) AS avg_sec FROM d1 " +
+        "UNION ALL SELECT 2, 'click', 'purchase', COUNT(*), " +
+        "ROUND(quantile_cont(dus, 0.5) / 1e6, 4), ROUND(quantile_cont(dus, 0.9) / 1e6, 4), " +
+        "ROUND(AVG(dus) / 1e6, 4) FROM d2 ORDER BY step"),
+    // session paths: the same lag-flag running-sum sessionization, the
+    // same (ts, event_id) total order, string_agg over the first 8
+    "x_session_paths" ->
+      ("WITH f AS (SELECT user_id, event_type, ts, event_id, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS newf " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT user_id, event_type, ts, event_id, " +
+        "SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM f), " +
+        "r AS (SELECT user_id, sess, event_type, ts, event_id, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) AS rk FROM g), " +
+        "p AS (SELECT string_agg(event_type, '>' ORDER BY rk) AS path FROM r WHERE rk <= 8 GROUP BY user_id, sess) " +
+        "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p GROUP BY path " +
+        "HAVING COUNT(*) >= 2 ORDER BY path"),
+    // CUSUM: the running-extremum closed form over the SAME sequential
+    // window cumsums — integer-valued daily counts make the per-key
+    // mean exact, so the prefix sums are bit-identical across engines
+    "x_cusum" ->
+      ("WITH s AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, AVG(CAST(n AS DOUBLE)) AS mean FROM s GROUP BY 1), " +
+        "c AS (SELECT s.event_type, s.day, s.n, " +
+        "SUM(CAST(s.n AS DOUBLE) - m.mean - 1.0) OVER w AS c, " +
+        "SUM(CAST(s.n AS DOUBLE) - m.mean + 1.0) OVER w AS d " +
+        "FROM s JOIN m ON s.event_type = m.event_type " +
+        "WINDOW w AS (PARTITION BY s.event_type ORDER BY s.day ROWS UNBOUNDED PRECEDING)), " +
+        "c2 AS (SELECT event_type, day, n, c, d, MIN(c) OVER w AS mc, MAX(d) OVER w AS md FROM c " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT event_type, day, n, ROUND(c - LEAST(mc, 0), 6) AS cusum_pos, " +
+        "ROUND(GREATEST(md, 0) - d, 6) AS cusum_neg FROM c2 ORDER BY event_type, day"),
+    // Adamic-Adar: same center-keyed wedge enumeration over the thinned
+    // undirected graph, same degree cap, contributions fixed-pointed to
+    // picos BEFORE the sum (exact integer addition on both engines)
+    "x_adamic_adar" ->
+      (thinTradeCte +
+        ", canon AS (SELECT DISTINCT LEAST(src, dst) AS x, GREATEST(src, dst) AS y FROM thin WHERE src <> dst)" +
+        ", adj AS (SELECT x AS c, y AS node FROM canon UNION ALL SELECT y, x FROM canon)" +
+        ", ctr AS (SELECT c, CAST(ROUND(1e12 / ln(COUNT(*)), 0) AS BIGINT) AS w FROM adj GROUP BY c HAVING COUNT(*) BETWEEN 2 AND 20)" +
+        ", pairs AS (SELECT a.node AS node_a, b.node AS node_b, ctr.w FROM adj a JOIN adj b ON a.c = b.c AND a.node < b.node JOIN ctr ON ctr.c = a.c)" +
+        ", agg AS (SELECT node_a, node_b, CAST(COUNT(*) AS BIGINT) AS n_common, CAST(SUM(w) AS BIGINT) AS s FROM pairs GROUP BY 1, 2) " +
+        "SELECT agg.node_a, agg.node_b, agg.n_common, ROUND(CAST(s AS DOUBLE) / 1e12, 6) AS score " +
+        "FROM agg LEFT JOIN canon ON node_a = x AND node_b = y WHERE x IS NULL ORDER BY node_a, node_b"),
+    // SSSP: bounded-depth recursive enumeration — positive integer
+    // weights sum exactly, cycles never improve a min, 4-hop bound
+    // matches the engine's Bellman-Ford rounds
+    "x_sssp" ->
+      ("WITH RECURSIVE e AS (SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS BIGINT) AS w " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey " +
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey GROUP BY 1, 2), " +
+        "thin AS (SELECT src, dst, w FROM e WHERE CAST(w AS DOUBLE) > 1.05 * (SELECT AVG(CAST(w AS DOUBLE)) FROM e)), " +
+        "walk(node, dd, h) AS (" +
+        "SELECT n_name, CAST(0 AS BIGINT), 0 FROM nation WHERE n_name = 'NATION_12' " +
+        "UNION ALL SELECT t.dst, wk.dd + t.w, wk.h + 1 FROM walk wk JOIN thin t ON wk.node = t.src WHERE wk.h < 4) " +
+        "SELECT node, MIN(dd) AS dist FROM walk GROUP BY node ORDER BY node"),
+    // mutual information: identical expression shape (pxy/(px)/(py)
+    // with the same left-assoc division order) so the ln argument is
+    // the same double on both engines; 6 dp absorbs the ln ulp
+    "x_mutual_info" ->
+      ("WITH j AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2), " +
+        "mx AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nx FROM j GROUP BY 1), " +
+        "my AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ny FROM j GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM j) " +
+        "SELECT j.lang, j.source, j.n, " +
+        "ROUND(ln(CAST(n AS DOUBLE) / nt / (CAST(nx AS DOUBLE) / nt) / (CAST(ny AS DOUBLE) / nt)), 6) AS pmi, " +
+        "ROUND(CAST(n AS DOUBLE) / nt * ln(CAST(n AS DOUBLE) / nt / (CAST(nx AS DOUBLE) / nt) / (CAST(ny AS DOUBLE) / nt)), 6) AS mi_contrib " +
+        "FROM j JOIN mx ON j.lang = mx.lang JOIN my ON j.source = my.source CROSS JOIN t " +
+        "ORDER BY j.lang, j.source"),
+    // inverted index: the two-phase shard build ≡ a direct global
+    // sort-and-slice (each shard keeps its 20 smallest ids)
+    "x_inverted_index" ->
+      ("WITH p AS (SELECT DISTINCT doc_id, t AS token FROM documents, UNNEST(string_split(text, ' ')) AS u(t) WHERE len(t) > 0), " +
+        "g AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df, " +
+        "list_slice(list_sort(list(doc_id)), 1, 20) AS postings FROM p GROUP BY token) " +
+        "SELECT token, df, postings, df > 20 AS truncated FROM g WHERE df >= 5 ORDER BY token"),
+    "q54_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, m AS measure, v AS value FROM (" +
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS m, l_quantity AS v FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) " +
+        "ORDER BY l_orderkey, l_linenumber, measure")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

@@ -443,4 +443,197 @@ object EventAnalytics {
       .withColumn("ewma", round(num / den, 6))
       .drop("__rn")
   }
+
+  /** Daily growth accounting — the new / retained / resurrected /
+    * churned decomposition every DAU dashboard plots: per calendar day,
+    * how many users were active for the first time ever (new), active
+    * today AND yesterday (retained), active today after a gap of 2+
+    * days (resurrected), and active yesterday but not today (churned —
+    * credited to the first inactive day, including the day after a
+    * user's final event).
+    *
+    * Scale shape: one distinct over (user, day) — map-side partial —
+    * then ONE window PARTITIONED BY USER over the user's active-day
+    * list (state ∝ a user's distinct days, never the corpus) computing
+    * lag/lead in a single pass, and a final groupBy(day) whose keyspace
+    * is the calendar. No global window, no self-join of the raw stream.
+    *
+    * Output: (day date, n_new, n_retained, n_resurrected, n_churned),
+    * one row per day that has any activity or any day-after churn. */
+  def growthAccounting(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    Joins.requireFreeColumns("growthAccounting", events.columns,
+      "day", "__prev", "__next", "n_new", "n_retained", "n_resurrected",
+      "n_churned")
+    val active = events
+      .select(col(userCol), col(tsCol).cast("date").as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("day"))
+    val classified = active
+      .select(col("day"), lag(col("day"), 1).over(w).as("__prev"),
+        lead(col("day"), 1).over(w).as("__next"))
+      .localCheckpoint() // feeds both the status counts and the churn rows
+    val statuses = classified.select(col("day"),
+      when(col("__prev").isNull, lit(1L)).otherwise(lit(0L)).as("n_new"),
+      when(datediff(col("day"), col("__prev")) === 1, lit(1L))
+        .otherwise(lit(0L)).as("n_retained"),
+      when(col("__prev").isNotNull &&
+        datediff(col("day"), col("__prev")) > 1, lit(1L))
+        .otherwise(lit(0L)).as("n_resurrected"),
+      lit(0L).as("n_churned"))
+    val churns = classified
+      .where(col("__next").isNull || datediff(col("__next"), col("day")) > 1)
+      .select(date_add(col("day"), 1).as("day"), lit(0L).as("n_new"),
+        lit(0L).as("n_retained"), lit(0L).as("n_resurrected"),
+        lit(1L).as("n_churned"))
+    statuses.unionByName(churns)
+      .groupBy("day")
+      .agg(sum("n_new").as("n_new"), sum("n_retained").as("n_retained"),
+        sum("n_resurrected").as("n_resurrected"),
+        sum("n_churned").as("n_churned"))
+  }
+
+  /** Funnel conversion latency: for each consecutive stage pair of the
+    * first-touch funnel ([[funnelStages]] semantics exactly — earliest
+    * qualifying instants, strict ordering, per-step gap), the
+    * distribution of the conversion delay — count, exact p50/p90
+    * (linear interpolation over the converted users' delays) and mean,
+    * in seconds.
+    *
+    * Scale shape: the same shrinking per-stage frames as
+    * [[funnelStages]] (one filtered groupBy(user) min per stage, later
+    * joins probe only already-converted users), then per step one
+    * all-reduce percentile over the converted-user deltas — rows ∝
+    * conversions of that step, never the raw stream. Delays are exact
+    * integer microsecond diffs; the seconds conversion and `roundDp`
+    * rounding happen once at the end.
+    *
+    * Output: (step 1-based, from_type, to_type, n_users, p50_sec,
+    * p90_sec, avg_sec). */
+  def timeToConvert(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, stages: Seq[String],
+                    maxStepGapSec: Long, roundDp: Int = 4): DataFrame = {
+    require(stages.size >= 2, "timeToConvert needs at least two stages")
+    require(maxStepGapSec > 0, "maxStepGapSec must be positive")
+    Joins.requireFreeColumns("timeToConvert", events.columns,
+      "__u", "__t", "__pt", "__dus", "step", "from_type", "to_type",
+      "n_users", "p50_sec", "p90_sec", "avg_sec")
+    val u = col(userCol)
+    val first = events.where(col(typeCol) === stages.head)
+      .groupBy(u.as("__u")).agg(min(col(tsCol)).as("__t"))
+      .localCheckpoint()
+    val frames = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.where(col(typeCol) === stage)
+        .join(prev, u === col("__u"))
+        .where(col(tsCol) > col("__t") &&
+          col(tsCol) <= col("__t") + expr(s"INTERVAL $maxStepGapSec SECONDS"))
+        .groupBy(col("__u")).agg(min(col(tsCol)).as("__t"))
+        .localCheckpoint()
+    }
+    frames.sliding(2).toSeq.zipWithIndex.map { case (Seq(a, b), i) =>
+      val deltas = b.join(a.select(col("__u"), col("__t").as("__pt")), "__u")
+        .select((unix_micros(col("__t")) - unix_micros(col("__pt")))
+          .as("__dus"))
+      deltas.agg(
+        count(lit(1)).as("n_users"),
+        round(expr("percentile(__dus, 0.5)") / 1e6, roundDp).as("p50_sec"),
+        round(expr("percentile(__dus, 0.9)") / 1e6, roundDp).as("p90_sec"),
+        round(avg(col("__dus")) / 1e6, roundDp).as("avg_sec"))
+        .select(lit(i + 1).cast("long").as("step"),
+          lit(stages(i)).as("from_type"), lit(stages(i + 1)).as("to_type"),
+          col("n_users"), col("p50_sec"), col("p90_sec"), col("avg_sec"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Session path mining: sessionize each user's timeline by an
+    * inactivity gap, read off each session's ordered event-type
+    * sequence (truncated to its first `maxLen` events), and count how
+    * many sessions follow each path — the "what journeys happen"
+    * complement to the one-step [[transitionCounts]] matrix.
+    *
+    * A new session starts at a user's first event and at every event
+    * more than `gapSec` after the previous one (the q39 session-window
+    * semantics, expressed as a running flag-sum so each event gets a
+    * session ordinal). Event order inside a session is the total
+    * (ts, tie) order; the path string joins types with '>'.
+    *
+    * Scale shape: two windows PARTITIONED BY USER (the lag flag and
+    * its running sum share one shuffle; state ∝ a user's events), one
+    * per-(user, session) groupBy whose collect_list is bounded by the
+    * session length (callers bound sessions via the gap), and a final
+    * map-side-combining count on the path string, thinned by
+    * `minCount` so the output is the frequent tail.
+    *
+    * Output: (path, n_sessions) with n_sessions ≥ minCount. */
+  def sessionPaths(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, tieCol: String, gapSec: Long,
+                   maxLen: Int, minCount: Long = 1L): DataFrame = {
+    require(gapSec > 0, "sessionPaths needs a positive gap")
+    require(maxLen >= 1, "sessionPaths needs maxLen >= 1")
+    Joins.requireFreeColumns("sessionPaths", events.columns,
+      "__new", "__sess", "__evs", "path", "n_sessions")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val flagged = events.select(col(userCol), col(typeCol), col(tsCol),
+        col(tieCol))
+      .withColumn("__new",
+        when(unix_micros(col(tsCol)) -
+          unix_micros(lag(col(tsCol), 1).over(w)) > gapSec * 1000000L ||
+          lag(col(tsCol), 1).over(w).isNull, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__sess", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    flagged
+      .groupBy(col(userCol), col("__sess"))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol), col(tieCol), col(typeCol)))).as("__evs"))
+      .select(concat_ws(">",
+        slice(transform(col("__evs"), e => e(typeCol)), 1, maxLen))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .where(col("n_sessions") >= minCount)
+  }
+
+  /** Two-sided CUSUM changepoint scores per key — the classic
+    * level-shift detector over a keyed series:
+    *
+    *   s⁺_i = max(0, s⁺_{i−1} + (x_i − target − slack))
+    *   s⁻_i = max(0, s⁻_{i−1} − (x_i − target + slack))
+    *
+    * with target = the key's own series mean. The recurrences are NOT
+    * computed sequentially: both have the running-extremum closed form
+    * (s⁺_i = C_i − min(0, min_{j≤i} C_j) for the cumsum C of the
+    * slack-adjusted deviations, and symmetrically for s⁻), so the whole
+    * operator is window algebra — a cumulative sum and a running
+    * min/max over the SAME per-key window, one shuffle total.
+    *
+    * Scale shape: one groupBy(key) mean + broadcast-sized join back,
+    * then one window partitioned by key ordered by `ordCol` (state ∝ a
+    * key's series length — the caller bounds it by aggregating to a
+    * grid first, e.g. daily buckets). Window-order prefix sums are
+    * engine-sequential, so doubles are reproducible; `roundDp` absorbs
+    * the last ulp.
+    *
+    * Output: input (key, ord, value) + cusum_pos, cusum_neg. */
+  def cusum(series: DataFrame, keyCol: String, ordCol: String,
+            valCol: String, slack: Double, roundDp: Int = 6): DataFrame = {
+    require(slack >= 0.0, "cusum needs a non-negative slack")
+    Joins.requireFreeColumns("cusum", series.columns,
+      "__mean", "__c", "__d", "cusum_pos", "cusum_neg")
+    val x = col(valCol).cast("double")
+    val mean = series.groupBy(col(keyCol)).agg(avg(x).as("__mean"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(ordCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    series.join(mean, Seq(keyCol))
+      .withColumn("__c", sum(x - col("__mean") - lit(slack)).over(w))
+      .withColumn("__d", sum(x - col("__mean") + lit(slack)).over(w))
+      .select(col(keyCol), col(ordCol), col(valCol),
+        round(col("__c") - least(min(col("__c")).over(w), lit(0.0)), roundDp)
+          .as("cusum_pos"),
+        round(greatest(max(col("__d")).over(w), lit(0.0)) - col("__d"),
+          roundDp).as("cusum_neg"))
+  }
 }

@@ -499,6 +499,122 @@ object Graphs {
     dist
   }
 
+  /** Adamic-Adar link prediction (Adamic & Adar 2003): for every
+    * NON-adjacent node pair {a, b} with at least one common neighbor,
+    *
+    *   score(a, b) = Σ_{c ∈ N(a) ∩ N(b)} 1 / ln(deg(c))
+    *
+    * over the undirected simple graph — rare shared neighbors count
+    * more than promiscuous ones. The classic "who should link next"
+    * feature for crawl-frontier expansion and related-entity mining.
+    *
+    * Scale shape: wedges are enumerated FROM THE CENTER — one self
+    * equi-join of the adjacency list keyed on the shared neighbor c,
+    * emitting each unordered endpoint pair once (id-ordered) with
+    * weight 1/ln(deg(c)). Centers with deg(c) > `maxDegree` are
+    * EXCLUDED up front (their wedge fan-out is O(deg²) while their
+    * contribution per pair → 0 — the same mega-hub cap as
+    * [[EventAnalytics.cooccurrence]], part of the contract), so total
+    * wedge work is ≤ maxDegree · Σ deg — linear. The pair sum is a
+    * map-side-combining groupBy; existing edges are removed with one
+    * anti-join. Degree-1 centers produce no wedge, so ln(deg) ≥ ln 2
+    * wherever it is evaluated. Contributions are fixed-pointed to
+    * picos (×1e12 longs, the tokenDrift contract) BEFORE the sum, so
+    * the pair score is an exact integer sum — order-independent across
+    * engines — and only the final /1e12 is floating.
+    *
+    * Output: (node_a, node_b, n_common, score) with node_a < node_b. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxDegree: Int, roundDp: Int = 6): DataFrame = {
+    require(maxDegree >= 2, "adamicAdar needs maxDegree >= 2")
+    Joins.requireFreeColumns("adamicAdar", Seq(srcCol, dstCol),
+      "__x", "__y", "__c", "__d", "__w", "node_a", "node_b", "n_common",
+      "score")
+    val canon = edges
+      .where(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("__x"),
+        greatest(col(srcCol), col(dstCol)).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .distinct()
+      .localCheckpoint() // adjacency + degree + the final anti-join probe
+    val adj = canon.select(col("__x").as("__c"), col("__y").as("node"))
+      .unionByName(canon.select(col("__y").as("__c"),
+        col("__x").as("node")))
+    val deg = adj.groupBy("__c").agg(count(lit(1)).as("__d"))
+      .where(col("__d") <= maxDegree && col("__d") >= 2)
+      .select(col("__c"),
+        round(lit(1.0) / log(col("__d")) * 1e12, 0).cast("long").as("__w"))
+    val centered = adj.join(deg, "__c").localCheckpoint()
+    val a = centered.select(col("__c"), col("node").as("node_a"), col("__w"))
+    val b = centered.select(col("__c"), col("node").as("node_b"))
+    a.join(b, Seq("__c"))
+      .where(col("node_a") < col("node_b"))
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("n_common"), sum(col("__w")).as("score"))
+      .join(canon, col("node_a") === col("__x") &&
+        col("node_b") === col("__y"), "left_anti")
+      .select(col("node_a"), col("node_b"), col("n_common"),
+        round(col("score").cast("double") / 1e12, roundDp).as("score"))
+  }
+
+  /** Bounded-hop weighted shortest paths (Bellman-Ford supersteps) from
+    * a seed set: minimum total edge weight over directed paths of at
+    * most `maxHops` edges. Weights must be POSITIVE INTEGERS (enforced)
+    * — costs then sum exactly, so the result is a pure function of
+    * (graph, seeds, maxHops) an independent bounded-depth recursive
+    * oracle must reproduce bit-for-bit; there is no float seam.
+    *
+    * Scale shape — per hop: ONE keyed equi-join (settled frontier ⋈
+    * edges on src), a map-side-combining min per destination, and a
+    * min-merge with the standing distances; each round
+    * localCheckpoints, so lineage is O(1) in depth. Work per hop ∝
+    * edges out of the IMPROVED set only (the frontier is the rows whose
+    * distance changed last round — classic delta Bellman-Ford), and
+    * the early exit on an empty frontier is exact: relaxing a frontier
+    * that improved nothing is the identity. With non-negative weights
+    * a cycle never improves a path, so bounded-hop semantics are
+    * well-defined on cyclic graphs.
+    *
+    * Output: (node, dist) for every node reachable within maxHops;
+    * seeds at dist 0. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    wCol: String, seeds: DataFrame, seedCol: String,
+                    maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "shortestPaths needs maxHops >= 0")
+    Joins.requireFreeColumns("shortestPaths", Seq(srcCol, dstCol, wCol,
+      seedCol), "node", "dist", "__src", "__dst", "__w", "__nd")
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(wCol).cast("long").as("__w"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .groupBy("__src", "__dst").agg(min("__w").as("__w"))
+      .localCheckpoint()
+    require(e.where(col("__w") <= 0L).isEmpty,
+      "shortestPaths needs positive integer weights")
+    var dist = seeds.select(col(seedCol).as("node"))
+      .where(col("node").isNotNull).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val cand = frontier.join(e, col("node") === col("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(min(col("dist") + col("__w")).as("__nd"))
+      val improved = cand.join(dist, Seq("node"), "left")
+        .where(col("dist").isNull || col("__nd") < col("dist"))
+        .select(col("node"), col("__nd").as("dist"))
+        .localCheckpoint()
+      dist = dist.join(improved.select(col("node")), Seq("node"),
+          "left_anti")
+        .unionByName(improved)
+        .localCheckpoint()
+      frontier = improved
+      h += 1
+    }
+    dist
+  }
+
   private[graft] def superstep(nodes: DataFrame, frac: DataFrame,
                                srcs: DataFrame, ranks: DataFrame,
                                n: Double, damping: Double): DataFrame = {

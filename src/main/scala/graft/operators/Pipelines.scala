@@ -1319,6 +1319,46 @@ object Pipelines {
       round((col("__spm") + col("__sqm")).cast("double") / 2e12, 6).as("js"))
   }
 
+  /** Pointwise and aggregate mutual information between two categorical
+    * columns — the feature-association screen (is `lang` informative
+    * about `source`? is a quality flag independent of the domain?)
+    * every curation pipeline runs before trusting a stratification:
+    *
+    *   pmi(x, y)  = ln( p(x,y) / (p(x)·p(y)) )
+    *   mi_contrib = p(x,y) · pmi(x, y)        (Σ over cells = the MI)
+    *
+    * Scale shape: ONE map-side-combining groupBy over the (x, y) pair
+    * — the only pass over the data; marginals and the total are
+    * re-aggregated FROM THE JOINT (≤ |X|·|Y| cells however large the
+    * corpus) and joined back broadcast-sized. NULL categories group as
+    * their own cell, exactly as SQL GROUP BY does. pmi is a per-cell
+    * scalar (no float sum at all); mi_contrib values are the ones a
+    * caller sums — at `roundDp` their later addition order is the
+    * caller's concern, the per-cell values themselves are exact.
+    *
+    * Output: (xCol, yCol, n, pmi, mi_contrib), one row per observed
+    * cell. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String,
+                 roundDp: Int = 6): DataFrame = {
+    require(xCol != yCol, "mutualInfo needs two distinct columns")
+    Joins.requireFreeColumns("mutualInfo", Seq(xCol, yCol),
+      "n", "pmi", "mi_contrib", "__nx", "__ny", "__nt")
+    val joint = df.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val mx = joint.groupBy(col(xCol)).agg(sum("n").as("__nx"))
+    val my = joint.groupBy(col(yCol)).agg(sum("n").as("__ny"))
+    val tot = joint.agg(sum("n").as("__nt"))
+    val pxy = col("n").cast("double") / col("__nt")
+    val pmi = log(pxy / (col("__nx").cast("double") / col("__nt")) /
+      (col("__ny").cast("double") / col("__nt")))
+    joint
+      .join(mx, Seq(xCol)).join(my, Seq(yCol))
+      .crossJoin(broadcast(tot))
+      .select(col(xCol), col(yCol), col("n"),
+        round(pmi, roundDp).as("pmi"),
+        round(pxy * pmi, roundDp).as("mi_contrib"))
+  }
+
   def sourceStats(df: DataFrame, srcCol: String, textCol: String,
                   langCol: String): DataFrame =
     df.select(col(srcCol), md5(col(textCol)).as("__h"),

@@ -972,4 +972,52 @@ object TextAnalysis {
         (size(toks) - size(kept)).cast("long").as("n_removed"),
         array_join(kept, " ").as("clean_text"))
   }
+
+  /** Inverted index build: per whitespace token, its document frequency
+    * and a bounded, id-sorted posting list — the retrieval-side data
+    * structure next to the [[bm25]] scorer (which ranks; this one
+    * materializes the index a serving layer would load).
+    *
+    * Postings are capped at `maxPostings` ids per token (the smallest
+    * ids win — deterministic, and exactly the truncation a sharded
+    * index would apply per segment); `minDf` thins the long unique-token
+    * tail, which dominates raw vocabulary at corpus scale.
+    *
+    * Scale shape: explode → distinct (token, doc) pairs — map-side
+    * partial — then a TWO-PHASE list build (the sharded-quota-sample
+    * pattern): phase 1 groups by (token, id-hash shard) and keeps each
+    * shard's `maxPostings` smallest ids, so no aggregation state ever
+    * exceeds a shard's slice; phase 2 merges ≤ `shards`·maxPostings
+    * pre-truncated fragments per token and slices once more. A
+    * stop-word appearing in every document therefore never materializes
+    * its full posting list anywhere. The exact df rides as a plain
+    * count through both phases. Sorted arrays make the output
+    * independent of shuffle arrival order.
+    *
+    * Output: (token, df, postings array<id>, truncated boolean). */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L, maxPostings: Int = 1000,
+                    shards: Int = 32): DataFrame = {
+    require(minDf >= 1, "invertedIndex needs minDf >= 1")
+    require(maxPostings >= 1, "invertedIndex needs maxPostings >= 1")
+    require(shards >= 1, "invertedIndex needs shards >= 1")
+    Joins.requireFreeColumns("invertedIndex", Seq(idCol),
+      "token", "df", "postings", "truncated", "__sh", "__part", "__c")
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .distinct()
+      .groupBy(col("token"), pmod(xxhash64(col(idCol)), lit(shards))
+        .as("__sh"))
+      .agg(count(lit(1)).as("__c"),
+        slice(sort_array(collect_list(col(idCol))), 1, maxPostings)
+          .as("__part"))
+      .groupBy("token")
+      .agg(sum("__c").as("df"),
+        slice(sort_array(flatten(collect_list(col("__part")))), 1,
+          maxPostings).as("postings"))
+      .where(col("df") >= minDf)
+      .select(col("token"), col("df"), col("postings"),
+        (col("df") > maxPostings).as("truncated"))
+  }
 }

@@ -556,4 +556,56 @@ class PlanShapeSuite extends AnyFunSuite {
       "bloom probe must sit on the lineitem scan side:\n" + p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  /** Every window in the plan must be partitioned by `key` — an
+    * unpartitioned window funnels the corpus through one task, the
+    * exact 100 TB failure mode the Z-order rewrite removed. */
+  private def assertKeyedWindows(p: String, key: String): Unit =
+    p.split("\n").filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains(key),
+        s"window not partitioned by $key in line:\n$l\nplan:\n$p")
+    }
+
+  test("graph: Adamic-Adar wedge front is keyed joins + partial agg, never all-pairs") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("s", "t")
+    val p = plan(graft.operators.Graphs.adamicAdar(edges, "s", "t", 10))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("journey: growth/cusum/session-path windows are all keyed") {
+    val ev = Tables.events(spark, sfDir)
+    assertKeyedWindows(plan(graft.operators.EventAnalytics
+      .growthAccounting(ev, "user_id", "ts")), "user_id")
+    assertKeyedWindows(plan(graft.operators.EventAnalytics
+      .sessionPaths(ev, "user_id", "event_type", "ts", "event_id",
+        gapSec = 21600L, maxLen = 8, minCount = 2L)), "user_id")
+    val series = ev.groupBy(col("event_type"),
+      col("ts").cast("date").as("day")).agg(count(lit(1)).as("n"))
+    assertKeyedWindows(plan(graft.operators.EventAnalytics
+      .cusum(series, "event_type", "day", "n", 1.0)), "event_type")
+  }
+
+  test("mutual information: one pass over the data, marginals re-aggregated from the joint") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = plan(graft.operators.Pipelines.mutualInfo(docs, "lang", "source"))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the joint is checkpointed, so the only scan left is its replay —
+    // the raw documents table appears nowhere downstream
+    assert(!p.contains("documents.parquet"), p)
+  }
+
+  test("inverted index: two-phase posting build is window-free partial aggs") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = plan(graft.operators.TextAnalysis.invertedIndex(
+      docs, "doc_id", "text", minDf = 5L, maxPostings = 20, shards = 8))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
