@@ -1791,6 +1791,33 @@ object Queries {
         minDf = 5L, maxPostings = 20, shards = 8)
       .orderBy("token")
 
+  /** Binned two-sample KS drift between the view and purchase value
+    * distributions (64 shared equi-width bins). */
+  def xKsDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    Pipelines.ksDrift(ev.where(col("event_type") === "view"),
+      ev.where(col("event_type") === "purchase"), "value", bins = 64)
+  }
+
+  /** Lagged cross-correlation (0..7 days) between the daily view and
+    * purchase volumes — integer sufficient statistics, oracle-exact. */
+  def xXcorr(s: SparkSession, d: String): DataFrame = {
+    val series = events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_date(col("day")).as("ord"), col("n"))
+    graft.operators.EventAnalytics.laggedCorrelation(series,
+        "event_type", "ord", "n", "view", "purchase", maxLag = 7)
+      .orderBy("lag")
+  }
+
+  /** Mutual nearest neighbors over the embedding table: reciprocal
+    * top-10 cosine pairs — the high-precision alignment candidates. */
+  def xMnn(s: SparkSession, d: String): DataFrame =
+    Similarity.mutualNearestNeighbors(embeddings(s, d),
+        "vec_id", "embedding", k = 10)
+      .orderBy("id_a", "id_b")
+
   /** Q54: unpivot/melt — the four lineitem measures as
     * (measure, value) rows, the wide→long reshape. */
   def q54(s: SparkSession, d: String): DataFrame = {

@@ -288,6 +288,34 @@ object ScaleSmoke {
       // drift: token counts ∝ rows, the divergence join ∝ vocab (the
       // c<i> replica tag grows vocab ∝ copies, still ≪ token instances)
       q("x_drift", "documents"),
+      // growth/session/cusum/latency: per-user (or per-type) windows
+      // and shrinking funnel frames — user_id shifts per copy, so keys
+      // ∝ copies and per-key state stays base-length
+      q("x_growth", "events"),
+      q("x_session_paths", "events"),
+      q("x_cusum", "events"),
+      q("x_time_to_convert", "events"),
+      // graph additions share the BFS posture: fact-side extraction
+      // grows, the 25-node walk/wedge phase is constant
+      q("x_sssp", "lineitem", "orders", "customer", "supplier", "nation"),
+      q("x_adamic_adar", "lineitem", "orders", "customer", "supplier",
+        "nation"),
+      // MI: one joint groupBy over the corpus, cell-sized tail
+      q("x_mutual_info", "documents"),
+      // inverted index: the two-phase posting build — replica doc_ids
+      // are copy-shifted so df grows ∝ copies while every shard slice
+      // stays maxPostings-bounded
+      q("x_inverted_index", "documents"),
+      // unpivot: a single Expand — pure scan-bandwidth reshape
+      q("q54_unpivot", "lineitem"),
+      // KS drift / cross-correlation: map-side binning + a bins-bounded
+      // CDF window; xcorr is two projections + a maxLag-bounded fan-out
+      q("x_ks_drift", "events"),
+      q("x_xcorr", "events"),
+      // NOT here: x_mnn — the EXACT form is all-pairs by declared
+      // contract (probe-set-sized inputs; the scale path feeds ANN
+      // output to mutualPairs), so replicating the corpus measures the
+      // contract violation, not the operator
       // two-phase quota on a deliberately UNKEYED mega-stratum (every
       // doc in one stratum): phase 1 shards it across 32 windows,
       // phase 2 sees ≤ 32·k rows — time must track rows where the

@@ -889,7 +889,10 @@ object SparkEntry {
     "x_sssp" -> (Queries.xSssp _),
     "x_mutual_info" -> (Queries.xMutualInfo _),
     "x_inverted_index" -> (Queries.xInvertedIndex _),
-    "q54_unpivot" -> (Queries.q54 _)
+    "q54_unpivot" -> (Queries.q54 _),
+    "x_ks_drift" -> (Queries.xKsDrift _),
+    "x_xcorr" -> (Queries.xXcorr _),
+    "x_mnn" -> (Queries.xMnn _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2075,7 +2078,47 @@ object SparkEntry {
         "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem " +
         "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem " +
         "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) " +
-        "ORDER BY l_orderkey, l_linenumber, measure")
+        "ORDER BY l_orderkey, l_linenumber, measure"),
+    // KS drift: same shared equi-width grid (identical IEEE width and
+    // floor arithmetic), integer bin counts ⇒ exact CDF ratios
+    "x_ks_drift" ->
+      ("WITH va AS (SELECT CAST(value AS DOUBLE) AS x FROM events WHERE event_type = 'view' AND value IS NOT NULL), " +
+        "vb AS (SELECT CAST(value AS DOUBLE) AS x FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+        "bd AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM (SELECT x FROM va UNION ALL SELECT x FROM vb)), " +
+        "ba AS (SELECT CASE WHEN hi = lo THEN 0 ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 64)) AS BIGINT), 63) END AS bin FROM va CROSS JOIN bd), " +
+        "bb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 64)) AS BIGINT), 63) END AS bin FROM vb CROSS JOIN bd), " +
+        "ca AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS ca FROM ba GROUP BY bin), " +
+        "cb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cb FROM bb GROUP BY bin), " +
+        "h AS (SELECT COALESCE(ca.bin, cb.bin) AS bin, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin), " +
+        "t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM h), " +
+        "c AS (SELECT ABS(CAST(SUM(ca) OVER w AS DOUBLE) / na - CAST(SUM(cb) OVER w AS DOUBLE) / nb) AS d, na, nb " +
+        "FROM h CROSS JOIN t WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT na AS n_a, nb AS n_b, ROUND(MAX(d), 6) AS d_stat FROM c GROUP BY na, nb"),
+    // lagged cross-correlation: all five Pearson sufficient statistics
+    // are exact integer sums; only the final expression is floating
+    "x_xcorr" ->
+      ("WITH s AS (SELECT event_type, CAST(ts AS DATE) - DATE '1970-01-01' AS o, COUNT(*) AS n FROM events GROUP BY 1, 2), " +
+        "xs AS (SELECT o, n AS x FROM s WHERE event_type = 'view'), " +
+        "ys AS (SELECT o, n AS y FROM s WHERE event_type = 'purchase'), " +
+        "l AS (SELECT UNNEST(generate_series(0, 7)) AS lag), " +
+        "p AS (SELECT l.lag, xs.x, ys.y FROM ys CROSS JOIN l JOIN xs ON xs.o = ys.o - l.lag), " +
+        "st AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
+        "SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy FROM p GROUP BY lag) " +
+        "SELECT lag, n, CASE WHEN SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) > 0 " +
+        "THEN ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) END AS corr " +
+        "FROM st ORDER BY lag"),
+    // MNN: brute-force knn both directions (the x_knn_join cosine
+    // formula verbatim), reciprocity via a reversed-pair self-join
+    "x_mnn" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "s AS (SELECT a.vec_id AS qid, b.vec_id AS vid, " +
+        "ROUND(list_dot_product(b.e, a.e)/(SQRT(list_dot_product(b.e, b.e))*SQRT(list_dot_product(a.e, a.e))), 4) + 0 AS cos " +
+        "FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id), " +
+        "r AS (SELECT qid, vid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM s), " +
+        "kn AS (SELECT qid, vid, cos FROM r WHERE rk <= 10) " +
+        "SELECT kn.qid AS id_a, kn.vid AS id_b, kn.cos FROM kn " +
+        "JOIN kn k2 ON kn.qid = k2.vid AND kn.vid = k2.qid " +
+        "WHERE kn.qid < kn.vid ORDER BY id_a, id_b")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

@@ -595,6 +595,55 @@ object EventAnalytics {
       .where(col("n_sessions") >= minCount)
   }
 
+  /** Lagged Pearson cross-correlation between two keys' INTEGER-valued
+    * series (daily counts, quantized metrics): for each lag 0..maxLag,
+    * the correlation of (x at t, y at t+lag) over the ordinals where
+    * both exist — "does a move in A precede a move in B by ℓ days".
+    *
+    * The integer contract is what makes it oracle-exact: all five
+    * Pearson sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * as exact longs in any order; only the final correlation is
+    * floating, and it's one deterministic expression per lag. A lag
+    * whose overlap has zero variance on either side yields NULL (the
+    * SQL convention), not NaN.
+    *
+    * Scale shape: two key-filtered projections, the lag fan-out is an
+    * explode of `maxLag + 1` rows per y-observation (the caller bounds
+    * maxLag), the alignment is one equi-join on the shifted ordinal,
+    * and the stats are a map-side-combining groupBy on ≤ maxLag + 1
+    * lag keys. Nothing windows; nothing sorts.
+    *
+    * Output: (lag, n, corr rounded to `roundDp`), one row per lag. */
+  def laggedCorrelation(series: DataFrame, keyCol: String, ordCol: String,
+                        valCol: String, keyA: Any, keyB: Any, maxLag: Int,
+                        roundDp: Int = 6): DataFrame = {
+    require(maxLag >= 0, "laggedCorrelation needs maxLag >= 0")
+    // no free-column guard: both sides are projected fresh immediately
+    // (a value column literally named "n" is legitimate input)
+    val xs = series.where(col(keyCol) === lit(keyA))
+      .select(col(ordCol).cast("long").as("__o"),
+        col(valCol).cast("long").as("__x"))
+    val ys = series.where(col(keyCol) === lit(keyB))
+      .select(col(ordCol).cast("long").as("__o"),
+        col(valCol).cast("long").as("__y"))
+    val lagged = ys.select(col("__o"), col("__y"),
+        explode(sequence(lit(0L), lit(maxLag.toLong))).as("lag"))
+      .select((col("__o") - col("lag")).as("__j"), col("__y"), col("lag"))
+    val stats = xs.join(lagged, col("__o") === col("__j"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum("__x").as("sx"), sum("__y").as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double") *
+      (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    stats.select(col("lag"), col("n"),
+      when(den > 0.0, round(num / den, roundDp)).as("corr"))
+  }
+
   /** Two-sided CUSUM changepoint scores per key — the classic
     * level-shift detector over a keyed series:
     *

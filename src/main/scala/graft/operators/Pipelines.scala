@@ -1319,6 +1319,59 @@ object Pipelines {
       round((col("__spm") + col("__sqm")).cast("double") / 2e12, 6).as("js"))
   }
 
+  /** Binned two-sample Kolmogorov-Smirnov drift between two numeric
+    * column distributions — the numeric complement of [[tokenDrift]]
+    * (which compares token frequencies): D = max over bin edges of
+    * |CDF_a − CDF_b| on a shared equi-width grid.
+    *
+    * Binning is the declared approximation (the statistic is exact for
+    * the binned distributions; finer `bins` → closer to the raw KS D):
+    * the shared bounds come from ONE union'd min/max aggregate, each
+    * side then bins in a single map-side-combining pass, and the CDF
+    * runs over the ≤ `bins`-row joined histogram — the only window in
+    * the plan, bounded by the PARAMETER, never the data. Counts are
+    * integers, so the CDFs are exact ratios and D is cross-engine
+    * deterministic; a degenerate corpus (all values equal) yields one
+    * bin and D = 0.
+    *
+    * Output: one row (n_a, n_b, d_stat rounded to `roundDp`). */
+  def ksDrift(a: DataFrame, b: DataFrame, valCol: String,
+              bins: Int = 64, roundDp: Int = 6): DataFrame = {
+    require(bins >= 1, "ksDrift needs bins >= 1")
+    Joins.requireFreeColumns("ksDrift", Seq(valCol),
+      "__lo", "__hi", "__bin", "__ca", "__cb", "__na", "__nb",
+      "n_a", "n_b", "d_stat")
+    val x = col(valCol).cast("double")
+    val va = a.select(x.as("__x")).where(col("__x").isNotNull)
+    val vb = b.select(x.as("__x")).where(col("__x").isNotNull)
+    val bounds = va.unionByName(vb)
+      .agg(min("__x").as("__lo"), max("__x").as("__hi"))
+    def binned(side: DataFrame, cnt: String): DataFrame =
+      side.crossJoin(broadcast(bounds))
+        .select(when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("__x") - col("__lo")) /
+              ((col("__hi") - col("__lo")) / bins)).cast("long"),
+            lit(bins - 1L))).as("__bin"))
+        .groupBy("__bin").agg(count(lit(1)).as(cnt))
+    val hist = binned(va, "__ca")
+      .join(binned(vb, "__cb"), Seq("__bin"), "full_outer")
+      .select(col("__bin"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .localCheckpoint() // ≤ bins rows, consumed by the totals AND the CDF
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    hist
+      .crossJoin(broadcast(hist.agg(sum("__ca").as("__na"),
+        sum("__cb").as("__nb"))))
+      .select(abs(sum(col("__ca")).over(w).cast("double") / col("__na") -
+        sum(col("__cb")).over(w).cast("double") / col("__nb")).as("__d"),
+        col("__na"), col("__nb"))
+      .groupBy("__na", "__nb").agg(round(max("__d"), roundDp).as("d_stat"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("d_stat"))
+  }
+
   /** Pointwise and aggregate mutual information between two categorical
     * columns — the feature-association screen (is `lang` informative
     * about `source`? is a quality flag independent of the domain?)

@@ -124,6 +124,40 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Mutual nearest neighbors: unordered pairs {a, b} where b is in
+    * a's top-k AND a is in b's top-k — the reciprocity filter that
+    * turns a k-NN graph into high-precision alignment/dedup candidates
+    * (one-directional neighbors are dominated by hubs; mutual ones are
+    * the classic translation-pair / near-dup signal).
+    *
+    * `mutualPairs` is the general form over ANY (qid, vec_id, cos)
+    * neighbor frame — exact [[knnJoin]] output at probe scale, or an
+    * ANN front ([[annTopK]]/IVF) at corpus scale, where the
+    * reciprocity join stays ∝ k·|corpus| either way (one self
+    * equi-join of the neighbor edges on the reversed pair). The
+    * convenience wrapper runs the exact knn first and inherits its
+    * small-side contract.
+    *
+    * Output: (id_a, id_b, cos) with id_a < id_b, cos = the a→b score
+    * (symmetric metric ⇒ equal to b→a's). */
+  def mutualPairs(knn: DataFrame): DataFrame = {
+    val rev = knn.select(col("qid").as("__rq"), col("vec_id").as("__rv"))
+    knn.where(col("qid") < col("vec_id"))
+      .join(rev, col("qid") === col("__rv") && col("vec_id") === col("__rq"),
+        "left_semi")
+      .select(col("qid").as("id_a"), col("vec_id").as("id_b"), col("cos"))
+  }
+
+  /** Exact MNN over an embedding table — [[mutualPairs]] over
+    * [[knnJoin]](emb, emb). Probe-set-sized inputs only (the knn is
+    * brute-force); feed ANN output to [[mutualPairs]] at corpus
+    * scale. */
+  def mutualNearestNeighbors(emb: DataFrame, idCol: String,
+                             vecCol: String, k: Int): DataFrame =
+    // no free-column guard: knnJoin projects (qid, vec_id, cos) fresh,
+    // so input names (incl. an id literally called vec_id) never leak
+    mutualPairs(knnJoin(emb, emb, idCol, vecCol, k).localCheckpoint())
+
   /** Shared two-phase top-k tail over (qid, vec_id, cos) rows: phase 1
     * prunes to k within each (qid, upstream partition), phase 2 reduces
     * the survivors — no task ever holds one query's full score set. */

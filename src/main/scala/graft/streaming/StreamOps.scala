@@ -527,6 +527,38 @@ object StreamOps {
       }
       .toDF("user_id", "event_id", "ewma")
   }
+
+  /** Streaming OHLC bars — the live counterpart of
+    * [[graft.operators.EventAnalytics.ohlcBars]]: one watermarked
+    * windowed aggregation per (key, bucket), open/close as
+    * min_by/max_by over the (ts, tie) total-order struct — the same
+    * single-shuffle partial-agg shape as batch, state ∝ open bars only
+    * (the watermark closes a bar `delay` past its end and frees it).
+    * Append mode: a bar emits exactly once, when the watermark passes
+    * it — the exactly-once bar feed a downstream chart/store wants.
+    * Bars match the batch operator bit-for-bit once all events are
+    * flushed (same floor-aligned epoch buckets: `window()` aligns at
+    * the epoch for step sizes that divide a day). */
+  def streamingOhlc(events: DataFrame, stepSec: Long,
+                    watermarkDelay: String = "10 minutes",
+                    keyCol: String = "user_id", tsCol: String = "ts",
+                    tieCol: String = "event_id",
+                    valCol: String = "value"): DataFrame = {
+    require(stepSec > 0, "streamingOhlc needs a positive step")
+    val v = col(valCol).cast("double")
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol), col(tsCol),
+        struct(col(tsCol), col(tieCol)).as("__ord"), v.as("__v"))
+      .groupBy(window(col(tsCol), s"$stepSec seconds"), col(keyCol))
+      .agg(min_by(col("__v"), col("__ord")).as("open"),
+        max(col("__v")).as("high"), min(col("__v")).as("low"),
+        max_by(col("__v"), col("__ord")).as("close"),
+        count(lit(1)).as("n"))
+      .select(col(keyCol),
+        unix_timestamp(col("window.start")).as("bucket"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+  }
 }
 
 case class UserTotals(user_id: Long, n: Long, total: Double)

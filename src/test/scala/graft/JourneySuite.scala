@@ -209,4 +209,72 @@ class JourneySuite extends AnyFunSuite {
         r.getBoolean(3))).toSeq
     assert(oneShard == got)
   }
+
+  test("ksDrift: identical → 0, disjoint → 1, degenerate single value → 0") {
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Pipelines.ksDrift(a, a, "v", bins = 10).collect().head
+    assert(same.getLong(0) == 100L && same.getLong(1) == 100L &&
+      same.getDouble(2) == 0.0)
+    // fully separated supports: some bin boundary has CDF gap 1
+    val b = (201 to 300).map(_.toDouble).toDF("v")
+    val apart = Pipelines.ksDrift(a, b, "v", bins = 10).collect().head
+    assert(apart.getDouble(2) == 1.0)
+    // all values equal on both sides → one bin, D = 0 (no div-by-zero)
+    val c = Seq(5.0, 5.0).toDF("v")
+    assert(Pipelines.ksDrift(c, c, "v", bins = 10)
+      .collect().head.getDouble(2) == 0.0)
+    // shifted uniform: D grows with the shift, stays in [0, 1]
+    val sh = (51 to 150).map(_.toDouble).toDF("v")
+    val d = Pipelines.ksDrift(a, sh, "v", bins = 10)
+      .collect().head.getDouble(2)
+    assert(d > 0.3 && d <= 1.0)
+  }
+
+  test("laggedCorrelation: perfect lag recovered, zero variance → NULL") {
+    // y is x shifted by 2 (y_{t} = x_{t-2}): corr at lag 2 is exactly 1
+    val xs = Seq(1L, 5L, 2L, 8L, 3L, 9L, 4L, 7L, 6L, 2L)
+    val rows = xs.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
+      xs.zipWithIndex.map { case (v, i) => ("b", i.toLong + 2L, v) }
+    val df = rows.toDF("k", "o", "v")
+    val got = EventAnalytics.laggedCorrelation(df, "k", "o", "v",
+        "a", "b", maxLag = 3)
+      .orderBy("lag").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getDouble(2)))).toMap
+    assert(got(2L) == Some(1.0))
+    assert(got(0L).forall(_ < 1.0) && got(1L).forall(_ < 1.0))
+    // constant y series → zero variance → NULL, never NaN
+    val const = xs.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
+      (0 until 10).map(i => ("b", i.toLong, 4L))
+    val nulls = EventAnalytics.laggedCorrelation(const.toDF("k", "o", "v"),
+      "k", "o", "v", "a", "b", maxLag = 1).collect()
+    assert(nulls.forall(_.isNullAt(2)))
+  }
+
+  test("mutualPairs: reciprocity filter, canonical order") {
+    import org.apache.spark.sql.functions.col
+    // hand-built knn edges: 1↔2 mutual, 1→3 one-directional,
+    // 4↔5 mutual (emitted once, low id first)
+    val knn = Seq((1L, 2L, 0.9), (2L, 1L, 0.9), (1L, 3L, 0.5),
+      (5L, 4L, 0.8), (4L, 5L, 0.8)).toDF("qid", "vec_id", "cos")
+    val got = graft.operators.Similarity.mutualPairs(knn)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 0.9), (4L, 5L, 0.8)))
+    // exact MNN on the fixture: every emitted pair is reciprocal in
+    // the underlying knn, and pairs ⊆ knn edges
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+      .where(col("vec_id") < 100)
+    val base = graft.operators.Similarity.knnJoin(emb, emb,
+        "vec_id", "embedding", k = 5)
+      .select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mnn = graft.operators.Similarity.mutualNearestNeighbors(emb,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mnn.nonEmpty)
+    mnn.foreach { case (a, b) =>
+      assert(a < b && base((a, b)) && base((b, a)))
+    }
+  }
 }

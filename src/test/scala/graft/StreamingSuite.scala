@@ -462,6 +462,40 @@ class StreamingSuite extends AnyFunSuite {
     assert(diff.isEmpty, s"mismatched rows: ${diff.take(5)}")
   }
 
+  test("T2×ohlc: streaming OHLC bars equal batch once the watermark closes every bar") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows
+    val batch = graft.operators.EventAnalytics
+      .ohlcBars(Tables.events(spark, sfDir), "user_id", "ts", "event_id",
+        "value", stepSec = 21600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    val sorted = rows.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = sorted.splitAt(sorted.size / 2)
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamingOhlc(mem.toDF(), stepSec = 21600L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("tohlc")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    // bars emit in append mode only once the watermark passes their
+    // end: push it with two future sentinels (user -1, filtered below)
+    val maxTs = rows.map(_.ts.getTime).max
+    def flush(id: Long, plusDays: Int) =
+      Ev(id, new Timestamp(maxTs + plusDays * 86400000L), -1L, "flush", 0.0)
+    mem.addData(flush(-1L, 1)); q.processAllAvailable()
+    mem.addData(flush(-2L, 2)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tohlc").where(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    assert(got == batch, s"bars: stream=${got.size} batch=${batch.size}")
+    assert(batch.size > 10) // fixture produces a real bar grid
+  }
+
   test("CDC snapshot store: stream ≡ batch compaction, idempotent replay, tombstone retention") {
     import graft.jobs.CdcSnapshotJob
     val dir = Files.createTempDirectory("graft_snap").toString
