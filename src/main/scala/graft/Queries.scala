@@ -1818,6 +1818,38 @@ object Queries {
         "vec_id", "embedding", k = 10)
       .orderBy("id_a", "id_b")
 
+  /** Rolling DAU/WAU/MAU engagement with the DAU/MAU stickiness ratio
+    * — coverage-expansion rolling distincts, window-free. */
+  def xStickiness(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.activeUserRatios(events(s, d),
+        "user_id", "ts")
+      .orderBy("day")
+
+  /** k-anonymity release audit of the documents table over the
+    * (lang, source, n_chars) quasi-identifier at k = 5. */
+  def xKanon(s: SparkSession, d: String): DataFrame =
+    Pipelines.kAnonymityStats(documents(s, d),
+      Seq("lang", "source", "n_chars"), k = 5L)
+
+  /** Robust dispersion: per event type the median, MAD and
+    * Iglewicz-Hoaglin modified-z outlier count (cut 3.5). */
+  def xMad(s: SparkSession, d: String): DataFrame =
+    Pipelines.madOutliers(events(s, d), "event_type", "value")
+      .orderBy("event_type")
+
+  /** Q55: GROUPING SETS — the per-flag and per-status marginals plus
+    * the grand total in one pass, with the grouping-id bitmask. */
+  def q55(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"))
+      .orderBy(col("gid"), coalesce(col("l_returnflag"), lit("")),
+        coalesce(col("l_linestatus"), lit("")))
+
   /** Q54: unpivot/melt — the four lineitem measures as
     * (measure, value) rows, the wide→long reshape. */
   def q54(s: SparkSession, d: String): DataFrame = {

@@ -312,6 +312,12 @@ object ScaleSmoke {
       // CDF window; xcorr is two projections + a maxLag-bounded fan-out
       q("x_ks_drift", "events"),
       q("x_xcorr", "events"),
+      // stickiness: ≤ 30× bounded fan-out then map-side distinct+count;
+      // MAD: two percentile aggs + one broadcast-join count pass
+      q("x_stickiness", "events"),
+      q("x_mad", "events"),
+      q("x_kanon", "documents"),
+      q("q55_grouping_sets", "lineitem"),
       // NOT here: x_mnn — the EXACT form is all-pairs by declared
       // contract (probe-set-sized inputs; the scale path feeds ANN
       // output to mutualPairs), so replicating the corpus measures the

@@ -892,7 +892,11 @@ object SparkEntry {
     "q54_unpivot" -> (Queries.q54 _),
     "x_ks_drift" -> (Queries.xKsDrift _),
     "x_xcorr" -> (Queries.xXcorr _),
-    "x_mnn" -> (Queries.xMnn _)
+    "x_mnn" -> (Queries.xMnn _),
+    "x_stickiness" -> (Queries.xStickiness _),
+    "x_kanon" -> (Queries.xKanon _),
+    "x_mad" -> (Queries.xMad _),
+    "q55_grouping_sets" -> (Queries.q55 _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2118,7 +2122,41 @@ object SparkEntry {
         "kn AS (SELECT qid, vid, cos FROM r WHERE rk <= 10) " +
         "SELECT kn.qid AS id_a, kn.vid AS id_b, kn.cos FROM kn " +
         "JOIN kn k2 ON kn.qid = k2.vid AND kn.vid = k2.qid " +
-        "WHERE kn.qid < kn.vid ORDER BY id_a, id_b")
+        "WHERE kn.qid < kn.vid ORDER BY id_a, id_b"),
+    // stickiness: rolling distincts as "active in [day-W+1, day]" range
+    // joins — equivalent to the engine's coverage expansion
+    "x_stickiness" ->
+      ("WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+        "g AS (SELECT DISTINCT d AS day FROM a), " +
+        "d1 AS (SELECT g.day, COUNT(DISTINCT a.user_id) AS dau FROM g JOIN a ON a.d = g.day GROUP BY g.day), " +
+        "d7 AS (SELECT g.day, COUNT(DISTINCT a.user_id) AS wau FROM g JOIN a ON a.d BETWEEN g.day - 6 AND g.day GROUP BY g.day), " +
+        "d30 AS (SELECT g.day, COUNT(DISTINCT a.user_id) AS mau FROM g JOIN a ON a.d BETWEEN g.day - 29 AND g.day GROUP BY g.day) " +
+        "SELECT day, dau, wau, mau, ROUND(CAST(dau AS DOUBLE) / mau, 6) AS stickiness " +
+        "FROM d1 JOIN d7 USING(day) JOIN d30 USING(day) ORDER BY day"),
+    "x_kanon" ->
+      ("WITH gset AS (SELECT lang, source, n_chars, COUNT(*) AS n FROM documents GROUP BY 1, 2, 3) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, " +
+        "CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, " +
+        "CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk, " +
+        "CAST(MIN(n) AS BIGINT) AS min_k FROM gset"),
+    // MAD: the same two exact-percentile passes and the same
+    // left-assoc modified-z expression, so the 3.5 cut compares the
+    // same double on both engines
+    "x_mad" ->
+      ("WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), " +
+        "md AS (SELECT e.event_type, quantile_cont(ABS(e.value - m.med), 0.5) AS mad " +
+        "FROM events e JOIN m ON e.event_type = m.event_type GROUP BY e.event_type) " +
+        "SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "ROUND(ANY_VALUE(m.med), 4) AS med, ROUND(ANY_VALUE(md.mad), 4) AS mad, " +
+        "CAST(SUM(CASE WHEN md.mad > 0 AND ABS(0.6745 * (e.value - m.med) / md.mad) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM events e JOIN m ON e.event_type = m.event_type " +
+        "JOIN md ON e.event_type = md.event_type " +
+        "GROUP BY e.event_type ORDER BY e.event_type"),
+    "q55_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY gid, COALESCE(l_returnflag, ''), COALESCE(l_linestatus, '')")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

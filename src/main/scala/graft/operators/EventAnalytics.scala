@@ -595,6 +595,45 @@ object EventAnalytics {
       .where(col("n_sessions") >= minCount)
   }
 
+  /** Rolling active-user counts — DAU / WAU / MAU and the stickiness
+    * ratio (DAU/MAU) per calendar day, the engagement headline next to
+    * [[growthAccounting]]'s flow decomposition.
+    *
+    * A rolling DISTINCT count can't ride a window frame (distinct
+    * doesn't decompose), so each is computed by COVERAGE EXPANSION: a
+    * user active on day a is "covered" for the next W−1 days — explode
+    * a's ≤ W cover days, distinct (user, day), count per day. Fan-out
+    * is ≤ W per (user, active day), all aggregation map-side partial —
+    * linear at any corpus size, no window at all. Days are reported for
+    * the observed activity grid only (no trailing ghost coverage).
+    *
+    * Output: (day, dau, wau, mau, stickiness = dau/mau rounded 6 dp). */
+  def activeUserRatios(events: DataFrame, userCol: String, tsCol: String,
+                       wauDays: Int = 7, mauDays: Int = 30): DataFrame = {
+    require(wauDays >= 1 && mauDays >= wauDays,
+      "activeUserRatios needs 1 <= wauDays <= mauDays")
+    Joins.requireFreeColumns("activeUserRatios", events.columns,
+      "day", "dau", "wau", "mau", "stickiness", "__a", "__c")
+    val active = events
+      .select(col(userCol), col(tsCol).cast("date").as("__a"))
+      .distinct()
+      .localCheckpoint() // feeds the grid and all three coverages
+    val grid = active.select(col("__a").as("day")).distinct()
+    def rolling(w: Int, name: String): DataFrame =
+      active
+        .select(col(userCol),
+          explode(sequence(col("__a"), date_add(col("__a"), w - 1)))
+            .as("day"))
+        .distinct()
+        .join(grid, Seq("day"), "left_semi")
+        .groupBy("day").agg(count(lit(1)).as(name))
+    rolling(1, "dau")
+      .join(rolling(wauDays, "wau"), "day")
+      .join(rolling(mauDays, "mau"), "day")
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+  }
+
   /** Lagged Pearson cross-correlation between two keys' INTEGER-valued
     * series (daily counts, quantized metrics): for each lag 0..maxLag,
     * the correlation of (x at t, y at t+lag) over the ordinals where

@@ -1319,6 +1319,84 @@ object Pipelines {
       round((col("__spm") + col("__sqm")).cast("double") / 2e12, 6).as("js"))
   }
 
+  /** k-anonymity audit over a quasi-identifier column set: every
+    * quasi-id combination shared by FEWER than k rows re-identifies its
+    * members — the standard privacy screen before releasing or training
+    * on user-adjacent data.
+    *
+    * [[kAnonymityViolations]] lists the violating combos (for triage);
+    * [[kAnonymityStats]] reduces to the one-row release decision:
+    * total combos, violating combos, rows at re-identification risk,
+    * and the corpus' actual k (its smallest group — MIN, so any
+    * violating combo drags it down).
+    *
+    * Scale shape: ONE map-side-combining groupBy over the quasi-id
+    * tuple; the stats re-aggregate the (always far smaller) group
+    * frame. NULL quasi-values group as their own class, as SQL does.
+    * Output (violations): quasi cols + n, only rows with n < k.
+    * Output (stats): (n_groups, n_violating, n_rows_at_risk, min_k). */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    require(k >= 2, "kAnonymity needs k >= 2")
+    Joins.requireFreeColumns("kAnonymityViolations", quasiCols, "n")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") < k)
+  }
+
+  /** See [[kAnonymityViolations]]. */
+  def kAnonymityStats(df: DataFrame, quasiCols: Seq[String],
+                      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    require(k >= 2, "kAnonymity needs k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("n") < k, col("n")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min("n").as("min_k"))
+  }
+
+  /** Robust per-group dispersion and outlier count via the median /
+    * MAD (median absolute deviation) — the outlier screen that, unlike
+    * the mean/σ z-score, is not itself dragged by the outliers it
+    * hunts. A row is an outlier when its modified z-score
+    * 0.6745·(x − median)/MAD exceeds `cut` (Iglewicz-Hoaglin, 3.5 by
+    * convention); a zero-MAD group (≥ half its values identical)
+    * reports 0 outliers rather than dividing by zero.
+    *
+    * Scale shape: two exact-percentile aggregations (group-count rows
+    * each, broadcastable) and one broadcast join back over the raw
+    * rows for the count — no window, no sort. The percentile is exact
+    * (the oracle path); swap in approx_percentile for the sketch path
+    * at 100 TB.
+    *
+    * Output: (group, n, med rounded 4, mad rounded 4, n_outliers). */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  cut: Double = 3.5): DataFrame = {
+    require(cut > 0.0, "madOutliers needs a positive cut")
+    Joins.requireFreeColumns("madOutliers", Seq(groupCol),
+      "n", "med", "mad", "n_outliers", "__x", "__ad")
+    val x = col(valCol).cast("double")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    val mad = df.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), abs(x - col("med")).as("__ad"))
+      .groupBy(col(groupCol))
+      .agg(expr("percentile(__ad, 0.5)").as("mad"))
+    df.join(broadcast(med), Seq(groupCol))
+      .join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(first("med"), 4).as("med"),
+        round(first("mad"), 4).as("mad"),
+        sum(when(col("mad") > 0.0 &&
+          abs(lit(0.6745) * (x - col("med")) / col("mad")) > cut,
+          1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Binned two-sample Kolmogorov-Smirnov drift between two numeric
     * column distributions — the numeric complement of [[tokenDrift]]
     * (which compares token frequencies): D = max over bin edges of

@@ -277,4 +277,83 @@ class JourneySuite extends AnyFunSuite {
       assert(a < b && base((a, b)) && base((b, a)))
     }
   }
+
+  test("mutualPairs composes with the ANN front (the documented 100 TB path)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+      .where(col("vec_id") < 100)
+    val exact = graft.operators.Similarity.mutualNearestNeighbors(emb,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ANN knn (sign-LSH bucketed) through the same reciprocity filter:
+    // candidates are a subset of true neighbors' quality, so ANN-mutual
+    // pairs are plausible alignments — assert shape + meaningful recall
+    val ann = graft.operators.Similarity.annKnnJoin(emb, emb,
+      "vec_id", "embedding", k = 5, planes = 4, probeRadius = 2)
+    val approx = graft.operators.Similarity.mutualPairs(
+        ann.localCheckpoint())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    approx.foreach { case (a, b) => assert(a < b) }
+    assert(exact.nonEmpty)
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.3, s"ANN-mutual recall $recall too low")
+  }
+
+  test("activeUserRatios: coverage windows, grid bounds, stickiness identity") {
+    // u1 active d1; u2 active d1 and d3; u3 active d10
+    val ev = Seq((1L, day(1)), (2L, day(1)), (2L, day(3)), (3L, day(10)))
+      .toDF("uid", "t")
+    val got = EventAnalytics.activeUserRatios(ev, "uid", "t",
+        wauDays = 7, mauDays = 30)
+      .orderBy("day").collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // d1: dau 2, wau 2, mau 2; d3: dau 1 (u2), wau 2 (u1,u2 within 7d),
+    // mau 2; d10: dau 1 (u3), wau 1 (u1/u2's last activity d3 is 7 days
+    // back — outside the 7-day window), mau 3
+    assert(got("1970-01-02") == ((2L, 2L, 2L)))
+    assert(got("1970-01-04") == ((1L, 2L, 2L)))
+    assert(got("1970-01-11") == ((1L, 1L, 3L)))
+    assert(got.size == 3) // grid = observed activity days only
+    // identities on the fixture: dau <= wau <= mau, stickiness in (0,1]
+    val fix = EventAnalytics.activeUserRatios(
+      Tables.events(spark, TestSpark.sfDir), "user_id", "ts").collect()
+    fix.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("kAnonymity: violations and stats agree, thresholds bind") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 2),
+      ("c", 3)).toDF("q1", "q2")
+    val viol = Pipelines.kAnonymityViolations(df, Seq("q1", "q2"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viol == Set(("b", 2, 2L), ("c", 3, 1L)))
+    val st = Pipelines.kAnonymityStats(df, Seq("q1", "q2"), k = 3L)
+      .collect().head
+    assert(st.getLong(0) == 3L && st.getLong(1) == 2L &&
+      st.getLong(2) == 3L && st.getLong(3) == 1L)
+    // at k=2 only the singleton violates
+    val st2 = Pipelines.kAnonymityStats(df, Seq("q1", "q2"), k = 2L)
+      .collect().head
+    assert(st2.getLong(1) == 1L && st2.getLong(2) == 1L)
+  }
+
+  test("madOutliers: robust to the outlier it hunts, zero-MAD guarded") {
+    // 9 values at 10±2 plus one wild point: mean/σ would be dragged,
+    // median/MAD are not — exactly one outlier flagged
+    val vals = Seq(8.0, 9.0, 9.5, 10.0, 10.0, 10.5, 11.0, 11.5, 12.0,
+      1000.0)
+    val df = vals.map(("k", _)).toDF("g", "v")
+    val r = Pipelines.madOutliers(df, "g", "v").collect().head
+    // interpolated even-count median: (10 + 10.5)/2, MAD (0.75+1.25)/2
+    assert(r.getLong(1) == 10L && r.getDouble(2) == 10.25)
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getLong(4) == 1L)
+    // a constant group has MAD 0: no outliers, no div-by-zero
+    val c = Seq.fill(5)(("c", 7.0)).toDF("g", "v")
+    val rc = Pipelines.madOutliers(c, "g", "v").collect().head
+    assert(rc.getDouble(3) == 0.0 && rc.getLong(4) == 0L)
+  }
 }
