@@ -1818,6 +1818,28 @@ object Queries {
         "vec_id", "embedding", k = 10)
       .orderBy("id_a", "id_b")
 
+  /** First-class gap sessionization: one row per 6 h-gap session with
+    * span, event count and duration. */
+  def xSessions(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.sessionize(events(s, d),
+        "user_id", "ts", "event_id", gapSec = 21600L)
+      .orderBy("user_id", "session")
+
+  /** Frequent contiguous 3-grams of event types inside 6 h-gap
+    * sessions, occurring at least twice. */
+  def xPathNgrams(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.sessionPathNgrams(events(s, d),
+        "user_id", "event_type", "ts", "event_id",
+        gapSec = 21600L, n = 3, minCount = 2L)
+      .orderBy("ngram")
+
+  /** Per-label embedding centroid health: count, centroid norm, member
+    * cohesion (mean/min cosine to own centroid) — fixed-point sums
+    * everywhere, so bit-stable across engines. */
+  def xLabelCentroids(s: SparkSession, d: String): DataFrame =
+    Similarity.labelCentroidStats(embeddings(s, d), "label", "embedding")
+      .orderBy("label")
+
   /** Rolling DAU/WAU/MAU engagement with the DAU/MAU stickiness ratio
     * — coverage-expansion rolling distincts, window-free. */
   def xStickiness(s: SparkSession, d: String): DataFrame =

@@ -318,6 +318,12 @@ object ScaleSmoke {
       q("x_mad", "events"),
       q("x_kanon", "documents"),
       q("q55_grouping_sets", "lineitem"),
+      // sessionize / n-grams: per-user windows, user_id shifts per copy
+      q("x_sessions", "events"),
+      q("x_path_ngrams", "events"),
+      // label centroids: posexplode ∝ rows×dim, label keys constant —
+      // per-(label, dim) groups grow ∝ copies, all partial-agg
+      q("x_label_centroids", "embeddings"),
       // NOT here: x_mnn — the EXACT form is all-pairs by declared
       // contract (probe-set-sized inputs; the scale path feeds ANN
       // output to mutualPairs), so replicating the corpus measures the

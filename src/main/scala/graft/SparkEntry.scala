@@ -896,7 +896,10 @@ object SparkEntry {
     "x_stickiness" -> (Queries.xStickiness _),
     "x_kanon" -> (Queries.xKanon _),
     "x_mad" -> (Queries.xMad _),
-    "q55_grouping_sets" -> (Queries.q55 _)
+    "q55_grouping_sets" -> (Queries.q55 _),
+    "x_sessions" -> (Queries.xSessions _),
+    "x_path_ngrams" -> (Queries.xPathNgrams _),
+    "x_label_centroids" -> (Queries.xLabelCentroids _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2156,7 +2159,49 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
         "CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid " +
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
-        "ORDER BY gid, COALESCE(l_returnflag, ''), COALESCE(l_linestatus, '')")
+        "ORDER BY gid, COALESCE(l_returnflag, ''), COALESCE(l_linestatus, '')"),
+    // sessionize: the same lag-flag running-sum assignment + one
+    // per-session rollup; exact integer-microsecond durations
+    "x_sessions" ->
+      ("WITH f AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS newf " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT user_id, ts, CAST(SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session FROM f) " +
+        "SELECT user_id, session, MIN(ts) AS start_ts, MAX(ts) AS end_ts, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "ROUND(CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1e6, 6) AS duration_sec " +
+        "FROM g GROUP BY user_id, session ORDER BY user_id, session"),
+    // path n-grams: LEAD within the session window — nulls past the
+    // session end drop incomplete tails, exactly the engine guard
+    "x_path_ngrams" ->
+      ("WITH f AS (SELECT user_id, event_type, ts, event_id, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS newf " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT user_id, event_type, ts, event_id, " +
+        "SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM f), " +
+        "r AS (SELECT event_type, LEAD(event_type, 1) OVER ws AS t1, LEAD(event_type, 2) OVER ws AS t2 " +
+        "FROM g WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ts, event_id)) " +
+        "SELECT event_type || '>' || t1 || '>' || t2 AS ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences " +
+        "FROM r WHERE t1 IS NOT NULL AND t2 IS NOT NULL " +
+        "GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY ngram"),
+    // label centroids: pico-fixed-point component sums, dim-ordered
+    // assembly, the fastCosine expression shape, fixed-point cosine
+    // mean — no float ever reduces in shuffle order on either engine
+    "x_label_centroids" ->
+      ("WITH x AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "ex AS (SELECT label, UNNEST(e) AS v, UNNEST(range(1, len(e) + 1)) AS d FROM x), " +
+        "comp AS (SELECT label, d, SUM(CAST(ROUND(v * 1e12, 0) AS BIGINT)) AS s, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM ex GROUP BY label, d), " +
+        "cent0 AS (SELECT label, MAX(n) AS n, list(CAST(s AS DOUBLE) / 1e12 ORDER BY d) AS cs FROM comp GROUP BY label), " +
+        "cent AS (SELECT label, n, list_transform(cs, z -> z / n) AS c FROM cent0), " +
+        "wc AS (SELECT x.label, cent.n, cent.c, " +
+        "CASE WHEN list_dot_product(cent.c, cent.c) > 0 THEN " +
+        "ROUND(list_dot_product(x.e, cent.c) / (SQRT(list_dot_product(x.e, x.e)) * SQRT(list_dot_product(cent.c, cent.c))), 4) + 0 END AS cos " +
+        "FROM x JOIN cent ON x.label = cent.label) " +
+        "SELECT label, MAX(n) AS n, " +
+        "ROUND(SQRT(ANY_VALUE(list_dot_product(c, c))), 6) AS centroid_norm, " +
+        "ROUND(CAST(SUM(CAST(ROUND(cos * 1e4, 0) AS BIGINT)) AS DOUBLE) / 1e4 / MAX(n), 6) AS avg_cos, " +
+        "MIN(cos) AS min_cos FROM wc GROUP BY label ORDER BY label")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

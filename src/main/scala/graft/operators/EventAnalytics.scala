@@ -546,6 +546,90 @@ object EventAnalytics {
     }.reduce(_.unionByName(_))
   }
 
+  /** Gap sessionization, first-class: assign each user's events to
+    * sessions (a new session at the first event and at every gap
+    * > `gapSec`), and emit ONE ROW PER SESSION with its ordinal, start
+    * and end instants, event count and duration — the table every
+    * downstream engagement metric joins against ([[sessionPaths]] mines
+    * paths over the same assignment).
+    *
+    * Scale shape: the lag-flag and its running sum share ONE per-user
+    * window shuffle (state ∝ a user's events), then one map-side
+    * -combining groupBy on (user, session). Durations are exact
+    * integer-microsecond diffs emitted as seconds at 6 dp.
+    *
+    * Output: (userCol, session, start_ts, end_ts, n_events,
+    * duration_sec). */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 tieCol: String, gapSec: Long): DataFrame = {
+    require(gapSec > 0, "sessionize needs a positive gap")
+    Joins.requireFreeColumns("sessionize", events.columns,
+      "__new", "session", "start_ts", "end_ts", "n_events", "duration_sec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events.select(col(userCol), col(tsCol), col(tieCol))
+      .withColumn("__new",
+        when(unix_micros(col(tsCol)) -
+          unix_micros(lag(col(tsCol), 1).over(w)) > gapSec * 1000000L ||
+          lag(col(tsCol), 1).over(w).isNull, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session"))
+      .agg(min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_sec",
+        round((unix_micros(col("end_ts")) - unix_micros(col("start_ts")))
+          .cast("double") / 1e6, 6))
+  }
+
+  /** Frequent contiguous path n-grams over gap sessions: every length-n
+    * window of consecutive event types inside a session, counted across
+    * all sessions — the sequential-pattern complement of
+    * [[sessionPaths]] (whole journeys) and [[transitionCounts]]
+    * (n = 2, unsessionized). Sessions shorter than n contribute
+    * nothing.
+    *
+    * Scale shape: the same shared-shuffle sessionization windows, then
+    * n−1 lead() terms over the SAME window (one shuffle total) and a
+    * map-side-combining count on the n-gram string, thinned by
+    * `minCount`.
+    *
+    * Output: (ngram '>'-joined, n_occurrences ≥ minCount). */
+  def sessionPathNgrams(events: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, tieCol: String, gapSec: Long,
+                        n: Int, minCount: Long = 1L): DataFrame = {
+    require(gapSec > 0, "sessionPathNgrams needs a positive gap")
+    require(n >= 2, "sessionPathNgrams needs n >= 2")
+    Joins.requireFreeColumns("sessionPathNgrams", events.columns,
+      "__new", "__sess", "ngram", "n_occurrences")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val sessioned = events.select(col(userCol), col(typeCol), col(tsCol),
+        col(tieCol))
+      .withColumn("__new",
+        when(unix_micros(col(tsCol)) -
+          unix_micros(lag(col(tsCol), 1).over(w)) > gapSec * 1000000L ||
+          lag(col(tsCol), 1).over(w).isNull, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__sess", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col("__sess"))
+      .orderBy(col(tsCol), col(tieCol))
+    // the n-gram starting at each row: this type + the n−1 following
+    // ones WITHIN the session (lead() over the session window returns
+    // null past the end, which drops the incomplete tails)
+    val parts = (0 until n).map(i =>
+      if (i == 0) col(typeCol) else lead(col(typeCol), i).over(ws))
+    sessioned
+      .select(when(parts.map(_.isNotNull).reduce(_ && _),
+        concat_ws(">", parts: _*)).as("ngram"))
+      .where(col("ngram").isNotNull)
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") >= minCount)
+  }
+
   /** Session path mining: sessionize each user's timeline by an
     * inactivity gap, read off each session's ordered event-type
     * sequence (truncated to its first `maxLen` events), and count how

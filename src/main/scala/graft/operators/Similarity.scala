@@ -124,6 +124,65 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Per-label centroid quality report — the embedding-space cluster
+    * health check (is this label a coherent region or a grab-bag?):
+    * for every label, its vector count, the L2 norm of its centroid
+    * (→ 0 when members cancel out), and the mean/min cosine of members
+    * to their own centroid (cohesion and the worst member).
+    *
+    * Determinism across engines, the whole design: centroid components
+    * are PICO-FIXED-POINT sums — each member component quantizes to a
+    * round(x·1e12) long BEFORE the per-(label, dim) sum, so the
+    * reduction is exact integer addition in any order (the tokenDrift
+    * contract); the centroid assembles by dim order, cosines fold that
+    * array left-to-right (one exact expression per member), and the
+    * per-label cosine mean is AGAIN a fixed-point sum of round(cos·1e4)
+    * longs. No float ever reduces in shuffle order.
+    *
+    * Scale shape: one posexplode (rows × dim — the same expansion the
+    * embedding scan already paid), ONE map-side-combining groupBy per
+    * (label, dim), a dim-bounded per-label array assembly, a broadcast
+    * centroid join back over the members, and a final per-label agg.
+    *
+    * Output: (label, n, centroid_norm 6 dp, avg_cos 6 dp,
+    * min_cos 4 dp). */
+  def labelCentroidStats(emb: DataFrame, labelCol: String,
+                         vecCol: String): DataFrame = {
+    Joins.requireFreeColumns("labelCentroidStats", Seq(labelCol),
+      "n", "centroid_norm", "avg_cos", "min_cos", "__d", "__v", "__s",
+      "__c", "__cv", "__cos")
+    val comp = emb
+      .select(col(labelCol), posexplode(toDouble(col(vecCol)))
+        .as(Seq("__d", "__v")))
+      .groupBy(col(labelCol), col("__d"))
+      .agg(sum(round(col("__v") * 1e12, 0).cast("long")).as("__s"),
+        count(lit(1)).as("n"))
+    val cent = comp
+      .groupBy(col(labelCol))
+      .agg(max("n").as("n"),
+        transform(array_sort(collect_list(struct(col("__d"), col("__s")))),
+          e => e("__s").cast("double") / 1e12).as("__cs"))
+      .select(col(labelCol), col("n"),
+        transform(col("__cs"), v => v / col("n")).as("__c"))
+      .localCheckpoint() // |labels| rows; probe side of the member join
+    // a zero-norm centroid (members cancel exactly) yields NULL member
+    // cosines, not NaN — the cent_cos zero-norm contract
+    val withCos = emb
+      .select(col(labelCol), toDouble(col(vecCol)).as("__cv"))
+      .join(broadcast(cent), Seq(labelCol))
+      .select(col(labelCol), col("n"), col("__c"),
+        when(fastDot(col("__c"), col("__c")) > 0.0,
+          round(fastCosine(col("__cv"), col("__c")), 4) + 0.0).as("__cos"))
+    withCos
+      .groupBy(col(labelCol))
+      .agg(max("n").as("n"),
+        round(sqrt(first(fastDot(col("__c"), col("__c")))), 6)
+          .as("centroid_norm"),
+        round(sum(round(col("__cos") * 1e4, 0).cast("long"))
+          .cast("double") / 1e4 / max("n"), 6).as("avg_cos"),
+        min("__cos").as("min_cos"))
+  }
+
   /** Mutual nearest neighbors: unordered pairs {a, b} where b is in
     * a's top-k AND a is in b's top-k — the reciprocity filter that
     * turns a k-NN graph into high-precision alignment/dedup candidates

@@ -340,6 +340,89 @@ class JourneySuite extends AnyFunSuite {
     assert(st2.getLong(1) == 1L && st2.getLong(2) == 1L)
   }
 
+  test("sessionize: gap split, span rollup, exact durations") {
+    val ev = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(30)), (1L, 3L, ts(200)),
+      (2L, 10L, ts(5))
+    ).toDF("uid", "eid", "t")
+    val got = EventAnalytics.sessionize(ev, "uid", "t", "eid", gapSec = 50L)
+      .orderBy("uid", "session").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getDouble(5))).toSeq
+    // u1: session 1 = events at 0,30 (duration 30), session 2 = event
+    // at 200; u2: one singleton session with zero duration
+    assert(got == Seq((1L, 1L, 2L, 30.0), (1L, 2L, 1L, 0.0),
+      (2L, 1L, 1L, 0.0)))
+  }
+
+  test("sessionPathNgrams: windows stop at session edges, minCount binds") {
+    val ev = Seq(
+      (1L, 1L, "a", ts(0)), (1L, 2L, "b", ts(10)), (1L, 3L, "c", ts(20)),
+      // session break: the (c, a, b) trigram must NOT bridge it
+      (1L, 4L, "a", ts(500)), (1L, 5L, "b", ts(510)), (1L, 6L, "c", ts(520)),
+      (2L, 10L, "a", ts(0)), (2L, 11L, "b", ts(5)), (2L, 12L, "c", ts(10))
+    ).toDF("uid", "eid", "etype", "t")
+    val got = EventAnalytics.sessionPathNgrams(ev, "uid", "etype", "t",
+        "eid", gapSec = 100L, n = 3, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b>c", 3L)))
+    // n = 2 inside one session ≡ transitions of that session's timeline
+    val bi = EventAnalytics.sessionPathNgrams(ev, "uid", "etype", "t",
+        "eid", gapSec = 100L, n = 2, minCount = 3L)
+      .orderBy("ngram").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(bi == Seq(("a>b", 3L), ("b>c", 3L)))
+  }
+
+  test("labelCentroidStats: known centroids, cohesion bounds, zero-norm guard") {
+    val emb = Seq(
+      (1, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)),   // centroid (.5, .5)
+      (2, Seq(2.0f, 0.0f)), (2, Seq(2.0f, 0.0f)),   // tight: cos 1.0
+      (3, Seq(1.0f, 0.0f)), (3, Seq(-1.0f, 0.0f))   // cancel: norm 0
+    ).toDF("label", "embedding")
+    val got = graft.operators.Similarity
+      .labelCentroidStats(emb, "label", "embedding")
+      .orderBy("label").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1)._1 == 2L)
+    assert(math.abs(got(1)._2 - math.sqrt(0.5)) < 1e-6) // |(.5,.5)|
+    // members at 45° from the centroid: mean cos = cos(45°)
+    assert(math.abs(got(1)._3.get - math.sqrt(0.5)) < 1e-4)
+    assert(got(2)._2 == 2.0 && got(2)._3 == Some(1.0)) // tight cluster
+    assert(got(3)._2 == 0.0 && got(3)._3.isEmpty)      // zero-norm: NULL
+  }
+
+  test("engagement mart job: tables match the operators, replay is idempotent") {
+    import graft.jobs.EngagementMartJob
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mart").toString
+    EngagementMartJob.run(ev, dir)
+    def slurp(t: String) = spark.read.parquet(s"$dir/$t")
+    val gCols = Seq("day", "n_new", "n_retained", "n_resurrected",
+      "n_churned")
+    val growth = EventAnalytics.growthAccounting(ev, "user_id", "ts")
+      .select(gCols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    // partitionBy moves `day` to the tail of the read schema; select
+    // the declared order back before comparing
+    assert(slurp("growth").select(gCols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq == growth)
+    assert(slurp("funnel").count() == 3L)
+    val sessions1 = slurp("sessions")
+      .select("user_id", "session", "n_events")
+      .collect().map(_.toString).sorted.toSeq
+    // replay: dynamic overwrite lands the identical mart, no dup rows
+    EngagementMartJob.run(ev, dir)
+    val sessions2 = slurp("sessions")
+      .select("user_id", "session", "n_events")
+      .collect().map(_.toString).sorted.toSeq
+    assert(sessions1 == sessions2 && sessions1.nonEmpty)
+    // day partitioning is physical: sessions dir has day=... subdirs
+    assert(new java.io.File(s"$dir/sessions").listFiles()
+      .exists(_.getName.startsWith("day=")))
+  }
+
   test("madOutliers: robust to the outlier it hunts, zero-MAD guarded") {
     // 9 values at 10±2 plus one wild point: mean/σ would be dragged,
     // median/MAD are not — exactly one outlier flagged
