@@ -1818,6 +1818,17 @@ object Queries {
         "vec_id", "embedding", k = 10)
       .orderBy("id_a", "id_b")
 
+  /** Fightin'-Words distinctive tokens between the src0 and src1
+    * corpus slices: Dirichlet-prior log-odds with |z| ≥ 1 and a
+    * 5-occurrence floor. */
+  def xLogOdds(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    TextAnalysis.logOddsTokens(docs.where(col("source") === "src0"),
+        docs.where(col("source") === "src1"), "text",
+        alpha = 0.01, minZ = 1.0, minCount = 5L)
+      .orderBy("token")
+  }
+
   /** First-class gap sessionization: one row per 6 h-gap session with
     * span, event count and duration. */
   def xSessions(s: SparkSession, d: String): DataFrame =

@@ -324,6 +324,8 @@ object ScaleSmoke {
       // label centroids: posexplode ∝ rows×dim, label keys constant —
       // per-(label, dim) groups grow ∝ copies, all partial-agg
       q("x_label_centroids", "embeddings"),
+      // log-odds: token counts ∝ rows, the verdict join ∝ vocab
+      q("x_logodds", "documents"),
       // NOT here: x_mnn — the EXACT form is all-pairs by declared
       // contract (probe-set-sized inputs; the scale path feeds ANN
       // output to mutualPairs), so replicating the corpus measures the

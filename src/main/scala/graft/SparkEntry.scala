@@ -899,7 +899,8 @@ object SparkEntry {
     "q55_grouping_sets" -> (Queries.q55 _),
     "x_sessions" -> (Queries.xSessions _),
     "x_path_ngrams" -> (Queries.xPathNgrams _),
-    "x_label_centroids" -> (Queries.xLabelCentroids _)
+    "x_label_centroids" -> (Queries.xLabelCentroids _),
+    "x_logodds" -> (Queries.xLogOdds _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2160,6 +2161,25 @@ object SparkEntry {
         "CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid " +
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
         "ORDER BY gid, COALESCE(l_returnflag, ''), COALESCE(l_linestatus, '')"),
+    // Fightin' Words: identical expression order per token (counts are
+    // exact integers, one ln/sqrt chain per row — nothing reduces in
+    // float), 6 dp rounding, the ROUNDED z gates the |z| >= 1 cut
+    "x_logodds" ->
+      ("WITH ta AS (SELECT t AS token FROM (SELECT text FROM documents WHERE source = 'src0'), UNNEST(string_split(text, ' ')) AS u(t) WHERE len(t) > 0), " +
+        "tb AS (SELECT t AS token FROM (SELECT text FROM documents WHERE source = 'src1'), UNNEST(string_split(text, ' ')) AS u(t) WHERE len(t) > 0), " +
+        "ca AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_a FROM ta GROUP BY 1), " +
+        "cb AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_b FROM tb GROUP BY 1), " +
+        "j AS (SELECT COALESCE(ca.token, cb.token) AS token, COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b FROM ca FULL OUTER JOIN cb ON ca.token = cb.token), " +
+        "t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n1, CAST(SUM(c_b) AS BIGINT) AS n2, CAST(COUNT(*) AS BIGINT) AS v FROM j), " +
+        "s AS (SELECT token, c_a, c_b, " +
+        "ROUND(ln((CAST(c_a AS DOUBLE) + 0.01) / (CAST(n1 AS DOUBLE) + 0.01 * v - CAST(c_a AS DOUBLE) - 0.01)) " +
+        "- ln((CAST(c_b AS DOUBLE) + 0.01) / (CAST(n2 AS DOUBLE) + 0.01 * v - CAST(c_b AS DOUBLE) - 0.01)), 6) AS delta, " +
+        "ROUND((ln((CAST(c_a AS DOUBLE) + 0.01) / (CAST(n1 AS DOUBLE) + 0.01 * v - CAST(c_a AS DOUBLE) - 0.01)) " +
+        "- ln((CAST(c_b AS DOUBLE) + 0.01) / (CAST(n2 AS DOUBLE) + 0.01 * v - CAST(c_b AS DOUBLE) - 0.01))) " +
+        "/ SQRT(1.0 / (c_a + 0.01) + 1.0 / (c_b + 0.01)), 6) AS z " +
+        "FROM j CROSS JOIN t) " +
+        "SELECT token, c_a, c_b, delta, z FROM s " +
+        "WHERE ABS(z) >= 1.0 AND (c_a >= 5 OR c_b >= 5) ORDER BY token"),
     // sessionize: the same lag-flag running-sum assignment + one
     // per-session rollup; exact integer-microsecond durations
     "x_sessions" ->

@@ -973,6 +973,59 @@ object TextAnalysis {
         array_join(kept, " ").as("clean_text"))
   }
 
+  /** Distinctive-token comparison between two corpus slices — the
+    * log-odds ratio with a Dirichlet prior (Monroe, Colaresi & Quinn
+    * 2008, "Fightin' Words"), the statistically-grounded answer to
+    * "which words characterize corpus A vs corpus B":
+    *
+    *   δ_w = ln( (c1_w + α) / (n1 + α·V − c1_w − α) )
+    *       − ln( (c2_w + α) / (n2 + α·V − c2_w − α) )
+    *   σ²_w ≈ 1/(c1_w + α) + 1/(c2_w + α),   z_w = δ_w / σ_w
+    *
+    * with α the per-token prior (0.01 default), V the joint vocabulary,
+    * n the slice token totals. |z| ≥ `minZ` rows survive (the
+    * significance cut the paper recommends over raw frequency ratios).
+    *
+    * Determinism: counts are exact integers; δ and z are ONE fixed
+    * expression per token — no float ever reduces across rows — so an
+    * independent engine reproduces them bit-for-bit modulo ln ulps,
+    * absorbed by the 6 dp rounding.
+    *
+    * Scale shape: one map-side-combining token count per slice, a
+    * vocab-sized full-outer join, broadcast 1-row totals, then pure
+    * per-row arithmetic — the [[graft.operators.Pipelines.tokenDrift]]
+    * posture with a per-token verdict instead of one divergence. */
+  def logOddsTokens(a: DataFrame, b: DataFrame, textCol: String,
+                    alpha: Double = 0.01, minZ: Double = 2.0,
+                    minCount: Long = 1L, roundDp: Int = 6): DataFrame = {
+    require(alpha > 0.0, "logOddsTokens needs a positive prior")
+    Joins.requireFreeColumns("logOddsTokens", Seq(textCol),
+      "token", "c_a", "c_b", "delta", "z", "__n1", "__n2", "__v")
+    def counts(side: DataFrame, cnt: String): DataFrame = side
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as(cnt))
+    val joint = counts(a, "c_a")
+      .join(counts(b, "c_b"), Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .localCheckpoint() // vocab-sized; feeds the totals AND the scores
+    val totals = joint.agg(sum("c_a").as("__n1"), sum("c_b").as("__n2"),
+      count(lit(1)).as("__v"))
+    val a0 = lit(alpha)
+    def side(c: Column, n: Column): Column =
+      log((c + a0) / (n + a0 * col("__v") - c - a0))
+    val delta = side(col("c_a").cast("double"), col("__n1").cast("double")) -
+      side(col("c_b").cast("double"), col("__n2").cast("double"))
+    val z = delta / sqrt(lit(1.0) / (col("c_a") + a0) +
+      lit(1.0) / (col("c_b") + a0))
+    joint.crossJoin(broadcast(totals))
+      .select(col("token"), col("c_a"), col("c_b"),
+        round(delta, roundDp).as("delta"), round(z, roundDp).as("z"))
+      .where(abs(col("z")) >= minZ &&
+        (col("c_a") >= minCount || col("c_b") >= minCount))
+  }
+
   /** Inverted index build: per whitespace token, its document frequency
     * and a bounded, id-sorted posting list — the retrieval-side data
     * structure next to the [[bm25]] scorer (which ranks; this one

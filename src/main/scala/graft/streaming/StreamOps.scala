@@ -528,6 +528,91 @@ object StreamOps {
       .toDF("user_id", "event_id", "ewma")
   }
 
+  /** Streaming gap sessionization — the live counterpart of
+    * [[graft.operators.EventAnalytics.sessionize]]: per-user state is
+    * the one OPEN session (ordinal, span, count) plus the session
+    * counter; a closed session emits EXACTLY ONCE, either when a new
+    * in-order event arrives more than `gapSec` later (the gap closes
+    * it) or when the event-time timeout fires — the watermark passing
+    * `end + gapSec` proves no event can reopen it. Ordinals persist
+    * across sessions (state keeps the counter after emitting), so
+    * stream ≡ batch row-for-row under the family's in-order delivery
+    * contract (late rows at-or-before the high-water mark drop, the
+    * [[streamingEwma]] rule). Durations replay the batch rounding.
+    *
+    * State per user is O(1) — one open session — and is never evicted
+    * (the counter must survive; the [[streamingFunnel]] no-eviction
+    * note applies). */
+  def streamingSessionize(events: DataFrame, gapSec: Long,
+                          watermarkDelay: String = "10 minutes",
+                          userCol: String = "user_id",
+                          tsCol: String = "ts",
+                          tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(gapSec > 0, "streamingSessionize needs a positive gap")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = if (events.isStreaming)
+      events.withWatermark(tsCol, watermarkDelay) else events
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    def closed(uid: Long, st: OpenSession) = {
+      val dur = BigDecimal((st.endUs - st.startUs).toDouble / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      (uid, st.ord, fromMicros(st.startUs), fromMicros(st.endUs), st.n, dur)
+    }
+    src
+      .select(col(userCol).cast("long"), col(tsCol), col(tieCol).cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession,
+        (Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[OpenSession]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+          if (state.hasTimedOut) {
+            val st = state.get
+            // emit the open session, keep the counter (ord) for parity
+            state.update(st.copy(open = false))
+            if (st.open) Iterator.single(closed(uid, st)) else Iterator.empty
+          } else {
+            val ordered = rows.toSeq
+              .map { case (_, ts, tie) => (micros(ts), tie) }
+              .sortBy(identity)
+            var st = state.getOption.getOrElse(
+              OpenSession(0L, open = false, 0L, 0L, 0L, Long.MinValue,
+                Long.MinValue))
+            val out = Seq.newBuilder[
+              (Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long,
+                Double)]
+            ordered.foreach { case (t, tie) =>
+              val fresh = t > st.hwUs || (t == st.hwUs && tie > st.hwTie)
+              if (fresh) {
+                if (!st.open) {
+                  st = OpenSession(st.ord + 1, open = true, t, t, 1L, t, tie)
+                } else if (t - st.endUs > gapSec * 1000000L) {
+                  out += closed(uid, st)
+                  st = OpenSession(st.ord + 1, open = true, t, t, 1L, t, tie)
+                } else {
+                  st = st.copy(endUs = t, n = st.n + 1, hwUs = t, hwTie = tie)
+                }
+              }
+            }
+            state.update(st)
+            if (st.open) state.setTimeoutTimestamp(
+              st.endUs / 1000L + gapSec * 1000L)
+            out.result().iterator
+          }
+      }
+      .toDF(userCol, "session", "start_ts", "end_ts", "n_events",
+        "duration_sec")
+  }
+
   /** Streaming OHLC bars — the live counterpart of
     * [[graft.operators.EventAnalytics.ohlcBars]]: one watermarked
     * windowed aggregation per (key, bucket), open/close as
@@ -566,3 +651,8 @@ case class FunnelTimes(times: Seq[Long])
 case class LastEvent(tsMicros: Long, tie: Long, tp: String)
 case class CohortSeen(cohortDays: Int, offsets: Seq[Int])
 case class EwmaWindow(tsMicros: Long, tie: Long, recent: Seq[Double])
+/** [[StreamOps.streamingSessionize]] per-user state: the one open
+  * session (ord/span/count), the in-order high-water mark, and — via
+  * `open = false` after an emit — the persisted session counter. */
+case class OpenSession(ord: Long, open: Boolean, startUs: Long,
+                       endUs: Long, n: Long, hwUs: Long, hwTie: Long)

@@ -496,6 +496,43 @@ class StreamingSuite extends AnyFunSuite {
     assert(batch.size > 10) // fixture produces a real bar grid
   }
 
+  test("T7×sess: streaming sessionize equals batch row-for-row after the watermark closes every session") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows
+    val batch = graft.operators.EventAnalytics
+      .sessionize(Tables.events(spark, sfDir), "user_id", "ts",
+        "event_id", gapSec = 21600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(2), r.getTimestamp(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    val sorted = rows.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = sorted.splitAt(sorted.size / 2)
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamingSessionize(mem.toDF(), gapSec = 21600L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("tsess")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    // open sessions close on the event-time timeout: two future
+    // sentinels advance the watermark past every end + gap
+    val maxTs = rows.map(_.ts.getTime).max
+    def flush(id: Long, plusDays: Int) =
+      Ev(id, new Timestamp(maxTs + plusDays * 86400000L), -1L, "flush", 0.0)
+    mem.addData(flush(-1L, 2)); q.processAllAvailable()
+    mem.addData(flush(-2L, 4)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tsess").where(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(2), r.getTimestamp(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(got.size == batch.size,
+      s"sessions: stream=${got.size} batch=${batch.size}")
+    val diff = batch.collect { case (k, v) if got.get(k) != Some(v) => k }
+    assert(diff.isEmpty, s"mismatched sessions: ${diff.take(5)}")
+    assert(batch.size > 50) // the fixture splits into many sessions
+  }
+
   test("CDC snapshot store: stream ≡ batch compaction, idempotent replay, tombstone retention") {
     import graft.jobs.CdcSnapshotJob
     val dir = Files.createTempDirectory("graft_snap").toString
