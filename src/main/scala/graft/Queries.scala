@@ -1812,9 +1812,16 @@ object Queries {
   }
 
   /** Mutual nearest neighbors over the embedding table: reciprocal
-    * top-10 cosine pairs — the high-precision alignment candidates. */
+    * top-10 cosine pairs — the high-precision alignment candidates.
+    * Capped to the first 1000 vectors (the x_knn_join/x_dedup_clusters
+    * oracle-cost convention): the exact wrapper is all-pairs by
+    * declared contract, and the uncapped fixture would make this one
+    * entry ~3× the next-heaviest bench item while testing nothing the
+    * cap doesn't. The scale path is mutualPairs over an ANN front
+    * (JourneySuite proves the composition). */
   def xMnn(s: SparkSession, d: String): DataFrame =
-    Similarity.mutualNearestNeighbors(embeddings(s, d),
+    Similarity.mutualNearestNeighbors(
+        embeddings(s, d).where(col("vec_id") < 1000),
         "vec_id", "embedding", k = 10)
       .orderBy("id_a", "id_b")
 

@@ -2118,7 +2118,7 @@ object SparkEntry {
     // MNN: brute-force knn both directions (the x_knn_join cosine
     // formula verbatim), reciprocity via a reversed-pair self-join
     "x_mnn" ->
-      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 1000), " +
         "s AS (SELECT a.vec_id AS qid, b.vec_id AS vid, " +
         "ROUND(list_dot_product(b.e, a.e)/(SQRT(list_dot_product(b.e, b.e))*SQRT(list_dot_product(a.e, a.e))), 4) + 0 AS cos " +
         "FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id), " +
