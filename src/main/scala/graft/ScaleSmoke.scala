@@ -337,7 +337,31 @@ object ScaleSmoke {
       ("x_quota2_full", Seq("documents"), (s: SparkSession, d: String) =>
         graft.operators.Pipelines.quotaSampleByMd5TwoPhase(
           Tables.documents(s, d).select(col("doc_id"), lit("all").as("k1")),
-          "k1", "doc_id", k = 1000, shards = 32)))
+          "k1", "doc_id", k = 1000, shards = 32)),
+      // ANN-fronted MNN (the scale composition the exact x_mnn entry
+      // can't probe): bucket equi-join candidates ∝ k·rows, top-k via
+      // the two-phase window, reciprocity as one keyed self-join —
+      // replica vectors are copy-identical so buckets grow ∝ copies
+      // with per-bucket size constant, and time must track rows
+      q("x_mnn_ann", "embeddings"),
+      // approx-sketch modes of the profile/outlier family: the exact
+      // forms are the oracle entries; these measure the 100 TB modes,
+      // whose agg state is O(sketch) per group instead of the full
+      // per-group value list — wall must track the scan
+      ("x_profile_approx_full", Seq("documents"), (s: SparkSession, d: String) =>
+        graft.operators.Pipelines.profileColumns(
+          Tables.documents(s, d),
+          Seq("doc_id", "text", "lang", "source", "n_chars"),
+          approxRsd = 0.05)),
+      ("x_mad_approx_full", Seq("events"), (s: SparkSession, d: String) =>
+        graft.operators.Pipelines.madOutliers(Tables.events(s, d),
+          "event_type", "value", approxAcc = 1000)),
+      ("x_winsorize_approx_full", Seq("events"), (s: SparkSession, d: String) =>
+        graft.operators.Pipelines.winsorize(
+          Tables.events(s, d).select(col("event_id"), col("event_type"),
+            col("value")),
+          "event_type", "value", pLo = 0.05, pHi = 0.95,
+          approxAcc = 1000)))
       // NOT here: x_entity_match / x_entity_match_indel. Replica
       // customer names are copy-identical (c_name is not tagged), so
       // every cross-copy name pair is a TRUE distance-0 match (and

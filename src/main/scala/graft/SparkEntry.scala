@@ -893,6 +893,7 @@ object SparkEntry {
     "x_ks_drift" -> (Queries.xKsDrift _),
     "x_xcorr" -> (Queries.xXcorr _),
     "x_mnn" -> (Queries.xMnn _),
+    "x_mnn_ann" -> (Queries.xMnnAnn _),
     "x_stickiness" -> (Queries.xStickiness _),
     "x_kanon" -> (Queries.xKanon _),
     "x_mad" -> (Queries.xMad _),
@@ -900,7 +901,11 @@ object SparkEntry {
     "x_sessions" -> (Queries.xSessions _),
     "x_path_ngrams" -> (Queries.xPathNgrams _),
     "x_label_centroids" -> (Queries.xLabelCentroids _),
-    "x_logodds" -> (Queries.xLogOdds _)
+    "x_logodds" -> (Queries.xLogOdds _),
+    "x_benford" -> (Queries.xBenford _),
+    "x_gini" -> (Queries.xGini _),
+    "x_diversity" -> (Queries.xDiversity _),
+    "x_readability" -> (Queries.xReadability _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2074,12 +2079,13 @@ object SparkEntry {
         "FROM j JOIN mx ON j.lang = mx.lang JOIN my ON j.source = my.source CROSS JOIN t " +
         "ORDER BY j.lang, j.source"),
     // inverted index: the two-phase shard build ≡ a direct global
-    // sort-and-slice (each shard keeps its 20 smallest ids)
+    // sort-and-slice (each shard keeps its 20 smallest ids); postings
+    // comma-joined so the driver canonicalization sees only scalars
     "x_inverted_index" ->
       ("WITH p AS (SELECT DISTINCT doc_id, t AS token FROM documents, UNNEST(string_split(text, ' ')) AS u(t) WHERE len(t) > 0), " +
         "g AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df, " +
         "list_slice(list_sort(list(doc_id)), 1, 20) AS postings FROM p GROUP BY token) " +
-        "SELECT token, df, postings, df > 20 AS truncated FROM g WHERE df >= 5 ORDER BY token"),
+        "SELECT token, df, array_to_string(postings, ',') AS postings, df > 20 AS truncated FROM g WHERE df >= 5 ORDER BY token"),
     "q54_unpivot" ->
       ("SELECT l_orderkey, l_linenumber, m AS measure, v AS value FROM (" +
         "SELECT l_orderkey, l_linenumber, 'l_quantity' AS m, l_quantity AS v FROM lineitem " +
@@ -2122,6 +2128,20 @@ object SparkEntry {
         "s AS (SELECT a.vec_id AS qid, b.vec_id AS vid, " +
         "ROUND(list_dot_product(b.e, a.e)/(SQRT(list_dot_product(b.e, b.e))*SQRT(list_dot_product(a.e, a.e))), 4) + 0 AS cos " +
         "FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id), " +
+        "r AS (SELECT qid, vid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM s), " +
+        "kn AS (SELECT qid, vid, cos FROM r WHERE rk <= 10) " +
+        "SELECT kn.qid AS id_a, kn.vid AS id_b, kn.cos FROM kn " +
+        "JOIN kn k2 ON kn.qid = k2.vid AND kn.vid = k2.qid " +
+        "WHERE kn.qid < kn.vid ORDER BY id_a, id_b"),
+    // ANN-fronted MNN (the scale composition): the x_ann_knn_join
+    // bucket CTE with the FULL corpus as the query side, then the same
+    // reciprocity self-join as x_mnn
+    "x_mnn_ann" ->
+      (s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"b AS (SELECT vec_id, e, ${annBucketSql(8, 64)} AS bucket FROM v), " +
+        "s AS (SELECT q.vec_id AS qid, b.vec_id AS vid, " +
+        "ROUND(list_dot_product(b.e, q.e)/(SQRT(list_dot_product(b.e, b.e))*SQRT(list_dot_product(q.e, q.e))), 4) + 0 AS cos " +
+        "FROM b, b q WHERE b.vec_id <> q.vec_id AND bit_count(xor(b.bucket, q.bucket)) <= 1), " +
         "r AS (SELECT qid, vid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM s), " +
         "kn AS (SELECT qid, vid, cos FROM r WHERE rk <= 10) " +
         "SELECT kn.qid AS id_a, kn.vid AS id_b, kn.cos FROM kn " +
@@ -2215,13 +2235,65 @@ object SparkEntry {
         "cent0 AS (SELECT label, MAX(n) AS n, list(CAST(s AS DOUBLE) / 1e12 ORDER BY d) AS cs FROM comp GROUP BY label), " +
         "cent AS (SELECT label, n, list_transform(cs, z -> z / n) AS c FROM cent0), " +
         "wc AS (SELECT x.label, cent.n, cent.c, " +
-        "CASE WHEN list_dot_product(cent.c, cent.c) > 0 THEN " +
+        "CASE WHEN list_dot_product(cent.c, cent.c) > 0 AND list_dot_product(x.e, x.e) > 0 THEN " +
         "ROUND(list_dot_product(x.e, cent.c) / (SQRT(list_dot_product(x.e, x.e)) * SQRT(list_dot_product(cent.c, cent.c))), 4) + 0 END AS cos " +
         "FROM x JOIN cent ON x.label = cent.label) " +
         "SELECT label, MAX(n) AS n, " +
         "ROUND(SQRT(ANY_VALUE(list_dot_product(c, c))), 6) AS centroid_norm, " +
         "ROUND(CAST(SUM(CAST(ROUND(cos * 1e4, 0) AS BIGINT)) AS DOUBLE) / 1e4 / MAX(n), 6) AS avg_cos, " +
-        "MIN(cos) AS min_cos FROM wc GROUP BY label ORDER BY label")
+        "MIN(cos) AS min_cos FROM wc GROUP BY label ORDER BY label"),
+    // Benford: identical string-form leading-digit extraction (both
+    // engines render doubles shortest-round-trip, and decimal and
+    // scientific forms both lead with the first significant digit)
+    "x_benford" ->
+      ("WITH v AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem WHERE l_extendedprice IS NOT NULL AND CAST(l_extendedprice AS DOUBLE) > 0), " +
+        "d AS (SELECT l_returnflag, CAST(regexp_extract(CAST(x AS VARCHAR), '[1-9]') AS BIGINT) AS digit FROM v), " +
+        "c AS (SELECT l_returnflag, digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1, 2), " +
+        "t AS (SELECT l_returnflag, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY 1) " +
+        "SELECT c.l_returnflag, c.digit, c.n, " +
+        "ROUND(log10(1.0 + 1.0 / c.digit), 6) AS expected_p, " +
+        "ROUND(POWER(CAST(c.n AS DOUBLE) - nt * log10(1.0 + 1.0 / c.digit), 2) / (nt * log10(1.0 + 1.0 / c.digit)), 6) AS chi2_term " +
+        "FROM c JOIN t ON c.l_returnflag = t.l_returnflag " +
+        "ORDER BY c.l_returnflag, c.digit"),
+    // Gini: micro-unit fixed-point magnitudes (exact integer rank sums
+    // on both engines), identical final float expression
+    "x_gini" ->
+      ("WITH k AS (SELECT event_type, user_id, CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT)) AS BIGINT) AS xq " +
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, xq, CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY xq, user_id) AS BIGINT) AS rk FROM k), " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(rk * xq) AS BIGINT) AS sr FROM r GROUP BY 1) " +
+        "SELECT event_type, n_keys, ROUND(CAST(sx AS DOUBLE) / 1e6, 6) AS total, " +
+        "ROUND(2.0 * sr / (CAST(n_keys AS DOUBLE) * CAST(sx AS DOUBLE)) - CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini " +
+        "FROM g ORDER BY event_type"),
+    // diversity: per-cell terms quantized to 1e-12 before the sum (the
+    // tokenDrift contract); 6 dp absorbs engine ln ulps
+    "x_diversity" ->
+      ("WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), " +
+        "t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nt FROM c GROUP BY 1), " +
+        "j AS (SELECT c.source, CAST(c.c AS DOUBLE) / nt AS p, nt FROM c JOIN t ON c.source = t.source), " +
+        "g AS (SELECT source, MAX(nt) AS n, CAST(COUNT(*) AS BIGINT) AS k_classes, " +
+        "CAST(SUM(CAST(ROUND((-p) * ln(p) * 1e12, 0) AS BIGINT)) AS BIGINT) AS h, " +
+        "CAST(SUM(CAST(ROUND(p * p * 1e12, 0) AS BIGINT)) AS BIGINT) AS s FROM j GROUP BY source) " +
+        "SELECT source, n, k_classes, " +
+        "ROUND(CAST(h AS DOUBLE) / 1e12, 6) AS shannon, " +
+        "ROUND(CAST(s AS DOUBLE) / 1e12, 6) AS simpson, " +
+        "CASE WHEN k_classes > 1 THEN ROUND(CAST(h AS DOUBLE) / 1e12 / ln(CAST(k_classes AS DOUBLE)), 6) END AS evenness " +
+        "FROM g ORDER BY source"),
+    // readability: same derived sentence punctuation (global ' the '
+    // → '. ' replacement), same left-assoc ratio expressions; the
+    // FLOOR(x*1e4 + 0.5) quantization is pure IEEE arithmetic on the
+    // identical double, so exact decimal halves (which the 2-dp Flesch
+    // constants produce by construction) can't split on tie rules
+    "x_readability" ->
+      ("WITH p AS (SELECT doc_id, regexp_replace(text, ' the ', '. ', 'g') AS text FROM documents), " +
+        "w AS (SELECT doc_id, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS words, " +
+        "CAST(GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'), t -> len(trim(t)) > 0)), 1) AS BIGINT) AS sentences, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables FROM p) " +
+        "SELECT doc_id, words, sentences, syllables, " +
+        "CAST(FLOOR((206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) - 84.6 * (CAST(syllables AS DOUBLE) / words)) * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS ease, " +
+        "CAST(FLOOR((0.39 * (CAST(words AS DOUBLE) / sentences) + 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59) * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS grade " +
+        "FROM w WHERE words > 0 ORDER BY doc_id")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
 }

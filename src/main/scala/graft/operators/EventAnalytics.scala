@@ -178,16 +178,30 @@ object EventAnalytics {
     * Output: (item_a, item_b, n) with item_a < item_b. */
   def cooccurrence(df: DataFrame, keyCol: String, itemCol: String,
                    maxDegree: Int, minCount: Long = 1L): DataFrame = {
-    require(minCount >= 1, "cooccurrence needs minCount >= 1")
     Joins.requireFreeColumns("cooccurrence", Seq(keyCol, itemCol),
       "item_a", "item_b", "n", "__d")
-    pairCounts(cappedBaskets(df, keyCol, itemCol, maxDegree),
+    cooccurrenceFromBaskets(cappedBaskets(df, keyCol, itemCol, maxDegree),
       keyCol, itemCol, minCount)
   }
 
+  /** [[cooccurrence]] over a PRE-BUILT [[basketProjection]] — the form
+    * a caller mining several thresholds (or several rule sets) over
+    * the same baskets uses, paying the projection once. */
+  def cooccurrenceFromBaskets(baskets: DataFrame, keyCol: String,
+                              itemCol: String,
+                              minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, "cooccurrence needs minCount >= 1")
+    pairCounts(baskets, keyCol, itemCol, minCount)
+  }
+
   /** Distinct (basket, item) projection with mega-baskets excluded —
-    * the shared front of [[cooccurrence]] and [[associationRules]].
+    * the shared front of [[cooccurrence]] and [[associationRules]],
+    * public so callers can build it once and mine it several ways.
     * Checkpointed: it feeds the degree agg and both pair-join sides. */
+  def basketProjection(df: DataFrame, keyCol: String, itemCol: String,
+                       maxDegree: Int): DataFrame =
+    cappedBaskets(df, keyCol, itemCol, maxDegree)
+
   private def cappedBaskets(df: DataFrame, keyCol: String,
                             itemCol: String, maxDegree: Int): DataFrame = {
     require(maxDegree >= 2, "basket projection needs maxDegree >= 2")
@@ -232,7 +246,16 @@ object EventAnalytics {
                        roundDp: Int = 6): DataFrame = {
     Joins.requireFreeColumns("associationRules", Seq(keyCol, itemCol),
       "ante", "cons", "n", "confidence", "lift", "__ca", "__cb", "__nn")
-    val bb = cappedBaskets(df, keyCol, itemCol, maxDegree)
+    associationRulesFromBaskets(cappedBaskets(df, keyCol, itemCol,
+      maxDegree), keyCol, itemCol, minCount, roundDp)
+  }
+
+  /** [[associationRules]] over a PRE-BUILT [[basketProjection]] —
+    * frequencies and N are measured over the given projection, so the
+    * probabilities stay coherent with pairs mined from it. */
+  def associationRulesFromBaskets(bb: DataFrame, keyCol: String,
+                                  itemCol: String, minCount: Long = 1L,
+                                  roundDp: Int = 6): DataFrame = {
     val pairs = pairCounts(bb, keyCol, itemCol, minCount)
     val items = bb.groupBy(col(itemCol)).agg(count(lit(1)).as("__ca"))
     val total = bb.select(col(keyCol)).distinct()

@@ -1370,22 +1370,27 @@ object Pipelines {
     * Scale shape: two exact-percentile aggregations (group-count rows
     * each, broadcastable) and one broadcast join back over the raw
     * rows for the count — no window, no sort. The percentile is exact
-    * (the oracle path); swap in approx_percentile for the sketch path
-    * at 100 TB.
+    * by default (the oracle path); `approxAcc > 0` swaps in
+    * approx_percentile at that accuracy — the KLL-sketch path whose
+    * aggregation state is O(accuracy) per group instead of the full
+    * sorted value list, the form a 100 TB run uses.
     *
     * Output: (group, n, med rounded 4, mad rounded 4, n_outliers). */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
-                  cut: Double = 3.5): DataFrame = {
+                  cut: Double = 3.5, approxAcc: Int = 0): DataFrame = {
     require(cut > 0.0, "madOutliers needs a positive cut")
     Joins.requireFreeColumns("madOutliers", Seq(groupCol),
       "n", "med", "mad", "n_outliers", "__x", "__ad")
+    def p50(c: String) =
+      if (approxAcc > 0) expr(s"approx_percentile($c, 0.5, $approxAcc)")
+      else expr(s"percentile($c, 0.5)")
     val x = col(valCol).cast("double")
     val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+      .agg(p50(valCol).cast("double").as("med"))
     val mad = df.join(broadcast(med), Seq(groupCol))
       .select(col(groupCol), abs(x - col("med")).as("__ad"))
       .groupBy(col(groupCol))
-      .agg(expr("percentile(__ad, 0.5)").as("mad"))
+      .agg(p50("__ad").cast("double").as("mad"))
     df.join(broadcast(med), Seq(groupCol))
       .join(broadcast(mad), Seq(groupCol))
       .groupBy(col(groupCol))
@@ -1443,8 +1448,10 @@ object Pipelines {
     hist
       .crossJoin(broadcast(hist.agg(sum("__ca").as("__na"),
         sum("__cb").as("__nb"))))
-      .select(abs(sum(col("__ca")).over(w).cast("double") / col("__na") -
-        sum(col("__cb")).over(w).cast("double") / col("__nb")).as("__d"),
+      .select(when(col("__na") > 0 && col("__nb") > 0,
+        abs(sum(col("__ca")).over(w).cast("double") / col("__na") -
+          sum(col("__cb")).over(w).cast("double") / col("__nb")))
+        .as("__d"), // one empty side ⇒ NULL d_stat, never NaN/Infinity
         col("__na"), col("__nb"))
       .groupBy("__na", "__nb").agg(round(max("__d"), roundDp).as("d_stat"))
       .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("d_stat"))
@@ -1488,6 +1495,131 @@ object Pipelines {
       .select(col(xCol), col(yCol), col("n"),
         round(pmi, roundDp).as("pmi"),
         round(pxy * pmi, roundDp).as("mi_contrib"))
+  }
+
+  /** Benford's-law audit of a positive numeric column — the classic
+    * fabricated-data / unit-mixup screen over numeric fact columns:
+    * observed leading-digit counts vs the Benford expectation
+    * p(d) = log10(1 + 1/d), with each digit's chi-squared contribution
+    * (Σ over a group's digits = the test statistic).
+    *
+    * The leading digit comes from the value's STRING form (first [1-9]
+    * character) — decimal and scientific renderings both lead with the
+    * mantissa's first significant digit, so the extraction is
+    * rendering-independent and cross-engine deterministic, where a
+    * log10-based extraction can misbin an exact power of ten by one
+    * ulp. Non-positive and NULL values are excluded (Benford is
+    * defined on positive magnitudes).
+    *
+    * Scale shape: one map-side-combining (group, digit) groupBy — the
+    * only pass over the data; expectations and chi² terms are per-cell
+    * scalar algebra over integer counts joined against the ≤ 9-rows-
+    * per-group broadcast totals. Output is ≤ 9 rows per group forever.
+    *
+    * Output: (group, digit, n, expected_p, chi2_term) at `roundDp` dp,
+    * observed digits only. */
+  def benfordAudit(df: DataFrame, groupCol: String, valCol: String,
+                   roundDp: Int = 6): DataFrame = {
+    Joins.requireFreeColumns("benfordAudit", Seq(groupCol),
+      "digit", "n", "expected_p", "chi2_term", "__nt")
+    val counts = df
+      .where(col(valCol).isNotNull && col(valCol).cast("double") > 0.0)
+      .select(col(groupCol),
+        regexp_extract(col(valCol).cast("double").cast("string"),
+          "[1-9]", 0).cast("long").as("digit"))
+      .groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col(groupCol)).agg(sum("n").as("__nt"))
+    val p = log10(lit(1.0) + lit(1.0) / col("digit"))
+    counts.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col("digit"), col("n"),
+        round(p, roundDp).as("expected_p"),
+        round(pow(col("n").cast("double") - col("__nt") * p, 2) /
+          (col("__nt") * p), roundDp).as("chi2_term"))
+  }
+
+  /** Per-group Gini coefficient of a per-key magnitude — the
+    * concentration audit (is 1% of users 90% of the traffic? one
+    * domain dominating a source?) that decides whether a cap or a
+    * temperature resample is needed before training.
+    *
+    *   G = (2·Σᵢ i·xᵢ) / (n·Σ xᵢ) − (n + 1)/n
+    *
+    * over the group's per-key totals xᵢ sorted ascending (i = 1..n,
+    * ties broken by key). Magnitudes quantize to micro-units BEFORE
+    * any cross-row arithmetic (fixed-point longs — the tokenDrift
+    * contract), so rank sums and totals are exact integers and the
+    * only float is the final per-group expression. NULL values drop
+    * before the quantize (a key with only NULLs would otherwise sort
+    * engine-dependently). Assumes non-negative magnitudes (the Gini
+    * domain).
+    *
+    * Scale shape: one (group, key) partial agg, one rank window
+    * PARTITIONED BY GROUP (a sort — state O(1) per row), one partial
+    * agg back to group rows. Keys per group can be corpus-sized; the
+    * window is a distributed sort, never a driver collect.
+    *
+    * Output: (group, n_keys, total, gini) at `roundDp` dp. */
+  def giniConcentration(df: DataFrame, groupCol: String, keyCol: String,
+                        valCol: String, roundDp: Int = 6): DataFrame = {
+    Joins.requireFreeColumns("giniConcentration", Seq(groupCol),
+      "n_keys", "total", "gini", "__xq", "__rk")
+    val xq = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(sum(round(col(valCol).cast("double") * 1e6, 0).cast("long"))
+        .as("__xq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__xq"), col(keyCol))
+    xq.withColumn("__rk", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_keys"),
+        sum("__xq").as("__sx"),
+        sum(col("__rk") * col("__xq")).as("__sr"))
+      .select(col(groupCol), col("n_keys"),
+        round(col("__sx").cast("double") / 1e6, roundDp).as("total"),
+        round(lit(2.0) * col("__sr") /
+          (col("n_keys").cast("double") * col("__sx").cast("double")) -
+          (col("n_keys") + lit(1L)).cast("double") / col("n_keys"),
+          roundDp).as("gini"))
+  }
+
+  /** Per-group categorical diversity: Shannon entropy (nats), Simpson
+    * concentration, and Pielou evenness over a category column — the
+    * mixture-health report (is a source all one language? how even is
+    * the domain mix?) run before fixing sampling weights.
+    *
+    *   H = −Σ p·ln p,   simpson = Σ p²,   evenness = H / ln k
+    *
+    * One map-side-combining (group, category) count is the only pass
+    * over the data; the per-group fold is over ≤ |categories| cells,
+    * each cell's term quantized to 1e-12 BEFORE the sum so cell
+    * arrival order can't move the float result (the tokenDrift
+    * contract; the final ≥ 4 dp rounding absorbs engine ln ulps).
+    * NULL categories count as their own class, as GROUP BY does.
+    *
+    * Output: (group, n, k_classes, shannon, simpson, evenness) at
+    * `roundDp` dp; evenness NULL for single-class groups. */
+  def diversityStats(df: DataFrame, groupCol: String, catCol: String,
+                     roundDp: Int = 6): DataFrame = {
+    Joins.requireFreeColumns("diversityStats", Seq(groupCol, catCol),
+      "n", "k_classes", "shannon", "simpson", "evenness", "__c", "__nt")
+    val cells = df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("__c"))
+    val tot = cells.groupBy(col(groupCol)).agg(sum("__c").as("__nt"))
+    val p = col("__c").cast("double") / col("__nt")
+    cells.join(broadcast(tot), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max("__nt").as("n"),
+        count(lit(1)).as("k_classes"),
+        sum(round(-p * log(p) * 1e12, 0).cast("long")).as("__h"),
+        sum(round(p * p * 1e12, 0).cast("long")).as("__s"))
+      .select(col(groupCol), col("n"), col("k_classes"),
+        round(col("__h").cast("double") / 1e12, roundDp).as("shannon"),
+        round(col("__s").cast("double") / 1e12, roundDp).as("simpson"),
+        when(col("k_classes") > 1L,
+          round(col("__h").cast("double") / 1e12 /
+            log(col("k_classes").cast("double")), roundDp))
+          .as("evenness"))
   }
 
   def sourceStats(df: DataFrame, srcCol: String, textCol: String,

@@ -165,13 +165,16 @@ object Similarity {
       .select(col(labelCol), col("n"),
         transform(col("__cs"), v => v / col("n")).as("__c"))
       .localCheckpoint() // |labels| rows; probe side of the member join
-    // a zero-norm centroid (members cancel exactly) yields NULL member
-    // cosines, not NaN — the cent_cos zero-norm contract
+    // a zero-norm centroid (members cancel exactly) OR a zero-norm
+    // member vector yields a NULL cosine, not NaN — NULL is what both
+    // engines' sum/min then ignore identically (a NaN here would cast
+    // to 0L on the Spark side and silently count as cos = 0.0)
     val withCos = emb
       .select(col(labelCol), toDouble(col(vecCol)).as("__cv"))
       .join(broadcast(cent), Seq(labelCol))
       .select(col(labelCol), col("n"), col("__c"),
-        when(fastDot(col("__c"), col("__c")) > 0.0,
+        when(fastDot(col("__c"), col("__c")) > 0.0 &&
+            fastDot(col("__cv"), col("__cv")) > 0.0,
           round(fastCosine(col("__cv"), col("__c")), 4) + 0.0).as("__cos"))
     withCos
       .groupBy(col(labelCol))

@@ -1073,4 +1073,51 @@ object TextAnalysis {
       .select(col("token"), col("df"), col("postings"),
         (col("df") > maxPostings).as("truncated"))
   }
+
+  /** Flesch readability per document — the quality screen's complexity
+    * axis (both the too-hard and the too-easy tail correlate with
+    * boilerplate/spam): words by whitespace, sentences by [.!?] runs
+    * (a doc with no terminal punctuation counts as ONE sentence — the
+    * delimiter-split convention), syllables by the vowel-group
+    * heuristic (runs of [aeiouy] in the lowercased text — the standard
+    * dictionary-free estimate).
+    *
+    *   ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+    *   grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+    *
+    * Pure per-row projection — shuffle-free, codegen-eligible; empty
+    * docs (words = 0) are excluded rather than divided by. Both ratios
+    * are single left-assoc double expressions, mirrored verbatim by
+    * the oracle; quantization is floor(x·10^dp + 0.5) rather than
+    * round() because the 2-dp Flesch constants on rational ratios land
+    * on EXACT decimal halves by construction, where engines' round()
+    * tie rules differ — the floor form is pure IEEE arithmetic, so the
+    * same input double quantizes identically everywhere.
+    *
+    * Output: (id, words, sentences, syllables, ease, grade) at
+    * `roundDp` dp. */
+  def readabilityScores(docs: DataFrame, idCol: String, textCol: String,
+                        roundDp: Int = 4): DataFrame = {
+    Joins.requireFreeColumns("readabilityScores", Seq(idCol),
+      "words", "sentences", "syllables", "ease", "grade")
+    val words = size(filter(split(col(textCol), " "),
+      t => length(t) > 0)).cast("long")
+    val sentences = greatest(size(filter(split(col(textCol), "[.!?]+"),
+      t => length(trim(t)) > 0)), lit(1)).cast("long")
+    val syllables = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    val wps = col("words").cast("double") / col("sentences")
+    val spw = col("syllables").cast("double") / col("words")
+    val p10 = math.pow(10.0, roundDp)
+    def q(c: org.apache.spark.sql.Column) =
+      floor(c * p10 + lit(0.5)).cast("long").cast("double") / p10
+    docs
+      .select(col(idCol), words.as("words"), sentences.as("sentences"),
+        syllables.as("syllables"))
+      .where(col("words") > 0L)
+      .select(col(idCol), col("words"), col("sentences"),
+        col("syllables"),
+        q(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("ease"),
+        q(lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("grade"))
+  }
 }

@@ -228,6 +228,10 @@ class JourneySuite extends AnyFunSuite {
     val d = Pipelines.ksDrift(a, sh, "v", bins = 10)
       .collect().head.getDouble(2)
     assert(d > 0.3 && d <= 1.0)
+    // one empty side: d_stat is NULL (defined absence), never NaN/Inf
+    val e = Pipelines.ksDrift(a.where(lit(false)), a, "v", bins = 10)
+      .collect().head
+    assert(e.getLong(0) == 0L && e.getLong(1) == 100L && e.isNullAt(2))
   }
 
   test("laggedCorrelation: perfect lag recovered, zero variance → NULL") {
@@ -378,7 +382,8 @@ class JourneySuite extends AnyFunSuite {
     val emb = Seq(
       (1, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)),   // centroid (.5, .5)
       (2, Seq(2.0f, 0.0f)), (2, Seq(2.0f, 0.0f)),   // tight: cos 1.0
-      (3, Seq(1.0f, 0.0f)), (3, Seq(-1.0f, 0.0f))   // cancel: norm 0
+      (3, Seq(1.0f, 0.0f)), (3, Seq(-1.0f, 0.0f)),  // cancel: norm 0
+      (4, Seq(0.0f, 0.0f)), (4, Seq(1.0f, 0.0f))    // zero-norm MEMBER
     ).toDF("label", "embedding")
     val got = graft.operators.Similarity
       .labelCentroidStats(emb, "label", "embedding")
@@ -391,6 +396,14 @@ class JourneySuite extends AnyFunSuite {
     assert(math.abs(got(1)._3.get - math.sqrt(0.5)) < 1e-4)
     assert(got(2)._2 == 2.0 && got(2)._3 == Some(1.0)) // tight cluster
     assert(got(3)._2 == 0.0 && got(3)._3.isEmpty)      // zero-norm: NULL
+    // a zero-norm MEMBER gets a NULL cosine (not a NaN silently cast
+    // to 0): min ignores it, avg counts it as zero contribution over n
+    val l4 = graft.operators.Similarity
+      .labelCentroidStats(emb, "label", "embedding")
+      .where(col("label") === 4).collect().head
+    assert(l4.getLong(1) == 2L)
+    assert(l4.getDouble(3) == 0.5)   // avg_cos: (1.0 + nothing) / 2
+    assert(l4.getDouble(4) == 1.0)   // min_cos ignores the NULL member
   }
 
   test("engagement mart job: tables match the operators, replay is idempotent") {

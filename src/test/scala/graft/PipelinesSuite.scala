@@ -759,4 +759,57 @@ class PipelinesSuite extends AnyFunSuite {
     assert(exact.where(col("clipped_lo")).count() == 10)
     assert(approx.where(col("clipped_lo")).count() >= 9)
   }
+
+  test("benfordAudit: planted digits, expectation identity, exclusions") {
+    // group g: values leading with 1,1,9 (0 and null excluded);
+    // scientific-form value 0.00095 must lead with 9 as well
+    val df = Seq(("g", Some(1.5)), ("g", Some(19.0)), ("g", Some(0.00095)),
+      ("g", Some(0.0)), ("g", None), ("h", Some(2.0)))
+      .toDF("grp", "v")
+    val got = Pipelines.benfordAudit(df, "grp", "v")
+      .orderBy("grp", "digit").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set(("g", 1L), ("g", 9L), ("h", 2L)))
+    val (n1, p1, chi1) = got(("g", 1L))
+    assert(n1 == 2L && p1 == 0.30103) // log10(2) @6dp
+    // chi2 term: (2 - 3*log10(2))^2 / (3*log10(2))
+    val e = 3.0 * math.log10(2.0)
+    assert(math.abs(chi1 - math.pow(2.0 - e, 2) / e) < 1e-6)
+    assert(got(("g", 9L))._1 == 1L)
+    // expectations over all 9 digits sum to 1
+    val full = Seq.tabulate(9)(d => ("z", (d + 1).toDouble)).toDF("grp", "v")
+    val ps = Pipelines.benfordAudit(full, "grp", "v")
+      .agg(sum("expected_p")).collect().head.getDouble(0)
+    assert(math.abs(ps - 1.0) < 1e-4)
+  }
+
+  test("giniConcentration: uniform → 0, single-holder → (n−1)/n, totals exact") {
+    val df = Seq(
+      ("a", 1L, 2.5), ("a", 2L, 2.5), ("a", 3L, 2.5), ("a", 4L, 2.5),
+      ("b", 1L, 0.0), ("b", 2L, 0.0), ("b", 3L, 0.0), ("b", 4L, 8.0),
+      ("c", 1L, 3.0), ("c", 1L, 4.0) // per-key totals sum before ranking
+    ).toDF("grp", "k", "v")
+    val got = Pipelines.giniConcentration(df, "grp", "k", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("a") == ((4L, 10.0, 0.0)))
+    assert(got("b") == ((4L, 8.0, 0.75))) // (n-1)/n at n=4
+    assert(got("c") == ((1L, 7.0, 0.0)))  // one key: no inequality
+  }
+
+  test("diversityStats: uniform classes → evenness 1, single class → H 0 and NULL evenness") {
+    val df = Seq(("s1", "en"), ("s1", "fr"), ("s1", "en"), ("s1", "fr"),
+      ("s2", "en"), ("s2", "en")).toDF("src", "lang")
+    val got = Pipelines.diversityStats(df, "src", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    val (n1, k1, h1, s1, e1) = got("s1")
+    assert(n1 == 4L && k1 == 2L)
+    assert(math.abs(h1 - math.log(2.0)) < 1e-6)
+    assert(s1 == 0.5 && e1 == Some(1.0))
+    val (n2, k2, h2, s2, e2) = got("s2")
+    assert(n2 == 2L && k2 == 1L && h2 == 0.0 && s2 == 1.0 && e2.isEmpty)
+  }
 }

@@ -608,4 +608,44 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("AQE skew join: a planted hot key gets its partition split (skew=true in the join node)") {
+    // the engine leans on AQE's skew-join split for large-large joins
+    // (q08's posture at 100 TB); this pins that the split ACTIVATES:
+    // one key holding ~85% of the left side must re-plan the SMJ with
+    // skew=true once the hot partition crosses the (lowered) threshold
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+      // payload must be INCOMPRESSIBLE: skew stats are compressed map
+      // output bytes, and a constant pad deflates the hot partition
+      // right back under the threshold
+      val left = spark.range(0, 120000).select(
+        when(col("id") < 100000, 0L).otherwise(col("id") % 500).as("k"),
+        sha2(concat(col("id").cast("string"), lit("s")), 512).as("payload"))
+      val right = spark.range(0, 500)
+        .select(col("id").as("k"), lit(1L).as("v"))
+      // no key-partitioned operator above the join: a downstream
+      // groupBy(k) would make the split introduce an extra shuffle and
+      // AQE would (correctly) decline it
+      val j = left.join(right, "k").select(col("k"),
+        length(col("payload")).as("pl"))
+      assert(j.collect().length == 120000)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"no skew split in the adaptive plan:\n${p.take(4000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }

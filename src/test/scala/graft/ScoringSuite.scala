@@ -210,4 +210,25 @@ class ScoringSuite extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("readabilityScores: hand-counted closed form, one-sentence default, empty-doc exclusion, zero shuffle") {
+    val docs = Seq(
+      (1L, "hello world. nice day"), // 4 words, 2 sentences, 6 syllables
+      (2L, "no punctuation here"),   // 1-sentence convention
+      (3L, ""), (4L, "   ")          // words = 0 → excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readabilityScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    val (w, s, sy, ease, grade) = got(1L)
+    assert(w == 4L && s == 2L && sy == 6L)
+    assert(ease == round4(206.835 - 1.015 * 2.0 - 84.6 * 1.5))
+    assert(grade == round4(0.39 * 2.0 + 11.8 * 1.5 - 15.59))
+    assert(got(2L)._2 == 1L) // no [.!?] ⇒ one sentence
+    val plan = TextAnalysis.readabilityScores(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

@@ -533,6 +533,32 @@ class StreamingSuite extends AnyFunSuite {
     assert(batch.size > 50) // the fixture splits into many sessions
   }
 
+  test("T7×sess: a session closes on pure watermark passage — the final batches have NO events for its user") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(uid: Long, offSec: Long, id: Long) =
+      Ev(id, new Timestamp(t0 + offSec * 1000L), uid, "view", 1.0)
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamingSessionize(mem.toDF(), gapSec = 60L,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("tsess_timeout")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    // batch 1: the whole of user 7's session
+    mem.addData(ev(7L, 0L, 1L), ev(7L, 10L, 2L)); q.processAllAvailable()
+    // batches 2-3 carry ONLY user 8: batch 2 advances the watermark past
+    // 7's end + gap, batch 3 fires the event-time timeout — user 7's
+    // session must emit although 7 never appears again
+    mem.addData(ev(8L, 500L, 3L)); q.processAllAvailable()
+    mem.addData(ev(8L, 600L, 4L)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tsess_timeout")
+      .where(col("user_id") === 7L).collect()
+    assert(got.length == 1, s"user 7 sessions: ${got.length}")
+    assert(got(0).getLong(1) == 1L, "session ordinal")
+    assert(got(0).getLong(4) == 2L, "event count")
+    assert(got(0).getDouble(5) == 10.0, "duration")
+  }
+
   test("CDC snapshot store: stream ≡ batch compaction, idempotent replay, tombstone retention") {
     import graft.jobs.CdcSnapshotJob
     val dir = Files.createTempDirectory("graft_snap").toString
