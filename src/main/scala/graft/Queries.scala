@@ -1977,4 +1977,23 @@ object Queries {
           regexp_replace(col("text"), " the ", ". ").as("text")),
         "doc_id", "text")
       .orderBy("doc_id")
+
+  /** Pearson correlation matrix over the four lineitem measures — the
+    * feature-redundancy screen, all sufficient statistics exact. */
+  def xCorrMatrix(s: SparkSession, d: String): DataFrame =
+    Pipelines.correlationMatrix(lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_a", "col_b")
+
+  private[graft] object PcaFixture { val k = 2 }
+
+  /** PCA projection of the embedding corpus onto its top-2 principal
+    * components: exact integer moment sums → driver Jacobi →
+    * broadcast-literal projection (the whitening/visualization front).
+    * The oracle is generated at dump time with the identical
+    * (mean, components) literals — the x_quality_lr pattern. */
+  def xPcaProject(s: SparkSession, d: String): DataFrame =
+    Similarity.pcaProject(embeddings(s, d), "vec_id", "embedding",
+        k = PcaFixture.k)
+      .orderBy("vec_id")
 }

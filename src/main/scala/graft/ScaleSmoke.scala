@@ -344,6 +344,11 @@ object ScaleSmoke {
       // replica vectors are copy-identical so buckets grow ∝ copies
       // with per-bucket size constant, and time must track rows
       q("x_mnn_ann", "embeddings"),
+      // corr matrix: ONE agg pass, k(k+1)/2 decimal sums map-side —
+      // the purest partial-agg probe; PCA: the d²-bounded moment
+      // shuffle + a map-only literal projection — both must track rows
+      q("x_corr_matrix", "lineitem"),
+      q("x_pca_project", "embeddings"),
       // approx-sketch modes of the profile/outlier family: the exact
       // forms are the oracle entries; these measure the 100 TB modes,
       // whose agg state is O(sketch) per group instead of the full

@@ -73,6 +73,54 @@ object SparkEntry {
     * — and the learned weight vector ships as a list literal; the SQL
     * replays the distributed score pass (bucket lookup, position-
     * ordered fold, logit + keep). Same contract as [[ivfOracleSql]]. */
+  /** DuckDB oracle for x_pca_project, generated AT DUMP TIME (the
+    * components depend on the corpus): runs the exact
+    * `Similarity.pcaComponents` pipeline the query runs — integer
+    * moment sums → driver Jacobi, deterministic per (sfDir, k) — and
+    * embeds each component and its μ·v offset as literals, so both
+    * engines evaluate the identical left-fold dot product minus the
+    * identical scalar. Same `graft.oracle.sfDir` gating as
+    * [[ivfOracleSql]]: outside Verify the Try fails and the driver
+    * falls back to its rows-only check. */
+  private def pcaOracleSql: Option[(String, String)] = scala.util.Try {
+    val spark = SparkSession.active
+    val sfDir = sys.props("graft.oracle.sfDir") // no default: throws if unset
+    val emb = Tables.embeddings(spark, sfDir)
+    val (mean, comps, _) = graft.operators.Similarity.pcaComponents(
+      emb, "embedding", Queries.PcaFixture.k)
+    val pcs = comps.zipWithIndex.map { case (v, j) =>
+      val vl = v.mkString("[", ",", "]")
+      val mu = mean.zip(v).foldLeft(0.0) { case (acc, (m, c)) => acc + m * c }
+      s"ROUND(list_dot_product(e, $vl) - $mu, 4) + 0 AS pc${j + 1}"
+    }.mkString(", ")
+    "x_pca_project" ->
+      (s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) " +
+        s"SELECT vec_id, $pcs FROM v ORDER BY vec_id")
+  }.toOption
+
+  /** DuckDB oracle for x_corr_matrix: the same micro-unit quantization,
+    * HUGEINT-exact sufficient statistics (the engine sums decimals),
+    * and the identical final float expression per pair. */
+  private def corrMatrixOracleSql(table: String, cols: Seq[String]): String = {
+    val qs = cols.zipWithIndex.map { case (c, i) =>
+      s"CAST(ROUND(CAST($c AS DOUBLE) * 1e6, 0) AS BIGINT) AS q$i"
+    }.mkString(", ")
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val ss = cols.indices.map(i => s"SUM(CAST(q$i AS HUGEINT)) AS s$i")
+    val ps = for (i <- cols.indices; j <- i until cols.size)
+      yield s"SUM(CAST(q$i AS HUGEINT) * q$j) AS p${i}_$j"
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val rows = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val den = s"SQRT(${d("n")} * ${d(s"p${i}_$i")} - ${d(s"s$i")} * ${d(s"s$i")}) * " +
+        s"SQRT(${d("n")} * ${d(s"p${j}_$j")} - ${d(s"s$j")} * ${d(s"s$j")})"
+      s"SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b, n, " +
+        s"CASE WHEN $den > 0 THEN ROUND((${d("n")} * ${d(s"p${i}_$j")} - ${d(s"s$i")} * ${d(s"s$j")}) / ($den), 6) END AS corr FROM st"
+    }
+    s"WITH v AS (SELECT $qs FROM $table WHERE $notNull), " +
+      s"st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, ${(ss ++ ps).mkString(", ")} FROM v) " +
+      rows.mkString(" UNION ALL ") + " ORDER BY col_a, col_b"
+  }
+
   private def qualityLrOracleSql: Option[(String, String)] = scala.util.Try {
     import org.apache.spark.sql.functions.col
     val spark = SparkSession.active
@@ -905,7 +953,9 @@ object SparkEntry {
     "x_benford" -> (Queries.xBenford _),
     "x_gini" -> (Queries.xGini _),
     "x_diversity" -> (Queries.xDiversity _),
-    "x_readability" -> (Queries.xReadability _)
+    "x_readability" -> (Queries.xReadability _),
+    "x_corr_matrix" -> (Queries.xCorrMatrix _),
+    "x_pca_project" -> (Queries.xPcaProject _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2293,7 +2343,9 @@ object SparkEntry {
         "SELECT doc_id, words, sentences, syllables, " +
         "CAST(FLOOR((206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) - 84.6 * (CAST(syllables AS DOUBLE) / words)) * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS ease, " +
         "CAST(FLOOR((0.39 * (CAST(words AS DOUBLE) / sentences) + 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59) * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS grade " +
-        "FROM w WHERE words > 0 ORDER BY doc_id")
+        "FROM w WHERE words > 0 ORDER BY doc_id"),
+    "x_corr_matrix" -> corrMatrixOracleSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
-    ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql
+    ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql ++ pcaOracleSql
 }

@@ -1622,6 +1622,60 @@ object Pipelines {
           .as("evenness"))
   }
 
+  /** Pairwise Pearson correlation matrix over a set of numeric columns
+    * — the feature-redundancy screen (which quality signals move
+    * together? is a derived metric just a rescale?) run before a
+    * scoring model or a stratification trusts its inputs.
+    *
+    * All five sufficient statistics per pair are EXACT: values
+    * quantize to micro-units, cross products are summed as decimals
+    * (128-bit-exact at any corpus size), and the one float expression
+    * per pair is computed from those integers in a fixed written order
+    * (the laggedCorrelation contract — the oracle replays it
+    * verbatim). Rows with a NULL in ANY profiled column are dropped
+    * first (listwise completion, so every pair sees the same n). A
+    * zero-variance column yields NULL correlations, never NaN.
+    *
+    * Scale shape: ONE aggregation pass over the data computing all
+    * k + k(k+1)/2 sums map-side; the pair expansion happens on the
+    * single aggregated row. Output = k(k−1)/2 rows forever.
+    *
+    * Output: (col_a, col_b, n, corr) at `roundDp` dp, pairs in column
+    * order with col_a before col_b. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+                        roundDp: Int = 6): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs >= 2 columns")
+    require(cols.distinct.size == cols.size,
+      "correlationMatrix needs distinct columns")
+    val base = df
+      .where(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        round(col(c).cast("double") * 1e6, 0).cast("long").as(s"__q$i")
+      }: _*)
+    val sums = cols.indices.map(i =>
+      sum(col(s"__q$i").cast("decimal(18,0)")).as(s"__s$i"))
+    val prods = for (i <- cols.indices; j <- i until cols.size) yield
+      sum((col(s"__q$i").cast("decimal(18,0)") *
+        col(s"__q$j").cast("decimal(18,0)"))).as(s"__p${i}_$j")
+    val aggd = base.agg(count(lit(1)).as("__n"),
+      (sums ++ prods): _*).localCheckpoint() // 1 row, read k(k-1)/2 times
+    val nD = col("__n").cast("double")
+    def sD(i: Int) = col(s"__s$i").cast("double")
+    def pD(i: Int, j: Int) = col(s"__p${i}_$j").cast("double")
+    val pairFrames = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield {
+      val den = sqrt(nD * pD(i, i) - sD(i) * sD(i)) *
+        sqrt(nD * pD(j, j) - sD(j) * sD(j))
+      aggd.select(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col("__n").as("n"),
+        when(den > 0.0,
+          round((nD * pD(i, j) - sD(i) * sD(j)) / den, roundDp))
+          .as("corr"))
+    }
+    pairFrames.reduce(_.unionByName(_))
+  }
+
   def sourceStats(df: DataFrame, srcCol: String, textCol: String,
                   langCol: String): DataFrame =
     df.select(col(srcCol), md5(col(textCol)).as("__h"),

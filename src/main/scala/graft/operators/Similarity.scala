@@ -284,6 +284,167 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** PCA moments, covariance, and components — the deterministic
+    * pipeline behind [[pcaProject]]:
+    *
+    * 1. EXACT moment sums: per-dim sums and upper-triangle cross
+    *    sums, values quantized to micro-units BEFORE aggregation and
+    *    products summed as decimals (128-bit-exact at any corpus
+    *    size) — so the covariance is a function of the corpus, never
+    *    of shuffle arrival order. The pair explode fans each row into
+    *    d(d+1)/2 terms, but the groupBy partial-aggregates map-side to
+    *    ≤ d² keys per partition, so the SHUFFLE is d²-bounded however
+    *    large the corpus.
+    * 2. Driver covariance (d ≤ `maxDim`, require'd loud — d² doubles
+    *    is the one deliberate driver step, the ivfTrain posture).
+    * 3. Cyclic Jacobi eigensolver — fixed sweep cap, deterministic
+    *    rotation order; eigenpairs sorted by (eigenvalue desc, index)
+    *    and each vector sign-canonicalized (its largest-|component|
+    *    entry positive, first index on ties), so the component basis
+    *    is reproducible bit-for-bit given the corpus.
+    *
+    * Returns (mean, components k×d as rows, eigenvalues k). Exposed
+    * `private[graft]` so the dump-time oracle can embed the identical
+    * literals. */
+  private[graft] def pcaComponents(emb: DataFrame, vecCol: String,
+                                   k: Int, maxDim: Int = 128)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val xe = emb.select(toDouble(col(vecCol)).as("__x"))
+      .where(col("__x").isNotNull)
+    val first = xe.take(1)
+    require(first.nonEmpty, "pcaComponents needs a non-empty corpus")
+    val d = first(0).getSeq[Double](0).length
+    require(d >= 1 && d <= maxDim,
+      s"pcaComponents supports 1..$maxDim dims, got $d (the d x d " +
+        "covariance is a deliberate driver step; raise maxDim knowingly)")
+    require(k >= 1 && k <= d, s"pcaComponents needs 1 <= k <= $d")
+    val q = (c: Column) => round(c * 1e6, 0).cast("long")
+    val dims = xe.select(posexplode(col("__x")).as(Seq("__i", "__xi")))
+      .groupBy("__i")
+      .agg(sum(q(col("__xi"))).as("__s"), count(lit(1)).as("__n"))
+      .collect()
+    val n = dims.head.getLong(2)
+    val s = Array.ofDim[Double](d)
+    dims.foreach(r => s(r.getInt(0)) = r.getLong(1).toDouble)
+    val mean = Array.tabulate(d)(i => s(i) / 1e6 / n)
+    val pairs = xe
+      .select(posexplode(col("__x")).as(Seq("__i", "__xi")), col("__x"))
+      .select(col("__i"), q(col("__xi")).cast("decimal(18,0)").as("__qi"),
+        posexplode(slice(col("__x"), col("__i") + 1, lit(d)))
+          .as(Seq("__p2", "__xj")))
+      .select(col("__i"), (col("__i") + col("__p2")).as("__j"),
+        (col("__qi") * q(col("__xj")).cast("decimal(18,0)")).as("__pq"))
+      .groupBy("__i", "__j").agg(sum("__pq").as("__p"))
+      .collect()
+    val cov = Array.ofDim[Double](d, d)
+    pairs.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val p = r.getDecimal(2).doubleValue() / 1e12 / n
+      val c = p - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = (0 until d).sortBy(i => (-evals(i), i)).take(k)
+    val comps = order.map { ci =>
+      val vec = Array.tabulate(d)(r => evecs(r)(ci))
+      // sign convention: the largest-|component| entry positive
+      var best = 0
+      var i = 1
+      while (i < d) {
+        if (math.abs(vec(i)) > math.abs(vec(best))) best = i
+        i += 1
+      }
+      if (vec(best) < 0.0) vec.map(x => -x) else vec
+    }.toArray
+    (mean, comps, order.map(evals).toArray)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — fixed
+    * sweep order and cap, pure JVM doubles: identical input bits give
+    * identical eigenpairs on every run, which is what lets the oracle
+    * dump and the runtime query derive the same basis independently. */
+  private def jacobiEigen(covIn: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = covIn.length
+    val a = Array.tabulate(d, d)((i, j) => covIn(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-18) {
+      var p = 0
+      while (p < d - 1) {
+        var qi = p + 1
+        while (qi < d) {
+          val apq = a(p)(qi)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(qi)(qi) - a(p)(p)) / (2.0 * apq)
+            val sgn = if (theta >= 0.0) 1.0 else -1.0
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var kk = 0
+            while (kk < d) {
+              val akp = a(kk)(p); val akq = a(kk)(qi)
+              a(kk)(p) = c * akp - sn * akq
+              a(kk)(qi) = sn * akp + c * akq
+              kk += 1
+            }
+            kk = 0
+            while (kk < d) {
+              val apk = a(p)(kk); val aqk = a(qi)(kk)
+              a(p)(kk) = c * apk - sn * aqk
+              a(qi)(kk) = sn * apk + c * aqk
+              kk += 1
+            }
+            kk = 0
+            while (kk < d) {
+              val vkp = v(kk)(p); val vkq = v(kk)(qi)
+              v(kk)(p) = c * vkp - sn * vkq
+              v(kk)(qi) = sn * vkp + c * vkq
+              kk += 1
+            }
+          }
+          qi += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** PCA projection onto the top-k principal components — the
+    * dimensionality-reduction / whitening front every embedding
+    * pipeline runs before clustering or visualization. Components come
+    * from [[pcaComponents]] (exact integer moments → driver Jacobi);
+    * the projection itself is pc_j = x·v_j − μ·v_j with μ·v_j folded
+    * into one scalar literal, so the per-row work is ONE codegen'd dot
+    * product per component over the raw scan — no centering pass, no
+    * shuffle beyond the d²-bounded stats.
+    *
+    * Output: (idCol, pc1..pck) rounded to 4 dp. */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+                 k: Int, maxDim: Int = 128): DataFrame = {
+    val (mean, comps, _) = pcaComponents(emb, vecCol, k, maxDim)
+    val outs = comps.zipWithIndex.map { case (vec, j) =>
+      val vLit = array(vec.map(lit).toIndexedSeq: _*)
+      val muDotV = mean.zip(vec).foldLeft(0.0) { case (acc, (m, c)) =>
+        acc + m * c
+      }
+      (round(fastDot(toDouble(col(vecCol)), vLit) - lit(muDotV), 4) + 0.0)
+        .as(s"pc${j + 1}")
+    }
+    emb.select((col(idCol) +: outs.toIndexedSeq): _*)
+  }
+
   /** Deterministic hyperplanes for sign-LSH: `planes × dim` gaussian
     * values from a fixed seed, shipped as literals (tiny). Visible to
     * [[graft.SparkEntry]] so the DuckDB oracle SQL can embed the exact

@@ -303,6 +303,38 @@ class JourneySuite extends AnyFunSuite {
     assert(recall > 0.3, s"ANN-mutual recall $recall too low")
   }
 
+  test("pcaProject: planted 1-D manifold recovered, orthonormal variance-ordered basis, map-only projection") {
+    val pts = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+    val emb = pts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Seq((0.6 * t).toFloat, (0.8 * t).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .pcaProject(emb, "vec_id", "embedding", k = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    // pc1 = signed distance along (0.6, 0.8) — the sign convention
+    // (largest-|component| entry positive) pins the direction
+    got.zip(pts).foreach { case ((p1, p2), t) =>
+      assert(math.abs(p1 - t) < 1e-3, s"pc1 $p1 vs $t")
+      assert(math.abs(p2) < 1e-3, s"pc2 $p2")
+    }
+    // fixture basis: orthonormal, variance-ordered
+    val (mean, comps, evals) = graft.operators.Similarity.pcaComponents(
+      Tables.embeddings(spark, TestSpark.sfDir), "embedding", k = 2)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(comps(0), comps(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(comps(1), comps(1)) - 1.0) < 1e-9)
+    assert(math.abs(dot(comps(0), comps(1))) < 1e-9)
+    assert(evals(0) >= evals(1) && evals(1) >= -1e-9)
+    assert(mean.length == comps(0).length)
+    // projection plan: map-only over the scan (components are literals)
+    val plan = graft.operators.Similarity
+      .pcaProject(emb, "vec_id", "embedding", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("activeUserRatios: coverage windows, grid bounds, stickiness identity") {
     // u1 active d1; u2 active d1 and d3; u3 active d10
     val ev = Seq((1L, day(1)), (2L, day(1)), (2L, day(3)), (3L, day(10)))

@@ -798,6 +798,24 @@ class PipelinesSuite extends AnyFunSuite {
     assert(got("c") == ((1L, 7.0, 0.0)))  // one key: no inequality
   }
 
+  test("correlationMatrix: perfect linear ±1, constant column NULL, listwise n") {
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(-1.0), Some(7.0)),
+      (Some(2.0), Some(4.0), Some(-2.0), Some(7.0)),
+      (Some(3.0), Some(6.0), Some(-3.0), Some(7.0)),
+      (None, Some(9.0), Some(9.0), Some(9.0)) // dropped listwise
+    ).toDF("a", "b", "c", "k")
+    val got = Pipelines.correlationMatrix(df, Seq("a", "b", "c", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got.size == 6)
+    assert(got(("a", "b")) == ((3L, Some(1.0))))   // y = 2x
+    assert(got(("a", "c")) == ((3L, Some(-1.0))))  // y = -x
+    assert(got(("a", "k"))._2.isEmpty)             // zero variance
+    assert(got(("b", "c")) == ((3L, Some(-1.0))))
+  }
+
   test("diversityStats: uniform classes → evenness 1, single class → H 0 and NULL evenness") {
     val df = Seq(("s1", "en"), ("s1", "fr"), ("s1", "en"), ("s1", "fr"),
       ("s2", "en"), ("s2", "en")).toDF("src", "lang")
