@@ -1985,6 +1985,21 @@ object Queries {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("col_a", "col_b")
 
+  /** Per-user time-weighted average event value — the TWAP normalizer
+    * for irregular series (a burst of cheap events must not drown one
+    * long-held expensive state). */
+  def xTwap(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.twap(events(s, d), "user_id", "ts",
+        "event_id", "value")
+      .orderBy("user_id")
+
+  /** Quantity-weighted median extended price per return flag — the
+    * importance-weighted quantile (p = 0.5). */
+  def xWeightedQuantile(s: SparkSession, d: String): DataFrame =
+    Pipelines.weightedQuantile(lineitem(s, d), "l_returnflag",
+        "l_extendedprice", "l_quantity", p = 0.5)
+      .orderBy("l_returnflag")
+
   private[graft] object PcaFixture { val k = 2 }
 
   /** PCA projection of the embedding corpus onto its top-2 principal

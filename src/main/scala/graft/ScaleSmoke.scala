@@ -343,12 +343,34 @@ object ScaleSmoke {
       // the two-phase window, reciprocity as one keyed self-join —
       // replica vectors are copy-identical so buckets grow ∝ copies
       // with per-bucket size constant, and time must track rows
-      q("x_mnn_ann", "embeddings"),
+      // ANN-fronted MNN under the planes-∝-log2(corpus) sizing rule —
+      // the sign-LSH analog of semdedup's nCells rule: bucket size
+      // pinned (~125 vectors), candidates ∝ rows·bucket. The DECLARED
+      // x_mnn_ann entry pins planes=8 for its static oracle literals,
+      // which goes quadratic once the corpus outgrows 2^8 buckets —
+      // plane sizing is the caller's scale contract, exactly as with
+      // IVF's nCells (measured: fixed-8-planes ratio 4.3 at 10×, sized
+      // ratio linear).
+      ("x_mnn_ann_full", Seq("embeddings"), (s: SparkSession, d: String) => {
+        val rows = embRows(s, d)
+        val planes = math.min(24, math.max(4, math.ceil(
+          math.log(rows / 125.0) / math.log(2.0)).toInt))
+        val emb = Tables.embeddings(s, d)
+        graft.operators.Similarity.mutualPairs(
+          graft.operators.Similarity.annKnnJoin(emb, emb, "vec_id",
+            "embedding", k = 10, planes = planes, dim = 64))
+      }),
       // corr matrix: ONE agg pass, k(k+1)/2 decimal sums map-side —
       // the purest partial-agg probe; PCA: the d²-bounded moment
       // shuffle + a map-only literal projection — both must track rows
       q("x_corr_matrix", "lineitem"),
       q("x_pca_project", "embeddings"),
+      // audits: benford/diversity = one partial-agg pass; gini = one
+      // group-partitioned rank sort; readability = map-only projection
+      q("x_benford", "lineitem"),
+      q("x_gini", "events"),
+      q("x_diversity", "documents"),
+      q("x_readability", "documents"),
       // approx-sketch modes of the profile/outlier family: the exact
       // forms are the oracle entries; these measure the 100 TB modes,
       // whose agg state is O(sketch) per group instead of the full

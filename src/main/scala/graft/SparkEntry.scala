@@ -955,7 +955,9 @@ object SparkEntry {
     "x_diversity" -> (Queries.xDiversity _),
     "x_readability" -> (Queries.xReadability _),
     "x_corr_matrix" -> (Queries.xCorrMatrix _),
-    "x_pca_project" -> (Queries.xPcaProject _)
+    "x_pca_project" -> (Queries.xPcaProject _),
+    "x_twap" -> (Queries.xTwap _),
+    "x_wquantile" -> (Queries.xWeightedQuantile _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2345,7 +2347,27 @@ object SparkEntry {
         "CAST(FLOOR((0.39 * (CAST(words AS DOUBLE) / sentences) + 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59) * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS grade " +
         "FROM w WHERE words > 0 ORDER BY doc_id"),
     "x_corr_matrix" -> corrMatrixOracleSql("lineitem",
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    // TWAP: exact integer-microsecond weights × micro-unit values,
+    // HUGEINT-exact weighted sum, identical final float expression
+    "x_twap" ->
+      ("WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS us, CAST(ROUND(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT) AS vq FROM events WHERE value IS NOT NULL), " +
+        "l AS (SELECT user_id, us, vq, LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt FROM s), " +
+        "g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(us) - MIN(us) AS span, " +
+        "SUM(CASE WHEN nxt IS NOT NULL THEN CAST(nxt - us AS HUGEINT) * vq END) AS wv FROM l GROUP BY 1) " +
+        "SELECT user_id, n_events, ROUND(CAST(span AS DOUBLE) / 1e6, 6) AS span_sec, " +
+        "CASE WHEN span > 0 THEN ROUND(CAST(wv AS DOUBLE) / 1e6 / span, 6) END AS twap " +
+        "FROM g ORDER BY user_id"),
+    // weighted quantile: micro-unit integer cumulative weights over
+    // DISTINCT values; the p·W comparison is the same double
+    "x_wquantile" ->
+      ("WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v, CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1e6, 0) AS BIGINT) AS wq FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "pv AS (SELECT g, v, CAST(SUM(wq) AS BIGINT) AS w, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2), " +
+        "cw AS (SELECT g, v, w, SUM(w) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cwv FROM pv), " +
+        "t AS (SELECT g, CAST(SUM(w) AS BIGINT) AS wt, CAST(SUM(c) AS BIGINT) AS n FROM pv GROUP BY 1) " +
+        "SELECT cw.g AS l_returnflag, MAX(t.n) AS n, ROUND(CAST(MAX(wt) AS DOUBLE) / 1e6, 6) AS w_total, ROUND(MIN(v), 6) AS q " +
+        "FROM cw JOIN t ON cw.g = t.g WHERE CAST(cwv AS DOUBLE) >= 0.5 * wt " +
+        "GROUP BY cw.g ORDER BY l_returnflag")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql ++ pcaOracleSql
 }

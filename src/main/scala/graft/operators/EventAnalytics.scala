@@ -831,4 +831,49 @@ object EventAnalytics {
         round(greatest(max(col("__d")).over(w), lit(0.0)) - col("__d"),
           roundDp).as("cusum_neg"))
   }
+
+  /** Time-weighted average value per key — the irregular-series
+    * normalizer (TWAP): each observation holds until its successor, so
+    * its weight is the gap to the next observation; the last
+    * observation carries no weight (the right-open step integral over
+    * the key's own span).
+    *
+    *   twap = Σᵢ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first)
+    *
+    * Weights are exact integer microseconds, values quantize to
+    * micro-units, and the weighted sum accumulates as decimals
+    * (128-bit-exact at any corpus size) — so the only float is the
+    * final per-key expression, replayed verbatim by the oracle. NULL
+    * values drop first; a key with zero span (one event, or all
+    * simultaneous) yields NULL twap rather than 0/0.
+    *
+    * Scale shape: ONE per-key lead window (state = one row) + one
+    * map-side-combining groupBy. Output = one row per key.
+    *
+    * Output: (key, n_events, span_sec, twap) at `roundDp` dp. */
+  def twap(events: DataFrame, keyCol: String, tsCol: String,
+           tieCol: String, valCol: String, roundDp: Int = 6): DataFrame = {
+    Joins.requireFreeColumns("twap", Seq(keyCol),
+      "n_events", "span_sec", "twap", "__us", "__nxt", "__vq", "__wv",
+      "__span")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("__us"), col(tieCol))
+    events
+      .where(col(valCol).isNotNull)
+      .select(col(keyCol), col(tieCol),
+        unix_micros(col(tsCol)).as("__us"),
+        round(col(valCol).cast("double") * 1e6, 0).cast("long").as("__vq"))
+      .withColumn("__nxt", lead(col("__us"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        (max("__us") - min("__us")).as("__span"),
+        sum(when(col("__nxt").isNotNull,
+          (col("__nxt") - col("__us")).cast("decimal(20,0)") *
+            col("__vq").cast("decimal(18,0)"))).as("__wv"))
+      .select(col(keyCol), col("n_events"),
+        round(col("__span").cast("double") / 1e6, roundDp).as("span_sec"),
+        when(col("__span") > 0L,
+          round(col("__wv").cast("double") / 1e6 / col("__span"),
+            roundDp)).as("twap"))
+  }
 }

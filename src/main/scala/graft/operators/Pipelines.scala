@@ -1676,6 +1676,51 @@ object Pipelines {
     pairFrames.reduce(_.unionByName(_))
   }
 
+  /** Weighted p-quantile per group: the smallest value whose cumulative
+    * weight share reaches p — the importance-weighted quantile
+    * (reweighting a corpus moves its effective median; the unweighted
+    * percentile would lie about the distribution a sampler actually
+    * sees).
+    *
+    * Weights quantize to micro-units, so cumulative sums are exact
+    * integers; the one comparison against p·W computes the identical
+    * double on both engines. The cumulative window runs over DISTINCT
+    * (group, value) rows — per-value weights pre-aggregate map-side,
+    * so window state and row count are bounded by distinct values, not
+    * rows (the quantile_cut posture). A non-positive weight raises
+    * (it would silently shift every quantile).
+    *
+    * Output: (group, n, w_total, q) at `roundDp` dp. */
+  def weightedQuantile(df: DataFrame, groupCol: String, valCol: String,
+                       weightCol: String, p: Double,
+                       roundDp: Int = 6): DataFrame = {
+    require(p > 0.0 && p <= 1.0, "weightedQuantile needs 0 < p <= 1")
+    Joins.requireFreeColumns("weightedQuantile", Seq(groupCol),
+      "n", "w_total", "q", "__v", "__wq", "__w", "__c", "__cw", "__wt")
+    val wq = round(col(weightCol).cast("double") * 1e6, 0).cast("long")
+    val perVal = df.where(col(valCol).isNotNull)
+      .select(col(groupCol), col(valCol).cast("double").as("__v"),
+        when(wq > 0L, wq).otherwise(raise_error(concat(
+          lit("weightedQuantile needs positive weights; got "),
+          col(weightCol).cast("string")))).as("__wq"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(sum("__wq").as("__w"), count(lit(1)).as("__c"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val tot = perVal.groupBy(col(groupCol))
+      .agg(sum("__w").as("__wt"), sum("__c").as("n"))
+    perVal
+      .withColumn("__cw", sum(col("__w")).over(win))
+      .join(broadcast(tot), Seq(groupCol))
+      .where(col("__cw").cast("double") >= lit(p) * col("__wt"))
+      .groupBy(col(groupCol))
+      .agg(max("n").as("n"),
+        round(max("__wt").cast("double") / 1e6, roundDp).as("w_total"),
+        round(min("__v"), roundDp).as("q"))
+  }
+
   def sourceStats(df: DataFrame, srcCol: String, textCol: String,
                   langCol: String): DataFrame =
     df.select(col(srcCol), md5(col(textCol)).as("__h"),

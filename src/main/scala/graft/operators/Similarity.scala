@@ -249,7 +249,14 @@ object Similarity {
     * seed-pinned literals — which is what makes the x_ann_knn DuckDB
     * oracle possible (same planes embedded in SQL). Recall follows the
     * sign-LSH S-curve exactly as [[annTopK]]; output schema matches
-    * [[knnJoin]]. */
+    * [[knnJoin]].
+    *
+    * SIZING CONTRACT at scale: with the query side ∝ the corpus,
+    * `planes` must grow as log2(corpus / targetBucket) so the expected
+    * bucket size stays pinned — candidates are then ∝ rows·bucket,
+    * linear (the sign-LSH analog of IVF's nCells-∝-corpus rule;
+    * ScaleSmoke's x_mnn_ann_full measures exactly this). Fixed planes
+    * on a growing corpus go quadratic. */
   def annKnnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, k: Int, planes: Int = 8,
                  probeRadius: Int = 1, dim: Int = 0): DataFrame = {

@@ -798,6 +798,44 @@ class PipelinesSuite extends AnyFunSuite {
     assert(got("c") == ((1L, 7.0, 0.0)))  // one key: no inequality
   }
 
+  test("weightedQuantile: weight-shifted median, p binding, positive-weight guard") {
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0),
+      ("g", 4.0, 7.0)).toDF("grp", "v", "w")
+    def q(p: Double) = Pipelines
+      .weightedQuantile(df, "grp", "v", "w", p)
+      .collect().head
+    val med = q(0.5)
+    assert(med.getLong(1) == 4L && med.getDouble(2) == 10.0 &&
+      med.getDouble(3) == 4.0) // the heavy tail owns the median
+    assert(q(0.3).getDouble(3) == 3.0) // cum weights 1,2,3,10
+    assert(q(0.1).getDouble(3) == 1.0)
+    val bad = Seq(("g", 1.0, 0.0)).toDF("grp", "v", "w")
+    intercept[Exception] {
+      Pipelines.weightedQuantile(bad, "grp", "v", "w", 0.5).collect()
+    }
+  }
+
+  test("twap: hold-until-next integral, zero-span NULL, null values dropped") {
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 1L, Some(10.0)), (1L, ts(10), 2L, Some(20.0)),
+      (1L, ts(30), 3L, Some(99.0)),          // last event: no weight
+      (2L, ts(0), 4L, Some(5.0)),            // single event: zero span
+      (3L, ts(0), 5L, Some(1.0)), (3L, ts(5), 6L, None), // null drops
+      (3L, ts(10), 7L, Some(3.0))
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = graft.operators.EventAnalytics
+      .twap(ev, "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // u1: (10·10 + 20·20) / 30 = 16.666667
+    assert(got(1L) == ((3L, 30.0, Some(16.666667))))
+    assert(got(2L) == ((1L, 0.0, None)))
+    // u3: the NULL row vanishes — value 1.0 holds the full 10 s
+    assert(got(3L) == ((2L, 10.0, Some(1.0))))
+  }
+
   test("correlationMatrix: perfect linear ±1, constant column NULL, listwise n") {
     val df = Seq(
       (Some(1.0), Some(2.0), Some(-1.0), Some(7.0)),
