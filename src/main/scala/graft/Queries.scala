@@ -2000,6 +2000,14 @@ object Queries {
         "l_extendedprice", "l_quantity", p = 0.5)
       .orderBy("l_returnflag")
 
+  /** Gap sessions via the NATIVE session_window aggregate (6 h gap) —
+    * the built-in cross-check of x_sessions (window_end is
+    * last event + gap by the built-in's contract). */
+  def xSessionWindow(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamOps.sessionWindowAgg(events(s, d),
+        gapSec = 21600L)
+      .orderBy("user_id", "window_start")
+
   private[graft] object PcaFixture { val k = 2 }
 
   /** PCA projection of the embedding corpus onto its top-2 principal

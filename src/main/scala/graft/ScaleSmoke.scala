@@ -365,6 +365,12 @@ object ScaleSmoke {
       // shuffle + a map-only literal projection — both must track rows
       q("x_corr_matrix", "lineitem"),
       q("x_pca_project", "embeddings"),
+      // twap = one keyed lead window + partial agg; wquantile = one
+      // distinct-value cumulative window; session_window = one native
+      // merging-window agg — per-user state, linear
+      q("x_twap", "events"),
+      q("x_wquantile", "lineitem"),
+      q("x_session_window", "events"),
       // audits: benford/diversity = one partial-agg pass; gini = one
       // group-partitioned rank sort; readability = map-only projection
       q("x_benford", "lineitem"),

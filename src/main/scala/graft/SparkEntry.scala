@@ -957,7 +957,8 @@ object SparkEntry {
     "x_corr_matrix" -> (Queries.xCorrMatrix _),
     "x_pca_project" -> (Queries.xPcaProject _),
     "x_twap" -> (Queries.xTwap _),
-    "x_wquantile" -> (Queries.xWeightedQuantile _)
+    "x_wquantile" -> (Queries.xWeightedQuantile _),
+    "x_session_window" -> (Queries.xSessionWindow _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2367,7 +2368,17 @@ object SparkEntry {
         "t AS (SELECT g, CAST(SUM(w) AS BIGINT) AS wt, CAST(SUM(c) AS BIGINT) AS n FROM pv GROUP BY 1) " +
         "SELECT cw.g AS l_returnflag, MAX(t.n) AS n, ROUND(CAST(MAX(wt) AS DOUBLE) / 1e6, 6) AS w_total, ROUND(MIN(v), 6) AS q " +
         "FROM cw JOIN t ON cw.g = t.g WHERE CAST(cwv AS DOUBLE) >= 0.5 * wt " +
-        "GROUP BY cw.g ORDER BY l_returnflag")
+        "GROUP BY cw.g ORDER BY l_returnflag"),
+    // native session_window: the x_sessions gap assignment; the
+    // built-in's window_end is last event + gap by contract
+    "x_session_window" ->
+      ("WITH f AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN LAG(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS newf " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT user_id, ts, CAST(SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session FROM f) " +
+        "SELECT user_id, MIN(ts) AS window_start, MAX(ts) + INTERVAL 6 HOUR AS window_end, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events " +
+        "FROM g GROUP BY user_id, session ORDER BY user_id, window_start")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql ++ pcaOracleSql
 }

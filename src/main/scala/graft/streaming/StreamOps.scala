@@ -613,6 +613,37 @@ object StreamOps {
         "duration_sec")
   }
 
+  /** Gap sessionization via Spark's NATIVE `session_window` — the
+    * built-in counterpart of
+    * [[graft.operators.EventAnalytics.sessionize]] and the
+    * cross-validation of [[streamingSessionize]]: one aggregation with
+    * merging session windows, usable identically in batch and
+    * streaming. In streaming, state is a bounded open-session set the
+    * watermark evicts (the built-in holds no cross-session counter,
+    * which is exactly why it CAN evict — the custom form's persistent
+    * ordinal is what forces its no-eviction contract). Append mode
+    * emits each session exactly once when the watermark closes it.
+    *
+    * Note the built-in's window end is `last event + gap` (the gap
+    * horizon), not the last event itself — callers wanting the
+    * sessionize span subtract the gap from `window_end`.
+    *
+    * Output: (user, window_start, window_end, n_events). */
+  def sessionWindowAgg(events: DataFrame, gapSec: Long,
+                       watermarkDelay: String = "10 minutes",
+                       userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    require(gapSec > 0, "sessionWindowAgg needs a positive gap")
+    val src = if (events.isStreaming)
+      events.withWatermark(tsCol, watermarkDelay) else events
+    src
+      .groupBy(col(userCol),
+        session_window(col(tsCol), s"$gapSec seconds").as("__sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol), col("__sw.start").as("window_start"),
+        col("__sw.end").as("window_end"), col("n_events"))
+  }
+
   /** Streaming OHLC bars — the live counterpart of
     * [[graft.operators.EventAnalytics.ohlcBars]]: one watermarked
     * windowed aggregation per (key, bucket), open/close as

@@ -559,6 +559,46 @@ class StreamingSuite extends AnyFunSuite {
     assert(got(0).getDouble(5) == 10.0, "duration")
   }
 
+  test("T4×native: session_window agg ≡ custom sessionize in batch, and stream ≡ batch after flush") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sfDir)
+    // native batch form vs the custom operator: same sessions — the
+    // built-in's window_end is last_event + gap, so align by -gap
+    val native = StreamOps.sessionWindowAgg(ev, gapSec = 21600L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime - 21600000L, r.getLong(3))).toSet
+    val custom = graft.operators.EventAnalytics
+      .sessionize(ev, "user_id", "ts", "event_id", gapSec = 21600L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime, r.getLong(4))).toSet
+    assert(native == custom,
+      s"native=${native.size} custom=${custom.size} " +
+        s"diff=${(native diff custom).take(3)}")
+    // streaming native form: append mode, watermark-closed sessions
+    val rows = eventRows
+    val sorted = rows.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = sorted.splitAt(sorted.size / 2)
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sessionWindowAgg(mem.toDF(), gapSec = 21600L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("tswin")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    val maxTs = rows.map(_.ts.getTime).max
+    def flush(id: Long, plusDays: Int) =
+      Ev(id, new Timestamp(maxTs + plusDays * 86400000L), -1L, "flush", 0.0)
+    mem.addData(flush(-1L, 2)); q.processAllAvailable()
+    mem.addData(flush(-2L, 4)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tswin").where(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime - 21600000L, r.getLong(3))).toSet
+    assert(streamed == custom,
+      s"stream=${streamed.size} batch=${custom.size}")
+    assert(custom.size > 50)
+  }
+
   test("CDC snapshot store: stream ≡ batch compaction, idempotent replay, tombstone retention") {
     import graft.jobs.CdcSnapshotJob
     val dir = Files.createTempDirectory("graft_snap").toString
