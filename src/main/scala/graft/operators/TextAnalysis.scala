@@ -351,16 +351,25 @@ object TextAnalysis {
     *     coverage union).
     *
     * Pure HOF column algebra: no UDF, no shuffle, one row in → one row
-    * out. Per-row cost is O(tokens²) (each distinct n-gram counts its
-    * occurrences with a list scan) — bounded by document length, never
-    * corpus size, so it parallelizes embarrassingly; for corpora of
-    * book-length documents (10⁵+ tokens) explode the n-grams into an
-    * (id, gram) frame and groupBy instead — same outputs, one keyed
-    * shuffle. Tokens split on whitespace runs (`\s+`) so line breaks
-    * separate words for the n-gram measures too. */
+    * out. Per-row cost is O(tokens log tokens): every duplicate
+    * measure is a single run-aware linear fold over a SORTED array
+    * whose lambda bodies touch only lambda variables — equal values
+    * are adjacent after the sort, so "occurs more than once" is
+    * "equals a neighbor" and no per-gram occurrence scan exists. (The
+    * previous form counted each distinct gram with an O(grams) list
+    * scan — O(tokens²) — and the optimizer's projection collapsing
+    * could inline the gram array's construction into that scan's
+    * lambda, re-splitting the full text per element: a crafted
+    * 2000-token document burned 20+ CPU-minutes on one core. The fold
+    * form is immune to inlining by construction.) For book-length
+    * documents [[dupNgramCharFrac]]'s explode+groupBy form remains the
+    * shuffle-based alternative. Tokens split on whitespace runs
+    * (`\s+`) so line breaks separate words for the n-gram measures
+    * too. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Joins.requireFreeColumns("repetitionStats", df.columns,
-      "__lines", "__toks", "__b", "__f", "__db", "__maxc",
+      "__lines", "__toks", "__b", "__f", "__ls", "__fs", "__bs",
+      "__leq", "__feq",
       "n_lines", "dup_line_frac", "dup_line_char_frac",
       "top2_char_frac", "dup5_char_frac")
     val txt = col(textCol)
@@ -369,32 +378,64 @@ object TextAnalysis {
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
         .otherwise(array().cast("array<string>"))
-    def occurrences(hay: Column, needle: Column): Column =
-      size(filter(hay, x => x === needle))
-    val (lines, toks, b, f) = (col("__lines"), col("__toks"), col("__b"), col("__f"))
-    val lineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l).cast("long"))
-    val dupLineChars = aggregate(lines, lit(0L), (acc, l) =>
-      acc + when(occurrences(lines, l) > 1, length(l).cast("long")).otherwise(0L))
-    val db = col("__db")
-    val maxCnt = array_max(transform(db, g => occurrences(b, g)))
-    val topBigram = array_max(filter(db, g => occurrences(b, g) === col("__maxc")))
-    val dup5Chars = aggregate(array_distinct(f), lit(0L), (acc, g) =>
-      acc + ((occurrences(f, g) - 1) * length(g)).cast("long"))
+    val nullStr = lit(null).cast("string")
+    // eqPrev over a sorted array: result[i] says s[i] == s[i-1]
+    // (null-safe, so index 0 is false); one trailing false element
+    // rides along from the length-(n+1) shifted side
+    def eqPrev(sorted: Column): Column =
+      zip_with(sorted, concat(array(nullStr), sorted), (a, p) => a <=> p)
+    val (lines, toks) = (col("__lines"), col("__toks"))
+    val (ls, fs, bs) = (col("__ls"), col("__fs"), col("__bs"))
+    val (leq, feq) = (col("__leq"), col("__feq"))
+    val lineChars = aggregate(lines, lit(0L),
+      (acc, l) => acc + length(l).cast("long"))
+    // chars of EVERY occurrence of a duplicated line: in sorted order
+    // an occurrence is duplicated iff it equals its predecessor OR its
+    // successor (eqNext[i] = eqPrev[i+1])
+    val dupLineChars = aggregate(
+      zip_with(ls,
+        zip_with(leq, slice(leq, lit(2), size(ls)), (p, q) => p || q),
+        (l, m) => when(coalesce(m, lit(false)), length(l).cast("long"))
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc + coalesce(x, lit(0L)))
+    // (k − 1)·len per k-occurrence 5-gram = len wherever fs[i]==fs[i-1]
+    val dup5Chars = aggregate(
+      zip_with(fs, feq, (g, e) =>
+        when(coalesce(e, lit(false)), length(g).cast("long"))
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc + coalesce(x, lit(0L)))
+    // max bigram run over the sorted array in ONE fold: run length
+    // resets on value change; ties keep the LATEST (= lexicographically
+    // greatest under the ascending sort) argmax — the old
+    // distinct-scan tie rule
+    val top2Chars = aggregate(bs,
+      struct(nullStr.as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+        nullStr.as("bg")),
+      (acc, g) => {
+        val run2 = when(acc("prev") <=> g, acc("run") + 1L).otherwise(1L)
+        struct(g.as("prev"), run2.as("run"),
+          when(run2 >= acc("best"), run2).otherwise(acc("best")).as("best"),
+          when(run2 >= acc("best"), g).otherwise(acc("bg")).as("bg"))
+      },
+      acc => coalesce(acc("best") * length(acc("bg")).cast("long"), lit(0L)))
     df.select(col(idCol), txt,
         filter(split(txt, "\n"), l => length(l) > 0).as("__lines"),
         filter(split(txt, "\\s+"), t => length(t) > 0).as("__toks"))
       .withColumn("__b", ngrams(toks, 2))
       .withColumn("__f", ngrams(toks, 5))
-      .withColumn("__db", array_distinct(b))
-      .withColumn("__maxc", maxCnt)
+      .withColumn("__ls", array_sort(lines))
+      .withColumn("__fs", array_sort(col("__f")))
+      .withColumn("__bs", array_sort(col("__b")))
+      .withColumn("__leq", eqPrev(ls))
+      .withColumn("__feq", eqPrev(fs))
       .select(col(idCol),
         size(lines).cast("long").as("n_lines"),
         round((size(lines) - size(array_distinct(lines)))
           / greatest(size(lines), lit(1)).cast("double"), 4).as("dup_line_frac"),
         round(dupLineChars / greatest(lineChars, lit(1)).cast("double"), 4)
           .as("dup_line_char_frac"),
-        round(coalesce(col("__maxc") * length(topBigram), lit(0))
-          / greatest(length(txt), lit(1)).cast("double"), 4).as("top2_char_frac"),
+        round(top2Chars / greatest(length(txt), lit(1)).cast("double"), 4)
+          .as("top2_char_frac"),
         round(dup5Chars / greatest(length(txt), lit(1)).cast("double"), 4)
           .as("dup5_char_frac"))
   }
