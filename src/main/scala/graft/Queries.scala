@@ -2008,6 +2008,13 @@ object Queries {
         gapSec = 21600L)
       .orderBy("user_id", "window_start")
 
+  /** Binned mutual information between quantity and extended price —
+    * the nonlinear-dependence screen over two numeric columns (16
+    * shared-bounds equi-width bins per side). */
+  def xBinnedMi(s: SparkSession, d: String): DataFrame =
+    Pipelines.binnedMutualInfo(lineitem(s, d), "l_quantity",
+      "l_extendedprice", bins = 16)
+
   private[graft] object PcaFixture { val k = 2 }
 
   /** PCA projection of the embedding corpus onto its top-2 principal

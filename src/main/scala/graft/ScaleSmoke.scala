@@ -371,6 +371,9 @@ object ScaleSmoke {
       q("x_twap", "events"),
       q("x_wquantile", "lineitem"),
       q("x_session_window", "events"),
+      // binned MI: two bounds aggs + one joint groupBy; the MI fold
+      // runs on the ≤ bins² cell frame — wall must track the scan
+      q("x_binned_mi", "lineitem"),
       // audits: benford/diversity = one partial-agg pass; gini = one
       // group-partitioned rank sort; readability = map-only projection
       q("x_benford", "lineitem"),

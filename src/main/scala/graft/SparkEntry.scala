@@ -958,7 +958,8 @@ object SparkEntry {
     "x_pca_project" -> (Queries.xPcaProject _),
     "x_twap" -> (Queries.xTwap _),
     "x_wquantile" -> (Queries.xWeightedQuantile _),
-    "x_session_window" -> (Queries.xSessionWindow _)
+    "x_session_window" -> (Queries.xSessionWindow _),
+    "x_binned_mi" -> (Queries.xBinnedMi _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2378,7 +2379,29 @@ object SparkEntry {
         "g AS (SELECT user_id, ts, CAST(SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session FROM f) " +
         "SELECT user_id, MIN(ts) AS window_start, MAX(ts) + INTERVAL 6 HOUR AS window_end, " +
         "CAST(COUNT(*) AS BIGINT) AS n_events " +
-        "FROM g GROUP BY user_id, session ORDER BY user_id, window_start")
+        "FROM g GROUP BY user_id, session ORDER BY user_id, window_start"),
+    // binned numeric MI: ksDrift's shared-bounds bin arithmetic on each
+    // side, mutualInfo's expression shape for the fold; every entropy
+    // term quantized 1e-12 before its sum (the tokenDrift contract)
+    "x_binned_mi" ->
+      ("WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), " +
+        "bd AS (SELECT MIN(x) AS lox, MAX(x) AS hix, MIN(y) AS loy, MAX(y) AS hiy FROM b), " +
+        "j0 AS (SELECT CASE WHEN hix = lox THEN CAST(0 AS BIGINT) ELSE LEAST(CAST(FLOOR((x - lox) / ((hix - lox) / 16)) AS BIGINT), 15) END AS bx, " +
+        "CASE WHEN hiy = loy THEN CAST(0 AS BIGINT) ELSE LEAST(CAST(FLOOR((y - loy) / ((hiy - loy) / 16)) AS BIGINT), 15) END AS byy FROM b CROSS JOIN bd), " +
+        "j AS (SELECT bx, byy, CAST(COUNT(*) AS BIGINT) AS c FROM j0 GROUP BY 1, 2), " +
+        "mx AS (SELECT bx, CAST(SUM(c) AS BIGINT) AS cx FROM j GROUP BY 1), " +
+        "my AS (SELECT byy, CAST(SUM(c) AS BIGINT) AS cy FROM j GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM j), " +
+        "mi AS (SELECT MAX(nt) AS n, CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) / nt * ln(CAST(c AS DOUBLE) / nt / (CAST(cx AS DOUBLE) / nt) / (CAST(cy AS DOUBLE) / nt)) * 1e12, 0) AS BIGINT)) AS BIGINT) AS q " +
+        "FROM j JOIN mx USING(bx) JOIN my USING(byy) CROSS JOIN t), " +
+        "hx AS (SELECT CAST(SUM(CAST(ROUND((-(CAST(cx AS DOUBLE) / nt)) * ln(CAST(cx AS DOUBLE) / nt) * 1e12, 0) AS BIGINT)) AS BIGINT) AS qx FROM mx CROSS JOIN t), " +
+        "hy AS (SELECT CAST(SUM(CAST(ROUND((-(CAST(cy AS DOUBLE) / nt)) * ln(CAST(cy AS DOUBLE) / nt) * 1e12, 0) AS BIGINT)) AS BIGINT) AS qy FROM my CROSS JOIN t) " +
+        "SELECT n, ROUND(CAST(q AS DOUBLE) / 1e12, 6) AS mi, " +
+        "ROUND(CAST(qx AS DOUBLE) / 1e12, 6) AS h_x, " +
+        "ROUND(CAST(qy AS DOUBLE) / 1e12, 6) AS h_y, " +
+        "CASE WHEN LEAST(CAST(qx AS DOUBLE) / 1e12, CAST(qy AS DOUBLE) / 1e12) > 0 " +
+        "THEN ROUND(CAST(q AS DOUBLE) / 1e12 / LEAST(CAST(qx AS DOUBLE) / 1e12, CAST(qy AS DOUBLE) / 1e12), 6) END AS redundancy " +
+        "FROM mi CROSS JOIN hx CROSS JOIN hy")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql ++ pcaOracleSql
 }

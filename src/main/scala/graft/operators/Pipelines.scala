@@ -1721,6 +1721,70 @@ object Pipelines {
         round(min("__v"), roundDp).as("q"))
   }
 
+  /** Binned mutual information between two NUMERIC columns — the
+    * numeric complement of [[mutualInfo]] (which needs categoricals),
+    * and the nonlinear-dependence screen Pearson correlation misses
+    * (corr ≈ 0 on y = x² while binned MI stays high): each column bins
+    * on its own equi-width grid ([[ksDrift]]'s shared-bounds
+    * arithmetic, identical IEEE width/floor math on both engines), the
+    * joint histogram is ONE map-side-combining groupBy, and MI
+    * re-aggregates from the ≤ bins² cell frame exactly as mutualInfo
+    * does. Binning is the declared approximation; rows with a NULL in
+    * either column drop first (the joint needs both sides).
+    *
+    * Output: one row (n, mi, h_x, h_y, redundancy = mi / min(h_x, h_y)
+    * — NULL when either marginal entropy is 0) at `roundDp` dp, all in
+    * nats, every entropy folded in 1e-12 fixed point (the tokenDrift
+    * contract).
+    */
+  def binnedMutualInfo(df: DataFrame, xCol: String, yCol: String,
+                       bins: Int = 16, roundDp: Int = 6): DataFrame = {
+    require(bins >= 1, "binnedMutualInfo needs bins >= 1")
+    Joins.requireFreeColumns("binnedMutualInfo", Nil,
+      "n", "mi", "h_x", "h_y", "redundancy", "__x", "__y", "__bx",
+      "__by", "__c", "__cx", "__cy", "__nt", "__lo_x", "__hi_x",
+      "__lo_y", "__hi_y")
+    val base = df
+      .select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val bounds = base.agg(min("__x").as("__lo_x"), max("__x").as("__hi_x"),
+      min("__y").as("__lo_y"), max("__y").as("__hi_y"))
+    def binOf(v: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0L)).otherwise(least(
+        floor((v - lo) / ((hi - lo) / bins)).cast("long"),
+        lit(bins - 1L)))
+    val joint = base.crossJoin(broadcast(bounds))
+      .select(binOf(col("__x"), col("__lo_x"), col("__hi_x")).as("__bx"),
+        binOf(col("__y"), col("__lo_y"), col("__hi_y")).as("__by"))
+      .groupBy("__bx", "__by").agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // ≤ bins² rows feeding marginals AND the fold
+    val mx = joint.groupBy("__bx").agg(sum("__c").as("__cx"))
+    val my = joint.groupBy("__by").agg(sum("__c").as("__cy"))
+    val tot = joint.agg(sum("__c").as("__nt"))
+    def entTerm(p: Column) =
+      sum(round(-p * log(p) * 1e12, 0).cast("long")).cast("double") / 1e12
+    val pxy = col("__c").cast("double") / col("__nt")
+    val miQ = joint
+      .join(mx, Seq("__bx")).join(my, Seq("__by"))
+      .crossJoin(broadcast(tot))
+      .agg(max("__nt").as("n"),
+        (sum(round(pxy * log(pxy / (col("__cx").cast("double") / col("__nt")) /
+          (col("__cy").cast("double") / col("__nt"))) * 1e12, 0)
+          .cast("long")).cast("double") / 1e12).as("__mi"))
+    val hx = mx.crossJoin(broadcast(tot))
+      .agg(entTerm(col("__cx").cast("double") / col("__nt")).as("__hx"))
+    val hy = my.crossJoin(broadcast(tot))
+      .agg(entTerm(col("__cy").cast("double") / col("__nt")).as("__hy"))
+    miQ.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), round(col("__mi"), roundDp).as("mi"),
+        round(col("__hx"), roundDp).as("h_x"),
+        round(col("__hy"), roundDp).as("h_y"),
+        when(least(col("__hx"), col("__hy")) > 0.0,
+          round(col("__mi") / least(col("__hx"), col("__hy")), roundDp))
+          .as("redundancy"))
+  }
+
   def sourceStats(df: DataFrame, srcCol: String, textCol: String,
                   langCol: String): DataFrame =
     df.select(col(srcCol), md5(col(textCol)).as("__h"),

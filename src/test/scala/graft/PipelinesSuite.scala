@@ -798,6 +798,24 @@ class PipelinesSuite extends AnyFunSuite {
     assert(got("c") == ((1L, 7.0, 0.0)))  // one key: no inequality
   }
 
+  test("binnedMutualInfo: identity → MI = H and redundancy 1, independence → 0, nonlinear dependence caught") {
+    val ident = (for (x <- 0 until 4; _ <- 0 until 8)
+      yield (x.toDouble, x.toDouble)).toDF("x", "y")
+    val r1 = Pipelines.binnedMutualInfo(ident, "x", "y").collect().head
+    assert(r1.getLong(0) == 32L)
+    assert(math.abs(r1.getDouble(1) - math.log(4.0)) < 1e-6)
+    assert(r1.getDouble(4) == 1.0) // MI ≡ min marginal entropy
+    val ind = (for (x <- 0 until 4; y <- 0 until 4; _ <- 0 until 2)
+      yield (x.toDouble, y.toDouble)).toDF("x", "y")
+    val r2 = Pipelines.binnedMutualInfo(ind, "x", "y").collect().head
+    assert(r2.getDouble(1) == 0.0 && r2.getDouble(4) == 0.0)
+    // y = (x − 1.5)²: Pearson ≈ 0, but the binned MI sees it
+    val nl = (for (x <- 0 until 4; _ <- 0 until 4)
+      yield (x.toDouble, (x - 1.5) * (x - 1.5))).toDF("x", "y")
+    val r3 = Pipelines.binnedMutualInfo(nl, "x", "y").collect().head
+    assert(math.abs(r3.getDouble(1) - math.log(2.0)) < 1e-6)
+  }
+
   test("weightedQuantile: weight-shifted median, p binding, positive-weight guard") {
     val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0),
       ("g", 4.0, 7.0)).toDF("grp", "v", "w")

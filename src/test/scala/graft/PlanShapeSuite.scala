@@ -609,6 +609,24 @@ class PlanShapeSuite extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("audits: benford/diversity/binned-MI plans are window-free keyed aggregations") {
+    val li = Tables.lineitem(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val windowFree = Seq(
+      graft.operators.Pipelines.benfordAudit(li, "l_returnflag",
+        "l_extendedprice"),
+      graft.operators.Pipelines.diversityStats(docs, "source", "lang"),
+      graft.operators.Pipelines.binnedMutualInfo(li, "l_quantity",
+        "l_extendedprice"))
+    windowFree.foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Window"), p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
+    // the group-total joins must broadcast (group-sized frames)
+    assert(plan(windowFree.head).contains("BroadcastHashJoin"))
+  }
+
   test("AQE skew join: a planted hot key gets its partition split (skew=true in the join node)") {
     // the engine leans on AQE's skew-join split for large-large joins
     // (q08's posture at 100 TB); this pins that the split ACTIVATES:
