@@ -1317,16 +1317,31 @@ object Queries {
 
   /** The nation trade graph every graph entry walks: edges
     * customer-nation → supplier-nation weighted by order-line count.
-    * Memoized per (SparkContext, sfDir) and checkpointed: nine graph
+    * Memoized per (SparkSession, sfDir) and checkpointed: nine graph
     * entries share this 4-way TPC-H extraction, the result is
     * ≤ |nations|² rows, and the extraction is deterministic — so
     * deriving it once per process removes the dominant shared fixture
-    * cost from every graph entry without touching any entry's output. */
+    * cost from every graph entry without touching any entry's output.
+    * The memo key is the SESSION (weakly held), not the application:
+    * a cloned/new session gets its own Dataset (never one bound to
+    * another session's state/confs), and dropping the session frees
+    * its checkpointed blocks. */
   private val tradeEdgeCache =
-    scala.collection.mutable.Map.empty[(String, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
+  private def sessionMemo(
+      cache: java.util.WeakHashMap[SparkSession,
+        scala.collection.mutable.Map[String, DataFrame]],
+      s: SparkSession, d: String)(build: => DataFrame): DataFrame =
+    cache.synchronized {
+      val perSession = Option(cache.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, DataFrame]
+        cache.put(s, m); m
+      }
+      perSession.getOrElseUpdate(d, build)
+    }
   private def nationTradeEdges(s: SparkSession, d: String): DataFrame =
-    tradeEdgeCache.synchronized {
-      tradeEdgeCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+    sessionMemo(tradeEdgeCache, s, d)(
         lineitem(s, d)
           .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
           .join(customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -1337,20 +1352,18 @@ object Queries {
             col("n_name").as("snation")), col("s_nationkey") === col("__snk"))
           .groupBy("cnation", "snation").agg(count(lit(1)).as("w"))
           .localCheckpoint())
-    }
 
   /** The capped (≤ 20 distinct parts) order-basket projection the
     * co-occurrence and association-rule entries both mine — memoized
     * and checkpointed like the trade edges (same frame, two entries ×
     * bench passes). */
   private val basketCache =
-    scala.collection.mutable.Map.empty[(String, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
   private def orderBaskets(s: SparkSession, d: String): DataFrame =
-    basketCache.synchronized {
-      basketCache.getOrElseUpdate((s.sparkContext.applicationId, d),
-        graft.operators.EventAnalytics.basketProjection(
-          lineitem(s, d), "l_orderkey", "l_partkey", maxDegree = 20))
-    }
+    sessionMemo(basketCache, s, d)(
+      graft.operators.EventAnalytics.basketProjection(
+        lineitem(s, d), "l_orderkey", "l_partkey", maxDegree = 20))
 
   /** Personalized PageRank over the nation trade graph, seeded at the
     * ASIA nations: proximity-to-Asia trade authority — the

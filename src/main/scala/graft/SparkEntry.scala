@@ -2315,7 +2315,7 @@ object SparkEntry {
       ("WITH k AS (SELECT event_type, user_id, CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT)) AS BIGINT) AS xq " +
         "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
         "r AS (SELECT event_type, xq, CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY xq, user_id) AS BIGINT) AS rk FROM k), " +
-        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(rk * xq) AS BIGINT) AS sr FROM r GROUP BY 1) " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys, SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(rk AS HUGEINT) * xq) AS sr FROM r GROUP BY 1) " +
         "SELECT event_type, n_keys, ROUND(CAST(sx AS DOUBLE) / 1e6, 6) AS total, " +
         "ROUND(2.0 * sr / (CAST(n_keys AS DOUBLE) * CAST(sx AS DOUBLE)) - CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini " +
         "FROM g ORDER BY event_type"),
@@ -2341,7 +2341,7 @@ object SparkEntry {
     "x_readability" ->
       ("WITH p AS (SELECT doc_id, regexp_replace(text, ' the ', '. ', 'g') AS text FROM documents), " +
         "w AS (SELECT doc_id, " +
-        "CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS words, " +
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS words, " +
         "CAST(GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'), t -> len(trim(t)) > 0)), 1) AS BIGINT) AS sentences, " +
         "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables FROM p) " +
         "SELECT doc_id, words, sentences, syllables, " +

@@ -191,6 +191,11 @@ object EventAnalytics {
                               itemCol: String,
                               minCount: Long = 1L): DataFrame = {
     require(minCount >= 1, "cooccurrence needs minCount >= 1")
+    // Same guard the wrapper runs (idempotent when reached via it):
+    // a direct caller whose basket frame already carries an output
+    // name must fail loud, not silently misbind.
+    Joins.requireFreeColumns("cooccurrenceFromBaskets",
+      Seq(keyCol, itemCol), "item_a", "item_b", "n")
     pairCounts(baskets, keyCol, itemCol, minCount)
   }
 
@@ -256,6 +261,9 @@ object EventAnalytics {
   def associationRulesFromBaskets(bb: DataFrame, keyCol: String,
                                   itemCol: String, minCount: Long = 1L,
                                   roundDp: Int = 6): DataFrame = {
+    Joins.requireFreeColumns("associationRulesFromBaskets",
+      Seq(keyCol, itemCol),
+      "ante", "cons", "n", "confidence", "lift", "__ca", "__cb", "__nn")
     val pairs = pairCounts(bb, keyCol, itemCol, minCount)
     val items = bb.groupBy(col(itemCol)).agg(count(lit(1)).as("__ca"))
     val total = bb.select(col(keyCol)).distinct()

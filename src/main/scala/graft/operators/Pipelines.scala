@@ -1573,8 +1573,12 @@ object Pipelines {
     xq.withColumn("__rk", row_number().over(w).cast("long"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_keys"),
-        sum("__xq").as("__sx"),
-        sum(col("__rk") * col("__xq")).as("__sr"))
+        // Decimal accumulators: rank (≤ n_keys) × micro-unit totals
+        // (~1e12) overflows a long sum at corpus-sized key counts —
+        // the twap/correlationMatrix contract (128-bit-exact sums).
+        sum(col("__xq").cast("decimal(28,0)")).as("__sx"),
+        sum(col("__rk").cast("decimal(20,0)") *
+          col("__xq").cast("decimal(18,0)")).as("__sr"))
       .select(col(groupCol), col("n_keys"),
         round(col("__sx").cast("double") / 1e6, roundDp).as("total"),
         round(lit(2.0) * col("__sr") /

@@ -298,10 +298,10 @@ object Similarity {
     *    sums, values quantized to micro-units BEFORE aggregation and
     *    products summed as decimals (128-bit-exact at any corpus
     *    size) — so the covariance is a function of the corpus, never
-    *    of shuffle arrival order. The pair explode fans each row into
-    *    d(d+1)/2 terms, but the groupBy partial-aggregates map-side to
-    *    ≤ d² keys per partition, so the SHUFFLE is d²-bounded however
-    *    large the corpus.
+    *    of shuffle arrival order. All d + d(d+1)/2 sums are columns
+    *    of ONE no-grouping aggregation (no row fan-out at all): the
+    *    map side folds each row into a single flat buffer and the
+    *    shuffle is one 1-row frame however large the corpus.
     * 2. Driver covariance (d ≤ `maxDim`, require'd loud — d² doubles
     *    is the one deliberate driver step, the ivfTrain posture).
     * 3. Cyclic Jacobi eigensolver — fixed sweep cap, deterministic
@@ -325,30 +325,40 @@ object Similarity {
       s"pcaComponents supports 1..$maxDim dims, got $d (the d x d " +
         "covariance is a deliberate driver step; raise maxDim knowingly)")
     require(k >= 1 && k <= d, s"pcaComponents needs 1 <= k <= $d")
-    val q = (c: Column) => round(c * 1e6, 0).cast("long")
-    val dims = xe.select(posexplode(col("__x")).as(Seq("__i", "__xi")))
-      .groupBy("__i")
-      .agg(sum(q(col("__xi"))).as("__s"), count(lit(1)).as("__n"))
-      .collect()
-    val n = dims.head.getLong(2)
-    val s = Array.ofDim[Double](d)
-    dims.foreach(r => s(r.getInt(0)) = r.getLong(1).toDouble)
-    val mean = Array.tabulate(d)(i => s(i) / 1e6 / n)
-    val pairs = xe
-      .select(posexplode(col("__x")).as(Seq("__i", "__xi")), col("__x"))
-      .select(col("__i"), q(col("__xi")).cast("decimal(18,0)").as("__qi"),
-        posexplode(slice(col("__x"), col("__i") + 1, lit(d)))
-          .as(Seq("__p2", "__xj")))
-      .select(col("__i"), (col("__i") + col("__p2")).as("__j"),
-        (col("__qi") * q(col("__xj")).cast("decimal(18,0)")).as("__pq"))
-      .groupBy("__i", "__j").agg(sum("__pq").as("__p"))
-      .collect()
+    // ONE exact-integer fold pass (the spark.ml RowMatrix posture,
+    // measured against the alternatives — see BASELINE.md): each
+    // partition folds its rows into a single flat moment accumulator
+    // (d mean sums + d(d+1)/2 upper-triangle product sums, 128-bit
+    // exact via long fast path + BigInteger overflow spill), then a
+    // depth-2 treeAggregate merges ≤ √P partials per reducer and the
+    // driver receives ONE partial — no row fan-out, no d²-row
+    // shuffle, no 2000-expression plan. Quantization stays on the
+    // SQL side (the same round(x*1e6) micro-unit transform as every
+    // fixed-point operator), so the covariance — and the component
+    // literals the dump-time oracle embeds — are bit-identical to
+    // the previous forms: integer sums are order-independent.
+    import emb.sparkSession.implicits._
+    val xq = xe.select(transform(col("__x"),
+      x => round(x * 1e6, 0).cast("long")).as("__q"))
+    val merged = xq.as[Array[Long]].rdd
+      .treeAggregate(new ExactMoments(d))(
+        (acc, q) => acc.add(q), (a, b) => a.merge(b), depth = 2)
+    val n = merged.n
+    require(n > 0, "pcaComponents needs a non-empty corpus")
+    val mean = Array.tabulate(d)(i =>
+      merged.cell(i).doubleValue() / 1e6 / n)
     val cov = Array.ofDim[Double](d, d)
-    pairs.foreach { r =>
-      val i = r.getInt(0); val j = r.getInt(1)
-      val p = r.getDecimal(2).doubleValue() / 1e12 / n
-      val c = p - mean(i) * mean(j)
-      cov(i)(j) = c; cov(j)(i) = c
+    var pc = d
+    var ii = 0
+    while (ii < d) {
+      var jj = ii
+      while (jj < d) {
+        val pq = merged.cell(pc).doubleValue() / 1e12 / n
+        val c = pq - mean(ii) * mean(jj)
+        cov(ii)(jj) = c; cov(jj)(ii) = c
+        pc += 1; jj += 1
+      }
+      ii += 1
     }
     val (evals, evecs) = jacobiEigen(cov)
     val order = (0 until d).sortBy(i => (-evals(i), i)).take(k)
@@ -1107,5 +1117,77 @@ object Similarity {
         when(!col("keep"), lit("dup"))
           .when(col("__proto"), lit("proto"))
           .otherwise(lit("kept")).as("stage"))
+  }
+}
+
+/** Flat exact-integer moment accumulator behind
+  * [[Similarity.pcaComponents]]: `d` per-dim micro-unit sums followed
+  * by the d(d+1)/2 upper-triangle product sums in row-major order,
+  * each cell a long fast path with a BigInteger overflow spill —
+  * 128-bit-exact at any corpus size with near-zero allocation on the
+  * fast path. Integer addition is order-independent, so the
+  * treeAggregate fold is deterministic under any partitioning — the
+  * same contract as the decimal-sum aggregates, at a fraction of the
+  * plan/runtime cost (the measured comparison is in BASELINE.md). */
+private[graft] final class ExactMoments(val d: Int) extends Serializable {
+  private val cells = d + d * (d + 1) / 2
+  var n = 0L
+  private val fast = new Array[Long](cells)
+  private val spill = new Array[java.math.BigInteger](cells)
+
+  private def bump(c: Int, v: Long): Unit = {
+    val prev = fast(c)
+    val s = prev + v
+    if (((prev ^ s) & (v ^ s)) < 0L) { // signed long overflow
+      val b =
+        if (spill(c) == null) java.math.BigInteger.ZERO else spill(c)
+      spill(c) = b.add(java.math.BigInteger.valueOf(prev))
+      fast(c) = v
+    } else fast(c) = s
+  }
+
+  def add(q: Array[Long]): ExactMoments = {
+    require(q.length == d,
+      s"pcaComponents expects uniform $d-dim vectors, got ${q.length}")
+    n += 1L
+    var i = 0
+    while (i < d) { bump(i, q(i)); i += 1 }
+    var c = d
+    i = 0
+    while (i < d) {
+      val qi = q(i)
+      var j = i
+      while (j < d) {
+        try bump(c, Math.multiplyExact(qi, q(j)))
+        catch {
+          case _: ArithmeticException => // |x| > ~3e3: exact big product
+            val p = java.math.BigInteger.valueOf(qi)
+              .multiply(java.math.BigInteger.valueOf(q(j)))
+            spill(c) = if (spill(c) == null) p else spill(c).add(p)
+        }
+        c += 1; j += 1
+      }
+      i += 1
+    }
+    this
+  }
+
+  def merge(o: ExactMoments): ExactMoments = {
+    n += o.n
+    var c = 0
+    while (c < cells) {
+      bump(c, o.fast(c))
+      if (o.spill(c) != null)
+        spill(c) =
+          if (spill(c) == null) o.spill(c) else spill(c).add(o.spill(c))
+      c += 1
+    }
+    this
+  }
+
+  /** Exact cell value: spill + fast remainder. */
+  def cell(c: Int): java.math.BigInteger = {
+    val b = java.math.BigInteger.valueOf(fast(c))
+    if (spill(c) == null) b else spill(c).add(b)
   }
 }

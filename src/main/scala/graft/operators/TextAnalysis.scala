@@ -1117,7 +1117,8 @@ object TextAnalysis {
 
   /** Flesch readability per document — the quality screen's complexity
     * axis (both the too-hard and the too-easy tail correlate with
-    * boilerplate/spam): words by whitespace, sentences by [.!?] runs
+    * boilerplate/spam): words by whitespace runs (\s+ — newlines and
+    * tabs delimit words too), sentences by [.!?] runs
     * (a doc with no terminal punctuation counts as ONE sentence — the
     * delimiter-split convention), syllables by the vowel-group
     * heuristic (runs of [aeiouy] in the lowercased text — the standard
@@ -1141,7 +1142,7 @@ object TextAnalysis {
                         roundDp: Int = 4): DataFrame = {
     Joins.requireFreeColumns("readabilityScores", Seq(idCol),
       "words", "sentences", "syllables", "ease", "grade")
-    val words = size(filter(split(col(textCol), " "),
+    val words = size(filter(split(col(textCol), "\\s+"),
       t => length(t) > 0)).cast("long")
     val sentences = greatest(size(filter(split(col(textCol), "[.!?]+"),
       t => length(trim(t)) > 0)), lit(1)).cast("long")

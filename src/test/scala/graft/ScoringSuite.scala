@@ -215,13 +215,15 @@ class ScoringSuite extends AnyFunSuite {
     val docs = Seq(
       (1L, "hello world. nice day"), // 4 words, 2 sentences, 6 syllables
       (2L, "no punctuation here"),   // 1-sentence convention
-      (3L, ""), (4L, "   ")          // words = 0 → excluded
+      (3L, ""), (4L, "   "),         // words = 0 → excluded
+      (5L, "one\ntwo\tthree four")   // \s+ split: newline/tab delimit too
     ).toDF("doc_id", "text")
     val got = TextAnalysis.readabilityScores(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
           r.getDouble(5))).toMap
-    assert(got.keySet == Set(1L, 2L))
+    assert(got.keySet == Set(1L, 2L, 5L))
+    assert(got(5L)._1 == 4L) // words split on whitespace RUNS, not ' '
     val (w, s, sy, ease, grade) = got(1L)
     assert(w == 4L && s == 2L && sy == 6L)
     assert(ease == round4(206.835 - 1.015 * 2.0 - 84.6 * 1.5))

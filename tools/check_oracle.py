@@ -3,7 +3,11 @@
 Verify's oracle_sql.json in DuckDB over the fixture parquet tables, and
 compare against the Spark result parquet written by graft.Verify.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [only1,only2,...]
+
+The optional third arg restricts the compare to the named entries — a
+dev tool for re-proving entries under change; the driver's gate runs
+unfiltered.
 """
 import json, math, sys
 from pathlib import Path
@@ -41,6 +45,9 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         spark_path = f"{out_dir}/{name}"
@@ -66,7 +73,8 @@ def main():
             print(f"ERROR {name}: {type(e).__name__}: {e}")
     # rows-only entries (no oracle): replicate the driver's rows>0 check
     for p in sorted(Path(out_dir).iterdir()):
-        if p.is_dir() and p.name not in oracle:
+        if p.is_dir() and p.name not in oracle and (
+                only is None or p.name in only):
             n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
             status = "ok" if n > 0 else "EMPTY"
             if n == 0:
