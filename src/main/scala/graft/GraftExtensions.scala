@@ -1,6 +1,8 @@
 package graft
 
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, UnicodeNormalize}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.unsafe.types.UTF8String
 import graft.operators.{Dedup, Pipelines, TextAnalysis}
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -38,6 +40,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_product(a, b) takes two arrays")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 2,
+          "unicode_normalize(text[, form]) takes 1 or 2 arguments")
+        val form = children.lift(1).map {
+          case Literal(s: UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize form must be a string literal, got $other")
+        }.getOrElse("NFKC")
+        UnicodeNormalize(children.head, form)
       }))
     injectColumnFn(ext, "quality_score", 1)(c => TextAnalysis.qualityScore(c.head))
     injectColumnFn(ext, "lang_id_guess", 1)(c => TextAnalysis.langIdGuess(c.head))

@@ -2039,4 +2039,35 @@ object Queries {
     Similarity.pcaProject(embeddings(s, d), "vec_id", "embedding",
         k = PcaFixture.k)
       .orderBy("vec_id")
+
+  /** Unicode NFKC normalization over the document corpus: a
+    * deterministic width/ligature/combining/compatibility variant
+    * (keyed by doc_id % 4) is prepended to each doc, then folded by
+    * the native unicode_normalize expression — the preprocessing step
+    * C4/CCNet-style pipelines run ahead of normalized dedup. The
+    * output proves the fold (norm_text) and the char-count change
+    * (raw_chars vs norm_chars: ligatures EXPAND, full-width folds are
+    * length-preserving, combining marks CONTRACT). */
+  def xUnicodeNorm(s: SparkSession, d: String): DataFrame = {
+    // explicit \u escapes, never raw glyphs: composed-vs-decomposed
+    // source encoding IS the thing under test, so it must be pinned
+    val variants = array(
+      // full-width Graft Engine + ideographic space
+      lit("\uFF27\uFF52\uFF41\uFF46\uFF54\u3000" +
+        "\uFF25\uFF4E\uFF47\uFF49\uFF4E\uFF45"),
+      lit("\uFB01nal \uFB02ight"),      // fi/fl ligatures
+      lit("cafe\u0301 franc\u0327ais"), // combining acute + cedilla
+      lit("x\u00B2 \u00BD \u2168 \u339E")) // super2, half, roman IX, square-km
+    val raw = concat(
+      element_at(variants, (col("doc_id") % 4 + 1).cast("int")),
+      lit(" "), col("text"))
+    documents(s, d)
+      .select(col("doc_id"), raw.as("__raw"))
+      .select(col("doc_id"),
+        graft.expressions.TextExpressions.normalizeUnicode(col("__raw"))
+          .as("norm_text"),
+        length(col("__raw")).cast("long").as("raw_chars"))
+      .withColumn("norm_chars", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
+  }
 }

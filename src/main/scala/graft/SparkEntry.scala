@@ -959,7 +959,8 @@ object SparkEntry {
     "x_twap" -> (Queries.xTwap _),
     "x_wquantile" -> (Queries.xWeightedQuantile _),
     "x_session_window" -> (Queries.xSessionWindow _),
-    "x_binned_mi" -> (Queries.xBinnedMi _)
+    "x_binned_mi" -> (Queries.xBinnedMi _),
+    "x_unicode_norm" -> (Queries.xUnicodeNorm _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2348,6 +2349,23 @@ object SparkEntry {
         "CAST(FLOOR((206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) - 84.6 * (CAST(syllables AS DOUBLE) / words)) * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS ease, " +
         "CAST(FLOOR((0.39 * (CAST(words AS DOUBLE) / sentences) + 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59) * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS grade " +
         "FROM w WHERE words > 0 ORDER BY doc_id"),
+    // NFKC: the injected variants are a FIXED finite set, so the oracle
+    // replays their known normal forms as literals (DuckDB has no NFKC
+    // built-in; nfc_normalize would miss the compatibility folds) —
+    // the fixture text itself is pure ASCII (NFKC-invariant) at every
+    // SF, asserted by the raw_chars/norm_chars arithmetic matching.
+    "x_unicode_norm" ->
+      ("WITH v AS (SELECT doc_id, text, " +
+        "CASE CAST(doc_id % 4 AS INT) " +
+        "WHEN 0 THEN 'Graft Engine' WHEN 1 THEN 'final flight' " +
+        "WHEN 2 THEN 'caf\u00E9 fran\u00E7ais' " +
+        "WHEN 3 THEN 'x2 1\u20442 IX km' END AS norm_lit, " +
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 12 WHEN 1 THEN 10 " +
+        "WHEN 2 THEN 15 WHEN 3 THEN 8 END AS raw_len FROM documents) " +
+        "SELECT doc_id, norm_lit || ' ' || text AS norm_text, " +
+        "CAST(raw_len + 1 + length(text) AS BIGINT) AS raw_chars, " +
+        "CAST(length(norm_lit) + 1 + length(text) AS BIGINT) AS norm_chars " +
+        "FROM v ORDER BY doc_id"),
     "x_corr_matrix" -> corrMatrixOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     // TWAP: exact integer-microsecond weights × micro-unit values,

@@ -806,6 +806,18 @@ object Dedup {
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
       " +", " "))
 
+  /** [[normalizeText]] with a Unicode NFKC compatibility fold in
+    * front (the C4/CCNet preprocessing order): full-width forms,
+    * ligatures, and combining sequences collapse to their canonical
+    * ASCII/composed shapes BEFORE the lowercase/strip pass — so
+    * "Ｈｅｌｌｏ" and "hello", or "ﬁnal" and "final", normalize (and
+    * hence dedup) together, where the plain form would strip the
+    * non-ASCII source characters to spaces and miss the match. Still
+    * a pure codegen'd projection (the normalizer is a native
+    * Expression, graft.expressions.UnicodeNormalize). */
+  def normalizeTextUnicode(text: Column): Column =
+    normalizeText(graft.expressions.TextExpressions.normalizeUnicode(text))
+
   /** L1n normalized exact dedup: every doc labeled with its
     * normalized-form hash, the group representative (min id), the
     * group size, and a keep flag. Same scale shape as [[exactDedup]] --
@@ -827,10 +839,13 @@ object Dedup {
     * streaming variant's null passthrough, and so that content-free
     * symbol soup doesn't collapse into one giant accidental dup group.
     * Output: (id, norm_h, rep_id, dup_count, keep). */
-  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String,
+                      nfkc: Boolean = false): DataFrame = {
     Joins.requireFreeColumns("normalizedDedup", df.columns,
       "norm_h", "rep_id", "dup_count", "keep")
-    val norm = normalizeText(col(textCol))
+    val norm =
+      if (nfkc) normalizeTextUnicode(col(textCol))
+      else normalizeText(col(textCol))
     val hashed = df.select(col(idCol),
       when(col(textCol).isNull || norm === "", lit(null).cast("string"))
         .otherwise(md5(norm)).as("norm_h"))

@@ -240,6 +240,62 @@ class CleaningSuite extends AnyFunSuite {
     assert(kept == viaExact)
   }
 
+  test("unicode normalize: NFKC folds width/ligature/combining/compat forms; codegen'd; null passthrough") {
+    import graft.expressions.TextExpressions.normalizeUnicode
+    val df = Seq(
+      (1L, "\uFF28\uFF45\uFF4C\uFF4C\uFF4F\u3000\uFF37\uFF4F\uFF52\uFF4C\uFF44"),
+      (2L, "\uFB01nal \uFB02ight"),
+      (3L, "cafe\u0301 franc\u0327ais"),
+      (4L, "x\u00B2 \u00BD \u2168 \u339E"),
+      (5L, "plain ascii"), (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), normalizeUnicode(col("text")))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("Hello World"))
+    assert(got(2L).contains("final flight"))
+    assert(got(3L).contains("caf\u00E9 fran\u00E7ais"))
+    assert(got(4L).contains("x2 1\u20442 IX km"))
+    assert(got(5L).contains("plain ascii")) // NFKC idempotent on ASCII
+    assert(got(6L).isEmpty)
+    // NFC composes but keeps compatibility chars
+    assert(df.where(col("doc_id") === 2L)
+      .select(normalizeUnicode(col("text"), "NFC")).as[String].head()
+      == "\uFB01nal \uFB02ight")  // compat chars kept
+    // SQL registry form (SparkSessionExtensions seam)
+    df.where(col("doc_id") === 3L).createOrReplaceTempView("unorm_t")
+    assert(spark.sql(
+      "SELECT unicode_normalize(text) FROM unorm_t").as[String].head()
+      == "caf\u00E9 fran\u00E7ais")
+    assert(spark.sql(
+      "SELECT unicode_normalize(text, 'NFD') FROM unorm_t").as[String]
+      .head() == "cafe\u0301 franc\u0327ais")
+    intercept[Exception] {
+      graft.expressions.UnicodeNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFX")
+    }
+  }
+
+  test("normalized dedup with NFKC front: width/ligature variants collapse that the plain form misses") {
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "\uFF28\uFF45\uFF4C\uFF4C\uFF4F\u3000\uFF37\uFF4F\uFF52\uFF4C\uFF44"),
+      (3L, "\uFB01ne print"), (4L, "fine print"),
+      (5L, "other text")
+    ).toDF("doc_id", "text")
+    val nf = Dedup.normalizedDedup(df, "doc_id", "text", nfkc = true)
+      .as[(Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(nf(1L) == ((1L, 2L, true)) && nf(2L) == ((1L, 2L, false)))
+    assert(nf(3L) == ((3L, 2L, true)) && nf(4L) == ((3L, 2L, false)))
+    assert(nf(5L) == ((5L, 1L, true)))
+    // the plain form strips the full-width/ligature chars to spaces
+    // and misses both collapses — the gap NFKC closes
+    val plain = Dedup.normalizedDedup(df, "doc_id", "text")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(plain(1L) == 1L && plain(2L) == 1L && plain(4L) == 1L)
+  }
+
   test("ngram novelty: equals a local brute-force reference; short docs survive") {
     val df = Seq(
       (1L, "a b c d"),      // grams: "a b c", "b c d"
