@@ -2040,6 +2040,26 @@ object Queries {
         k = PcaFixture.k)
       .orderBy("vec_id")
 
+  /** Sharded corpus export roundtrip: documents → split-labeled,
+    * size-targeted parquet shards + per-shard manifest (the artifact a
+    * training run mounts), then the per-split manifest rollup
+    * (docs, content_xor). Shards partition the corpus, so the rollup
+    * must replay exactly from the raw table — the oracle recomputes it
+    * from `documents` directly, proving manifest ≡ table. 1 MB target
+    * so the fixture produces a genuinely multi-shard layout. */
+  def xCorpusExport(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_export_${s.sparkContext.applicationId}"
+    val manifest = graft.sources.CorpusExport.exportShards(
+      documents(s, d).select("doc_id", "text", "lang", "source"),
+      "doc_id", contentCols = Seq("doc_id", "text"), outDir = out,
+      targetShardBytes = 1L << 20)
+    manifest.groupBy("split")
+      .agg(sum("rows").as("docs"),
+        expr("bit_xor(content_xor)").as("content_xor"))
+      .orderBy("split")
+  }
+
   /** Unicode NFKC normalization over the document corpus: a
     * deterministic width/ligature/combining/compatibility variant
     * (keyed by doc_id % 4) is prepended to each doc, then folded by

@@ -960,7 +960,8 @@ object SparkEntry {
     "x_wquantile" -> (Queries.xWeightedQuantile _),
     "x_session_window" -> (Queries.xSessionWindow _),
     "x_binned_mi" -> (Queries.xBinnedMi _),
-    "x_unicode_norm" -> (Queries.xUnicodeNorm _)
+    "x_unicode_norm" -> (Queries.xUnicodeNorm _),
+    "x_corpus_export" -> (Queries.xCorpusExport _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2349,6 +2350,20 @@ object SparkEntry {
         "CAST(FLOOR((206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) - 84.6 * (CAST(syllables AS DOUBLE) / words)) * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS ease, " +
         "CAST(FLOOR((0.39 * (CAST(words AS DOUBLE) / sentences) + 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59) * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS grade " +
         "FROM w WHERE words > 0 ORDER BY doc_id"),
+    // corpus export: the entry aggregates the MANIFEST; the oracle
+    // recomputes the same per-split rollup from the raw table (split =
+    // md5 nibble replay, row hash = md5(id || text) 15-hex prefix,
+    // order-independent XOR) — equality proves every corpus row landed
+    // in exactly one committed shard with unaltered content.
+    "x_corpus_export" ->
+      ("WITH h AS (SELECT " +
+        "CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,1) AS BIGINT) < 14 THEN 'train' " +
+        "WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,1) AS BIGINT) < 15 THEN 'val' " +
+        "ELSE 'test' END AS split, " +
+        "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(1) || text),1,15) AS BIGINT) AS hl " +
+        "FROM documents) " +
+        "SELECT split, CAST(COUNT(*) AS BIGINT) AS docs, bit_xor(hl) AS content_xor " +
+        "FROM h GROUP BY split ORDER BY split"),
     // NFKC: the injected variants are a FIXED finite set, so the oracle
     // replays their known normal forms as literals (DuckDB has no NFKC
     // built-in; nfc_normalize would miss the compatibility folds) —

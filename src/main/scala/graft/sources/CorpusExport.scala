@@ -1,0 +1,164 @@
+package graft.sources
+
+import graft.operators.{Joins, Pipelines}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sharded corpus export — the delivery artifact a training run mounts:
+  *
+  *   out/split=train|val|test/part-*.parquet   (size-targeted shards)
+  *   out/_manifest/                            (one row per shard)
+  *
+  * with every shard described by (split, shard_path, rows, bytes,
+  * content_md5, content_xor): the manifest is what the trainer's data
+  * loader trusts for sampling weights, resume offsets, and integrity
+  * checks, so it is derived from the files ACTUALLY WRITTEN (read back
+  * through the committed listing), never from the input frame.
+  *
+  * Composition: [[Pipelines.splitByMd5Prefix]] assigns the
+  * content-addressed split label; the shard roll target reuses the
+  * encoded-bytes-per-row probe of [[OrcTableSink.writeBatchTargetBytes]]
+  * (S7) generalized over formats.
+  *
+  * Scale shape (the 100 TB posture):
+  *  - shard count per split = ceil(split_rows / rows_per_shard) from a
+  *    3-row count agg; rows route to shards by pmod(xxhash64(id), k) —
+  *    so the shuffle fans out to ONE REDUCER PER SHARD (~400k tasks at
+  *    100 TB / 256 MB), never 3 mega-reducers keyed on the split label
+  *    alone, and `maxRecordsPerFile` stays as the hard ceiling under
+  *    hash skew or (split, shard) reducer collisions.
+  *  - manifest checksums are per-shard folds: content_xor is an
+  *    order-independent XOR of per-row hash prefixes (constant state),
+  *    content_md5 is the md5 of the SORTED per-row hashes — its
+  *    collect_list buffer is bounded by one shard's row count
+  *    (~32 B/row ⇒ ≈ targetShardBytes × 32/bytesPerRow per task),
+  *    independent tasks, never a global fold.
+  *  - manifest counts/checksums are provably ≡ the table's: shards
+  *    partition the corpus, so per-split SUM(rows) and XOR(content_xor)
+  *    over the manifest replay exactly from the input table (the
+  *    x_corpus_export oracle pins this).
+  *
+  * Null contract: content hashing uses concat_ws, which skips nulls —
+  * a null and an empty string hash alike; hash NULL-sensitive columns
+  * through an explicit coalesce upstream if that distinction matters.
+  *
+  * Returns the manifest DataFrame (also persisted at out/_manifest —
+  * underscore-prefixed, so corpus readers of `outDir` never see it).
+  */
+object CorpusExport {
+
+  def exportShards(df: DataFrame, idCol: String,
+                   contentCols: Seq[String],
+                   outDir: String,
+                   format: String = "parquet",
+                   targetShardBytes: Long = 256L * 1024 * 1024,
+                   cuts: Seq[(String, Int)] =
+                     Seq("train" -> 14, "val" -> 15, "test" -> 16),
+                   sampleRows: Int = 10000): DataFrame = {
+    require(targetShardBytes > 0, "targetShardBytes must be positive")
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    Joins.requireFreeColumns("exportShards", df.columns,
+      "split", "__shard", "__h", "__hl")
+    val spark = df.sparkSession
+    // NOT checkpointed: the probe reads 10k rows, the count agg prunes
+    // to the id column, and the write is the one full pass — pinning a
+    // 100 TB corpus in executor storage to save re-deriving an md5
+    // nibble would be the real scale bug.
+    val labeled = Pipelines.splitByMd5Prefix(df, idCol, cuts)
+    val bytesPerRow = estimateBytesPerRow(labeled, sampleRows, format)
+    val rowsPerShard = math.max(1L, (targetShardBytes / bytesPerRow).toLong)
+    val splitCounts = labeled.groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shardsPerSplit = splitCounts.map { case (s, n) =>
+      s -> math.max(1L, (n + rowsPerShard - 1L) / rowsPerShard)
+    }
+    val kExpr = shardsPerSplit.foldLeft(lit(1L)) { case (els, (s, k)) =>
+      when(col("split") === s, lit(k)).otherwise(els)
+    }
+    val totalShards = math.max(1L, shardsPerSplit.values.sum).toInt
+    labeled
+      .withColumn("__shard", pmod(xxhash64(col(idCol)), kExpr))
+      .repartition(totalShards, col("split"), col("__shard"))
+      .drop("__shard")
+      .write.format(format).mode("overwrite").partitionBy("split")
+      .option("maxRecordsPerFile", rowsPerShard)
+      .save(outDir)
+    val manifest = buildManifest(spark.read.format(format).load(outDir),
+      contentCols, outDir)
+    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
+    spark.read.parquet(s"$outDir/_manifest")
+  }
+
+  /** One manifest row per written shard file. Separate so audits can
+    * re-derive a manifest for an existing export and diff it. */
+  private[graft] def buildManifest(written: DataFrame,
+                                   contentCols: Seq[String],
+                                   outDir: String): DataFrame = {
+    val rowHash = md5(concat_ws("\u0001",
+      contentCols.map(c => col(c).cast("string")): _*))
+    val perShard = written
+      .select(col("split"), input_file_name().as("shard_path"),
+        rowHash.as("__h"))
+      .withColumn("__hl",
+        conv(substring(col("__h"), 1, 15), 16, 10).cast("long"))
+      .groupBy("split", "shard_path")
+      .agg(count(lit(1)).as("rows"),
+        md5(concat_ws("", sort_array(collect_list(col("__h")))))
+          .as("content_md5"),
+        expr("bit_xor(__hl)").as("content_xor"))
+    // file sizes: one driver-side listing (≤ one entry per shard — the
+    // standard metadata-scale op), broadcast-joined onto the agg. The
+    // join key is the outDir-RELATIVE path (split=…/part-…): part-file
+    // names repeat across partition dirs (one task number serves every
+    // split it touches), and absolute URIs don't compare byte-for-byte
+    // between input_file_name() and java.io.File (scheme slashing).
+    val spark = written.sparkSession
+    val root = new java.io.File(outDir)
+    val fileBytes = listDataFiles(root).map { f =>
+      (root.toPath.relativize(f.toPath).toString
+        .replace(java.io.File.separatorChar, '/'), f.length)
+    }
+    import spark.implicits._
+    val relOf = regexp_extract(col("shard_path"), "[^/]+/[^/]+$", 0)
+    perShard
+      .withColumn("__rel", relOf)
+      .join(broadcast(fileBytes.toDF("__rel", "bytes")), Seq("__rel"),
+        "left")
+      .select(col("split"), col("shard_path"), col("rows"), col("bytes"),
+        col("content_md5"), col("content_xor"))
+  }
+
+  private def listDataFiles(dir: java.io.File): Seq[java.io.File] = {
+    val kids = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+    kids.filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) ++
+      kids.filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).flatMap(listDataFiles)
+  }
+
+  /** Encoded bytes per row in `format`, measured from a bounded probe
+    * write — the [[OrcTableSink.estimateOrcBytesPerRow]] pattern
+    * generalized over formats. */
+  private[graft] def estimateBytesPerRow(df: DataFrame, sampleRows: Int,
+                                         format: String): Double = {
+    require(sampleRows > 0, "sampleRows must be positive")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export_probe")
+      .toFile
+    try {
+      df.limit(sampleRows).coalesce(1)
+        .write.mode("overwrite").format(format).save(tmp.getAbsolutePath)
+      val files = Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-"))
+      val bytes = files.map(_.length).sum
+      val rows = df.sparkSession.read.format(format)
+        .load(tmp.getAbsolutePath).count()
+      bytes.toDouble / math.max(rows, 1L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+}

@@ -166,4 +166,66 @@ class SinkLayoutSuite extends AnyFunSuite {
     // 100 rows / 30-per-file roll → 4 files in the single partition dir
     assert(files.size == 4, files.toString)
   }
+
+  test("corpus export: split-dir layout, size-bounded multi-shard files, manifest ≡ filesystem ≡ table") {
+    import graft.sources.CorpusExport
+    val out = Files.createTempDirectory("graft_export").toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val nDocs = docs.count()
+    // target sized so every split needs several shards on the fixture
+    val target = 16L * 1024
+    val manifest = CorpusExport.exportShards(docs, "doc_id",
+      contentCols = Seq("doc_id", "text"), outDir = out,
+      targetShardBytes = target).collect()
+
+    // layout: every data file under split=<label>/, parquet suffix
+    val files = listTree(java.nio.file.Paths.get(out))
+      .filterNot(f => f.endsWith("_SUCCESS") || f.contains(".crc") ||
+        f.startsWith("_manifest"))
+    assert(files.nonEmpty)
+    assert(files.forall(
+      _.matches("""split=(train|val|test)/part-.*\.parquet""")),
+      files.toString)
+
+    // manifest ≡ filesystem: same file set, byte-exact sizes (keyed by
+    // split-relative path — part numbers repeat across split dirs)
+    val fsFiles = files.map(f =>
+      f -> Files.size(java.nio.file.Paths.get(out, f))).toMap
+    val mfFiles = manifest.map(r =>
+      r.getString(1).split("/").takeRight(2).mkString("/") -> r.getLong(3))
+      .toMap
+    assert(mfFiles == fsFiles)
+
+    // multi-shard per split, sizes bounded: the roll ceiling keeps every
+    // shard at-or-under target modulo per-file format overhead (footer/
+    // dictionary dominate at this tiny scale, so allow 2x)
+    val bySplit = manifest.groupBy(_.getString(0))
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train").size > 1, "train should need several shards")
+    assert(manifest.forall(_.getLong(3) <= 2 * target),
+      manifest.map(_.getLong(3)).toSeq.toString)
+
+    // manifest ≡ table: per-split row counts and xor checksums replay
+    // from the input corpus
+    val expect = graft.operators.Pipelines
+      .splitByMd5Prefix(docs, "doc_id")
+      .select(col("split"),
+        conv(substring(md5(concat_ws("\u0001", col("doc_id").cast("string"),
+          col("text").cast("string"))), 1, 15), 16, 10).cast("long")
+          .as("hl"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"), expr("bit_xor(hl)").as("cx"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = bySplit.map { case (s, rows) =>
+      s -> ((rows.map(_.getLong(2)).sum,
+        rows.map(_.getLong(5)).reduce(_ ^ _)))
+    }
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == nDocs)
+
+    // roundtrip: corpus readers of outDir see every row, never _manifest
+    assert(spark.read.parquet(out).count() == nDocs)
+  }
 }
