@@ -28,9 +28,12 @@ import org.apache.spark.sql.SparkSession
   * any query whose MIN across passes is both >2× its baseline and
   * >0.25 s over it lands in `"regressions"` (BASELINE.md methodology).
   * Entries absent from the primary baseline (operators added after r01)
-  * are gated against the previous round's detail file instead, but only
-  * when that run self-marked `"certifiable":true` — a contaminated or
-  * failed run never becomes a baseline.
+  * are gated against the committed BENCH_BASELINE.json pin first (a
+  * certifiable idle-run snapshot, replaced only deliberately —
+  * SPARK_GRAFT_BASELINE_PIN overrides the path), then the previous
+  * round's mutable detail file; either source counts only when it
+  * self-marked `"certifiable":true` at this run's SF — a contaminated
+  * or failed run never becomes a baseline.
   * A clean min with a median >3× baseline gets a non-fatal TAIL-WARN
   * stderr line — variance regressions (GC pressure, intermittent spill)
   * raise the tail without touching the best-case pass, so the min gate
@@ -105,18 +108,31 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BASELINE", "/root/repo/BENCH_r01.json"))
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       new java.io.File("BENCH_FULL.json").getAbsolutePath)
-    val supplement: Map[String, Double] = {
-      val f = new java.io.File(detailPath)
-      val usablePrior = f.isFile && scala.util.Try {
+    // accept a baseline source only when it self-marked certifiable at
+    // THIS run's scale factor: a contaminated window or a detail file
+    // from another SF (a local sf0.01 smoke) would manufacture phantom
+    // flags (round 9's contaminated detail file is the motivating case)
+    def usable(path: String): Boolean = {
+      val f = new java.io.File(path)
+      f.isFile && scala.util.Try {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        // certifiable AND same scale factor: a detail file from another
-        // SF (e.g. a local sf0.01 smoke) would manufacture phantom flags
         txt.contains("\"certifiable\":true") &&
           txt.contains("\"sf\":\"" + sfDir + "\"")
       }.getOrElse(false)
-      if (usablePrior) loadBaseline(detailPath) else Map.empty
     }
-    val baseline = supplement ++ primaryBaseline // primary wins on overlap
+    // PINNED supplement baseline (BASELINE.md rule, r13 postmortem): the
+    // working detail file is OVERWRITTEN by every full run, so a noisy
+    // driver window could silently become the next round's reference.
+    // BENCH_BASELINE.json is a committed snapshot of a certifiable IDLE
+    // run, replaced only by a deliberate builder action — it wins over
+    // the mutable detail file on overlap.
+    val pinnedPath = sys.env.getOrElse("SPARK_GRAFT_BASELINE_PIN",
+      "/root/repo/BENCH_BASELINE.json")
+    val pinned: Map[String, Double] =
+      if (usable(pinnedPath)) loadBaseline(pinnedPath) else Map.empty
+    val supplement: Map[String, Double] =
+      if (usable(detailPath)) loadBaseline(detailPath) else Map.empty
+    val baseline = supplement ++ pinned ++ primaryBaseline // rightmost wins on overlap
     // gate on the per-query MIN across interleaved passes: a real
     // regression raises every sample including the fastest, while a load
     // burst leaves at least one clean sample — so the min can't be faked

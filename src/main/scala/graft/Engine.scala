@@ -40,6 +40,17 @@ object Engine {
       // adapts on the analyzed dataType either way (r9 drift postmortem).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // codegen class cache sized ABOVE the engine's query working set
+      // (static conf, default 100): a long-lived driver cycling >100
+      // distinct plans evicts on every pass, paying Janino recompilation
+      // and a fresh JIT profile per query per pass — measured as the
+      // r13 bench's recurring median-only tail (CPU-bound stalls with
+      // zero GC on the interpretation-heavy entries; BASELINE.md q48
+      // root-cause). 1024 × ~100 KB generated classes ≈ 100 MB driver
+      // metaspace at worst — cheap insurance for any multi-tenant driver.
+      // (env override exists for A/B-measuring the eviction effect only)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "1024"))
       // NOTE on parquet timestamps: Spark's INT96 default carries no
       // usable min/max stats, so time predicates prune ZERO row groups.
       // A production deployment should pin outputTimestampType =

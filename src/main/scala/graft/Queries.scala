@@ -447,10 +447,19 @@ object Queries {
     * map_values lookup would silently depend on JSON key order the moment
     * the fixture grows a second key. */
   def q48(s: SparkSession, d: String): DataFrame = {
+    // STAGE the JSON parse: both output columns consume the same map, and
+    // an inline `val m = from_json(...)` plants the parse subtree in each
+    // of them — the plan then parses every row TWICE (r13 bench
+    // postmortem: this projection was the most interpretation-sensitive
+    // entry in the q-set; JsonToStructs is CodegenFallback, so a JIT
+    // deopt runs the doubled parse at interpreter speed). A separate
+    // projection survives CollapseProject because from_json is not in
+    // its cheap-expression set — the map materializes once per row.
     val m = from_json(col("props"), "map<string,bigint>", Map.empty[String, String])
-    events(s, d).select(col("event_id"),
-        array_join(map_keys(m), ",").as("ks"),
-        (element_at(m, "k") + 1L).as("kv1"))
+    events(s, d).select(col("event_id"), m.as("__m"))
+      .select(col("event_id"),
+        array_join(map_keys(col("__m")), ",").as("ks"),
+        (element_at(col("__m"), "k") + 1L).as("kv1"))
       .orderBy("event_id")
   }
 
@@ -2089,5 +2098,53 @@ object Queries {
         length(col("__raw")).cast("long").as("raw_chars"))
       .withColumn("norm_chars", length(col("norm_text")).cast("long"))
       .orderBy("doc_id")
+  }
+
+  /** Daily grid with LINEAR interpolation between observed days — the
+    * numeric gap filler next to x_resample's LOCF step (an empty day
+    * between two observations takes the straight line between them;
+    * days past the last observation carry it forward). */
+  def xInterp(s: SparkSession, d: String): DataFrame =
+    graft.operators.EventAnalytics.resampleInterp(events(s, d),
+        "user_id", "ts", "event_id", "value", stepSec = 86400L)
+      .withColumn("observed", col("observed").cast("long"))
+      .orderBy("user_id", "bucket")
+
+  /** Retrieval eval: per-nation supplier rankings (a deterministic
+    * md5-ordered "system") scored against acctbal-graded judgments —
+    * precision/recall@5, MRR, NDCG@5 per query. The harness any BM25 /
+    * ANN / RRF stack in this engine reports itself with. */
+  def xRankEval(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d).join(nation(s, d),
+      col("s_nationkey") === col("n_nationkey"))
+    val run = sup.select(col("n_name").as("query"),
+        col("s_suppkey").as("doc"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("n_name").orderBy(md5(col("s_name")), col("s_suppkey")))
+          .cast("long").as("rank"))
+    val qrels = sup.where(col("s_acctbal") > 3000.0)
+      .select(col("n_name").as("query"), col("s_suppkey").as("doc"),
+        when(col("s_acctbal") > 7000.0, 3L)
+          .when(col("s_acctbal") > 5000.0, 2L).otherwise(1L).as("grade"))
+    Pipelines.rankingMetrics(run, qrels, "query", "doc", "rank", "grade",
+        k = 5)
+      .orderBy("query")
+  }
+
+  /** Calibration audit of a deliberately miscalibrated scorer: score =
+    * md5-uniform in [0, 1), label drawn at rate score² (so the
+    * reliability curve bows below the diagonal) — per-decile mean
+    * score vs empirical rate, and the overall ECE. */
+  def xCalibration(s: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("s"),
+      col("event_id").cast("string"))), 1, 6), 16, 10).cast("long")
+      .cast("double") / (1 << 24)
+    val v = conv(substring(md5(concat(lit("l"),
+      col("event_id").cast("string"))), 1, 6), 16, 10).cast("long")
+      .cast("double") / (1 << 24)
+    val scored = events(s, d).select(u.as("score"),
+      when(v < u * u, 1L).otherwise(0L).as("label"))
+    Pipelines.calibrationBins(scored, "score", "label", bins = 10)
+      .orderBy("bin")
   }
 }
