@@ -961,7 +961,10 @@ object SparkEntry {
     "x_session_window" -> (Queries.xSessionWindow _),
     "x_binned_mi" -> (Queries.xBinnedMi _),
     "x_unicode_norm" -> (Queries.xUnicodeNorm _),
-    "x_corpus_export" -> (Queries.xCorpusExport _)
+    "x_corpus_export" -> (Queries.xCorpusExport _),
+    "x_interp" -> (Queries.xInterp _),
+    "x_rank_eval" -> (Queries.xRankEval _),
+    "x_calibration" -> (Queries.xCalibration _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2364,6 +2367,62 @@ object SparkEntry {
         "FROM documents) " +
         "SELECT split, CAST(COUNT(*) AS BIGINT) AS docs, bit_xor(hl) AS content_xor " +
         "FROM h GROUP BY split ORDER BY split"),
+    // linear-interpolation resample: x_resample's grid + the same
+    // default-frame prev / forward-frame next windows; the fill is one
+    // per-row double expression on long bucket indices (no float sums)
+    "x_interp" ->
+      ("WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket, ts, event_id, CAST(value AS DOUBLE) AS v FROM events), " +
+        "pb AS (SELECT user_id, bucket, v FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rn FROM e) WHERE rn = 1), " +
+        "span AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM e GROUP BY user_id), " +
+        "grid AS (SELECT user_id, UNNEST(generate_series(lo, hi, 86400)) AS bucket FROM span), " +
+        "j AS (SELECT g.user_id, g.bucket, pb.v, " +
+        "LAST_VALUE(pb.v IGNORE NULLS) OVER w AS pv, " +
+        "LAST_VALUE(CASE WHEN pb.v IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER w AS pbk, " +
+        "FIRST_VALUE(pb.v IGNORE NULLS) OVER wf AS nv, " +
+        "FIRST_VALUE(CASE WHEN pb.v IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER wf AS nbk " +
+        "FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket " +
+        "WINDOW w AS (PARTITION BY g.user_id ORDER BY g.bucket), " +
+        "wf AS (PARTITION BY g.user_id ORDER BY g.bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, bucket, " +
+        "ROUND(CASE WHEN v IS NOT NULL THEN v WHEN nv IS NULL THEN pv " +
+        "ELSE pv + (nv - pv) * (CAST(bucket - pbk AS DOUBLE) / CAST(nbk - pbk AS DOUBLE)) END, 6) AS value, " +
+        "CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed " +
+        "FROM j ORDER BY user_id, bucket"),
+    // ranking metrics: every DCG term quantized 1e-12 before its sum
+    // (the cross-engine float-sum contract); identical md5-ordered run
+    "x_rank_eval" ->
+      ("WITH sup AS (SELECT n_name, s_suppkey, s_name, s_acctbal FROM supplier JOIN nation ON s_nationkey = n_nationkey), " +
+        "run AS (SELECT n_name AS query, s_suppkey AS doc, CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY md5(s_name), s_suppkey) AS BIGINT) AS rank FROM sup), " +
+        "qrels AS (SELECT n_name AS query, s_suppkey AS doc, CAST(CASE WHEN s_acctbal > 7000 THEN 3 WHEN s_acctbal > 5000 THEN 2 ELSE 1 END AS BIGINT) AS grade FROM sup WHERE s_acctbal > 3000), " +
+        "j AS (SELECT r.query, r.rank, q.grade FROM run r LEFT JOIN qrels q ON r.query = q.query AND r.doc = q.doc), " +
+        "pr AS (SELECT query, CAST(COUNT(*) AS BIGINT) AS n_ret, " +
+        "CAST(SUM(CASE WHEN grade IS NOT NULL AND rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits, " +
+        "MIN(CASE WHEN grade IS NOT NULL THEN rank END) AS firstrel, " +
+        "SUM(CASE WHEN grade IS NOT NULL AND rank <= 5 THEN CAST(ROUND((POWER(2.0, CAST(grade AS DOUBLE)) - 1.0) / (LN(CAST(rank AS DOUBLE) + 1.0) / LN(2.0)) * 1e12, 0) AS BIGINT) END) AS dcgq " +
+        "FROM j GROUP BY 1), " +
+        "ideal AS (SELECT query, CAST(COUNT(*) AS BIGINT) AS n_rel, " +
+        "SUM(CASE WHEN irank <= 5 THEN CAST(ROUND((POWER(2.0, CAST(grade AS DOUBLE)) - 1.0) / (LN(CAST(irank AS DOUBLE) + 1.0) / LN(2.0)) * 1e12, 0) AS BIGINT) END) AS idcgq " +
+        "FROM (SELECT query, grade, ROW_NUMBER() OVER (PARTITION BY query ORDER BY grade DESC, doc) AS irank FROM qrels) GROUP BY 1) " +
+        "SELECT pr.query, COALESCE(ideal.n_rel, 0) AS n_rel, pr.n_ret, " +
+        "ROUND(CAST(hits AS DOUBLE) / 5, 6) AS p_at_k, " +
+        "CASE WHEN n_rel > 0 THEN ROUND(CAST(hits AS DOUBLE) / n_rel, 6) END AS r_at_k, " +
+        "CASE WHEN firstrel IS NOT NULL THEN ROUND(1.0 / firstrel, 6) ELSE 0.0 END AS rr, " +
+        "CASE WHEN idcgq > 0 THEN ROUND(CAST(dcgq AS DOUBLE) / idcgq, 6) END AS ndcg_at_k " +
+        "FROM pr LEFT JOIN ideal ON pr.query = ideal.query ORDER BY pr.query"),
+    // calibration: micro-unit integer score sums per bin, exact-integer
+    // ECE numerator; the md5-uniform score/label replayed bit-for-bit
+    "x_calibration" ->
+      ("WITH s AS (SELECT CAST(CAST('0x' || substring(md5('s' || CAST(event_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE) / 16777216 AS score, " +
+        "CAST(CAST('0x' || substring(md5('l' || CAST(event_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE) / 16777216 AS v FROM events), " +
+        "b AS (SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin, CAST(ROUND(score * 1e6, 0) AS BIGINT) AS sq, CASE WHEN v < score * score THEN 1 ELSE 0 END AS pos FROM s), " +
+        "pb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(sq) AS BIGINT) AS sqs, CAST(SUM(pos) AS BIGINT) AS poss FROM b GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(ABS(poss * 1000000 - sqs)) AS BIGINT) AS gq FROM pb) " +
+        "SELECT bin, n, ROUND(CAST(sqs AS DOUBLE) / 1e6 / n, 6) AS mean_score, " +
+        "ROUND(CAST(poss AS DOUBLE) / n, 6) AS frac_pos, " +
+        "ROUND(CAST(poss AS DOUBLE) / n - CAST(sqs AS DOUBLE) / 1e6 / n, 6) AS gap, " +
+        "ROUND(CAST(gq AS DOUBLE) / 1e6 / nt, 6) AS ece " +
+        "FROM pb CROSS JOIN t ORDER BY bin"),
     // NFKC: the injected variants are a FIXED finite set, so the oracle
     // replays their known normal forms as literals (DuckDB has no NFKC
     // built-in; nfc_normalize would miss the compatibility folds) —

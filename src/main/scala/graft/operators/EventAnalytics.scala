@@ -328,6 +328,71 @@ object EventAnalytics {
         last(col("__v"), ignoreNulls = true).over(w).as(valCol))
   }
 
+  /** Regular-grid resampling with LINEAR interpolation — the numeric
+    * complement of [[resampleLocf]]: empty buckets between two observed
+    * buckets take the straight line between them (weight = bucket
+    * distance), buckets after a key's last observation carry it forward
+    * (no extrapolation). Observed buckets keep their own anchor value
+    * (within a bucket the LAST event wins, same total (ts, tie) order
+    * as LOCF). The filler every numeric feature series wants where a
+    * step function (LOCF) would bias a downstream mean.
+    *
+    * All arithmetic is per-row IEEE double on long bucket indices —
+    * identical in any engine, no float accumulation anywhere — with one
+    * HALF_UP `roundDp` round on the emitted value.
+    *
+    * Scale shape: [[resampleLocf]]'s exactly — one per-(key, bucket)
+    * map-side max_by, one per-key span agg, `sequence`+`explode` grid
+    * (rows ∝ the output), a keyed left join, and per-key windows whose
+    * state is one key's grid. The two extra windows (previous/next
+    * observed anchor) are the same partition and sort — Catalyst plans
+    * them in ONE Window operator, so the added cost is two running
+    * columns, not extra shuffles.
+    *
+    * Output: (keyCol, bucket, valCol interpolated, observed flag). */
+  def resampleInterp(events: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, valCol: String, stepSec: Long,
+                     roundDp: Int = 6): DataFrame = {
+    require(stepSec > 0, "resampleInterp needs a positive step")
+    Joins.requireFreeColumns("resampleInterp", events.columns,
+      "bucket", "observed", "__lo", "__hi", "__v", "__pv", "__pb", "__nv",
+      "__nb")
+    val bucket = (floor(unix_timestamp(col(tsCol)) / stepSec) * stepSec)
+      .cast("long")
+    val e = events.select(col(keyCol), bucket.as("bucket"),
+      col(tsCol), col(tieCol), col(valCol))
+    val perBucket = e.groupBy(col(keyCol), col("bucket"))
+      .agg(max_by(col(valCol).cast("double"), struct(col(tsCol), col(tieCol)))
+        .as("__v"))
+    val span = e.groupBy(col(keyCol))
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+    val grid = span.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"), lit(stepSec)))
+        .as("bucket"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("bucket")
+    val wf = wb.rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    grid.join(perBucket, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"), col("__v"),
+        last(col("__v"), ignoreNulls = true).over(wb).as("__pv"),
+        last(when(col("__v").isNotNull, col("bucket")), ignoreNulls = true)
+          .over(wb).as("__pb"),
+        first(col("__v"), ignoreNulls = true).over(wf).as("__nv"),
+        first(when(col("__v").isNotNull, col("bucket")), ignoreNulls = true)
+          .over(wf).as("__nb"))
+      .select(col(keyCol), col("bucket"),
+        round(
+          when(col("__v").isNotNull, col("__v"))
+            .when(col("__nv").isNull, col("__pv")) // past the last obs: carry
+            .otherwise(col("__pv") +
+              (col("__nv") - col("__pv")) *
+                ((col("bucket") - col("__pb")).cast("double") /
+                  (col("__nb") - col("__pb")).cast("double"))),
+          roundDp).as(valCol),
+        col("__v").isNotNull.as("observed"))
+  }
+
   /** Weekly retention cohorts: users grouped by the week of their first
     * event; for each (cohort week, week offset) the number of cohort
     * users active in that week. The classic triangle every growth

@@ -1800,4 +1800,128 @@ object Pipelines {
         round(lit(1.0) - countDistinct(col("__h")).cast("double") / count(lit(1)), 4)
           .as("dup_frac"),
         countDistinct(col(langCol)).as("n_langs"))
+
+  /** Retrieval ranking metrics — the eval harness for any ranked system
+    * this engine produces (BM25, cosine/ANN top-k, RRF fusion): per
+    * query, precision@k, recall@k, reciprocal rank, and NDCG@k against
+    * a graded judgment set.
+    *
+    * `run` = (queryCol, docCol, rankCol) with rank 1-based within each
+    * query; `qrels` = (queryCol, docCol, gradeCol) with grade > 0
+    * meaning relevant (graded gains use 2^grade − 1). Run rows beyond
+    * rank k are ignored; judged docs the run never returned count
+    * against recall and IDCG, exactly as trec_eval does.
+    *
+    * Float policy: every DCG term is quantized to 1e-12 before its sum
+    * (the engine's cross-engine float-sum contract), so per-query DCG /
+    * IDCG are exact integers in micro-micro units and the final ratios
+    * are single double expressions.
+    *
+    * Scale shape: one keyed equi-join run⋈qrels on (query, doc) — both
+    * sides shuffle on the same key, no window; the IDCG ranking is one
+    * window PARTITIONED BY QUERY (state ∝ a query's judged docs, never
+    * the corpus); the final groupBy(query) partial-aggregates map-side.
+    * Queries are independent — the whole thing is embarrassingly
+    * parallel in the query key at any corpus size.
+    *
+    * Output: (queryCol, n_rel, n_ret, p_at_k, r_at_k, rr, ndcg_at_k). */
+  def rankingMetrics(run: DataFrame, qrels: DataFrame, queryCol: String,
+                     docCol: String, rankCol: String, gradeCol: String,
+                     k: Int, roundDp: Int = 6): DataFrame = {
+    require(k >= 1, "rankingMetrics needs k >= 1")
+    Joins.requireFreeColumns("rankingMetrics",
+      run.columns ++ qrels.columns,
+      "__g", "__q2", "__d2", "__dcgq", "__idcgq", "__irank", "n_rel",
+      "n_ret", "p_at_k", "r_at_k", "rr", "ndcg_at_k")
+    val q = col(queryCol)
+    // DCG term at 1-based rank r: (2^g − 1)/log2(r+1), quantized 1e-12
+    val judged = qrels
+      .where(col(gradeCol) > 0)
+      .select(q.as("__q2"), col(docCol).as("__d2"),
+        col(gradeCol).cast("long").as("__g"))
+    // run side: joined grade (null = unjudged), capped at k for p/r/DCG
+    val joined = run
+      .select(q, col(docCol), col(rankCol).cast("long").as(rankCol))
+      .join(judged, q === col("__q2") && col(docCol) === col("__d2"), "left")
+    val perQueryRun = joined
+      .groupBy(q)
+      .agg(count(lit(1)).as("n_ret"),
+        sum(when(col("__g").isNotNull && col(rankCol) <= k, 1L)
+          .otherwise(0L)).as("__hits"),
+        min(when(col("__g").isNotNull, col(rankCol))).as("__firstrel"),
+        sum(when(col("__g").isNotNull && col(rankCol) <= k,
+          round((pow(lit(2.0), col("__g").cast("double")) - 1.0) /
+            (log(col(rankCol).cast("double") + 1.0) / log(lit(2.0))) * 1e12, 0)
+            .cast("long"))).as("__dcgq"))
+    // ideal ranking: judged docs by grade desc (doc asc tiebreak), top k
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__q2")).orderBy(col("__g").desc, col("__d2"))
+    val perQueryIdeal = judged
+      .withColumn("__irank", row_number().over(wIdeal))
+      .groupBy(col("__q2"))
+      .agg(count(lit(1)).as("n_rel"),
+        sum(when(col("__irank") <= k,
+          round((pow(lit(2.0), col("__g").cast("double")) - 1.0) /
+            (log(col("__irank").cast("double") + 1.0) / log(lit(2.0))) * 1e12, 0)
+            .cast("long"))).as("__idcgq"))
+    perQueryRun.join(perQueryIdeal, q === col("__q2"), "left")
+      .select(q, coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("n_ret"),
+        round(col("__hits").cast("double") / k, roundDp).as("p_at_k"),
+        when(col("n_rel") > 0,
+          round(col("__hits").cast("double") / col("n_rel"), roundDp))
+          .as("r_at_k"),
+        when(col("__firstrel").isNotNull,
+          round(lit(1.0) / col("__firstrel"), roundDp)).otherwise(0.0)
+          .as("rr"),
+        when(col("__idcgq") > 0L,
+          round(col("__dcgq").cast("double") / col("__idcgq"), roundDp))
+          .as("ndcg_at_k"))
+  }
+
+  /** Score-calibration bins + expected calibration error — the audit a
+    * learned quality/reward scorer gets before its threshold is trusted
+    * at corpus scale: scores in [0, 1] split into `bins` equal-width
+    * bins; per bin the count, mean predicted score, empirical positive
+    * rate, and signed gap; plus the overall ECE (Σ n_b/N · |gap_b|) on
+    * every row.
+    *
+    * Float policy: scores quantize to micro-units on entry, so per-bin
+    * sums are exact integers; mean/rate/gap/ECE are single double
+    * expressions over those integers.
+    *
+    * Scale shape: one map-side-combining groupBy on the bin id (≤ bins
+    * rows reach the reduce), one ≤ bins-row total join — no windows
+    * over the corpus, ECE assembled on the ≤ bins-row frame.
+    *
+    * Output: (bin, n, mean_score, frac_pos, gap, ece), one row per
+    * non-empty bin. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10, roundDp: Int = 6): DataFrame = {
+    require(bins >= 2, "calibrationBins needs >= 2 bins")
+    Joins.requireFreeColumns("calibrationBins", df.columns,
+      "bin", "n", "mean_score", "frac_pos", "gap", "ece", "__sq", "__pos",
+      "__nt")
+    val s = col(scoreCol).cast("double")
+    val binned = df
+      .where(s.isNotNull && col(labelCol).isNotNull)
+      .select(least(floor(s * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        round(s * 1e6, 0).cast("long").as("__sq"),
+        col(labelCol).cast("long").as("__pos"))
+    val perBin = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__sq").as("__sqs"),
+        sum("__pos").as("__poss"))
+    val tot = perBin.agg(sum("n").as("__nt"),
+      // exact integer Σ |n_b·rate_b − n_b·mean_b| in micro-units:
+      // |poss·1e6 − sqs| per bin, summed — ECE = that / (N · 1e6)
+      sum(abs(col("__poss") * 1000000L - col("__sqs"))).as("__gq"))
+    perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        round(col("__sqs").cast("double") / 1e6 / col("n"), roundDp)
+          .as("mean_score"),
+        round(col("__poss").cast("double") / col("n"), roundDp).as("frac_pos"),
+        round(col("__poss").cast("double") / col("n") -
+          col("__sqs").cast("double") / 1e6 / col("n"), roundDp).as("gap"),
+        round(col("__gq").cast("double") / 1e6 / col("__nt"), roundDp)
+          .as("ece"))
+  }
 }

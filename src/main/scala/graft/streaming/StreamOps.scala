@@ -644,6 +644,80 @@ object StreamOps {
         col("__sw.end").as("window_end"), col("n_events"))
   }
 
+  /** Streaming TWAP — the live counterpart of
+    * [[graft.operators.EventAnalytics.twap]]: per-key state is O(1)
+    * REGARDLESS of stream length (first/last timestamp, the last
+    * observation's quantized value, the running exact-integer weighted
+    * sum), because the right-open step integral Σ vᵢ·(tᵢ₊₁ − tᵢ) only
+    * ever needs the PREVIOUS observation to add a term — the same
+    * reason the batch form is one lead window. The weighted sum
+    * accumulates as an arbitrary-precision integer (state-encoded as a
+    * string; gap_µs × value_µunits per term overflows a long), and the
+    * final expression replays the batch operator's exact quantization
+    * (HALF_UP micro-unit round) and term order, so stream ≡ batch
+    * BIT-FOR-BIT under the family's in-order delivery contract (rows
+    * not strictly after the (ts, tie) high-water mark are dropped,
+    * same as [[streamingEwma]]/[[streamingTransitions]]).
+    *
+    * Update mode: each micro-batch emits one refreshed
+    * (key, n_events, span_sec, twap) snapshot per key touched —
+    * the live dashboard row; the final snapshot equals the batch
+    * operator's output row for the key.
+    *
+    * Output: (user_id, n_events, span_sec, twap) at 6 dp. */
+  def streamingTwap(events: DataFrame, userCol: String = "user_id",
+                    tsCol: String = "ts", tieCol: String = "event_id",
+                    valCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    events
+      .where(col(valCol).isNotNull)
+      .select(col(userCol).cast("long"), col(tsCol), col(tieCol).cast("long"),
+        col(valCol).cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TwapState, (Long, Long, Double, Option[Double])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         state: GroupState[TwapState]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+          // the batch operator's micro-unit quantization: round(v*1e6, 0)
+          def quant(v: Double): Long =
+            BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          val ordered = rows.toSeq
+            .map { case (_, ts, tie, v) => (micros(ts), tie, quant(v)) }
+            .sortBy { case (t, tie, _) => (t, tie) }
+          var st = state.getOption
+            .getOrElse(TwapState(Long.MinValue, Long.MinValue, Long.MinValue, 0L, 0L, "0"))
+          var wv = BigInt(st.wv)
+          var touched = false
+          ordered.foreach { case (t, tie, vq) =>
+            val fresh = t > st.lastUs || (t == st.lastUs && tie > st.lastTie)
+            if (fresh) {
+              if (st.n > 0L) wv += BigInt(t - st.lastUs) * BigInt(st.lastVq)
+              val first = if (st.n == 0L) t else st.firstUs
+              st = TwapState(first, t, tie, vq, st.n + 1L, "0")
+              touched = true
+            }
+          }
+          if (touched) {
+            state.update(st.copy(wv = wv.toString))
+            val span = st.lastUs - st.firstUs
+            // replay the batch expression's term order on doubles:
+            // round(span/1e6, 6) and round(wv/1e6/span, 6), HALF_UP
+            val spanSec = round6(span.toDouble / 1e6)
+            val twapOpt = if (span > 0L)
+              Some(round6(wv.toDouble / 1e6 / span.toDouble)) else None
+            Iterator.single((uid, st.n, spanSec, twapOpt))
+          } else Iterator.empty
+      }
+      .toDF("user_id", "n_events", "span_sec", "twap")
+  }
+
   /** Streaming OHLC bars — the live counterpart of
     * [[graft.operators.EventAnalytics.ohlcBars]]: one watermarked
     * windowed aggregation per (key, bucket), open/close as
@@ -682,6 +756,12 @@ case class FunnelTimes(times: Seq[Long])
 case class LastEvent(tsMicros: Long, tie: Long, tp: String)
 case class CohortSeen(cohortDays: Int, offsets: Seq[Int])
 case class EwmaWindow(tsMicros: Long, tie: Long, recent: Seq[Double])
+/** [[StreamOps.streamingTwap]] per-key state: first/last event time,
+  * the (ts, tie) high-water mark, the last observation's micro-unit
+  * value, the event count, and the exact-integer running weighted sum
+  * (BigInt as string — a gap_µs × value_µunits term overflows a long). */
+case class TwapState(firstUs: Long, lastUs: Long, lastTie: Long,
+                     lastVq: Long, n: Long, wv: String)
 /** [[StreamOps.streamingSessionize]] per-user state: the one open
   * session (ord/span/count), the in-order high-water mark, and — via
   * `open = false` after an emit — the persisted session counter. */

@@ -55,6 +55,41 @@ class HiveMetastoreSuite extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS t")
   }
 
+  test("DPP: star join over the date-partitioned warehouse table prunes fact partitions at runtime") {
+    // SURVEY §4.2 on the REAL artifact (not a synthetic range table):
+    // the events warehouse written by OrcTableSink with c_date dirs,
+    // registered through the derby HMS, joined to a file-backed dim
+    // whose selective filter must reach the fact scan as a
+    // dynamicpruning subquery — at 100 TB this is the difference
+    // between scanning one day and scanning the whole warehouse
+    val wh = Files.createTempDirectory("graft_hms_dpp").toString
+    val src = Tables.events(spark, sfDir)
+      .withColumn("c_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "user_id", "event_type", "c_date")
+    OrcTableSink.writeBatch(src, wh, "dpp_events", "c_date")
+    spark.sql("DROP TABLE IF EXISTS dpp_events")
+    OrcTableSink.registerTable(spark, wh, "dpp_events", "c_date")
+    try {
+      val dates = src.select("c_date").distinct()
+        .orderBy("c_date").collect().map(_.getString(0))
+      assert(dates.length >= 2, s"fixture needs >1 partition, got ${dates.toSeq}")
+      val hot = dates.head
+      spark.createDataFrame(dates.toSeq.map(d => (d, if (d == hot) "hot" else "cold")))
+        .toDF("c_date", "tier")
+        .write.format("orc").mode("overwrite").save(s"$wh/dim")
+      val dim = spark.read.orc(s"$wh/dim")
+      val joined = spark.table("dpp_events")
+        .join(broadcast(dim), "c_date").where(col("tier") === "hot")
+        .groupBy("c_date").agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.toLowerCase.contains("dynamicpruning"), p)
+      val rows = joined.collect()
+      val expect = src.where(col("c_date") === hot).count()
+      assert(rows.length == 1 && rows.head.getLong(1) == expect, rows.toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS dpp_events")
+  }
+
   test("S6×S12: streaming ORC sink composes with HMS registration + pruned read") {
     // the reference treats sink + metastore as one thing
     // (HiveOrcSink.java:57,66-71); this is the composed seam: streamWriter

@@ -1402,6 +1402,36 @@ class OperatorsSuite extends AnyFunSuite {
       (2L, 19701 * day, 7.0)))
   }
 
+  test("resampleInterp: observed anchors kept, gaps take the line, tail carries") {
+    import java.sql.Timestamp
+    val day = 86400L
+    def ts(d: Long, sec: Long) = new Timestamp((d * day + sec) * 1000L)
+    val ev = Seq(
+      // user 1: day 0 anchor 2.0 (later event wins the bucket), days
+      // 1-2 empty, day 3 anchor 8.0 → the gap takes the 2→8 line;
+      // day 5 observed then nothing → grid ends at the last bucket
+      (1L, ts(19700, 9 * 3600), 1L, 1.0),
+      (1L, ts(19700, 18 * 3600), 2L, 2.0),
+      (1L, ts(19703, 100), 3L, 8.0),
+      (1L, ts(19705, 100), 4L, 4.0),
+      // user 2: one event → one observed row
+      (2L, ts(19701, 50), 5L, 7.0)
+    ).toDF("u", "t", "tie", "v")
+    val got = graft.operators.EventAnalytics
+      .resampleInterp(ev, "u", "t", "tie", "v", stepSec = day)
+      .orderBy("u", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 19700 * day, 2.0, true),  // in-bucket last wins, kept verbatim
+      (1L, 19701 * day, 4.0, false), // 2 + (8-2)·(1/3)
+      (1L, 19702 * day, 6.0, false), // 2 + (8-2)·(2/3)
+      (1L, 19703 * day, 8.0, true),
+      (1L, 19704 * day, 6.0, false), // 8 + (4-8)·(1/2)
+      (1L, 19705 * day, 4.0, true),
+      (2L, 19701 * day, 7.0, true)), got)
+  }
+
   test("mergeScd2 ≡ from-scratch scd2History across every split of a seeded log") {
     import java.sql.Timestamp
     val rnd = new scala.util.Random(7)

@@ -886,4 +886,69 @@ class PipelinesSuite extends AnyFunSuite {
     val (n2, k2, h2, s2, e2) = got("s2")
     assert(n2 == 2L && k2 == 1L && h2 == 0.0 && s2 == 1.0 && e2.isEmpty)
   }
+
+  test("rankingMetrics: hand-checked p/r/MRR/NDCG, unjudged query, beyond-k relevance") {
+    // q1: judged docs a(g=3), b(g=1), c(g=2); run ranks b=1, x=2, a=3,
+    //     c=6 (beyond k) → hits@5 = 2 (b, a), first rel at rank 1
+    // q2: no judged docs → n_rel 0, r/ndcg NULL, rr 0
+    val run = Seq(
+      ("q1", "b", 1L), ("q1", "x", 2L), ("q1", "a", 3L), ("q1", "y", 4L),
+      ("q1", "z", 5L), ("q1", "c", 6L),
+      ("q2", "a", 1L), ("q2", "b", 2L)).toDF("query", "doc", "rank")
+    val qrels = Seq(("q1", "a", 3L), ("q1", "b", 1L), ("q1", "c", 2L))
+      .toDF("query", "doc", "grade")
+    val got = Pipelines.rankingMetrics(run, qrels, "query", "doc", "rank",
+        "grade", k = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    def dcgTerm(g: Long, r: Long): Double =
+      math.round((math.pow(2.0, g.toDouble) - 1.0) /
+        (math.log(r.toDouble + 1.0) / math.log(2.0)) * 1e12).toDouble
+    val dcg = dcgTerm(1, 1) + dcgTerm(3, 3)          // b@1, a@3; c beyond k
+    val idcg = dcgTerm(3, 1) + dcgTerm(2, 2) + dcgTerm(1, 3)
+    val (nRel1, nRet1, p1, r1, rr1, ndcg1) = got("q1")
+    assert(nRel1 == 3L && nRet1 == 6L)
+    assert(p1 == 0.4 && r1 == Some(BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(rr1 == 1.0)
+    assert(ndcg1 == Some(BigDecimal(dcg / idcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), got("q1"))
+    val (nRel2, nRet2, p2, r2, rr2, ndcg2) = got("q2")
+    assert(nRel2 == 0L && nRet2 == 2L && p2 == 0.0 && r2.isEmpty &&
+      rr2 == 0.0 && ndcg2.isEmpty)
+  }
+
+  test("calibrationBins: exact per-bin stats and ECE on a hand frame") {
+    // bin 0: scores 0.0, 0.05 labels 0,0 → mean 0.025, rate 0
+    // bin 9: scores 0.9, 1.0 labels 1,0 → 1.0 clamps into bin 9 (LEAST)
+    val df = Seq((0.0, 0L), (0.05, 0L), (0.9, 1L), (1.0, 0L))
+      .toDF("score", "label")
+    val got = Pipelines.calibrationBins(df, "score", "label", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got.keySet == Set(0L, 9L))
+    val (n0, m0, f0, g0, e0) = got(0L)
+    assert(n0 == 2L && m0 == 0.025 && f0 == 0.0 && g0 == -0.025)
+    val (n9, m9, f9, g9, e9) = got(9L)
+    assert(n9 == 2L && m9 == 0.95 && f9 == 0.5 && g9 == -0.45)
+    // ECE = (2/4)·0.025 + (2/4)·0.45 = 0.2375, identical on every row
+    assert(e0 == 0.2375 && e9 == 0.2375)
+  }
+
+  test("calibrationBins/rankingMetrics: reserved-column clash fails loud") {
+    intercept[IllegalArgumentException] {
+      Pipelines.calibrationBins(
+        Seq((0.1, 1L, 2L)).toDF("score", "label", "bin"),
+        "score", "label")
+    }
+    intercept[IllegalArgumentException] {
+      Pipelines.rankingMetrics(
+        Seq(("q", "d", 1L, 9L)).toDF("query", "doc", "rank", "n_rel"),
+        Seq(("q", "d", 1L)).toDF("query", "doc", "grade"),
+        "query", "doc", "rank", "grade", k = 5)
+    }
+  }
 }

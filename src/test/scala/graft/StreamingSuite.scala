@@ -437,6 +437,38 @@ class StreamingSuite extends AnyFunSuite {
     assert(batch.where(col("r_event_id").isNotNull).count() > 0)
   }
 
+  test("T7×twap: streaming TWAP's final snapshot equals batch bit-for-bit across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.EventAnalytics
+      .twap(Tables.events(spark, sfDir), "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val rows = eventRows.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamingTwap(mem.toDF())
+      .writeStream.format("memory").queryName("ttwap")
+      .outputMode("update").trigger(Trigger.ProcessingTime(100)).start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // update mode leaves one snapshot per (key, batch-touched); the
+    // FINAL snapshot per key is the one with the highest n_events
+    val got = spark.table("ttwap").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    assert(got.size == batch.size, s"keys: stream=${got.size} batch=${batch.size}")
+    // bit-for-bit: the streaming fold replays the batch expression's
+    // quantization and rounding, so == on doubles, no tolerance
+    val diff = batch.collect { case (k, v) if got.get(k) != Some(v) => k }
+    assert(diff.isEmpty, s"mismatched keys: ${diff.take(5)}")
+    // a key seen in both halves proves cross-batch state carry
+    assert(b1.exists(e => b2.exists(_.user_id == e.user_id)))
+  }
+
   test("T7×ewma: streaming EWMA equals the batch window bit-for-bit across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val batch = graft.operators.EventAnalytics
