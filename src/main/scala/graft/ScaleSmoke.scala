@@ -397,7 +397,14 @@ object ScaleSmoke {
           Tables.events(s, d).select(col("event_id"), col("event_type"),
             col("value")),
           "event_type", "value", pLo = 0.05, pHi = 0.95,
-          approxAcc = 1000)))
+          approxAcc = 1000)),
+      // r14 family: interp grid rows ∝ users × their day span (users
+      // grow with copies, spans don't); rank-eval windows partition by
+      // query (per-nation pools grow ∝ copies — window state too, by
+      // the judged-pool contract); calibration is one bin groupBy
+      q("x_interp", "events"),
+      q("x_rank_eval", "supplier", "nation"),
+      q("x_calibration", "events"))
       // NOT here: x_entity_match / x_entity_match_indel. Replica
       // customer names are copy-identical (c_name is not tagged), so
       // every cross-copy name pair is a TRUE distance-0 match (and
