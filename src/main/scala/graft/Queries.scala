@@ -2131,6 +2131,29 @@ object Queries {
       .orderBy("query")
   }
 
+  /** Temporal 70/30 split + leakage audit over events, keyed by 3-event
+    * id-blocks (event ids are time-ordered, so blocks are short-lived
+    * entities and only the ones STRADDLING the 2024-01-22 cutoff leak —
+    * a non-degenerate fraction; per-user keys on this always-on fixture
+    * would read 1.0 leak everywhere). One audit row. */
+  def xTimeSplit(s: SparkSession, d: String): DataFrame =
+    Pipelines.temporalSplitAudit(
+      events(s, d).withColumn("blk", floor(col("event_id") / 3).cast("long")),
+      "blk", "ts", "2024-01-22 00:00:00")
+
+  /** Semantic decontamination: an 8-vector "benchmark" (the first
+    * corpus embeddings re-keyed +1e6) swept against the full corpus at
+    * tau 0.9 — the planted verbatim leaks are caught at probe 0 (an
+    * exact duplicate always shares its sign-LSH bucket). */
+  def xSemDecontam(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val bench = emb.where(col("vec_id") < 8)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.semanticDecontam(emb, bench, "vec_id", "embedding",
+        tau = 0.9, planes = 8, probeRadius = 1, dim = 64)
+      .orderBy("vec_id")
+  }
+
   /** Calibration audit of a deliberately miscalibrated scorer: score =
     * md5-uniform in [0, 1), label drawn at rate score² (so the
     * reliability curve bows below the diagonal) — per-decile mean

@@ -404,7 +404,12 @@ object ScaleSmoke {
       // the judged-pool contract); calibration is one bin groupBy
       q("x_interp", "events"),
       q("x_rank_eval", "supplier", "nation"),
-      q("x_calibration", "events"))
+      q("x_calibration", "events"),
+      // leakage audit: one keyed partial-agg + one row; sem-decontam:
+      // the fixed 8-vector benchmark sweeps a growing corpus — replica
+      // twins of the planted dups are all true hits, output ∝ copies
+      q("x_time_split", "events"),
+      q("x_sem_decontam", "embeddings"))
       // NOT here: x_entity_match / x_entity_match_indel. Replica
       // customer names are copy-identical (c_name is not tagged), so
       // every cross-copy name pair is a TRUE distance-0 match (and

@@ -964,7 +964,9 @@ object SparkEntry {
     "x_corpus_export" -> (Queries.xCorpusExport _),
     "x_interp" -> (Queries.xInterp _),
     "x_rank_eval" -> (Queries.xRankEval _),
-    "x_calibration" -> (Queries.xCalibration _)
+    "x_calibration" -> (Queries.xCalibration _),
+    "x_time_split" -> (Queries.xTimeSplit _),
+    "x_sem_decontam" -> (Queries.xSemDecontam _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2410,6 +2412,34 @@ object SparkEntry {
         "CASE WHEN firstrel IS NOT NULL THEN ROUND(1.0 / firstrel, 6) ELSE 0.0 END AS rr, " +
         "CASE WHEN idcgq > 0 THEN ROUND(CAST(dcgq AS DOUBLE) / idcgq, 6) END AS ndcg_at_k " +
         "FROM pr LEFT JOIN ideal ON pr.query = ideal.query ORDER BY pr.query"),
+    // temporal split audit: pure integer counting per key then one row
+    "x_time_split" ->
+      ("WITH pk AS (SELECT CAST(FLOOR(event_id / 3) AS BIGINT) AS blk, " +
+        "SUM(CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS tr, " +
+        "SUM(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS te " +
+        "FROM events GROUP BY 1) " +
+        "SELECT CAST(SUM(tr) AS BIGINT) AS n_train, CAST(SUM(te) AS BIGINT) AS n_test, " +
+        "CAST(SUM(CASE WHEN tr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS train_keys, " +
+        "CAST(SUM(CASE WHEN te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS test_keys, " +
+        "CAST(SUM(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS shared_keys, " +
+        "CASE WHEN SUM(CASE WHEN te > 0 THEN 1 ELSE 0 END) > 0 THEN " +
+        "ROUND(CAST(SUM(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END) AS DOUBLE) / SUM(CASE WHEN te > 0 THEN 1 ELSE 0 END), 6) END AS shared_key_frac, " +
+        "CAST(SUM(CASE WHEN tr > 0 AND te > 0 THEN te ELSE 0 END) AS BIGINT) AS leaky_test_rows, " +
+        "CASE WHEN SUM(te) > 0 THEN " +
+        "ROUND(CAST(SUM(CASE WHEN tr > 0 AND te > 0 THEN te ELSE 0 END) AS DOUBLE) / SUM(te), 6) END AS leaky_row_frac " +
+        "FROM pk"),
+    // semantic decontam: the x_ann_knn_join bucket front flipped to a
+    // per-corpus-row argmax; planted verbatim leaks share buckets at
+    // probe 0, so recall on them is structural, not probabilistic
+    "x_sem_decontam" ->
+      (s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        s"b AS (SELECT vec_id, e, ${annBucketSql(8, 64)} AS bucket FROM v), " +
+        "q AS (SELECT vec_id + 1000000 AS qid, e AS qe, bucket AS qb FROM b WHERE vec_id < 8), " +
+        "s AS (SELECT b.vec_id, q.qid, ROUND(list_dot_product(b.e,q.qe)/(SQRT(list_dot_product(b.e,b.e))*SQRT(list_dot_product(q.qe,q.qe))),4) + 0 AS cos " +
+        "FROM b, q WHERE bit_count(xor(b.bucket, q.qb)) <= 1), " +
+        "f AS (SELECT * FROM s WHERE cos >= 0.9), " +
+        "r AS (SELECT vec_id, qid, cos, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, qid) AS rk, COUNT(*) OVER (PARTITION BY vec_id) AS nh FROM f) " +
+        "SELECT vec_id, qid AS matched_id, cos, CAST(nh AS BIGINT) AS n_hits FROM r WHERE rk = 1 ORDER BY vec_id"),
     // calibration: micro-unit integer score sums per bin, exact-integer
     // ECE numerator; the md5-uniform score/label replayed bit-for-bit
     "x_calibration" ->

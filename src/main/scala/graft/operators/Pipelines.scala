@@ -1801,6 +1801,53 @@ object Pipelines {
           .as("dup_frac"),
         countDistinct(col(langCol)).as("n_langs"))
 
+  /** Temporal split + leakage audit — the report a time-based train/test
+    * cut gets before anyone trusts the eval: rows at-or-after `cutoff`
+    * are test, and any key (user, entity, document family) active on
+    * BOTH sides is a leak channel (its test rows are predictable from
+    * its own train rows, inflating the metric). One row out: sizes per
+    * side, key counts per side, shared keys, and the fraction of test
+    * ROWS carrying a train-seen key — the number that decides whether
+    * the cut needs entity-level separation instead.
+    *
+    * Scale shape: one map-side-combining groupBy(key) counting each
+    * side (shuffle = one row per key), then one single-row agg. No
+    * windows, no joins, no corpus-sized collect.
+    *
+    * Output: (n_train, n_test, train_keys, test_keys, shared_keys,
+    * shared_key_frac, leaky_test_rows, leaky_row_frac) at `roundDp`. */
+  def temporalSplitAudit(df: DataFrame, keyCol: String, tsCol: String,
+                         cutoff: String, roundDp: Int = 6): DataFrame = {
+    Joins.requireFreeColumns("temporalSplitAudit", df.columns,
+      "n_train", "n_test", "train_keys", "test_keys", "shared_keys",
+      "shared_key_frac", "leaky_test_rows", "leaky_row_frac", "__tr", "__te")
+    val perKey = df
+      .select(col(keyCol),
+        when(col(tsCol) < lit(cutoff).cast("timestamp"), 1L).otherwise(0L)
+          .as("__tr"),
+        when(col(tsCol) >= lit(cutoff).cast("timestamp"), 1L).otherwise(0L)
+          .as("__te"))
+      .groupBy(keyCol)
+      .agg(sum("__tr").as("__tr"), sum("__te").as("__te"))
+    perKey.agg(
+        sum("__tr").as("n_train"), sum("__te").as("n_test"),
+        sum(when(col("__tr") > 0L, 1L).otherwise(0L)).as("train_keys"),
+        sum(when(col("__te") > 0L, 1L).otherwise(0L)).as("test_keys"),
+        sum(when(col("__tr") > 0L && col("__te") > 0L, 1L).otherwise(0L))
+          .as("shared_keys"),
+        sum(when(col("__tr") > 0L && col("__te") > 0L, col("__te"))
+          .otherwise(0L)).as("leaky_test_rows"))
+      .select(col("n_train"), col("n_test"), col("train_keys"),
+        col("test_keys"), col("shared_keys"),
+        when(col("test_keys") > 0L,
+          round(col("shared_keys").cast("double") / col("test_keys"),
+            roundDp)).as("shared_key_frac"),
+        col("leaky_test_rows"),
+        when(col("n_test") > 0L,
+          round(col("leaky_test_rows").cast("double") / col("n_test"),
+            roundDp)).as("leaky_row_frac"))
+  }
+
   /** Retrieval ranking metrics — the eval harness for any ranked system
     * this engine produces (BM25, cosine/ANN top-k, RRF fusion): per
     * query, precision@k, recall@k, reciprocal rank, and NDCG@k against

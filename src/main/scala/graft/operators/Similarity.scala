@@ -291,6 +291,65 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Semantic decontamination — flag corpus rows that are
+    * embedding-space near-duplicates of a benchmark/eval set, the
+    * similarity-level complement of the n-gram `decontaminate` (exact
+    * phrase leaks) for paraphrased or re-templated contamination.
+    *
+    * Same sign-LSH front as [[annKnnJoin]] (seed-pinned hyperplanes,
+    * multi-probe at `probeRadius`), flipped to aggregate per CORPUS row:
+    * a corpus row is contaminated when ANY probed benchmark vector
+    * scores cosine ≥ tau; output keeps its best match (highest cos,
+    * smallest benchmark id on ties — deterministic) and the number of
+    * probed benchmark hits. Recall follows the sign-LSH S-curve; exact
+    * duplicates always share their bucket (probe 0), so verbatim
+    * benchmark leakage is caught at ANY probeRadius. The same
+    * planes-∝-log2(corpus/targetBucket) sizing contract as annKnnJoin
+    * applies when the benchmark side grows with the corpus.
+    *
+    * Scale shape: one bucket-keyed equi-join (benchmark side explodes
+    * ×C(planes,≤r) probes and typically BROADCASTS — eval sets are
+    * small), cosine + threshold inside the join projection, one
+    * map-side-combining groupBy per flagged corpus row. No windows.
+    *
+    * Output: (idCol, matched_id, cos, n_hits) — flagged rows only. */
+  def semanticDecontam(corpus: DataFrame, benchmark: DataFrame,
+                       idCol: String, vecCol: String, tau: Double,
+                       planes: Int = 8, probeRadius: Int = 1,
+                       dim: Int = 0): DataFrame = {
+    require(planes > 0 && planes <= 24,
+      s"semanticDecontam supports 1..24 hyperplanes, got $planes")
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    val vecDim = if (dim > 0) dim else {
+      val first = benchmark.select(toDouble(col(vecCol))).take(1)
+      require(first.nonEmpty,
+        "semanticDecontam needs a non-empty benchmark side to infer the " +
+          "vector dimension (or pass dim explicitly)")
+      first(0).getSeq[Double](0).length
+    }
+    val hp = hyperplanes(planes, vecDim)
+    val c = corpus.select(col(idCol).as("__cid"),
+        toDouble(col(vecCol)).as("__v"))
+      .withColumn("__b", bucketExpr(col("__v"), hp))
+    val masks = (0L until (1L << planes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val q = benchmark.select(col(idCol).as("__qid"),
+        toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qb", bucketExpr(col("__qv"), hp))
+      .withColumn("__probe", explode(array(masks.map(lit).toIndexedSeq: _*)))
+      .select(col("__qid"), col("__qv"),
+        col("__qb").bitwiseXOR(col("__probe")).as("__pb"))
+    c.join(q, col("__b") === col("__pb"))
+      .select(col("__cid"), col("__qid"),
+        (round(fastCosine(col("__v"), col("__qv")), 4) + 0.0).as("__cos"))
+      .where(col("__cos") >= tau)
+      .groupBy(col("__cid").as(idCol))
+      .agg(max_by(col("__qid"), struct(col("__cos"), (-col("__qid")).as("__nq")))
+          .as("matched_id"),
+        max(col("__cos")).as("cos"),
+        count(lit(1)).as("n_hits"))
+  }
+
   /** PCA moments, covariance, and components — the deterministic
     * pipeline behind [[pcaProject]]:
     *

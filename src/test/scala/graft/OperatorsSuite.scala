@@ -427,6 +427,33 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L3s semanticDecontam: planted verbatim leaks caught at probe 0, orthogonal corpus stays clean") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bench = emb.where(col("vec_id") < 8)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val got = Similarity.semanticDecontam(emb, bench, "vec_id", "embedding",
+        tau = 0.9, planes = 8, probeRadius = 1, dim = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // every planted duplicate flagged with its own re-keyed twin at 1.0
+    (0L until 8L).foreach { i =>
+      assert(got.get(i) == Some((1000000L + i, 1.0)), s"vec $i: ${got.get(i)}")
+    }
+    // the near-orthogonal rest of the corpus stays below tau = 0.9
+    assert(got.keySet == (0L until 8L).toSet, got.keySet.toSeq.sorted.take(20))
+    // max_by tie-break: duplicate benchmark rows (same vector twice)
+    // resolve to the SMALLEST benchmark id
+    val bench2 = bench.union(bench
+      .select((col("vec_id") + 500L).as("vec_id"), col("embedding")))
+    val tie = Similarity.semanticDecontam(emb.where(col("vec_id") < 8),
+        bench2, "vec_id", "embedding", tau = 0.9, planes = 8,
+        probeRadius = 1, dim = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    (0L until 8L).foreach { i =>
+      assert(tie(i) == ((1000000L + i, 2L)), s"tie vec $i: ${tie(i)}")
+    }
+  }
+
   test("L3 annKnnJoin: empty query side fails fast; explicit dim equals inferred") {
     val emb = Tables.embeddings(spark, sfDir)
     val ex = intercept[IllegalArgumentException] {

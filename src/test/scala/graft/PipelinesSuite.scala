@@ -938,6 +938,25 @@ class PipelinesSuite extends AnyFunSuite {
     assert(e0 == 0.2375 && e9 == 0.2375)
   }
 
+  test("temporalSplitAudit: straddling keys counted once, leaky rows are test-side only") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // k=1 train-only, k=2 straddles (1 train + 2 test), k=3 test-only
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-02 00:00:00")),
+      (2L, ts("2024-01-03 00:00:00")), (2L, ts("2024-01-10 00:00:00")),
+      (2L, ts("2024-01-11 00:00:00")),
+      (3L, ts("2024-01-12 00:00:00"))).toDF("k", "t")
+    val r = Pipelines.temporalSplitAudit(df, "k", "t", "2024-01-05 00:00:00")
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)   // n_train, n_test
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)   // train/test keys
+    assert(r.getLong(4) == 1L && r.getDouble(5) == 0.5) // shared, frac
+    assert(r.getLong(6) == 2L)                          // k=2's test rows
+    assert(r.getDouble(7) == BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("calibrationBins/rankingMetrics: reserved-column clash fails loud") {
     intercept[IllegalArgumentException] {
       Pipelines.calibrationBins(
