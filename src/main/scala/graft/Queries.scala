@@ -2154,6 +2154,29 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Population-stability drift of event values across the 2024-01-15
+    * cut — the scorecard PSI next to x_ks_drift's worst-CDF-gap read.
+    * One row. */
+  def xPsi(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    Pipelines.psiDrift(
+      e.where(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("value"),
+      e.where(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("value"),
+      "value", bins = 16)
+  }
+
+  /** Grouped 5-fold assignment over events keyed by user — per-fold row
+    * and group counts prove the folds partition USERS (no user's rows
+    * straddle folds). */
+  def xKfold(s: SparkSession, d: String): DataFrame =
+    Pipelines.groupedKFold(events(s, d), "user_id", k = 5)
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_groups"))
+      .orderBy("fold")
+
   /** Calibration audit of a deliberately miscalibrated scorer: score =
     * md5-uniform in [0, 1), label drawn at rate score² (so the
     * reliability curve bows below the diagonal) — per-decile mean

@@ -966,7 +966,9 @@ object SparkEntry {
     "x_rank_eval" -> (Queries.xRankEval _),
     "x_calibration" -> (Queries.xCalibration _),
     "x_time_split" -> (Queries.xTimeSplit _),
-    "x_sem_decontam" -> (Queries.xSemDecontam _)
+    "x_sem_decontam" -> (Queries.xSemDecontam _),
+    "x_psi" -> (Queries.xPsi _),
+    "x_kfold" -> (Queries.xKfold _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2440,6 +2442,25 @@ object SparkEntry {
         "f AS (SELECT * FROM s WHERE cos >= 0.9), " +
         "r AS (SELECT vec_id, qid, cos, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, qid) AS rk, COUNT(*) OVER (PARTITION BY vec_id) AS nh FROM f) " +
         "SELECT vec_id, qid AS matched_id, cos, CAST(nh AS BIGINT) AS n_hits FROM r WHERE rk = 1 ORDER BY vec_id"),
+    // PSI: ksDrift's shared-bounds bins, Laplace +0.5 smoothing over the
+    // FULL bin grid, every term quantized 1e-12 before the sum
+    "x_psi" ->
+      ("WITH va AS (SELECT CAST(value AS DOUBLE) AS x FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' AND value IS NOT NULL), " +
+        "vb AS (SELECT CAST(value AS DOUBLE) AS x FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND value IS NOT NULL), " +
+        "bd AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM (SELECT x FROM va UNION ALL SELECT x FROM vb)), " +
+        "ba AS (SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT) ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 16)) AS BIGINT), 15) END AS b, COUNT(*) AS ca FROM va CROSS JOIN bd GROUP BY 1), " +
+        "bb AS (SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT) ELSE LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 16)) AS BIGINT), 15) END AS b, COUNT(*) AS cb FROM vb CROSS JOIN bd GROUP BY 1), " +
+        "g AS (SELECT UNNEST(generate_series(0, 15)) AS b), " +
+        "h AS (SELECT g.b, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb FROM g LEFT JOIN ba ON g.b = ba.b LEFT JOIN bb ON g.b = bb.b), " +
+        "t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h) " +
+        "SELECT CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN ROUND(CAST(SUM(CAST(ROUND(((CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 8.0) - (CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 8.0)) * ln(((CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 8.0)) / ((CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 8.0))) * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12, 6) END AS psi " +
+        "FROM h CROSS JOIN t GROUP BY na, nb"),
+    // grouped k-fold: md5(group) mod k — folds partition GROUPS
+    "x_kfold" ->
+      ("SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups " +
+        "FROM (SELECT user_id, CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS fold FROM events) " +
+        "GROUP BY fold ORDER BY fold"),
     // calibration: micro-unit integer score sums per bin, exact-integer
     // ECE numerator; the md5-uniform score/label replayed bit-for-bit
     "x_calibration" ->

@@ -1457,6 +1457,87 @@ object Pipelines {
       .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("d_stat"))
   }
 
+  /** Population stability index between a reference and a current
+    * distribution — the scorecard-drift metric next to [[ksDrift]]
+    * (KS reads the worst CDF gap; PSI reads the whole reshape:
+    * Σ (p_b − q_b)·ln(p_b/q_b) over shared equal-width bins, the
+    * industry alert thresholds being ~0.1 watch / 0.25 act).
+    *
+    * Bins share bounds across both sides (ksDrift's arithmetic) and
+    * both histograms are Laplace-smoothed by +0.5 per bin so an empty
+    * bin on one side contributes a finite term instead of ±∞. Every
+    * term is quantized to 1e-12 before the sum (the engine's
+    * cross-engine float-sum contract).
+    *
+    * Scale shape: ksDrift's exactly — two map-side-combining bin
+    * groupBys, a ≤ bins-row full-outer join, totals broadcast; the PSI
+    * fold runs on the ≤ bins-row frame. No windows over the corpus.
+    *
+    * Output: one row (n_ref, n_cur, psi) — NULL psi when a side is
+    * empty. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valCol: String,
+               bins: Int = 16, roundDp: Int = 6): DataFrame = {
+    require(bins >= 1, "psiDrift needs bins >= 1")
+    Joins.requireFreeColumns("psiDrift", Seq(valCol),
+      "__lo", "__hi", "__bin", "__ca", "__cb", "__na", "__nb",
+      "n_ref", "n_cur", "psi")
+    val x = col(valCol).cast("double")
+    val va = ref.select(x.as("__x")).where(col("__x").isNotNull)
+    val vb = cur.select(x.as("__x")).where(col("__x").isNotNull)
+    val bounds = va.unionByName(vb)
+      .agg(min("__x").as("__lo"), max("__x").as("__hi"))
+    def binned(side: DataFrame, cnt: String): DataFrame =
+      side.crossJoin(broadcast(bounds))
+        .select(when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("__x") - col("__lo")) /
+              ((col("__hi") - col("__lo")) / bins)).cast("long"),
+            lit(bins - 1L))).as("__bin"))
+        .groupBy("__bin").agg(count(lit(1)).as(cnt))
+    // the full bin range 0..bins−1, so bins empty on BOTH sides still
+    // carry their smoothed mass (PSI's denominator is the bin grid, not
+    // the occupied bins — dropping empty bins would inflate p and q)
+    val grid = ref.sparkSession.range(bins).select(col("id").as("__bin"))
+    val hist = grid
+      .join(binned(va, "__ca"), Seq("__bin"), "left")
+      .join(binned(vb, "__cb"), Seq("__bin"), "left")
+      .select(col("__bin"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .localCheckpoint() // ≤ bins rows, consumed by totals AND the fold
+    val p = (col("__ca").cast("double") + 0.5) /
+      (col("__na").cast("double") + 0.5 * bins)
+    val q = (col("__cb").cast("double") + 0.5) /
+      (col("__nb").cast("double") + 0.5 * bins)
+    hist
+      .crossJoin(broadcast(hist.agg(sum("__ca").as("__na"),
+        sum("__cb").as("__nb"))))
+      .groupBy("__na", "__nb")
+      .agg((sum(round((p - q) * log(p / q) * 1e12, 0).cast("long"))
+        .cast("double") / 1e12).as("__psi"))
+      .select(col("__na").as("n_ref"), col("__nb").as("n_cur"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          round(col("__psi"), roundDp)).as("psi"))
+  }
+
+  /** Grouped k-fold assignment — the cross-validation split that keeps
+    * every row of a group (user, document family, dedup cluster) in ONE
+    * fold, so no fold evaluates on entities another fold trained on
+    * (the CV-side complement of [[temporalSplitAudit]]). Content-
+    * addressed like [[sampleByMd5]]: fold = md5(group) mod k, so the
+    * assignment is reproducible on any engine, any run, and any append
+    * — a new row of an existing group lands in the group's fold.
+    *
+    * Scale shape: a pure per-row projection — zero shuffle, zero state.
+    *
+    * Output: the input plus a `fold` column in [0, k). */
+  def groupedKFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, "groupedKFold needs k >= 2")
+    Joins.requireFreeColumns("groupedKFold", df.columns, "fold")
+    df.withColumn("fold",
+      conv(substring(md5(col(groupCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % k)
+  }
+
   /** Pointwise and aggregate mutual information between two categorical
     * columns — the feature-association screen (is `lang` informative
     * about `source`? is a quality flag independent of the domain?)

@@ -957,6 +957,38 @@ class PipelinesSuite extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("psiDrift: identical sides read 0, a shifted distribution alarms, empty side is NULL") {
+    val docs = Tables.documents(spark, sfDir).select(col("n_chars"))
+    val same = Pipelines.psiDrift(docs, docs, "n_chars").collect().head
+    assert(same.getDouble(2) == 0.0, same.toString) // p = q per bin exactly
+    // current side shifted +3σ-ish: mass moves across bins, PSI > 0.25
+    val shifted = Pipelines.psiDrift(docs,
+      docs.select((col("n_chars") + 150L).as("n_chars")), "n_chars")
+      .collect().head
+    assert(shifted.getDouble(2) > 0.25, shifted.toString)
+    val empty = Pipelines.psiDrift(docs.where(lit(false)), docs, "n_chars")
+      .collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(2), empty.toString)
+  }
+
+  test("groupedKFold: folds partition groups, assignment is content-addressed") {
+    val ev = Tables.events(spark, sfDir)
+    val folded = Pipelines.groupedKFold(ev, "user_id", k = 5)
+    // no group straddles folds
+    assert(folded.groupBy("user_id")
+      .agg(countDistinct(col("fold")).as("nf"))
+      .where(col("nf") > 1).count() == 0L)
+    // total, in-range, and stable across runs
+    assert(folded.where(col("fold").isNull || col("fold") < 0 ||
+      col("fold") >= 5).count() == 0L)
+    val again = Pipelines.groupedKFold(ev, "user_id", k = 5)
+    assert(folded.select("event_id", "fold")
+      .exceptAll(again.select("event_id", "fold")).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Pipelines.groupedKFold(ev, "user_id", k = 1)
+    }
+  }
+
   test("calibrationBins/rankingMetrics: reserved-column clash fails loud") {
     intercept[IllegalArgumentException] {
       Pipelines.calibrationBins(
