@@ -409,7 +409,9 @@ object ScaleSmoke {
       // the fixed 8-vector benchmark sweeps a growing corpus — replica
       // twins of the planted dups are all true hits, output ∝ copies
       q("x_time_split", "events"),
-      q("x_sem_decontam", "embeddings"))
+      q("x_sem_decontam", "embeddings"),
+      q("x_psi", "events"),
+      q("x_kfold", "events"))
       // NOT here: x_entity_match / x_entity_match_indel. Replica
       // customer names are copy-identical (c_name is not tagged), so
       // every cross-copy name pair is a TRUE distance-0 match (and

@@ -666,4 +666,36 @@ class PlanShapeSuite extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("resampleInterp plans ONE Window operator (prev/next anchors share the partition+sort)") {
+    // the operator's scaladoc claims the four running columns (pv/pb
+    // over the default frame, nv/nb over the forward frame) collapse
+    // into a single Window — frames differ, partition/order don't, and
+    // ExtractWindowExpressions groups on (partition, order) only
+    val df = graft.operators.EventAnalytics.resampleInterp(
+      Tables.events(spark, sfDir), "user_id", "ts", "event_id", "value",
+      stepSec = 86400L)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.length == 1, df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("semanticDecontam broadcasts the probed benchmark side") {
+    // eval sets are small; the ×C(planes,≤r)-exploded benchmark must go
+    // broadcast so the corpus side never shuffles for the bucket join
+    val emb = Tables.embeddings(spark, sfDir)
+    val bench = emb.where(col("vec_id") < 8)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val p = plan(graft.operators.Similarity.semanticDecontam(
+      emb, bench, "vec_id", "embedding", tau = 0.9, dim = 64))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("groupedKFold / md5 splits stay Exchange-free (pure projections)") {
+    val p = plan(graft.operators.Pipelines.groupedKFold(
+      Tables.events(spark, sfDir), "user_id", k = 5))
+    assert(!p.contains("Exchange"), p.take(3000))
+  }
 }
