@@ -2154,6 +2154,13 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Zipf fit over the corpus's top-500 tokens — slope/intercept/r² of
+    * the log-log rank-frequency line, the natural-language health
+    * number a curation dashboard tracks per source. One row. */
+  def xZipf(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.zipfFit(documents(s, d), "text",
+      topN = 500)
+
   /** Population-stability drift of event values across the 2024-01-15
     * cut — the scorecard PSI next to x_ks_drift's worst-CDF-gap read.
     * One row. */

@@ -968,7 +968,8 @@ object SparkEntry {
     "x_time_split" -> (Queries.xTimeSplit _),
     "x_sem_decontam" -> (Queries.xSemDecontam _),
     "x_psi" -> (Queries.xPsi _),
-    "x_kfold" -> (Queries.xKfold _)
+    "x_kfold" -> (Queries.xKfold _),
+    "x_zipf" -> (Queries.xZipf _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2442,6 +2443,24 @@ object SparkEntry {
         "f AS (SELECT * FROM s WHERE cos >= 0.9), " +
         "r AS (SELECT vec_id, qid, cos, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, qid) AS rk, COUNT(*) OVER (PARTITION BY vec_id) AS nh FROM f) " +
         "SELECT vec_id, qid AS matched_id, cos, CAST(nh AS BIGINT) AS n_hits FROM r WHERE rk = 1 ORDER BY vec_id"),
+    // Zipf fit: per-rank OLS terms on the ln scale quantized 1e-12 and
+    // integer-summed over the <= topN frame; identical final algebra
+    "x_zipf" ->
+      ("WITH tok AS (SELECT t FROM documents, UNNEST(string_split(text, ' ')) AS u(t) WHERE len(t) > 0), " +
+        "c AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY 1), " +
+        "top AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rk FROM c ORDER BY n DESC, t LIMIT 500), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms, " +
+        "SUM(CAST(ROUND(ln(CAST(rk AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS sx, " +
+        "SUM(CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS sy, " +
+        "SUM(CAST(ROUND(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS sxx, " +
+        "SUM(CAST(ROUND(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS syy, " +
+        "SUM(CAST(ROUND(ln(CAST(rk AS DOUBLE)) * ln(CAST(n AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS sxy FROM top), " +
+        "f AS (SELECT n_terms, CAST(n_terms AS DOUBLE) AS nn, CAST(sx AS DOUBLE) / 1e12 AS dsx, CAST(sy AS DOUBLE) / 1e12 AS dsy, " +
+        "CAST(sxx AS DOUBLE) / 1e12 AS dsxx, CAST(syy AS DOUBLE) / 1e12 AS dsyy, CAST(sxy AS DOUBLE) / 1e12 AS dsxy FROM s), " +
+        "v AS (SELECT n_terms, nn, dsx, dsy, nn * dsxx - dsx * dsx AS vx, nn * dsyy - dsy * dsy AS vy, nn * dsxy - dsx * dsy AS cxy FROM f) " +
+        "SELECT n_terms, CASE WHEN vx > 0 THEN ROUND(cxy / vx, 6) END AS slope, " +
+        "CASE WHEN vx > 0 THEN ROUND((dsy - cxy / vx * dsx) / nn, 6) END AS intercept, " +
+        "CASE WHEN vx > 0 AND vy > 0 THEN ROUND(cxy * cxy / (vx * vy), 6) END AS r2 FROM v"),
     // PSI: ksDrift's shared-bounds bins, Laplace +0.5 smoothing over the
     // FULL bin grid, every term quantized 1e-12 before the sum
     "x_psi" ->

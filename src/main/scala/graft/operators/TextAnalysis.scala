@@ -1162,4 +1162,57 @@ object TextAnalysis {
         q(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("ease"),
         q(lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("grade"))
   }
+
+  /** Zipf fit — the corpus-health audit for "does this read like
+    * natural language": OLS of ln(frequency) on ln(rank) over the top
+    * `topN` tokens. Natural text sits near slope −1 with high r²;
+    * boilerplate-heavy or template-generated corpora flatten the head
+    * or kink the tail, and a synthetic corpus drawn uniformly reads
+    * slope ≈ 0. The numbers a curation dashboard tracks per source.
+    *
+    * Float policy: each OLS term (x, y, x², y², xy on the ln scale) is
+    * quantized to 1e-12 per rank row and summed as integers (≤ topN
+    * rows, no overflow), so the sums — and therefore slope/intercept/r²
+    * — are engine-exact; ranks tie-break by token for a deterministic
+    * head.
+    *
+    * Scale shape: one map-side-combining token count (the q50 shape),
+    * one TakeOrdered top-N (only N rows per partition reach the merge),
+    * then all sums on the ≤ topN-row frame. The corpus is touched once.
+    *
+    * Output: one row (n_terms, slope, intercept, r2) at `roundDp`;
+    * slope/r² NULL when fewer than 2 distinct ranks survive. */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int = 1000,
+              roundDp: Int = 6): DataFrame = {
+    require(topN >= 2, "zipfFit needs topN >= 2")
+    Joins.requireFreeColumns("zipfFit", Seq(textCol),
+      "n_terms", "slope", "intercept", "r2", "__t", "__n", "__rk")
+    val top = docs
+      .select(explode(split(col(textCol), " ")).as("__t"))
+      .where(length(col("__t")) > 0)
+      .groupBy("__t").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__t")).limit(topN)
+    val x = log(col("__rk").cast("double"))
+    val y = log(col("__n").cast("double"))
+    def qsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(round(c * 1e12, 0).cast("long")).as(n)
+    val sums = top
+      .select(col("__n"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__n").desc, col("__t"))).cast("long").as("__rk"))
+      .agg(count(lit(1)).as("n_terms"), qsum(x, "__sx"), qsum(y, "__sy"),
+        qsum(x * x, "__sxx"), qsum(y * y, "__syy"), qsum(x * y, "__sxy"))
+    val n = col("n_terms").cast("double")
+    def d(name: String) = col(name).cast("double") / 1e12
+    val vx = n * d("__sxx") - d("__sx") * d("__sx")
+    val vy = n * d("__syy") - d("__sy") * d("__sy")
+    val cxy = n * d("__sxy") - d("__sx") * d("__sy")
+    sums.select(col("n_terms"),
+      when(vx > 0.0, round(cxy / vx, roundDp)).as("slope"),
+      when(vx > 0.0,
+        round((d("__sy") - cxy / vx * d("__sx")) / n, roundDp))
+        .as("intercept"),
+      when(vx > 0.0 && vy > 0.0,
+        round(cxy * cxy / (vx * vy), roundDp)).as("r2"))
+  }
 }

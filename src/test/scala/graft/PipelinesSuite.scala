@@ -989,6 +989,26 @@ class PipelinesSuite extends AnyFunSuite {
     }
   }
 
+  test("zipfFit: exact ranks recover a planted power law; uniform corpus reads slope 0") {
+    // freq(token_r) = 2^(10−r) → ln f = 10·ln2 − ln2·... no: plant
+    // f(r) = round(1000 / r) for r = 1..8 → slope ≈ −1, r² ≈ 1
+    val rows = (1 to 8).flatMap { r =>
+      Seq.fill(1000 / r)(s"tok$r")
+    }
+    val df = rows.map(t => Tuple1(t)).toDF("text")
+    val fit = graft.operators.TextAnalysis.zipfFit(df, "text", topN = 8)
+      .collect().head
+    assert(fit.getLong(0) == 8L)
+    assert(math.abs(fit.getDouble(1) + 1.0) < 0.02, fit.toString) // slope ≈ −1
+    assert(fit.getDouble(3) > 0.999, fit.toString)                // r² ≈ 1
+    // uniform frequencies: vy = 0 → slope 0, r² NULL
+    val uni = (1 to 6).flatMap(r => Seq.fill(10)(s"u$r"))
+      .map(t => Tuple1(t)).toDF("text")
+    val ufit = graft.operators.TextAnalysis.zipfFit(uni, "text", topN = 6)
+      .collect().head
+    assert(ufit.getDouble(1) == 0.0 && ufit.isNullAt(3), ufit.toString)
+  }
+
   test("calibrationBins/rankingMetrics: reserved-column clash fails loud") {
     intercept[IllegalArgumentException] {
       Pipelines.calibrationBins(
