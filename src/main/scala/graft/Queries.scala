@@ -2184,6 +2184,22 @@ object Queries {
         countDistinct(col("user_id")).as("n_groups"))
       .orderBy("fold")
 
+  /** Binned ROC-AUC of the same miscalibrated-but-discriminative scorer
+    * x_calibration audits: label rate = score², so ranking quality is
+    * real (AUC well above 0.5) while calibration is off — the pair of
+    * numbers that distinguishes "re-rank it" from "re-train it". */
+  def xRocAuc(s: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("s"),
+      col("event_id").cast("string"))), 1, 6), 16, 10).cast("long")
+      .cast("double") / (1 << 24)
+    val v = conv(substring(md5(concat(lit("l"),
+      col("event_id").cast("string"))), 1, 6), 16, 10).cast("long")
+      .cast("double") / (1 << 24)
+    val scored = events(s, d).select(u.as("score"),
+      when(v < u * u, 1L).otherwise(0L).as("label"))
+    Pipelines.rocAuc(scored, "score", "label", bins = 1024)
+  }
+
   /** Calibration audit of a deliberately miscalibrated scorer: score =
     * md5-uniform in [0, 1), label drawn at rate score² (so the
     * reliability curve bows below the diagonal) — per-decile mean

@@ -412,7 +412,8 @@ object ScaleSmoke {
       q("x_sem_decontam", "embeddings"),
       q("x_psi", "events"),
       q("x_kfold", "events"),
-      q("x_zipf", "documents"))
+      q("x_zipf", "documents"),
+      q("x_roc_auc", "events"))
       // NOT here: x_entity_match / x_entity_match_indel. Replica
       // customer names are copy-identical (c_name is not tagged), so
       // every cross-copy name pair is a TRUE distance-0 match (and

@@ -969,7 +969,8 @@ object SparkEntry {
     "x_sem_decontam" -> (Queries.xSemDecontam _),
     "x_psi" -> (Queries.xPsi _),
     "x_kfold" -> (Queries.xKfold _),
-    "x_zipf" -> (Queries.xZipf _)
+    "x_zipf" -> (Queries.xZipf _),
+    "x_roc_auc" -> (Queries.xRocAuc _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2480,6 +2481,17 @@ object SparkEntry {
       ("SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups " +
         "FROM (SELECT user_id, CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS fold FROM events) " +
         "GROUP BY fold ORDER BY fold"),
+    // binned ROC-AUC: exact integer Mann-Whitney numerator (ties at bin
+    // resolution contribute half), one final double division
+    "x_roc_auc" ->
+      ("WITH s AS (SELECT CAST(CAST('0x' || substring(md5('s' || CAST(event_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE) / 16777216 AS score, " +
+        "CAST(CAST('0x' || substring(md5('l' || CAST(event_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE) / 16777216 AS v FROM events), " +
+        "b AS (SELECT LEAST(CAST(FLOOR(score * 1024) AS BIGINT), 1023) AS bin, CASE WHEN v < score * score THEN 1 ELSE 0 END AS l FROM s), " +
+        "pb AS (SELECT bin, CAST(SUM(l) AS BIGINT) AS pos, CAST(COUNT(*) - SUM(l) AS BIGINT) AS neg FROM b GROUP BY 1), " +
+        "c AS (SELECT pos, neg, SUM(pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS cp FROM pb), " +
+        "t AS (SELECT CAST(SUM(pos) AS BIGINT) AS np, CAST(SUM(neg) AS BIGINT) AS nn, SUM(CAST(neg AS HUGEINT) * (2 * cp - pos)) AS num FROM c) " +
+        "SELECT np AS n_pos, nn AS n_neg, " +
+        "CASE WHEN np > 0 AND nn > 0 THEN ROUND(CAST(num AS DOUBLE) / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) END AS auc FROM t"),
     // calibration: micro-unit integer score sums per bin, exact-integer
     // ECE numerator; the md5-uniform score/label replayed bit-for-bit
     "x_calibration" ->

@@ -1519,6 +1519,58 @@ object Pipelines {
           round(col("__psi"), roundDp)).as("psi"))
   }
 
+  /** Binned ROC-AUC — the ranking-quality number next to
+    * [[calibrationBins]]'s honesty number: scores bin into `bins`
+    * equal-width thresholds and AUC is the exact trapezoid over the
+    * binned ROC curve, algebraically the tie-aware Mann-Whitney
+    * statistic with ties at bin resolution:
+    *
+    *   AUC = Σ_b neg_b · (2·cumPos_b − pos_b) / (2·P·N)
+    *
+    * (descending-score cumulative; within-bin ties contribute half).
+    * The numerator is an EXACT integer at any corpus size (decimal
+    * accumulation — per-bin products overflow a long at ~10¹¹ rows), so
+    * the statistic is engine-exact; bins only bound tie resolution, and
+    * 1024 bins on a [0,1] score is finer than most learned scorers'
+    * meaningful precision.
+    *
+    * Scale shape: one map-side-combining groupBy on the bin id, then a
+    * ≤ bins-row cumulative window (the documented bounded-frame
+    * exception) and a single-row agg. No corpus-sized sort — the exact
+    * unbinned AUC would need one; this is the 100 TB form.
+    *
+    * Output: one row (n_pos, n_neg, auc); NULL auc when a class is
+    * absent. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+             bins: Int = 1024, roundDp: Int = 6): DataFrame = {
+    require(bins >= 2, "rocAuc needs >= 2 bins")
+    Joins.requireFreeColumns("rocAuc", df.columns,
+      "n_pos", "n_neg", "auc", "__bin", "__pos", "__neg", "__cp")
+    val s = col(scoreCol).cast("double")
+    val perBin = df
+      .where(s.isNotNull && col(labelCol).isNotNull)
+      .select(least(floor(s * bins).cast("long"), lit(bins - 1L)).as("__bin"),
+        col(labelCol).cast("long").as("__l"))
+      .groupBy("__bin")
+      .agg(sum("__l").as("__pos"),
+        (count(lit(1)) - sum("__l")).as("__neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perBin
+      .select(col("__pos"), col("__neg"), sum("__pos").over(w).as("__cp"))
+      .agg(sum("__pos").as("n_pos"), sum("__neg").as("n_neg"),
+        sum(col("__neg").cast("decimal(38,0)") *
+          (lit(2L) * col("__cp") - col("__pos")).cast("decimal(38,0)"))
+          .as("__num"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round(col("__num").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double")), roundDp)).as("auc"))
+  }
+
   /** Grouped k-fold assignment — the cross-validation split that keeps
     * every row of a group (user, document family, dedup cluster) in ONE
     * fold, so no fold evaluates on entities another fold trained on

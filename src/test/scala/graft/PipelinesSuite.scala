@@ -1009,6 +1009,31 @@ class PipelinesSuite extends AnyFunSuite {
     assert(ufit.getDouble(1) == 0.0 && ufit.isNullAt(3), ufit.toString)
   }
 
+  test("rocAuc: perfect separation reads 1, anti-separation 0, within-bin ties half") {
+    // perfect: all positives above all negatives (distinct bins)
+    val perfect = Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L))
+      .toDF("score", "label")
+    assert(Pipelines.rocAuc(perfect, "score", "label")
+      .collect().head.getDouble(2) == 1.0)
+    val anti = Seq((0.9, 0L), (0.8, 0L), (0.2, 1L), (0.1, 1L))
+      .toDF("score", "label")
+    assert(Pipelines.rocAuc(anti, "score", "label")
+      .collect().head.getDouble(2) == 0.0)
+    // one bin, 1 pos + 1 neg tied → AUC 0.5 (the tie-half rule);
+    // single-class input → NULL
+    val tied = Seq((0.5, 1L), (0.5, 0L)).toDF("score", "label")
+    assert(Pipelines.rocAuc(tied, "score", "label")
+      .collect().head.getDouble(2) == 0.5)
+    val mono = Seq((0.5, 1L), (0.6, 1L)).toDF("score", "label")
+    assert(Pipelines.rocAuc(mono, "score", "label").collect().head.isNullAt(2))
+    // hand case: pos at bins {3,1}, neg at {2,0} → concordant 3,
+    // discordant 1 of 4 pairs → AUC 0.75
+    val hand = Seq((3.5 / 1024, 1L), (1.5 / 1024, 1L), (2.5 / 1024, 0L),
+      (0.5 / 1024, 0L)).toDF("score", "label")
+    assert(Pipelines.rocAuc(hand, "score", "label")
+      .collect().head.getDouble(2) == 0.75)
+  }
+
   test("calibrationBins/rankingMetrics: reserved-column clash fails loud") {
     intercept[IllegalArgumentException] {
       Pipelines.calibrationBins(
