@@ -799,6 +799,40 @@ class StreamingSuite extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("DriftMonitorJob: per-batch PSI vs a static reference — in-distribution batch quiet, shifted batch alarms") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_drift").toString
+    val (src, out, ckpt) = (s"$dir/src", s"$dir/out", s"$dir/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val reference = (1 to 1000).map(i => i.toLong).toDF("n")
+    // b1 drawn from the reference's range; b2 shifted far out of it
+    val b1 = (1 to 500).map(i => (i * 2).toLong)
+    val b2 = (1 to 500).map(i => (i + 100000).toLong)
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      b1.map(v => s"""{"n":$v}""").mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(s"$src/b2.json"),
+      b2.map(v => s"""{"n":$v}""").mkString("\n").getBytes)
+    val stream = spark.readStream.schema("n LONG")
+      .option("maxFilesPerTrigger", 1).json(s"$src/*")
+    val q = graft.jobs.DriftMonitorJob.runStreaming(
+      stream, reference, Seq("n"), out, ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val report = spark.read.parquet(out)
+    assert(report.count() == 2L) // one PSI row per (batch, column)
+    val byPsi = report.collect()
+      .map(r => r.getDouble(3) -> r.getLong(4)).sortBy(_._1)
+    // in-distribution batch reads under the 0.25 act threshold, the
+    // shifted batch far over it
+    assert(byPsi.head._1 < 0.25 && byPsi.last._1 > 1.0, byPsi.toSeq)
+    // report rows ≡ the batch psiDrift on the same frames
+    val wantQuiet = graft.operators.Pipelines
+      .psiDrift(reference, b1.toDF("n"), "n").collect().head.getDouble(2)
+    val wantLoud = graft.operators.Pipelines
+      .psiDrift(reference, b2.toDF("n"), "n").collect().head.getDouble(2)
+    assert(Set(byPsi.head._1, byPsi.last._1) == Set(wantQuiet, wantLoud))
+  }
+
   test("T7×retention: streaming cohort activity equals the batch triangle across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val batch = graft.operators.EventAnalytics
