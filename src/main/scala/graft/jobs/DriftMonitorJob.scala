@@ -8,7 +8,7 @@ import graft.operators.Pipelines
 
 /** Streaming distribution-drift monitor: score every micro-batch of an
   * ingest stream against a STATIC reference distribution with
-  * [[Pipelines.psiDrift]] and append one PSI row per (batch, column) to
+  * [[Pipelines.psiDrift]] and emit one PSI row per (batch, column) to
   * a metrics table — the live counterpart of the batch PSI/KS audits,
   * and the wire that catches an upstream re-scale, unit change, or
   * population shift in the very batch it starts (the scorecard
@@ -22,7 +22,17 @@ import graft.operators.Pipelines
   * dashboard-sized forever. The report never throws on drift: the
   * consumer alerts on the `psi` column.
   *
-  * Output schema: (col_name, n_ref, n_cur, psi, batch_id). */
+  * Write contract — idempotent, one file per batch: foreachBatch is
+  * at-least-once (a crash mid-batch or a post-restart replay re-runs
+  * the batch), so the |columns| PSI rows are unioned into ONE job,
+  * coalesced to one file, and written with dynamic partition overwrite
+  * on `batch_id` — a replayed batch atomically replaces exactly its
+  * own partition, never appends duplicates, and can never persist a
+  * partial column subset. File count stays ∝ batches, not
+  * batches × columns.
+  *
+  * Output schema: (col_name, n_ref, n_cur, psi) partitioned by
+  * batch_id. */
 object DriftMonitorJob {
 
   def runStreaming(stream: DataFrame, reference: DataFrame,
@@ -36,12 +46,18 @@ object DriftMonitorJob {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        cols.foreach { c =>
-          Pipelines.psiDrift(ref.select(c), batch.select(c), c, bins)
-            .select(lit(c).as("col_name"), col("n_ref"), col("n_cur"),
-              col("psi"), lit(batchId).as("batch_id"))
-            .write.mode("append").parquet(outDir)
-        }
+        cols.map { c =>
+            Pipelines.psiDrift(ref.select(c), batch.select(c), c, bins)
+              .select(lit(c).as("col_name"), col("n_ref"), col("n_cur"),
+                col("psi"))
+          }
+          .reduce(_ unionByName _)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
         ()
       }
       .start()

@@ -484,17 +484,23 @@ object Pipelines {
     * not quality).
     *
     * Deterministic by construction: the group aggregates are exact
-    * longs (count, Σx, Σx²) — safe to 2^53 — and μ/σ² derive from them
+    * integers (count as long; Σx, Σx² as decimal(38,0), since Σx²'s
+    * per-row addend reaches 1e12 at x ~ 1e6 and a long sum would wrap
+    * at ~9e6 such rows) — and μ/σ² derive from them
     * in ONE fixed expression, so there is no Welford-merge-order noise
     * to disagree across engines or partitionings. Sample variance
     * (n−1); groups with n < 2 or zero variance emit z = 0. One
     * partial-agg groupBy + one broadcastable join back (the stats
     * table has one row per group). */
   def groupZScore(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    // Decimal accumulators: Σx is long-safe to 9e18 but Σx² overflows a
+    // long at ~9e6 rows of x ~ 1e6 (the gini bug class); the per-row
+    // square is formed IN decimal so it can't wrap before the sum either
+    val xDec = col(valCol).cast("decimal(19,0)")
     val stats = df.groupBy(keyCol).agg(
       count(lit(1)).as("__n"),
-      sum(col(valCol).cast("long")).as("__s1"),
-      sum(col(valCol).cast("long") * col(valCol).cast("long")).as("__s2"))
+      sum(xDec).as("__s1"),
+      sum(xDec * xDec).as("__s2"))
     val n = col("__n").cast("double")
     val mean = col("__s1").cast("double") / n
     val variance = (col("__s2").cast("double") - col("__s1").cast("double") * mean) /
@@ -1503,7 +1509,10 @@ object Pipelines {
       .join(binned(vb, "__cb"), Seq("__bin"), "left")
       .select(col("__bin"), coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
-      .localCheckpoint() // ≤ bins rows, consumed by totals AND the fold
+      // ≤ bins rows, consumed by totals AND the fold; LAZY so merely
+      // constructing the returned frame runs no Spark job (a streaming
+      // monitor builds one of these per column per micro-batch)
+      .localCheckpoint(eager = false)
     val p = (col("__ca").cast("double") + 0.5) /
       (col("__na").cast("double") + 0.5 * bins)
     val q = (col("__cb").cast("double") + 0.5) /
@@ -1549,7 +1558,10 @@ object Pipelines {
     val s = col(scoreCol).cast("double")
     val perBin = df
       .where(s.isNotNull && col(labelCol).isNotNull)
-      .select(least(floor(s * bins).cast("long"), lit(bins - 1L)).as("__bin"),
+      // both-end clamp: scores outside [0,1] take the nearest edge bin
+      // (least() alone lets a negative score mint a negative bin id)
+      .select(greatest(lit(0L),
+          least(floor(s * bins).cast("long"), lit(bins - 1L))).as("__bin"),
         col(labelCol).cast("long").as("__l"))
       .groupBy("__bin")
       .agg(sum("__l").as("__pos"),
@@ -1748,8 +1760,11 @@ object Pipelines {
       .groupBy(col(groupCol))
       .agg(max("__nt").as("n"),
         count(lit(1)).as("k_classes"),
-        sum(round(-p * log(p) * 1e12, 0).cast("long")).as("__h"),
-        sum(round(p * p * 1e12, 0).cast("long")).as("__s"))
+        // Decimal accumulators: per-cell pico-unit terms reach ~1e12,
+        // and k_classes can be vocabulary-sized (1e7+) at corpus scale —
+        // a long sum wraps at ~9e6 cells (the gini bug class)
+        sum(round(-p * log(p) * 1e12, 0).cast("decimal(38,0)")).as("__h"),
+        sum(round(p * p * 1e12, 0).cast("decimal(38,0)")).as("__s"))
       .select(col(groupCol), col("n"), col("k_classes"),
         round(col("__h").cast("double") / 1e12, roundDp).as("shannon"),
         round(col("__s").cast("double") / 1e12, roundDp).as("simpson"),
@@ -1841,7 +1856,11 @@ object Pipelines {
           lit("weightedQuantile needs positive weights; got "),
           col(weightCol).cast("string")))).as("__wq"))
       .groupBy(col(groupCol), col("__v"))
-      .agg(sum("__wq").as("__w"), count(lit(1)).as("__c"))
+      // Decimal accumulators: micro-unit weights (~1e6 per unit-weight
+      // row) wrap a long sum at ~9e12 rows (the gini bug class); the
+      // downstream total and cumulative-window sums inherit the type
+      .agg(sum(col("__wq").cast("decimal(38,0)")).as("__w"),
+        count(lit(1)).as("__c"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy("__v")
       .rowsBetween(org.apache.spark.sql.expressions.Window
@@ -1990,7 +2009,9 @@ object Pipelines {
     * query; `qrels` = (queryCol, docCol, gradeCol) with grade > 0
     * meaning relevant (graded gains use 2^grade − 1). Run rows beyond
     * rank k are ignored; judged docs the run never returned count
-    * against recall and IDCG, exactly as trec_eval does.
+    * against recall and IDCG, exactly as trec_eval does — and a judged
+    * QUERY the run never returned at all still gets its row (n_ret 0,
+    * all-zero scores), so macro-averages over the output are honest.
     *
     * Float policy: every DCG term is quantized to 1e-12 before its sum
     * (the engine's cross-engine float-sum contract), so per-query DCG /
@@ -2029,10 +2050,13 @@ object Pipelines {
         sum(when(col("__g").isNotNull && col(rankCol) <= k, 1L)
           .otherwise(0L)).as("__hits"),
         min(when(col("__g").isNotNull, col(rankCol))).as("__firstrel"),
+        // decimal DCG accumulator: one pico-unit term is (2^g−1)·1e12 —
+        // already ~8e18 at grade 23 — so the quantized sum is formed in
+        // decimal(38,0), never a wrappable long
         sum(when(col("__g").isNotNull && col(rankCol) <= k,
           round((pow(lit(2.0), col("__g").cast("double")) - 1.0) /
             (log(col(rankCol).cast("double") + 1.0) / log(lit(2.0))) * 1e12, 0)
-            .cast("long"))).as("__dcgq"))
+            .cast("decimal(38,0)"))).as("__dcgq"))
     // ideal ranking: judged docs by grade desc (doc asc tiebreak), top k
     val wIdeal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__q2")).orderBy(col("__g").desc, col("__d2"))
@@ -2043,19 +2067,25 @@ object Pipelines {
         sum(when(col("__irank") <= k,
           round((pow(lit(2.0), col("__g").cast("double")) - 1.0) /
             (log(col("__irank").cast("double") + 1.0) / log(lit(2.0))) * 1e12, 0)
-            .cast("long"))).as("__idcgq"))
-    perQueryRun.join(perQueryIdeal, q === col("__q2"), "left")
-      .select(q, coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("n_ret"),
-        round(col("__hits").cast("double") / k, roundDp).as("p_at_k"),
+            .cast("decimal(38,0)"))).as("__idcgq"))
+    // FULL outer: a judged query the run never returned still gets a row
+    // (n_ret 0, zero scores), exactly as trec_eval reports it — a left
+    // join would silently drop it and inflate every macro-average
+    perQueryRun.join(perQueryIdeal, q === col("__q2"), "full")
+      .select(coalesce(q, col("__q2")).as(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") / k, roundDp)
+          .as("p_at_k"),
         when(col("n_rel") > 0,
-          round(col("__hits").cast("double") / col("n_rel"), roundDp))
-          .as("r_at_k"),
+          round(coalesce(col("__hits"), lit(0L)).cast("double") / col("n_rel"),
+            roundDp)).as("r_at_k"),
         when(col("__firstrel").isNotNull,
           round(lit(1.0) / col("__firstrel"), roundDp)).otherwise(0.0)
           .as("rr"),
         when(col("__idcgq") > 0L,
-          round(col("__dcgq").cast("double") / col("__idcgq"), roundDp))
-          .as("ndcg_at_k"))
+          round(coalesce(col("__dcgq"), lit(0L)).cast("double") /
+            col("__idcgq"), roundDp)).as("ndcg_at_k"))
   }
 
   /** Score-calibration bins + expected calibration error — the audit a
@@ -2063,7 +2093,9 @@ object Pipelines {
     * at corpus scale: scores in [0, 1] split into `bins` equal-width
     * bins; per bin the count, mean predicted score, empirical positive
     * rate, and signed gap; plus the overall ECE (Σ n_b/N · |gap_b|) on
-    * every row.
+    * every row. Scores outside [0, 1] clamp to the nearest edge bin
+    * (both ends), so a malformed scorer can never mint an out-of-range
+    * bin id — its mean_score-vs-bin mismatch is the loud signal.
     *
     * Float policy: scores quantize to micro-units on entry, so per-bin
     * sums are exact integers; mean/rate/gap/ECE are single double
@@ -2084,16 +2116,28 @@ object Pipelines {
     val s = col(scoreCol).cast("double")
     val binned = df
       .where(s.isNotNull && col(labelCol).isNotNull)
-      .select(least(floor(s * bins).cast("long"), lit(bins - 1L)).as("bin"),
-        round(s * 1e6, 0).cast("long").as("__sq"),
+      // clamp BOTH ends: a score outside [0,1] lands in the nearest edge
+      // bin instead of minting an out-of-range bin id (a negative score
+      // under least() alone would emit bin −k and break the contract)
+      .select(greatest(lit(0L),
+          least(floor(s * bins).cast("long"), lit(bins - 1L))).as("bin"),
+        // quantize IN decimal: a malformed huge score (the very case the
+        // clamp routes to an edge bin) would overflow a per-row long cast
+        // under ANSI before its tell-tale mean_score could surface
+        round(s * 1e6, 0).cast("decimal(38,0)").as("__sq"),
         col(labelCol).cast("long").as("__pos"))
+    // Decimal accumulators: micro-unit score sums (~1e6/row) wrap a long
+    // at ~9e12 rows, and poss·1e6 wraps at ~9e12 positives (the gini bug
+    // class) — both sums are exact integers in decimal(38,0)
     val perBin = binned.groupBy("bin")
-      .agg(count(lit(1)).as("n"), sum("__sq").as("__sqs"),
+      .agg(count(lit(1)).as("n"),
+        sum("__sq").as("__sqs"),
         sum("__pos").as("__poss"))
     val tot = perBin.agg(sum("n").as("__nt"),
       // exact integer Σ |n_b·rate_b − n_b·mean_b| in micro-units:
       // |poss·1e6 − sqs| per bin, summed — ECE = that / (N · 1e6)
-      sum(abs(col("__poss") * 1000000L - col("__sqs"))).as("__gq"))
+      sum(abs(col("__poss").cast("decimal(38,0)") * 1000000L -
+        col("__sqs"))).as("__gq"))
     perBin.crossJoin(broadcast(tot))
       .select(col("bin"), col("n"),
         round(col("__sqs").cast("double") / 1e6 / col("n"), roundDp)

@@ -1194,8 +1194,10 @@ object TextAnalysis {
       .orderBy(col("__n").desc, col("__t")).limit(topN)
     val x = log(col("__rk").cast("double"))
     val y = log(col("__n").cast("double"))
+    // decimal accumulators: pico-unit terms reach ~1.7e15 (y² at long
+    // counts), so a long sum would wrap just past topN ~ 5000
     def qsum(c: org.apache.spark.sql.Column, n: String) =
-      sum(round(c * 1e12, 0).cast("long")).as(n)
+      sum(round(c * 1e12, 0).cast("decimal(38,0)")).as(n)
     val sums = top
       .select(col("__n"), row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -63,12 +63,16 @@ object ProfileOne {
         .map(_.getUsage.getUsed).sum / 1048576.0
     (1 to passes).foreach { i =>
       stages.clear()
+      taskMax.clear() // stale maxima would leak into this pass's stages
       val j0 = comp.getTotalCompilationTime
       val (c0, t0) = gc(); val w0 = System.nanoTime()
       run()
       val wall = (System.nanoTime() - w0) / 1e9; val (c1, t1) = gc()
       val jit = (comp.getTotalCompilationTime - j0) / 1e3
-      Thread.sleep(200) // let stage-completed events drain
+      // deterministic drain (not a sleep): stage-completed events must
+      // all land before this pass's stats are read
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .drain(spark.sparkContext)
       println(f"""{"pass":$i,"wall_sec":$wall%.3f,"gc_count":${c1 - c0},"gc_sec":${(t1 - t0) / 1e3}%.3f,"jit_sec":$jit%.3f,"codecache_mb":$codeCacheUsedMb%.1f,"stages":{${stages.asScala.mkString(",")}}}""")
     }
     spark.stop()

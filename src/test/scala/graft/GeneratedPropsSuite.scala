@@ -728,4 +728,65 @@ class GeneratedPropsSuite extends AnyFunSuite {
       assert(sameCounts._4 == 0.0 && sameCounts._5 == 0.0 && sameCounts._6 == 0.0)
     }
   }
+
+  test("overflow sweep: audited ops stay exact on extreme-magnitude frames (ANSI on)") {
+    import graft.operators.Pipelines
+    // Each frame here would wrap a long accumulator (ANSI — the session
+    // default — turns the wrap into a hard error); the decimal
+    // accumulators keep every sum an exact integer. Ops whose addends
+    // are bounded ≤ 1e12 by construction (diversityStats' pico-unit
+    // terms) can't be wrapped by a unit-test-sized frame — those get an
+    // exact-agreement check against a local BigInt fold instead, with
+    // wrap-proofing carried by the accumulator TYPE.
+    //
+    // groupZScore: x² ≈ 9e18 PER ROW → Σx² ≈ 2.7e19 > Long.MaxValue
+    val z = Pipelines.groupZScore(
+      Seq(("g", 3000000000L), ("g", 3100000000L), ("g", 2900000000L))
+        .toDF("k", "x"), "k", "x")
+      .select("x", "z").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(z == Map(3000000000L -> 0.0, 3100000000L -> 1.0,
+      2900000000L -> -1.0), z.toString)
+
+    // weightedQuantile: Σ micro-unit weights = 1e19 > Long.MaxValue
+    val wq = Pipelines.weightedQuantile(
+      Seq(("g", 1.0, 4.0e12), ("g", 2.0, 3.0e12), ("g", 3.0, 3.0e12))
+        .toDF("k", "v", "w"), "k", "v", "w", p = 0.5)
+      .collect().head
+    assert(wq.getLong(1) == 3L && wq.getDouble(2) == 1.0e13 &&
+      wq.getDouble(3) == 2.0, wq.toString)
+
+    // calibrationBins: one malformed 1e14 score is 1e20 micro-units —
+    // over Long.MaxValue in a SINGLE row; it must clamp into the top
+    // bin and surface through mean_score, not die in the quantizer
+    val cbRows = Seq.fill(3)((1.0e14, 1L)) ++ Seq((-0.5, 0L), (0.25, 1L))
+    val cb = Pipelines.calibrationBins(cbRows.toDF("score", "label"),
+        "score", "label", bins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(cb.keySet == Set(0L, 2L, 9L), cb.keySet.toString)
+    assert(cb(9L).getDouble(2) == 1.0e14) // the loud malformed-scorer signal
+    val gq = BigInt("300000000000000000000") - 3000000 + // bin 9
+      500000 +                                           // bin 0: |0 − (−5e5)|
+      750000                                             // bin 2: |1e6 − 2.5e5|
+    val eceExpect = BigDecimal(gq.toDouble / 1e6 / 5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(cb(9L).getDouble(5) == eceExpect, cb(9L).toString)
+
+    // diversityStats: 2000-class group — exact agreement with a local
+    // BigInt pico-unit fold (the identical quantize-then-sum contract)
+    val rows = (0 until 2000).flatMap(i => Seq.fill(1 + i % 7)(("g", s"c$i")))
+    val ds = Pipelines.diversityStats(rows.toDF("k", "cat"), "k", "cat")
+      .collect().head
+    val n = rows.size.toDouble
+    val counts = (0 until 2000).map(i => 1 + i % 7)
+    val hLoc = counts.map { c =>
+      BigInt(math.round(-(c / n) * math.log(c / n) * 1e12)) }.sum
+    val sLoc = counts.map { c =>
+      BigInt(math.round((c / n) * (c / n) * 1e12)) }.sum
+    assert(ds.getLong(1) == rows.size.toLong && ds.getLong(2) == 2000L)
+    def q6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ds.getDouble(3) == q6(hLoc.toDouble / 1e12), ds.toString)
+    assert(ds.getDouble(4) == q6(sLoc.toDouble / 1e12), ds.toString)
+  }
 }

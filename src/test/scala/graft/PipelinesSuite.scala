@@ -938,6 +938,46 @@ class PipelinesSuite extends AnyFunSuite {
     assert(e0 == 0.2375 && e9 == 0.2375)
   }
 
+  test("rankingMetrics: a judged query the run never returned still gets a zero-score row") {
+    // trec_eval parity: a system returning zero rows for a judged query
+    // must appear with zero scores, not vanish from the macro-average
+    val run = Seq(("q1", "a", 1L)).toDF("query", "doc", "rank")
+    val qrels = Seq(("q1", "a", 2L), ("q3", "z", 1L))
+      .toDF("query", "doc", "grade")
+    val got = Pipelines.rankingMetrics(run, qrels, "query", "doc", "rank",
+        "grade", k = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("q1", "q3"), got.toString)
+    val r3 = got("q3")
+    assert(r3.getLong(1) == 1L && r3.getLong(2) == 0L)  // n_rel, n_ret
+    assert(r3.getDouble(3) == 0.0 && r3.getDouble(4) == 0.0) // p@k, r@k
+    assert(r3.getDouble(5) == 0.0)                      // rr
+    assert(r3.getDouble(6) == 0.0)                      // ndcg (idcg > 0)
+    val r1 = got("q1")
+    assert(r1.getLong(1) == 1L && r1.getLong(2) == 1L &&
+      r1.getDouble(6) == 1.0)
+  }
+
+  test("calibrationBins/rocAuc: out-of-range scores clamp to edge bins, never negative bin ids") {
+    val df = Seq((-0.5, 0L), (-0.1, 1L), (0.25, 1L), (1.2, 1L))
+      .toDF("score", "label")
+    val got = Pipelines.calibrationBins(df, "score", "label", bins = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == Set(0L, 2L, 9L), got.toString) // no bin < 0
+    assert(got(0L) == ((2L, 0.5)))   // both clamped-low rows, one positive
+    assert(got(9L)._1 == 1L)
+    // rocAuc: three negs and one pos tie in clamped bin 0 (half credit),
+    // two clamped-high positives top the order → tie-aware AUC 15/18
+    val auc = Pipelines.rocAuc(
+      Seq((-0.2, 0L), (-0.2, 0L), (-0.3, 0L), (-0.1, 1L), (1.5, 1L),
+        (1.5, 1L)).toDF("score", "label"),
+      "score", "label", bins = 4).collect().head
+    assert(auc.getLong(0) == 3L && auc.getLong(1) == 3L)
+    assert(auc.getDouble(2) == BigDecimal(15.0 / 18.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, auc.toString)
+  }
+
   test("temporalSplitAudit: straddling keys counted once, leaky rows are test-side only") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -8,6 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
@@ -818,10 +819,12 @@ class StreamingSuite extends AnyFunSuite {
       stream, reference, Seq("n"), out, ckpt,
       trigger = Trigger.AvailableNow())
     q.awaitTermination()
-    val report = spark.read.parquet(out)
-    assert(report.count() == 2L) // one PSI row per (batch, column)
-    val byPsi = report.collect()
-      .map(r => r.getDouble(3) -> r.getLong(4)).sortBy(_._1)
+    def readReport() = spark.read.parquet(out)
+      .select(col("col_name"), col("psi"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val report = readReport()
+    assert(report.length == 2) // one PSI row per (batch, column)
+    val byPsi = report.map(r => r._2 -> r._3).sortBy(_._1)
     // in-distribution batch reads under the 0.25 act threshold, the
     // shifted batch far over it
     assert(byPsi.head._1 < 0.25 && byPsi.last._1 > 1.0, byPsi.toSeq)
@@ -831,6 +834,22 @@ class StreamingSuite extends AnyFunSuite {
     val wantLoud = graft.operators.Pipelines
       .psiDrift(reference, b2.toDF("n"), "n").collect().head.getDouble(2)
     assert(Set(byPsi.head._1, byPsi.last._1) == Set(wantQuiet, wantLoud))
+    // one data file per batch (not per batch×column)
+    def dataFiles() = Files.walk(java.nio.file.Paths.get(out)).iterator()
+      .asScala.map(_.getFileName.toString)
+      .filter(f => f.startsWith("part-") && f.endsWith(".parquet")).toSeq
+    assert(dataFiles().size == 2, dataFiles().toString)
+    // foreachBatch is at-least-once: a full replay (fresh checkpoint,
+    // same source, same batch ids) must overwrite its own batch_id
+    // partitions, never append — rows and files stay exactly as before
+    val q2 = graft.jobs.DriftMonitorJob.runStreaming(
+      spark.readStream.schema("n LONG")
+        .option("maxFilesPerTrigger", 1).json(s"$src/*"),
+      reference, Seq("n"), out, s"$dir/ckpt_replay",
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(readReport().sorted.toSeq == report.sorted.toSeq)
+    assert(dataFiles().size == 2, dataFiles().toString)
   }
 
   test("T7×retention: streaming cohort activity equals the batch triangle across batch splits") {
