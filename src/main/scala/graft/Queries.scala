@@ -2069,6 +2069,27 @@ object Queries {
       .orderBy("split")
   }
 
+  /** [[xCorpusExport]]'s roundtrip in the trainer-facing JSONL shape:
+    * the same documents exported as gzip-compressed JSONL shards
+    * (`split=…/part-*.json.gz`) under the identical manifest contract,
+    * then the identical per-split rollup. The oracle is the SAME
+    * table-side replay — equality proves the JSON encode → gzip →
+    * commit → schema-inferred read-back cycle preserved every row's
+    * content byte-for-byte (the md5 row hash covers id AND text). */
+  def xCorpusExportJsonl(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_export_jsonl_${s.sparkContext.applicationId}"
+    val manifest = graft.sources.CorpusExport.exportShards(
+      documents(s, d).select("doc_id", "text", "lang", "source"),
+      "doc_id", contentCols = Seq("doc_id", "text"), outDir = out,
+      format = "json", targetShardBytes = 1L << 20,
+      codec = Some("gzip"))
+    manifest.groupBy("split")
+      .agg(sum("rows").as("docs"),
+        expr("bit_xor(content_xor)").as("content_xor"))
+      .orderBy("split")
+  }
+
   /** Unicode NFKC normalization over the document corpus: a
     * deterministic width/ligature/combining/compatibility variant
     * (keyed by doc_id % 4) is prepended to each doc, then folded by
@@ -2216,4 +2237,24 @@ object Queries {
     Pipelines.calibrationBins(scored, "score", "label", bins = 10)
       .orderBy("bin")
   }
+
+  /** Skew-salted join proven result-transparent: orders (fact side,
+    * salted 8 ways) ⋈ customer (dim side, replicated per salt) on
+    * custkey, rolled up per nation. The salt is pure plumbing — the
+    * oracle runs the PLAIN SQL join, so the hashes match iff salting
+    * changes nothing but the shuffle layout. The 100 TB case it
+    * prescribes: one key hot past what AQE's skew split can rescue
+    * (AQE splits oversized sort-merge partitions after the fact; the
+    * salt prevents the oversized partition from existing) —
+    * PlanShapeSuite plants that hot key and bounds the post-shuffle
+    * partition. */
+  def xSaltedJoin(s: SparkSession, d: String): DataFrame =
+    Joins.saltedJoin(
+        orders(s, d).select("o_orderkey", "o_custkey"),
+        customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey")),
+        "o_custkey", saltFactor = 8)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_okey"))
+      .orderBy("c_nationkey")
 }

@@ -962,6 +962,7 @@ object SparkEntry {
     "x_binned_mi" -> (Queries.xBinnedMi _),
     "x_unicode_norm" -> (Queries.xUnicodeNorm _),
     "x_corpus_export" -> (Queries.xCorpusExport _),
+    "x_corpus_export_jsonl" -> (Queries.xCorpusExportJsonl _),
     "x_interp" -> (Queries.xInterp _),
     "x_rank_eval" -> (Queries.xRankEval _),
     "x_calibration" -> (Queries.xCalibration _),
@@ -970,7 +971,8 @@ object SparkEntry {
     "x_psi" -> (Queries.xPsi _),
     "x_kfold" -> (Queries.xKfold _),
     "x_zipf" -> (Queries.xZipf _),
-    "x_roc_auc" -> (Queries.xRocAuc _)
+    "x_roc_auc" -> (Queries.xRocAuc _),
+    "x_salted_join" -> (Queries.xSaltedJoin _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -982,6 +984,21 @@ object SparkEntry {
     "x_orc_sink_write" -> (Queries.xOrcSinkWrite _),
     "x_orc_sink_read" -> (Queries.xOrcSinkRead _)
   )
+
+  /** Table-side replay of the corpus-export manifest rollup (split =
+    * md5 nibble, row hash = md5(id || text) 15-hex prefix, order-
+    * independent XOR) — shared by the parquet and JSONL export entries:
+    * the rollup is a pure function of the corpus CONTENT, so it must be
+    * byte-identical whatever shard format carried it. */
+  private val corpusExportRollupSql: String =
+    "WITH h AS (SELECT " +
+      "CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,1) AS BIGINT) < 14 THEN 'train' " +
+      "WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,1) AS BIGINT) < 15 THEN 'val' " +
+      "ELSE 'test' END AS split, " +
+      "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(1) || text),1,15) AS BIGINT) AS hl " +
+      "FROM documents) " +
+      "SELECT split, CAST(COUNT(*) AS BIGINT) AS docs, bit_xor(hl) AS content_xor " +
+      "FROM h GROUP BY split ORDER BY split"
 
   def oracleSql: Map[String, String] = Map(
     "q01_json_extract" ->
@@ -2364,15 +2381,10 @@ object SparkEntry {
     // md5 nibble replay, row hash = md5(id || text) 15-hex prefix,
     // order-independent XOR) — equality proves every corpus row landed
     // in exactly one committed shard with unaltered content.
-    "x_corpus_export" ->
-      ("WITH h AS (SELECT " +
-        "CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,1) AS BIGINT) < 14 THEN 'train' " +
-        "WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,1) AS BIGINT) < 15 THEN 'val' " +
-        "ELSE 'test' END AS split, " +
-        "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(1) || text),1,15) AS BIGINT) AS hl " +
-        "FROM documents) " +
-        "SELECT split, CAST(COUNT(*) AS BIGINT) AS docs, bit_xor(hl) AS content_xor " +
-        "FROM h GROUP BY split ORDER BY split"),
+    "x_corpus_export" -> corpusExportRollupSql,
+    // JSONL variant: SAME table-side replay — the manifest rollup must
+    // be format-invariant (json.gz shards carry identical content)
+    "x_corpus_export_jsonl" -> corpusExportRollupSql,
     // linear-interpolation resample: x_resample's grid + the same
     // default-frame prev / forward-frame next windows; the fill is one
     // per-row double expression on long bucket indices (no float sums)
@@ -2481,6 +2493,12 @@ object SparkEntry {
       ("SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups " +
         "FROM (SELECT user_id, CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS fold FROM events) " +
         "GROUP BY fold ORDER BY fold"),
+    // salted skew-safe join: the oracle is the PLAIN join — equality
+    // proves the salt plumbing is result-transparent
+    "x_salted_join" ->
+      ("SELECT c_nationkey, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
     // binned ROC-AUC: exact integer Mann-Whitney numerator (ties at bin
     // resolution contribute half), one final double division
     "x_roc_auc" ->

@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   *   out/split=train|val|test/part-*.parquet   (size-targeted shards)
   *   out/_manifest/                            (one row per shard)
   *
+  * `format` may be parquet, orc, or json — `format = "json"` with
+  * `codec = Some("gzip")` produces the compressed-JSONL shard layout
+  * most training data loaders mount directly (`part-*.json.gz`), under
+  * the SAME manifest contract: counts, bytes, and checksums derive from
+  * the committed files (read back through the written listing), and the
+  * size probe measures encoded-bytes-per-row in the actual
+  * format × codec so the roll target holds for text shards too.
+  *
   * with every shard described by (split, shard_path, rows, bytes,
   * content_md5, content_xor): the manifest is what the trainer's data
   * loader trusts for sampling weights, resume offsets, and integrity
@@ -54,7 +62,8 @@ object CorpusExport {
                    targetShardBytes: Long = 256L * 1024 * 1024,
                    cuts: Seq[(String, Int)] =
                      Seq("train" -> 14, "val" -> 15, "test" -> 16),
-                   sampleRows: Int = 10000): DataFrame = {
+                   sampleRows: Int = 10000,
+                   codec: Option[String] = None): DataFrame = {
     require(targetShardBytes > 0, "targetShardBytes must be positive")
     require(contentCols.nonEmpty, "contentCols must be non-empty")
     Joins.requireFreeColumns("exportShards", df.columns,
@@ -65,7 +74,7 @@ object CorpusExport {
     // 100 TB corpus in executor storage to save re-deriving an md5
     // nibble would be the real scale bug.
     val labeled = Pipelines.splitByMd5Prefix(df, idCol, cuts)
-    val bytesPerRow = estimateBytesPerRow(labeled, sampleRows, format)
+    val bytesPerRow = estimateBytesPerRow(labeled, sampleRows, format, codec)
     val rowsPerShard = math.max(1L, (targetShardBytes / bytesPerRow).toLong)
     val splitCounts = labeled.groupBy("split").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -76,13 +85,13 @@ object CorpusExport {
       when(col("split") === s, lit(k)).otherwise(els)
     }
     val totalShards = math.max(1L, shardsPerSplit.values.sum).toInt
-    labeled
+    val writer = labeled
       .withColumn("__shard", pmod(xxhash64(col(idCol)), kExpr))
       .repartition(totalShards, col("split"), col("__shard"))
       .drop("__shard")
       .write.format(format).mode("overwrite").partitionBy("split")
       .option("maxRecordsPerFile", rowsPerShard)
-      .save(outDir)
+    codec.fold(writer)(c => writer.option("compression", c)).save(outDir)
     val manifest = buildManifest(spark.read.format(format).load(outDir),
       contentCols, outDir)
     manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
@@ -140,13 +149,17 @@ object CorpusExport {
     * write — the [[OrcTableSink.estimateOrcBytesPerRow]] pattern
     * generalized over formats. */
   private[graft] def estimateBytesPerRow(df: DataFrame, sampleRows: Int,
-                                         format: String): Double = {
+                                         format: String,
+                                         codec: Option[String] = None)
+      : Double = {
     require(sampleRows > 0, "sampleRows must be positive")
     val tmp = java.nio.file.Files.createTempDirectory("graft_export_probe")
       .toFile
     try {
-      df.limit(sampleRows).coalesce(1)
-        .write.mode("overwrite").format(format).save(tmp.getAbsolutePath)
+      val probe = df.limit(sampleRows).coalesce(1)
+        .write.mode("overwrite").format(format)
+      codec.fold(probe)(c => probe.option("compression", c))
+        .save(tmp.getAbsolutePath)
       val files = Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("part-"))
       val bytes = files.map(_.length).sum

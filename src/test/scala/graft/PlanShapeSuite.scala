@@ -210,6 +210,43 @@ class PlanShapeSuite extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin: a planted hot key never lands whole in one post-shuffle partition") {
+    import graft.operators.Joins
+    // one key carries 80% of the fact side — past what AQE's skew split
+    // can rescue when a single key hashes into a single bucket. Compare
+    // the fact side's post-shuffle layout with and without the salt:
+    // unsalted, some partition must hold ALL hot rows; salted, the hot
+    // key fans out across (key, salt) cells and no partition may exceed
+    // the salt bound.
+    val hot = 80000L
+    val fact = spark.range(100000).select(
+      when(col("id") < hot, lit(7L)).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val salts = 8
+    def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id().as("pid")).count()
+        .agg(max("count")).collect().head.getLong(0)
+    val unsalted = maxPartRows(fact.repartition(32, col("k")))
+    assert(unsalted >= hot, s"unsalted max=$unsalted") // the failure mode
+    // replicate the salted join's left-side shuffle key (k, __salt)
+    val salted = maxPartRows(fact
+      .withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      .repartition(32, col("k"), col("__salt")))
+    // salt bound: ~hot/salts per cell; allow 2 hot cells colliding into
+    // one partition plus the uniform remainder — still 4x under unsalted
+    assert(salted <= 2L * (hot / salts) * 3 / 2 + (100000L - hot),
+      s"salted max=$salted vs unsalted=$unsalted")
+    // and the end-to-end operator output is still the plain join
+    // (dim covers the hot key, so the skewed matches are exercised)
+    val dim = spark.range(0, 100000, 2500)
+      .select(col("id").as("k"), (col("id") * 10).as("d"))
+      .union(spark.range(1).select(lit(7L), lit(70L)))
+    val plain = fact.join(dim, "k").count()
+    assert(plain >= hot, s"plain join count=$plain")
+    assert(Joins.saltedJoin(fact, dim, "k", salts).count() == plain)
+  }
+
   test("salted join equals plain join (skew mitigation is transparent)") {
     import graft.operators.Joins
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")

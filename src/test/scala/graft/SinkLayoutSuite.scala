@@ -228,4 +228,62 @@ class SinkLayoutSuite extends AnyFunSuite {
     // roundtrip: corpus readers of outDir see every row, never _manifest
     assert(spark.read.parquet(out).count() == nDocs)
   }
+
+  test("corpus export JSONL: gzip .json.gz shards under the identical manifest contract") {
+    import graft.sources.CorpusExport
+    val out = Files.createTempDirectory("graft_export_jsonl").toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val nDocs = docs.count()
+    val manifest = CorpusExport.exportShards(docs, "doc_id",
+      contentCols = Seq("doc_id", "text"), outDir = out,
+      format = "json", targetShardBytes = 16L * 1024,
+      codec = Some("gzip")).collect()
+
+    // layout: the trainer-mountable shape — split dirs, .json.gz shards
+    val files = listTree(java.nio.file.Paths.get(out))
+      .filterNot(f => f.endsWith("_SUCCESS") || f.contains(".crc") ||
+        f.startsWith("_manifest"))
+    assert(files.nonEmpty)
+    assert(files.forall(
+      _.matches("""split=(train|val|test)/part-.*\.json\.gz""")),
+      files.toString)
+
+    // manifest ≡ filesystem: byte-exact compressed sizes
+    val fsFiles = files.map(f =>
+      f -> Files.size(java.nio.file.Paths.get(out, f))).toMap
+    val mfFiles = manifest.map(r =>
+      r.getString(1).split("/").takeRight(2).mkString("/") -> r.getLong(3))
+      .toMap
+    assert(mfFiles == fsFiles)
+
+    // manifest ≡ table: counts and content checksums are format-
+    // invariant — the same rollup the parquet export produces
+    val expect = graft.operators.Pipelines
+      .splitByMd5Prefix(docs, "doc_id")
+      .select(col("split"),
+        conv(substring(md5(concat_ws("\u0001", col("doc_id").cast("string"),
+          col("text").cast("string"))), 1, 15), 16, 10).cast("long")
+          .as("hl"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"), expr("bit_xor(hl)").as("cx"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = manifest.groupBy(_.getString(0)).map { case (s, rows) =>
+      s -> ((rows.map(_.getLong(2)).sum,
+        rows.map(_.getLong(5)).reduce(_ ^ _)))
+    }
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == nDocs)
+
+    // roundtrip through schema inference: every row, identical content
+    val back = spark.read.json(out)
+    assert(back.count() == nDocs)
+    def xorOf(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(conv(substring(md5(concat_ws("\u0001",
+        col("doc_id").cast("string"), col("text").cast("string"))),
+        1, 15), 16, 10).cast("long").as("hl"))
+      .agg(expr("bit_xor(hl)")).collect().head.getLong(0)
+    assert(xorOf(back) == xorOf(docs))
+  }
 }
