@@ -2238,6 +2238,24 @@ object Queries {
       .orderBy("bin")
   }
 
+  /** BPE tokenizer artifact round-trip: train 30 merges, persist the
+    * versioned vocab/merges table, load it back, and encode the corpus
+    * with the LOADED model. The oracle is the same dump-time
+    * word→encoding replay as x_bpe_encode — a hash match proves a
+    * SEPARATE job mounting the saved artifact reproduces the training
+    * session's encodings exactly (the train-once / encode-everywhere
+    * production contract). */
+  def xBpeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_bpe_model_${s.sparkContext.applicationId}"
+    val model = Pipelines.bpeTrainModel(documents(s, d), "text",
+      numMerges = 30)
+    Pipelines.bpeSave(s, model, path, version = 1L)
+    val (loaded, _) = Pipelines.bpeLoad(s, path)
+    Pipelines.bpeEncodeWith(documents(s, d), "doc_id", "text", loaded)
+      .orderBy("doc_id")
+  }
+
   /** Skew-salted join proven result-transparent: orders (fact side,
     * salted 8 ways) ⋈ customer (dim side, replicated per salt) on
     * custkey, rolled up per nation. The salt is pure plumbing — the

@@ -654,6 +654,13 @@ object SparkEntry {
     "x_bpe_encode" -> sql
   }.toOption
 
+  /** x_bpe_roundtrip shares x_bpe_encode's dump-time oracle verbatim:
+    * the roundtrip entry encodes with a SAVED-then-LOADED model, so a
+    * hash match against the same ground truth proves artifact
+    * persistence is encoding-transparent. */
+  private def bpeRoundtripOracleSql: Option[(String, String)] =
+    bpeOracleSql.map { case (_, sql) => "x_bpe_roundtrip" -> sql }
+
   private def ivfadcOracleSql: Option[(String, String)] = scala.util.Try {
     val spark = SparkSession.active
     val sfDir = sys.props("graft.oracle.sfDir") // no default: throws if unset
@@ -886,6 +893,7 @@ object SparkEntry {
     "x_incr_neardup" -> (Queries.xIncrementalNearDup _),
     "x_bpe_merges" -> (Queries.xBpeMerges _),
     "x_bpe_encode" -> (Queries.xBpeEncode _),
+    "x_bpe_roundtrip" -> (Queries.xBpeRoundtrip _),
     "x_quality_lr" -> (Queries.xQualityLr _),
     "x_cluster_split" -> (Queries.xClusterSplit _),
     "x_temperature" -> (Queries.xTemperature _),
@@ -2595,5 +2603,6 @@ object SparkEntry {
         "THEN ROUND(CAST(q AS DOUBLE) / 1e12 / LEAST(CAST(qx AS DOUBLE) / 1e12, CAST(qy AS DOUBLE) / 1e12), 6) END AS redundancy " +
         "FROM mi CROSS JOIN hx CROSS JOIN hy")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
-    ivfadcOracleSql ++ bpeOracleSql ++ qualityLrOracleSql ++ pcaOracleSql
+    ivfadcOracleSql ++ bpeOracleSql ++ bpeRoundtripOracleSql ++
+    qualityLrOracleSql ++ pcaOracleSql
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation utilities a training-data pipeline runs after
@@ -651,22 +651,94 @@ object Pipelines {
       .where(length(col("__w")) >= 1)
       .groupBy("__w").agg(count(lit(1)).as("__c"))
 
+  /** A trained BPE tokenizer: the training-set character inventory
+    * (sorted) plus the merge list in creation order — the complete,
+    * persistable artifact. `ranks` and `ids` (the standard id layout:
+    * characters first, then one id per merge) derive from these two
+    * sequences by ONE shared formula, so an encode through a saved-
+    * then-loaded model is bit-identical to the training session's. */
+  case class BpeModel(baseChars: Seq[String],
+                      merges: Seq[(String, String)]) {
+    lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    lazy val ids: Map[String, Long] =
+      (baseChars.zipWithIndex.map { case (c, i) => c -> i.toLong } ++
+        merges.zipWithIndex.map { case ((a, b), i) =>
+          (a + b) -> (baseChars.length + i).toLong }).toMap
+  }
+
   /** Train on the top-`trainCap` words and lay out the id space:
     * training-set characters sorted, then merge products in creation
     * order. Shared by [[bpeEncode]] and [[bpeEncodingTable]] so the
     * operator and its oracle can never drift. */
-  private def bpeArtifacts(words: DataFrame, numMerges: Int, trainCap: Int)
-      : (Map[(String, String), Int], Map[String, Long]) = {
+  private def bpeArtifacts(words: DataFrame, numMerges: Int,
+                           trainCap: Int): BpeModel = {
     val trainWords = words
       .orderBy(col("__c").desc, col("__w")).limit(trainCap)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val merges = bpeTrainMerges(trainWords, numMerges)
     val baseChars = trainWords.flatMap(_._1.map(_.toString)).distinct.sorted
-    val ids: Map[String, Long] =
-      (baseChars.zipWithIndex.map { case (c, i) => c -> i.toLong } ++
-        merges.zipWithIndex.map { case ((a, b), i) =>
-          (a + b) -> (baseChars.length + i).toLong }).toMap
-    (merges.zipWithIndex.toMap, ids)
+    BpeModel(baseChars, merges)
+  }
+
+  /** Train a [[BpeModel]] on the corpus's distinct-word table — the
+    * artifact half of [[bpeEncode]], exposed so a training job can
+    * [[bpeSave]] the tokenizer once and every downstream job
+    * [[bpeLoad]] + [[bpeEncodeWith]] it instead of retraining. */
+  def bpeTrainModel(df: DataFrame, textCol: String, numMerges: Int,
+                    trainCap: Int = 1000000): BpeModel =
+    bpeArtifacts(distinctWordCounts(df, textCol), numMerges, trainCap)
+
+  /** Persist a [[BpeModel]] as a VERSIONED warehouse table at `path`
+    * (parquet, partitioned by `version`; a re-save of an existing
+    * version replaces it, other versions stay): one row per base
+    * character (kind `char`, ord = sorted position) and one per merge
+    * (kind `merge`, ord = creation index, left/right symbols). The
+    * table stores the model's two DEFINING sequences, never the derived
+    * ranks/ids maps — [[bpeLoad]] rebuilds those with the same formula
+    * [[BpeModel]] uses, so a rare merge-product string collision
+    * resolves identically on save and load. Vocabulary-sized (a 10⁷-
+    * word corpus trains to ~10⁵ rows) — metadata, not data. */
+  def bpeSave(spark: SparkSession, model: BpeModel, path: String,
+              version: Long): Unit = {
+    require(version >= 0, "bpeSave needs version >= 0")
+    import spark.implicits._
+    val rows =
+      model.baseChars.zipWithIndex.map { case (c, i) =>
+        ("char", i.toLong, null: String, null: String, c) } ++
+        model.merges.zipWithIndex.map { case ((a, b), i) =>
+          ("merge", i.toLong, a, b, a + b) }
+    // dynamic partition overwrite: re-saving a version REPLACES exactly
+    // that version's partition (idempotent re-runs), other versions
+    // stay — the append-new/replace-same contract an artifact store needs
+    rows.toDF("kind", "ord", "left", "right", "symbol")
+      .withColumn("version", lit(version))
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("version").parquet(path)
+  }
+
+  /** Load a [[bpeSave]]d model back: the highest version at `path`, or
+    * the explicitly requested one (loud when absent). A fresh session /
+    * separate job loading here reproduces the training session's
+    * encodings bit-for-bit (the suite round-trips it). */
+  def bpeLoad(spark: SparkSession, path: String,
+              version: Option[Long] = None): (BpeModel, Long) = {
+    // partition-column type inference may narrow `version` to int —
+    // normalize to long before any read
+    val all = spark.read.parquet(path)
+      .withColumn("version", col("version").cast("long"))
+    val v = version.getOrElse(
+      all.agg(max("version")).head().getLong(0))
+    val rows = all.where(col("version") === v)
+      .select("kind", "ord", "left", "right", "symbol")
+      .collect()
+    require(rows.nonEmpty, s"bpeLoad: no rows for version $v at $path")
+    val chars = rows.filter(_.getString(0) == "char")
+      .sortBy(_.getLong(1)).map(_.getString(4)).toSeq
+    val merges = rows.filter(_.getString(0) == "merge")
+      .sortBy(_.getLong(1)).map(r => r.getString(2) -> r.getString(3)).toSeq
+    (BpeModel(chars, merges), v)
   }
 
   /** The word→encoding table [[bpeEncode]] would apply, materialized
@@ -679,14 +751,15 @@ object Pipelines {
                        trainCap: Int = 1000000,
                        tableCap: Int = 100000): Seq[(String, String, String, Long)] = {
     val words = distinctWordCounts(df, textCol)
-    val (ranks, ids) = bpeArtifacts(words, numMerges, trainCap)
+    val model = bpeArtifacts(words, numMerges, trainCap)
     val all = words.orderBy(col("__w")).collect().map(_.getString(0))
     require(all.length <= tableCap,
       s"bpeEncodingTable: ${all.length} distinct words exceeds cap $tableCap")
     all.toSeq.map { w =>
-      val toks = bpeEncodeWord(w, ranks)
+      val toks = bpeEncodeWord(w, model.ranks)
       require(toks.mkString == w, s"BPE round-trip failed for '$w'")
-      (w, toks.mkString("|"), toks.map(ids.getOrElse(_, -1L)).mkString(","),
+      (w, toks.mkString("|"),
+        toks.map(model.ids.getOrElse(_, -1L)).mkString(","),
         toks.length.toLong)
     }
   }
@@ -712,14 +785,24 @@ object Pipelines {
     * Output: (id, n_words, n_tokens, toks_str `|`-joined,
     * ids_str `,`-joined). */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-                numMerges: Int, trainCap: Int = 1000000): DataFrame = {
+                numMerges: Int, trainCap: Int = 1000000): DataFrame =
+    bpeEncodeWith(df, idCol, textCol,
+      bpeArtifacts(distinctWordCounts(df, textCol), numMerges, trainCap))
+
+  /** [[bpeEncode]]'s apply half against an ALREADY-TRAINED model (from
+    * the same session's [[bpeTrainModel]] or a [[bpeLoad]] of a saved
+    * artifact) — the production shape: train once, version the
+    * artifact, encode everywhere. Same plan as bpeEncode: the UDF runs
+    * over the distinct-word table only, broadcast-joined back onto the
+    * position-exploded stream. */
+  def bpeEncodeWith(df: DataFrame, idCol: String, textCol: String,
+                    model: BpeModel): DataFrame = {
     Joins.requireFreeColumns("bpeEncode", df.columns,
       "n_words", "n_tokens", "toks_str", "ids_str")
     val words = distinctWordCounts(df, textCol)
-    val (ranks, ids) = bpeArtifacts(words, numMerges, trainCap)
     val spark = df.sparkSession
-    val ranksB = spark.sparkContext.broadcast(ranks)
-    val idsB = spark.sparkContext.broadcast(ids)
+    val ranksB = spark.sparkContext.broadcast(model.ranks)
+    val idsB = spark.sparkContext.broadcast(model.ids)
     val encodeUdf = udf { (w: String) =>
       val toks = bpeEncodeWord(w, ranksB.value)
       (toks.mkString("|"), toks.map(idsB.value.getOrElse(_, -1L)).mkString(","),

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -76,6 +76,63 @@ object CdcIngest {
     * `parse(goodRecords(df, "payload"), "payload")`. */
   def goodRecords(df: DataFrame, payloadCol: String): DataFrame =
     df.where(afterExpr(payloadCol).isNotNull)
+
+  /** The declared `value.after` field set — the schema contract
+    * [[schemaDriftRecords]] and [[parseEvolved]] compare the wire
+    * payload against. */
+  private val knownAfterFields = Seq("ref", "city_id", "city_name", "c_time")
+
+  /** `value.after` decoded STRUCTURE-FREE as map<string, json-text> —
+    * the drift probe: unlike [[afterExpr]]'s fixed struct (which
+    * silently drops any field the schema doesn't declare), the map
+    * decode sees every key the producer actually sent. Nested values
+    * ride through as their JSON text. */
+  private def afterMapExpr(payloadCol: String) = {
+    val outer = from_json(lower(col(payloadCol)), outerSchema)
+    val inner = from_json(outer.getField("value"),
+      MapType(StringType, StringType))
+    from_json(element_at(inner, "after"), MapType(StringType, StringType))
+  }
+
+  /** The unknown-field names in a payload's `value.after` (empty array
+    * when the envelope matches the declared schema; null when the
+    * envelope doesn't decode at all — that's [[corruptRecords]]'
+    * territory, not drift). */
+  def unknownAfterKeys(payloadCol: String): Column =
+    array_sort(array_except(map_keys(afterMapExpr(payloadCol)),
+      array(knownAfterFields.map(lit): _*)))
+
+  /** Schema-drift dead-letter: rows whose envelope DECODES but carries
+    * `value.after` fields outside the declared schema — the
+    * upstream-added-a-column case, which [[parse]]'s fixed struct
+    * would otherwise drop silently. Routed like the poison-message
+    * path: a production job splits the stream loudly
+    * (parse the conforming rows, quarantine-or-widen these) instead of
+    * losing the new column for however long nobody notices. */
+  def schemaDriftRecords(df: DataFrame, payloadCol: String): DataFrame =
+    df.where(size(unknownAfterKeys(payloadCol)) > 0)
+
+  /** The declared WIDEN mode: [[parse]]'s typed columns plus an
+    * `extras` map carrying every undeclared `value.after` field as
+    * (name → JSON text) — empty map for conforming rows. Downstream
+    * can promote a surfaced field into the declared schema at leisure;
+    * until then nothing is dropped. Same codegen posture as [[parse]]
+    * (from_json expressions, no UDF). */
+  def parseEvolved(df: DataFrame, payloadCol: String): DataFrame = {
+    val extras = map_filter(afterMapExpr(payloadCol),
+      (k, _) => !knownAfterFields.foldLeft(lit(false))(
+        (acc, f) => acc || k === f))
+    df.select(afterExpr(payloadCol).as("a"), extras.as("extras"))
+      .select(
+        col("a.ref").as("ref"),
+        col("a.city_id").as("city_id"),
+        col("a.city_name").as("city_name"),
+        date_format(from_utc_timestamp(timestamp_millis(col("a.c_time")), "+08:00"),
+          "yyyy-MM-dd").as("c_date"),
+        coalesce(col("extras"),
+          map_from_arrays(array(), array()).cast("map<string,string>"))
+          .as("extras"))
+  }
 
   def parseTyped(df: DataFrame, payloadCol: String): Dataset[City] = {
     val spark = df.sparkSession

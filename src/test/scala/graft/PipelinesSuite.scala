@@ -394,6 +394,34 @@ class PipelinesSuite extends AnyFunSuite {
     }
   }
 
+  test("BPE artifact round-trip: save → fresh-session load → encode ≡ the training session") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe_rt").toString
+    // two versions in one table: v1 small, v2 the real model
+    Pipelines.bpeSave(spark,
+      Pipelines.bpeTrainModel(docs, "text", numMerges = 10), path, 1L)
+    val model = Pipelines.bpeTrainModel(docs, "text", numMerges = 30)
+    Pipelines.bpeSave(spark, model, path, 2L)
+    // a SEPARATE job: fresh session (isolated conf), load latest
+    val fresh = spark.newSession()
+    val (loaded, v) = Pipelines.bpeLoad(fresh, path)
+    assert(v == 2L)
+    assert(loaded == model) // defining sequences round-trip exactly
+    val want = Pipelines.bpeEncode(docs, "doc_id", "text", numMerges = 30)
+      .orderBy("doc_id").collect().toSeq
+    val got = Pipelines.bpeEncodeWith(
+        Tables.documents(fresh, sfDir), "doc_id", "text", loaded)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == want)
+    // explicit-version load reaches the older artifact
+    val (v1, _) = Pipelines.bpeLoad(fresh, path, Some(1L))
+    assert(v1.merges.size <= 10 && v1.merges == model.merges.take(v1.merges.size))
+    // re-save of an existing version replaces, never duplicates
+    Pipelines.bpeSave(spark, model, path, 2L)
+    assert(Pipelines.bpeLoad(fresh, path)._1 == model)
+  }
+
   test("urlNormalize: closed forms for every rule; urlDomain strips port and www") {
     val cases = Seq(
       // scheme+host lowercased, default port stripped, fragment dropped,

@@ -106,6 +106,40 @@ class ReferenceJobSuite extends AnyFunSuite {
     assert(goodSide.count() + dead.count() == df.count())
   }
 
+  test("S2/S3 schema drift: an upstream-added after-field routes loudly, declared fields still land") {
+    import graft.sources.CdcIngest
+    val conforming = envelope(1, 10, "beijing", 1704067200000L)
+    // the producer added a column (and a nested one) without telling us
+    val widened =
+      """{"value": "{\"after\": {\"ref\": 2, \"city_id\": 11, \"city_name\": \"shanghai\", \"c_time\": 1704067200000, \"population\": 24870000, \"geo\": {\"lat\": 31.2}}}"}"""
+    val corrupt = "not json at all"
+    val df = Seq(conforming, widened, corrupt).toDF("payload")
+    // drift detector: exactly the widened row, named unknown keys
+    val drift = CdcIngest.schemaDriftRecords(df, "payload")
+    assert(drift.count() == 1L)
+    assert(drift.select(CdcIngest.unknownAfterKeys("payload"))
+      .head().getSeq[String](0) == Seq("geo", "population"))
+    // corruption stays corruption (never misread as drift), and the
+    // conforming row is neither
+    assert(CdcIngest.corruptRecords(df, "payload").count() == 1L)
+    assert(CdcIngest.schemaDriftRecords(
+      df.where(col("payload") === conforming), "payload").count() == 0L)
+    // parse is UNCHANGED by drift: declared fields land on every
+    // decodable row, the undeclared ones are simply absent
+    val parsed = CdcIngest.parse(df, "payload")
+    assert(parsed.where(col("ref") === 2 && col("city_name") === "shanghai" &&
+      col("c_date") === "2024-01-01").count() == 1L)
+    // widen mode: extras carries the new fields as JSON text, empty map
+    // on conforming rows
+    val evolved = CdcIngest.parseEvolved(df, "payload")
+      .collect().map(r => Option(r.get(0)).map(_.toString) ->
+        r.getMap[String, String](4)).toMap
+    assert(evolved(Some("2")) ==
+      Map("population" -> "24870000", "geo" -> """{"lat":31.2}"""))
+    assert(evolved(Some("1")) == Map.empty)
+    assert(evolved(None) == Map.empty) // corrupt row: all-null + empty extras
+  }
+
   test("App.txt job survives poison records: good rows land, no null-partition dir") {
     // the reference's JSON.parseObject map + noRestart means one
     // malformed record kills the job; ours must drop it at the source —
