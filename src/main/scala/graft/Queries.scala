@@ -2238,6 +2238,18 @@ object Queries {
       .orderBy("bin")
   }
 
+  /** Corpus data card: the release-review datasheet assembled by ONE
+    * job calling the already-oracled audit operators (column profile,
+    * per-source stats, whole-corpus stats, language distribution,
+    * Gopher pass rates, Zipf fit, curation-funnel survivors) — fixture
+    * parameters match their standalone entries (minWords 20,
+    * zipfTopN 500, keep256 192), so every number on the card is a
+    * number some dashboard already shows. */
+  def xDataCard(s: SparkSession, d: String): DataFrame =
+    graft.jobs.DataCardJob.run(documents(s, d),
+      profileCols = Seq("doc_id", "text", "lang", "source", "n_chars"),
+      minWords = 20, zipfTopN = 500)
+
   /** BPE tokenizer artifact round-trip: train 30 merges, persist the
     * versioned vocab/merges table, load it back, and encode the corpus
     * with the LOADED model. The oracle is the same dump-time

@@ -980,7 +980,8 @@ object SparkEntry {
     "x_kfold" -> (Queries.xKfold _),
     "x_zipf" -> (Queries.xZipf _),
     "x_roc_auc" -> (Queries.xRocAuc _),
-    "x_salted_join" -> (Queries.xSaltedJoin _)
+    "x_salted_join" -> (Queries.xSaltedJoin _),
+    "x_data_card" -> (Queries.xDataCard _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -1008,7 +1009,87 @@ object SparkEntry {
       "SELECT split, CAST(COUNT(*) AS BIGINT) AS docs, bit_xor(hl) AS content_xor " +
       "FROM h GROUP BY split ORDER BY split"
 
+  /** x_data_card: every section replays its standalone entry's SQL
+    * (x_profile's per-column arms, x_source_stats' rollup — also run
+    * corpus-wide, x_gopher's signals feeding pass rates AND
+    * x_curation_funnel's staged counts, x_zipf's OLS) melted to the
+    * card's narrow (section, metric, key, value<double>) shape — the
+    * assembled card must equal the dashboards it summarizes. */
+  private val dataCardOracleSql: String = {
+    val profileArms = Seq("doc_id", "text", "lang", "source", "n_chars")
+      .flatMap { c => Seq(
+        s"SELECT 'profile' AS section, 'n_nulls' AS metric, '$c' AS key, " +
+          s"CAST(COUNT(CASE WHEN $c IS NULL THEN 1 END) AS DOUBLE) AS value FROM documents",
+        s"SELECT 'profile', 'n_distinct', '$c', CAST(COUNT(DISTINCT $c) AS DOUBLE) FROM documents")
+      }
+    def statsArms(section: String, from: String) = Seq(
+      s"SELECT '$section', 'n_docs', key, n_docs FROM $from",
+      s"SELECT '$section', 'n_tokens', key, n_tokens FROM $from",
+      s"SELECT '$section', 'avg_tokens', key, avg_tokens FROM $from",
+      s"SELECT '$section', 'dup_frac', key, dup_frac FROM $from",
+      s"SELECT '$section', 'n_langs', key, n_langs FROM $from")
+    val statsSelect =
+      "CAST(COUNT(*) AS DOUBLE) AS n_docs, " +
+        "CAST(SUM(len(string_split(text,' '))) AS DOUBLE) AS n_tokens, " +
+        "CAST(ROUND(AVG(CAST(len(string_split(text,' ')) AS DOUBLE)), 4) AS DOUBLE) AS avg_tokens, " +
+        "CAST(ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS dup_frac, " +
+        "CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs"
+    val arms = profileArms ++
+      statsArms("source", "srcstats") ++ statsArms("corpus", "cstats") ++ Seq(
+      "SELECT 'lang', 'n_docs', key, CAST(n AS DOUBLE) FROM lstats",
+      "SELECT 'lang', 'frac', key, CAST(ROUND(CAST(n AS DOUBLE) / (SELECT nt FROM ltot), 6) AS DOUBLE) FROM lstats",
+      "SELECT 'gopher', 'n_docs', 'all', CAST(n AS DOUBLE) FROM gp",
+      "SELECT 'gopher', 'n_pass', 'all', CAST(np AS DOUBLE) FROM gp",
+      "SELECT 'gopher', 'pass_rate', 'all', CAST(ROUND(CAST(np AS DOUBLE) / n, 6) AS DOUBLE) FROM gp",
+      "SELECT 'zipf', 'n_terms', 'all', CAST(n_terms AS DOUBLE) FROM zv2",
+      "SELECT 'zipf', 'slope', 'all', CAST(CASE WHEN vx > 0 THEN ROUND(cxy / vx, 6) END AS DOUBLE) FROM zv2",
+      "SELECT 'zipf', 'intercept', 'all', CAST(CASE WHEN vx > 0 THEN ROUND((dsy - cxy / vx * dsx) / nn, 6) END AS DOUBLE) FROM zv2",
+      "SELECT 'zipf', 'r2', 'all', CAST(CASE WHEN vx > 0 AND vy > 0 THEN ROUND(cxy * cxy / (vx * vy), 6) END AS DOUBLE) FROM zv2",
+      "SELECT 'funnel', 'n_raw', source, CAST(n_raw AS DOUBLE) FROM ff",
+      "SELECT 'funnel', 'n_quality', source, CAST(n_quality AS DOUBLE) FROM ff",
+      "SELECT 'funnel', 'n_dedup', source, CAST(n_dedup AS DOUBLE) FROM ff",
+      "SELECT 'funnel', 'n_sampled', source, CAST(n_sampled AS DOUBLE) FROM ff")
+    "WITH t AS (SELECT doc_id, text, source, list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS tk FROM documents), " +
+      "s AS (SELECT doc_id, text, source, CAST(len(tk) AS DOUBLE) AS nw, " +
+      "COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS wc, " +
+      "length(text) - length(replace(text, '#', '')) AS hashes, " +
+      "(length(text) - length(replace(text, '...', ''))) / 3 AS ell, " +
+      "len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha, " +
+      "len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))), ['the','be','to','of','and','that','have','with'])) AS nstop FROM t), " +
+      "p AS (SELECT doc_id, text, source, " +
+      "(nw BETWEEN 20 AND 100000 AND wc / greatest(nw, 1.0) BETWEEN 3.0 AND 10.0 " +
+      "AND (hashes + ell) / greatest(nw, 1.0) <= 0.1 AND alpha / greatest(nw, 1.0) >= 0.8 " +
+      "AND nstop >= 2) AS passes FROM s), " +
+      "k AS (SELECT MIN(doc_id) AS doc_id FROM p WHERE passes GROUP BY text), " +
+      "f AS (SELECT p.doc_id, p.source, p.passes, k.doc_id IS NOT NULL AS kept FROM p LEFT JOIN k ON p.doc_id = k.doc_id), " +
+      s"srcstats AS (SELECT source AS key, $statsSelect FROM documents GROUP BY source), " +
+      s"cstats AS (SELECT 'all' AS key, $statsSelect FROM documents), " +
+      "lstats AS (SELECT lang AS key, COUNT(*) AS n FROM documents GROUP BY lang), " +
+      "ltot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM documents), " +
+      "gp AS (SELECT COUNT(*) AS n, COUNT(CASE WHEN passes THEN 1 END) AS np FROM p), " +
+      "ff AS (SELECT source, COUNT(*) AS n_raw, " +
+      "COUNT(CASE WHEN passes THEN 1 END) AS n_quality, " +
+      "COUNT(CASE WHEN kept THEN 1 END) AS n_dedup, " +
+      "COUNT(CASE WHEN kept AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) < 192 THEN 1 END) AS n_sampled " +
+      "FROM f GROUP BY source), " +
+      "ztok AS (SELECT tok FROM documents, UNNEST(string_split(text, ' ')) AS u(tok) WHERE len(tok) > 0), " +
+      "zc AS (SELECT tok, COUNT(*) AS n FROM ztok GROUP BY 1), " +
+      "ztop AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk FROM zc ORDER BY n DESC, tok LIMIT 500), " +
+      "zs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms, " +
+      "SUM(CAST(ROUND(ln(CAST(rk AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS sx, " +
+      "SUM(CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS sy, " +
+      "SUM(CAST(ROUND(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS sxx, " +
+      "SUM(CAST(ROUND(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS syy, " +
+      "SUM(CAST(ROUND(ln(CAST(rk AS DOUBLE)) * ln(CAST(n AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS sxy FROM ztop), " +
+      "zv AS (SELECT n_terms, CAST(n_terms AS DOUBLE) AS nn, CAST(sx AS DOUBLE) / 1e12 AS dsx, CAST(sy AS DOUBLE) / 1e12 AS dsy, " +
+      "CAST(sxx AS DOUBLE) / 1e12 AS dsxx, CAST(syy AS DOUBLE) / 1e12 AS dsyy, CAST(sxy AS DOUBLE) / 1e12 AS dsxy FROM zs), " +
+      "zv2 AS (SELECT n_terms, nn, dsx, dsy, nn * dsxx - dsx * dsx AS vx, nn * dsyy - dsy * dsy AS vy, nn * dsxy - dsx * dsy AS cxy FROM zv) " +
+      s"SELECT section, metric, key, value FROM (${arms.mkString(" UNION ALL ")}) " +
+      "ORDER BY section, metric, key"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "x_data_card" -> dataCardOracleSql,
     "q01_json_extract" ->
       "SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events WHERE event_type = 'signup' ORDER BY event_id",
     "q02_tz_date" ->

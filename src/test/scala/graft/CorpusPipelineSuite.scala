@@ -153,4 +153,48 @@ class CorpusPipelineSuite extends AnyFunSuite {
     assert(ent.forall(_.getDouble(1) >= 0.5))
     out.unpersist()
   }
+
+  test("data card: the assembled datasheet equals the audits it summarizes") {
+    import graft.jobs.DataCardJob
+    import graft.operators.{Pipelines, TextAnalysis}
+    val docs = Tables.documents(spark, sfDir)
+    val card = DataCardJob.run(docs, minWords = 20, zipfTopN = 500)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val nDocs = docs.count().toDouble
+    // corpus headline ≡ the raw table
+    assert(card(("corpus", "n_docs", "all")) == Some(nDocs))
+    // funnel raw counts partition the corpus
+    assert(card.collect { case (("funnel", "n_raw", _), Some(v)) => v }
+      .sum == nDocs)
+    // language fractions are a distribution (rounding-tolerant)
+    val fracs = card.collect { case (("lang", "frac", _), Some(v)) => v }
+    assert(fracs.nonEmpty && math.abs(fracs.sum - 1.0) < 1e-4, fracs.toString)
+    // gopher section ≡ the operator run directly
+    val flags = TextAnalysis.gopherQualityFlags(
+      docs.select("doc_id", "text"), "doc_id", "text", minWords = 20)
+    val nPass = flags.where(col("passes")).count().toDouble
+    assert(card(("gopher", "n_pass", "all")) == Some(nPass))
+    assert(card(("gopher", "pass_rate", "all")) ==
+      Some(BigDecimal(nPass / nDocs)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // per-source dup_frac ≡ sourceStats verbatim
+    val ss = Pipelines.sourceStats(docs, "source", "text", "lang")
+      .select("source", "dup_frac").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ss.foreach { case (src, v) =>
+      assert(card(("source", "dup_frac", src)) == Some(v), src)
+    }
+    // zipf section ≡ zipfFit verbatim
+    val z = TextAnalysis.zipfFit(docs, "text", topN = 500).collect().head
+    assert(card(("zipf", "slope", "all")) == Some(z.getDouble(1)))
+    assert(card(("zipf", "r2", "all")) == Some(z.getDouble(3)))
+    // runAndSave round-trips the card through its artifact file
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_datacard").toString + "/card"
+    val saved = DataCardJob.runAndSave(docs.limit(200), out)
+    assert(saved.count() > 0 &&
+      spark.read.parquet(out).count() == saved.count())
+  }
 }
