@@ -2238,6 +2238,26 @@ object Queries {
       .orderBy("bin")
   }
 
+  /** Int8 quantization fidelity audit over the embedding corpus: per
+    * vector the symmetric scale (max|v|/127), worst per-dimension
+    * reconstruction error, and the cosine between vector and
+    * reconstruction — the table that decides whether quantized scores
+    * can drive a recall-sensitive cut. */
+  def xInt8Quant(s: SparkSession, d: String): DataFrame =
+    Similarity.int8QuantAudit(embeddings(s, d), "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  /** Quantized retrieval end-to-end: q42's brute cosine top-10, but
+    * scored on int8-reconstructed vectors — the read path a 4×-smaller
+    * embedding table actually serves. The oracle replays the
+    * quantize→reconstruct→score algebra exactly. */
+  def xInt8Topk(s: SparkSession, d: String): DataFrame = {
+    val q = Similarity.quantizeInt8(embeddings(s, d), "vec_id", "embedding")
+    val recon = q.select(col("vec_id"),
+      Similarity.int8Reconstruct(col("qvec"), col("scale")).as("embedding"))
+    Similarity.cosineTopK(recon, "vec_id", "embedding", queryId = 0L, k = 10)
+  }
+
   /** Corpus data card: the release-review datasheet assembled by ONE
     * job calling the already-oracled audit operators (column profile,
     * per-source stats, whole-corpus stats, language distribution,

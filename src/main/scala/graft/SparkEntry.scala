@@ -981,7 +981,9 @@ object SparkEntry {
     "x_zipf" -> (Queries.xZipf _),
     "x_roc_auc" -> (Queries.xRocAuc _),
     "x_salted_join" -> (Queries.xSaltedJoin _),
-    "x_data_card" -> (Queries.xDataCard _)
+    "x_data_card" -> (Queries.xDataCard _),
+    "x_int8_quant" -> (Queries.xInt8Quant _),
+    "x_int8_topk" -> (Queries.xInt8Topk _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2582,6 +2584,27 @@ object SparkEntry {
       ("SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups " +
         "FROM (SELECT user_id, CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS fold FROM events) " +
         "GROUP BY fold ORDER BY fold"),
+    // int8 quantization: scale/round/reconstruct algebra replayed
+    // element-wise (err as a function of (x, s) — no list zip needed);
+    // dot folds + round-4 follow the standing cosine float contract
+    "x_int8_quant" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "q AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS s FROM v), " +
+        "r AS (SELECT vec_id, e, s, CASE WHEN s = 0 THEN list_transform(e, x -> 0.0) " +
+        "ELSE list_transform(e, x -> ROUND(x / s, 0) * s) END AS rec FROM q) " +
+        "SELECT vec_id, ROUND(s, 6) AS scale, " +
+        "ROUND(list_max(list_transform(e, x -> abs(x - CASE WHEN s = 0 THEN 0.0 ELSE ROUND(x / s, 0) * s END))), 6) AS max_abs_err, " +
+        "CASE WHEN s > 0 THEN ROUND(list_dot_product(e, rec) / (SQRT(list_dot_product(e, e)) * SQRT(list_dot_product(rec, rec))), 4) + 0 END AS cos_fid " +
+        "FROM r ORDER BY vec_id"),
+    "x_int8_topk" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "q0 AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS s FROM v), " +
+        "r AS (SELECT vec_id, CASE WHEN s = 0 THEN list_transform(e, x -> 0.0) " +
+        "ELSE list_transform(e, x -> ROUND(x / s, 0) * s) END AS rec FROM q0), " +
+        "qv AS (SELECT rec AS qvec FROM r WHERE vec_id = 0) " +
+        "SELECT r.vec_id, ROUND(list_dot_product(r.rec, qv.qvec) / " +
+        "(SQRT(list_dot_product(r.rec, r.rec)) * SQRT(list_dot_product(qv.qvec, qv.qvec))), 4) + 0 AS cos " +
+        "FROM r CROSS JOIN qv WHERE r.vec_id <> 0 ORDER BY cos DESC, r.vec_id LIMIT 10"),
     // salted skew-safe join: the oracle is the PLAIN join — equality
     // proves the salt plumbing is result-transparent
     "x_salted_join" ->

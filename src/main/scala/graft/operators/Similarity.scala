@@ -69,6 +69,81 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 scalar quantization of an embedding column — the 4×–8×
+    * storage/bandwidth cut every 100 TB embedding table takes before
+    * anything else (a float32 corpus that doesn't fit executor memory
+    * often does at int8, and ANN candidate scoring reads 4× fewer
+    * bytes). Symmetric per-vector scheme: scale = max|v|/127,
+    * q_i = round(v_i/scale) ∈ [−127, 127] — the zero vector keeps
+    * scale 0 and an all-zero code. This is the ARTIFACT producer
+    * behind the x_embed_quant QA rollup: that entry measures the
+    * scheme's error bound; this one emits the typed (qvec, scale)
+    * table a serving path actually stores, plus the reconstruct/audit
+    * halves that make quantized retrieval (x_int8_topk) runnable.
+    *
+    * Pure per-row projection (transform + an order-free max fold) —
+    * zero shuffle, codegen-eligible, linear at any corpus size.
+    * Output: (idCol, qvec array<tinyint>, scale). Reconstruct with
+    * [[int8Reconstruct]]; audit the fidelity with [[int8QuantAudit]]
+    * BEFORE trusting quantized scores for a recall-sensitive cut. */
+  def quantizeInt8(emb: DataFrame, idCol: String,
+                   vecCol: String): DataFrame = {
+    Joins.requireFreeColumns("quantizeInt8", Seq(idCol), "qvec", "scale")
+    val v = graft.functions.VectorFunctions.toDouble(col(vecCol))
+    emb.select(col(idCol),
+        v.as("__v"),
+        (aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+          .as("scale"))
+      .select(col(idCol),
+        transform(col("__v"), x =>
+          when(col("scale") === 0.0, lit(0.0))
+            .otherwise(round(x / col("scale"), 0)).cast("tinyint"))
+          .as("qvec"),
+        col("scale"))
+  }
+
+  /** The dequantized vector (array<double>) for a [[quantizeInt8]]
+    * row: q_i · scale. */
+  def int8Reconstruct(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") * scale)
+
+  /** Fidelity audit of [[quantizeInt8]] — the numbers that decide
+    * whether quantized scores can drive a cut: per vector, the scale,
+    * the worst per-dimension reconstruction error (bounded by scale/2
+    * by construction — asserted in the suite, reported here), and the
+    * cosine between the vector and its reconstruction (the score a
+    * quantized retrieval actually computes). Same float contract as
+    * every cosine entry: sequential-order dot folds, round 4, −0.0
+    * folded.
+    *
+    * Scale shape: a pure projection — the audit reads the corpus once,
+    * shuffles nothing. Output: (idCol, scale, max_abs_err, cos_fid);
+    * cos_fid NULL for the zero vector. */
+  def int8QuantAudit(emb: DataFrame, idCol: String, vecCol: String,
+                     roundDp: Int = 6): DataFrame = {
+    Joins.requireFreeColumns("int8QuantAudit", Seq(idCol),
+      "scale", "max_abs_err", "cos_fid")
+    val v = graft.functions.VectorFunctions.toDouble(col(vecCol))
+    val s = col("__s")
+    val recon = transform(col("__v"), x =>
+      when(s === 0.0, lit(0.0)).otherwise(round(x / s, 0) * s))
+    emb.select(col(idCol), v.as("__v"),
+        (aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+          .as("__s"))
+      .select(col(idCol), col("__v"), s, recon.as("__r"))
+      .select(col(idCol),
+        round(s, roundDp).as("scale"),
+        round(aggregate(
+          zip_with(col("__v"), col("__r"), (a, b) => abs(a - b)),
+          lit(0.0), (acc, e) => greatest(acc, e)), roundDp)
+          .as("max_abs_err"),
+        when(s > 0.0,
+          round(fastDot(col("__v"), col("__r")) /
+            (sqrt(fastDot(col("__v"), col("__v"))) *
+              sqrt(fastDot(col("__r"), col("__r")))), 4) + 0.0)
+          .as("cos_fid"))
+  }
+
   /** L3 batch form: top-k cosine neighbors for EVERY query vector — the
     * k-NN join a training pipeline runs for eval-set retrieval, label
     * propagation, or embedding-dedup sweeps ([[cosineTopK]] is its

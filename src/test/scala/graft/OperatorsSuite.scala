@@ -349,6 +349,52 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("L3q int8 quantization: code bounds, error ≤ scale/2, exact-grid identity, zero vector, fixture fidelity") {
+    import spark.implicits._
+    // hand vectors: an exact grid (multiples of its own scale → zero
+    // error, fidelity 1), a generic vector, and the zero vector
+    val hand = Seq(
+      (1L, Seq(127.0, -127.0, 0.0, 63.5)),   // scale 1; 63.5 rounds HALF_UP
+      (2L, Seq(0.3, -0.2, 0.05, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(hand, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Byte](1), r.getDouble(2)))).toMap
+    assert(q(1L)._2 == 1.0 && q(1L)._1 == Seq[Byte](127, -127, 0, 64))
+    assert(q(3L)._2 == 0.0 && q(3L)._1.forall(_ == 0))
+    assert(q.values.forall(_._1.forall(b => b >= -127 && b <= 127)))
+    val audit = Similarity.int8QuantAudit(hand, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // exact grid: 127.0/-127.0/0.0 reconstruct exactly; 63.5 → 64 errs 0.5
+    assert(audit(1L).getDouble(1) == 1.0 &&
+      audit(1L).getDouble(2) == 0.5)
+    assert(audit(3L).getDouble(2) == 0.0 && audit(3L).isNullAt(3))
+    // the contract: max_abs_err ≤ scale/2 (+ ulp), fidelity high, on
+    // the real fixture corpus
+    val fix = Similarity.int8QuantAudit(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding").collect()
+    assert(fix.nonEmpty)
+    fix.foreach { r =>
+      // scale and err are both reported at 6 dp — allow the half-step
+      // of that rounding on top of the analytic scale/2 bound
+      assert(r.getDouble(2) <= r.getDouble(1) / 2 + 5e-7, r.toString)
+      if (!r.isNullAt(3)) assert(r.getDouble(3) >= 0.999, r.toString)
+    }
+    // quantized retrieval holds the fixture's top-10 ranking: the int8
+    // top-10 ids match the float top-10 (cos_fid ≥ 0.999 end-to-end)
+    val emb = Tables.embeddings(spark, sfDir)
+    val recon = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.int8Reconstruct(col("qvec"), col("scale"))
+          .as("embedding"))
+    val floatTop = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val int8Top = Similarity.cosineTopK(recon, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((floatTop & int8Top).size >= 8,
+      s"int8 recall ${(floatTop & int8Top).size}/10")
+  }
+
   test("L1i incremental near-dup ≡ exact cross-corpus pairwise; no within-side pairs") {
     val docs = Tables.documents(spark, sfDir)
     val delta = docs.where(col("doc_id").between(100, 119))
