@@ -413,7 +413,20 @@ object ScaleSmoke {
       q("x_psi", "events"),
       q("x_kfold", "events"),
       q("x_zipf", "documents"),
-      q("x_roc_auc", "events"))
+      q("x_roc_auc", "events"),
+      // r15 family: salted join = one (key, salt) shuffle + the dim
+      // replicated ×8 (dim grows ∝ copies, still broadcast-sized);
+      // data card = seven independent partial-agg sections; int8 quant
+      // = a pure projection; int8 topk = quantize projection + brute
+      // cosine (corpus × one broadcast query); bpe roundtrip = the
+      // bpeEncode path + a vocabulary-sized artifact write/read; jsonl
+      // export = the exportShards one-write pass in json.gz
+      q("x_salted_join", "orders", "customer"),
+      q("x_data_card", "documents"),
+      q("x_int8_quant", "embeddings"),
+      q("x_int8_topk", "embeddings"),
+      q("x_bpe_roundtrip", "documents"),
+      q("x_corpus_export_jsonl", "documents"))
       // NOT here: x_entity_match / x_entity_match_indel. Replica
       // customer names are copy-identical (c_name is not tagged), so
       // every cross-copy name pair is a TRUE distance-0 match (and
