@@ -2258,6 +2258,16 @@ object Queries {
     Similarity.cosineTopK(recon, "vec_id", "embedding", queryId = 0L, k = 10)
   }
 
+  /** Tokenizer fertility per language: tokens-per-word under the same
+    * 30-merge model as x_bpe_encode, rolled up by lang — the
+    * per-language compute/context cost a multilingual tokenizer choice
+    * is judged on. The oracle replays the dump-time word→encoding
+    * table with a lang rollup. */
+  def xBpeFertility(s: SparkSession, d: String): DataFrame =
+    Pipelines.bpeFertility(documents(s, d), "doc_id", "text", "lang",
+        Pipelines.bpeTrainModel(documents(s, d), "text", numMerges = 30))
+      .orderBy("lang")
+
   /** Corpus data card: the release-review datasheet assembled by ONE
     * job calling the already-oracled audit operators (column profile,
     * per-source stats, whole-corpus stats, language distribution,

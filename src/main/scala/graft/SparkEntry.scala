@@ -632,15 +632,29 @@ object SparkEntry {
     * ordered per-doc reassembly), which is exactly the part the oracle
     * exists to check. Same contract as [[ivfOracleSql]]: active session
     * + `graft.oracle.sfDir`, Try-omitted elsewhere → rows-only check. */
-  private def bpeOracleSql: Option[(String, String)] = scala.util.Try {
+  /** The word→(toks, ids, n) VALUES literal all three BPE oracles share,
+    * memoized per sfDir — the training fold is deterministic, so one
+    * computation serves x_bpe_encode, x_bpe_roundtrip AND
+    * x_bpe_fertility without re-collecting the vocabulary per entry. */
+  private val bpeValuesCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private def bpeValuesLiteral(): String = {
     val spark = SparkSession.active
     val sfDir = sys.props("graft.oracle.sfDir") // no default: throws if unset
-    val docs = Tables.documents(spark, sfDir)
-    val table = graft.operators.Pipelines.bpeEncodingTable(
-      docs, "text", numMerges = 30)
-    val values = table.map { case (w, t, i, n) =>
-      s"('${w.replace("'", "''")}', '${t.replace("'", "''")}', '$i', $n)"
-    }.mkString(", ")
+    bpeValuesCache.synchronized {
+      bpeValuesCache.getOrElseUpdate(sfDir, {
+        val docs = Tables.documents(spark, sfDir)
+        val table = graft.operators.Pipelines.bpeEncodingTable(
+          docs, "text", numMerges = 30)
+        table.map { case (w, t, i, n) =>
+          s"('${w.replace("'", "''")}', '${t.replace("'", "''")}', '$i', $n)"
+        }.mkString(", ")
+      })
+    }
+  }
+
+  private def bpeOracleSql: Option[(String, String)] = scala.util.Try {
+    val values = bpeValuesLiteral()
     val sql =
       s"WITH m(word, toks, ids, nt) AS (VALUES $values), " +
         "d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents), " +
@@ -660,6 +674,24 @@ object SparkEntry {
     * persistence is encoding-transparent. */
   private def bpeRoundtripOracleSql: Option[(String, String)] =
     bpeOracleSql.map { case (_, sql) => "x_bpe_roundtrip" -> sql }
+
+  /** x_bpe_fertility: the same dump-time word→encoding table, rolled up
+    * per language — replays only the distributed half (word stream,
+    * mapping join, lang rollup), exactly the part under test. */
+  private def bpeFertilityOracleSql: Option[(String, String)] = scala.util.Try {
+    val values = bpeValuesLiteral()
+    val sql =
+      s"WITH m(word, toks, ids, nt) AS (VALUES $values), " +
+        "d AS (SELECT doc_id, lang, string_split(text, ' ') AS s FROM documents), " +
+        "ti AS (SELECT doc_id, lang, s, UNNEST(range(1, len(s) + 1)) AS pos FROM d), " +
+        "w AS (SELECT doc_id, lang, s[pos] AS word FROM ti WHERE len(s[pos]) >= 1), " +
+        "j AS (SELECT doc_id, lang, nt FROM w JOIN m USING (word)) " +
+        "SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(nt) AS BIGINT) AS n_tokens, " +
+        "ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS fertility " +
+        "FROM j GROUP BY lang ORDER BY lang"
+    "x_bpe_fertility" -> sql
+  }.toOption
 
   private def ivfadcOracleSql: Option[(String, String)] = scala.util.Try {
     val spark = SparkSession.active
@@ -983,7 +1015,8 @@ object SparkEntry {
     "x_salted_join" -> (Queries.xSaltedJoin _),
     "x_data_card" -> (Queries.xDataCard _),
     "x_int8_quant" -> (Queries.xInt8Quant _),
-    "x_int8_topk" -> (Queries.xInt8Topk _)
+    "x_int8_topk" -> (Queries.xInt8Topk _),
+    "x_bpe_fertility" -> (Queries.xBpeFertility _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2708,5 +2741,5 @@ object SparkEntry {
         "FROM mi CROSS JOIN hx CROSS JOIN hy")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ bpeRoundtripOracleSql ++
-    qualityLrOracleSql ++ pcaOracleSql
+    bpeFertilityOracleSql ++ qualityLrOracleSql ++ pcaOracleSql
 }

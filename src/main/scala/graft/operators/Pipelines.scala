@@ -826,6 +826,35 @@ object Pipelines {
           .as("ids_str"))
   }
 
+  /** Tokenizer fertility by group (usually language): tokens-per-word
+    * under a trained [[BpeModel]] — THE number a tokenizer choice is
+    * judged on per language (fertility 3× on one language means that
+    * language costs 3× the compute per word and fills 3× the context;
+    * the classic under-represented-script failure a multilingual
+    * corpus audit must surface before training, not after).
+    *
+    * Scale shape: [[bpeEncodeWith]]'s plan (encode UDF over DISTINCT
+    * words only, broadcast-joined to the exploded stream) + one keyed
+    * join back to the group column + one map-side-combining groupBy.
+    * Counts are exact longs; fertility is one double division.
+    *
+    * Output: (groupCol, n_docs, n_words, n_tokens, fertility). */
+  def bpeFertility(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, model: BpeModel,
+                   roundDp: Int = 6): DataFrame = {
+    Joins.requireFreeColumns("bpeFertility", Seq(idCol, groupCol),
+      "n_docs", "n_words", "n_tokens", "fertility")
+    bpeEncodeWith(df, idCol, textCol, model)
+      .join(df.select(col(idCol), col(groupCol)), idCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), roundDp)
+          .as("fertility"))
+  }
+
   /** KMV (k-minimum-values) corpus-overlap estimation (Beyer et al.
     * SIGMOD'07): per group keep the k lexicographically smallest md5
     * hashes of its DISTINCT items (tokens, n-grams, URLs…); for every

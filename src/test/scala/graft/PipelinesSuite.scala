@@ -394,6 +394,21 @@ class PipelinesSuite extends AnyFunSuite {
     }
   }
 
+  test("bpeFertility: hand-computed tokens-per-word by group") {
+    // one merge (a,a): aa→[aa], ab→[a,b], b→[b], xyz→[x,y,z]
+    val df = Seq((1L, "aa aa ab", "en"), (2L, "aa b", "fr"),
+      (3L, "xyz xyz", "de")).toDF("doc_id", "text", "lang")
+    val model = Pipelines.bpeTrainModel(df, "text", numMerges = 1)
+    assert(model.merges == Seq("a" -> "a"))
+    val got = Pipelines.bpeFertility(df, "doc_id", "text", "lang", model)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("en") == ((1L, 3L, 4L, BigDecimal(4.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got("fr") == ((1L, 2L, 2L, 1.0)))
+    assert(got("de") == ((1L, 2L, 6L, 3.0))) // the 3x-cost language
+  }
+
   test("BPE artifact round-trip: save → fresh-session load → encode ≡ the training session") {
     val docs = Tables.documents(spark, sfDir)
     val path = java.nio.file.Files
