@@ -635,7 +635,11 @@ object SparkEntry {
   /** The word→(toks, ids, n) VALUES literal all three BPE oracles share,
     * memoized per sfDir — the training fold is deterministic, so one
     * computation serves x_bpe_encode, x_bpe_roundtrip AND
-    * x_bpe_fertility without re-collecting the vocabulary per entry. */
+    * x_bpe_fertility without re-collecting the vocabulary per entry.
+    * JVM-lifetime cache by design: a Verify dump is one fresh JVM per
+    * run, so staleness after an in-place fixture regeneration is not a
+    * reachable state there; long-lived REPL sessions regenerating
+    * fixtures under the same path should restart before re-dumping. */
   private val bpeValuesCache =
     scala.collection.mutable.Map.empty[String, String]
   private def bpeValuesLiteral(): String = {

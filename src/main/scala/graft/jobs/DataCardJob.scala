@@ -92,11 +92,13 @@ object DataCardJob {
       .orderBy("section", "metric", "key")
   }
 
-  /** [[run]] + persist: the card lands as one parquet file (it is
-    * dashboard-sized by construction). */
-  def runAndSave(docs: DataFrame, outPath: String): DataFrame = {
-    val card = run(docs)
+  /** Persist an already-computed card as one parquet file (it is
+    * dashboard-sized by construction) — takes the CARD, not the corpus,
+    * so the persisted artifact is exactly the frame the caller
+    * configured (a docs-taking overload re-running [[run]] with default
+    * parameters would silently disagree with a non-default card). */
+  def save(card: DataFrame, outPath: String): DataFrame = {
     card.coalesce(1).write.mode("overwrite").parquet(outPath)
-    docs.sparkSession.read.parquet(outPath)
+    card.sparkSession.read.parquet(outPath)
   }
 }

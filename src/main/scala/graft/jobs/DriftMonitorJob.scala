@@ -32,7 +32,13 @@ import graft.operators.Pipelines
   * batches × columns.
   *
   * Output schema: (col_name, n_ref, n_cur, psi) partitioned by
-  * batch_id. */
+  * batch_id. Readers note: `batch_id` is a PARTITION column, so
+  * read-back type comes from partition inference (int for ids < 2³¹) —
+  * cast it on read. Do not point this job at a metrics dir written by
+  * a pre-partitioned (flat-append) deployment: the old files carry
+  * batch_id as a data column and the mix would conflict on read —
+  * start a fresh outDir (the table is dashboard-sized; re-deriving
+  * history is one backfill run). */
 object DriftMonitorJob {
 
   def runStreaming(stream: DataFrame, reference: DataFrame,

@@ -495,8 +495,12 @@ object Pipelines {
   def groupZScore(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
     // Decimal accumulators: Σx is long-safe to 9e18 but Σx² overflows a
     // long at ~9e6 rows of x ~ 1e6 (the gini bug class); the per-row
-    // square is formed IN decimal so it can't wrap before the sum either
-    val xDec = col(valCol).cast("decimal(19,0)")
+    // square is formed IN decimal so it can't wrap before the sum. The
+    // long cast comes FIRST, preserving the documented integer-metric
+    // contract bit-for-bit (long truncates toward zero; a direct
+    // decimal cast would HALF_UP fractional inputs and silently shift
+    // every z between releases).
+    val xDec = col(valCol).cast("long").cast("decimal(19,0)")
     val stats = df.groupBy(keyCol).agg(
       count(lit(1)).as("__n"),
       sum(xDec).as("__s1"),
@@ -797,7 +801,7 @@ object Pipelines {
     * position-exploded stream. */
   def bpeEncodeWith(df: DataFrame, idCol: String, textCol: String,
                     model: BpeModel): DataFrame = {
-    Joins.requireFreeColumns("bpeEncode", df.columns,
+    Joins.requireFreeColumns("bpeEncodeWith", df.columns,
       "n_words", "n_tokens", "toks_str", "ids_str")
     val words = distinctWordCounts(df, textCol)
     val spark = df.sparkSession

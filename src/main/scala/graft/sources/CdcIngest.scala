@@ -39,18 +39,23 @@ object CdcIngest {
     from_json(outer.getField("value"), innerSchema).getField("after")
   }
 
+  /** The typed projection over the decoded `after` struct (bound as
+    * column `a`) — ONE definition shared by [[parse]] and
+    * [[parseEvolved]], so the timezone/date rule can never drift
+    * between the two (the afterExpr single-source principle). */
+  private def typedColumns: Seq[Column] = Seq(
+    col("a.ref").as("ref"),
+    col("a.city_id").as("city_id"),
+    col("a.city_name").as("city_name"),
+    // App.txt:66-68: epoch-millis rendered as a local date at UTC+8
+    date_format(from_utc_timestamp(timestamp_millis(col("a.c_time")), "+08:00"),
+      "yyyy-MM-dd").as("c_date"))
+
   /** payload string column → typed City frame (columns ref, city_id,
     * city_name, c_date). */
-  def parse(df: DataFrame, payloadCol: String): DataFrame = {
+  def parse(df: DataFrame, payloadCol: String): DataFrame =
     df.select(afterExpr(payloadCol).as("a"))
-      .select(
-        col("a.ref").as("ref"),
-        col("a.city_id").as("city_id"),
-        col("a.city_name").as("city_name"),
-        // App.txt:66-68: epoch-millis rendered as a local date at UTC+8
-        date_format(from_utc_timestamp(timestamp_millis(col("a.c_time")), "+08:00"),
-          "yyyy-MM-dd").as("c_date"))
-  }
+      .select(typedColumns: _*)
 
   /** Dead-letter filter for [[parse]]: the input rows whose envelope does
     * NOT decode — malformed JSON at either nesting level, a non-object
@@ -122,16 +127,11 @@ object CdcIngest {
     val extras = map_filter(afterMapExpr(payloadCol),
       (k, _) => !knownAfterFields.foldLeft(lit(false))(
         (acc, f) => acc || k === f))
-    df.select(afterExpr(payloadCol).as("a"), extras.as("extras"))
-      .select(
-        col("a.ref").as("ref"),
-        col("a.city_id").as("city_id"),
-        col("a.city_name").as("city_name"),
-        date_format(from_utc_timestamp(timestamp_millis(col("a.c_time")), "+08:00"),
-          "yyyy-MM-dd").as("c_date"),
-        coalesce(col("extras"),
+    df.select(afterExpr(payloadCol).as("a"), extras.as("__x"))
+      .select(typedColumns :+
+        coalesce(col("__x"),
           map_from_arrays(array(), array()).cast("map<string,string>"))
-          .as("extras"))
+          .as("extras"): _*)
   }
 
   def parseTyped(df: DataFrame, payloadCol: String): Dataset[City] = {

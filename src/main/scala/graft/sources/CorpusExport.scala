@@ -49,6 +49,12 @@ import org.apache.spark.sql.functions._
   * Null contract: content hashing uses concat_ws, which skips nulls —
   * a null and an empty string hash alike; hash NULL-sensitive columns
   * through an explicit coalesce upstream if that distinction matters.
+  * JSON-specific corner: the JSON writer OMITS null fields, so a
+  * content column that is null in EVERY row of the export would be
+  * absent from the schema-inferred read-back and fail the manifest
+  * derivation loudly (AnalysisException on the missing column) —
+  * coalesce such columns upstream; partially-null columns round-trip
+  * fine (absent fields read back as null).
   *
   * Returns the manifest DataFrame (also persisted at out/_manifest —
   * underscore-prefixed, so corpus readers of `outDir` never see it).

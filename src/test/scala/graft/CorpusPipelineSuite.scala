@@ -190,11 +190,13 @@ class CorpusPipelineSuite extends AnyFunSuite {
     val z = TextAnalysis.zipfFit(docs, "text", topN = 500).collect().head
     assert(card(("zipf", "slope", "all")) == Some(z.getDouble(1)))
     assert(card(("zipf", "r2", "all")) == Some(z.getDouble(3)))
-    // runAndSave round-trips the card through its artifact file
+    // save round-trips the CONFIGURED card through its artifact file
     val out = java.nio.file.Files
       .createTempDirectory("graft_datacard").toString + "/card"
-    val saved = DataCardJob.runAndSave(docs.limit(200), out)
-    assert(saved.count() > 0 &&
+    val configured = DataCardJob.run(docs.limit(200), minWords = 20,
+      zipfTopN = 500)
+    val saved = DataCardJob.save(configured, out)
+    assert(saved.count() == configured.count() &&
       spark.read.parquet(out).count() == saved.count())
   }
 }
