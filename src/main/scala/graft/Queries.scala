@@ -2258,6 +2258,17 @@ object Queries {
     Similarity.cosineTopK(recon, "vec_id", "embedding", queryId = 0L, k = 10)
   }
 
+  /** Token-budget mixture plan at α = 0.5 against a 50 k-token budget:
+    * the per-language keep rates a multilingual run is configured
+    * from. The fixed budget reads differently per SF by design — at
+    * sf0.001 (~50 k corpus tokens) small languages cap at keep 1.0
+    * while the head is cut; at larger SFs nothing caps — both regimes
+    * exercise the same algebra. */
+  def xTokenBudget(s: SparkSession, d: String): DataFrame =
+    Pipelines.tokenBudgetRates(documents(s, d), "lang", "text",
+        budgetTokens = 50000L, alpha = 0.5)
+      .orderBy("lang")
+
   /** Tokenizer fertility per language: tokens-per-word under the same
     * 30-merge model as x_bpe_encode, rolled up by lang — the
     * per-language compute/context cost a multilingual tokenizer choice

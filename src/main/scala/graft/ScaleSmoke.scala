@@ -429,7 +429,10 @@ object ScaleSmoke {
       q("x_corpus_export_jsonl", "documents"),
       // fertility = the bpeEncode plan + one keyed rollup; the replica
       // tag grows vocab slightly, trainCap bounds the driver collect
-      q("x_bpe_fertility", "documents"))
+      q("x_bpe_fertility", "documents"),
+      // mixture plan = one map-side-combining groupBy + algebra on the
+      // ≤ strata frame — scan-bound
+      q("x_token_budget", "documents"))
       // NOT here: x_entity_match / x_entity_match_indel. Replica
       // customer names are copy-identical (c_name is not tagged), so
       // every cross-copy name pair is a TRUE distance-0 match (and

@@ -1020,7 +1020,8 @@ object SparkEntry {
     "x_data_card" -> (Queries.xDataCard _),
     "x_int8_quant" -> (Queries.xInt8Quant _),
     "x_int8_topk" -> (Queries.xInt8Topk _),
-    "x_bpe_fertility" -> (Queries.xBpeFertility _)
+    "x_bpe_fertility" -> (Queries.xBpeFertility _),
+    "x_token_budget" -> (Queries.xTokenBudget _)
   )
 
   /** Bench-only entries (picked up by [[Bench]], NOT part of the
@@ -2621,6 +2622,23 @@ object SparkEntry {
       ("SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_groups " +
         "FROM (SELECT user_id, CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS fold FROM events) " +
         "GROUP BY fold ORDER BY fold"),
+    // token-budget mixture plan: exact long token counts; each
+    // stratum's temperature weight 1e-12-quantized before the
+    // cross-stratum sum (order-free exact integer), rates as single
+    // double expressions over exact integers
+    "x_token_budget" ->
+      ("WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS nt FROM documents GROUP BY lang), " +
+        "t AS (SELECT CAST(SUM(nt) AS DOUBLE) AS tt FROM s), " +
+        "w AS (SELECT lang, n_docs, nt, CAST(ROUND(POWER(CAST(nt AS DOUBLE) / tt, 0.5) * 1e12, 0) AS BIGINT) AS wq FROM s, t), " +
+        "sw AS (SELECT CAST(SUM(wq) AS DOUBLE) AS swq FROM w) " +
+        "SELECT lang, n_docs, nt AS n_tokens, " +
+        "ROUND(wq / swq, 6) AS p_mix, " +
+        "ROUND(50000 * (wq / swq), 4) AS target_tokens, " +
+        "ROUND(LEAST(1.0, (50000 * (wq / swq)) / nt), 6) AS keep_frac, " +
+        "CAST(LEAST(256, CEIL(LEAST(1.0, (50000 * (wq / swq)) / nt) * 256)) AS BIGINT) AS keep256, " +
+        "(50000 * (wq / swq) >= CAST(nt AS DOUBLE)) AS capped " +
+        "FROM w, sw ORDER BY lang"),
     // int8 quantization: scale/round/reconstruct algebra replayed
     // element-wise (err as a function of (x, s) — no list zip needed);
     // dot folds + round-4 follow the standing cosine float contract

@@ -830,6 +830,61 @@ object Pipelines {
           .as("ids_str"))
   }
 
+  /** Token-budget mixture plan per stratum (usually language) — the
+    * table a multilingual training run is CONFIGURED from: temperature-
+    * weighted mixture probabilities p_l ∝ share_l^α (α = 1 keeps the
+    * natural distribution, α → 0 flattens it; 0.5 is the classic
+    * mBERT/mT5 re-balance), a total token budget split by p, and the
+    * per-stratum keep rate that realizes it — capped at 1 (this
+    * operator never prescribes oversampling; a `capped` stratum's
+    * unmet budget is the signal to re-plan on the uncapped rest or
+    * accept repeats explicitly). `keep256` composes directly with
+    * [[sampleByMd5]], so the plan is executable as one deterministic
+    * filter.
+    *
+    * Float contract: token counts are exact longs; each stratum's
+    * temperature weight is 1e-12-quantized before the cross-stratum
+    * sum (exact integer — the order-free form), so p/rates are single
+    * double expressions over exact integers.
+    *
+    * Scale shape: one map-side-combining groupBy over the corpus, then
+    * pure algebra on the ≤ strata-row frame (two tiny broadcast
+    * totals). Output: (stratumCol, n_docs, n_tokens, p_mix,
+    * target_tokens, keep_frac, keep256, capped). */
+  def tokenBudgetRates(df: DataFrame, stratumCol: String, textCol: String,
+                       budgetTokens: Long, alpha: Double = 0.5,
+                       roundDp: Int = 6): DataFrame = {
+    require(budgetTokens > 0, "tokenBudgetRates needs a positive budget")
+    require(alpha > 0.0 && alpha <= 1.0,
+      "tokenBudgetRates needs alpha in (0, 1]")
+    Joins.requireFreeColumns("tokenBudgetRates", Seq(stratumCol),
+      "n_docs", "n_tokens", "p_mix", "target_tokens", "keep_frac",
+      "keep256", "capped", "__nt", "__tt", "__wq", "__swq")
+    val s = df
+      .select(col(stratumCol),
+        size(split(col(textCol), " ")).cast("long").as("__nt"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+      .localCheckpoint(eager = false) // ≤ strata rows, read by both totals
+    val tot = s.agg(sum("n_tokens").as("__tt"))
+    val weighted = s.crossJoin(broadcast(tot))
+      .withColumn("__wq",
+        round(pow(col("n_tokens").cast("double") / col("__tt"), alpha)
+          * 1e12, 0).cast("long"))
+      .localCheckpoint(eager = false)
+    val sw = weighted.agg(sum("__wq").as("__swq"))
+    val p = col("__wq").cast("double") / col("__swq")
+    val target = lit(budgetTokens.toDouble) * p
+    val keep = least(lit(1.0), target / col("n_tokens").cast("double"))
+    weighted.crossJoin(broadcast(sw))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        round(p, roundDp).as("p_mix"),
+        round(target, 4).as("target_tokens"),
+        round(keep, roundDp).as("keep_frac"),
+        least(lit(256L), ceil(keep * 256).cast("long")).as("keep256"),
+        (target >= col("n_tokens").cast("double")).as("capped"))
+  }
+
   /** Tokenizer fertility by group (usually language): tokens-per-word
     * under a trained [[BpeModel]] — THE number a tokenizer choice is
     * judged on per language (fertility 3× on one language means that

@@ -394,6 +394,35 @@ class PipelinesSuite extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetRates: closed-form two-stratum plan with a capped tail") {
+    // en 90 tokens, de 10 → α=0.5 weights 3:1 (√.9 : √.1), p = .75/.25;
+    // budget 50 → en target 37.5 (cut), de target 12.5 > 10 (capped)
+    val df = ((1 to 9).map(i => (s"e$i", "en")) :+ (("d1", "de")))
+      .map { case (id, l) => (id, Seq.fill(10)("w").mkString(" "), l) }
+      .toDF("id", "text", "lang")
+    val got = Pipelines.tokenBudgetRates(df, "lang", "text",
+        budgetTokens = 50L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // local mirror of the engine's quantize-then-sum contract
+    val we = math.round(math.sqrt(0.9) * 1e12)
+    val wd = math.round(math.sqrt(0.1) * 1e12)
+    def q(v: Double, dp: Int) =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pe = we.toDouble / (we + wd)
+    val en = got("en")
+    assert(en.getLong(1) == 9L && en.getLong(2) == 90L)
+    assert(en.getDouble(3) == q(pe, 6))
+    assert(en.getDouble(4) == q(50.0 * pe, 4))
+    assert(en.getDouble(5) == q(50.0 * pe / 90.0, 6) && !en.getBoolean(7))
+    assert(en.getLong(6) == math.ceil(50.0 * pe / 90.0 * 256).toLong)
+    val de = got("de")
+    assert(de.getLong(2) == 10L && de.getDouble(5) == 1.0 &&
+      de.getBoolean(7) && de.getLong(6) == 256L)
+    intercept[IllegalArgumentException] {
+      Pipelines.tokenBudgetRates(df, "lang", "text", budgetTokens = 0L)
+    }
+  }
+
   test("bpeFertility: hand-computed tokens-per-word by group") {
     // one merge (a,a): aa→[aa], ab→[a,b], b→[b], xyz→[x,y,z]
     val df = Seq((1L, "aa aa ab", "en"), (2L, "aa b", "fr"),
