@@ -210,6 +210,36 @@ class PlanShapeSuite extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization audit is a pure projection — zero Exchange in the plan") {
+    import graft.operators.Similarity
+    val df = Similarity.int8QuantAudit(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("bpeEncodeWith: the word mapping joins BROADCAST — the exploded token stream never sort-merges") {
+    import graft.operators.Pipelines
+    val docs = Tables.documents(spark, sfDir)
+    val model = Pipelines.bpeTrainModel(docs, "text", numMerges = 10)
+    val df = Pipelines.bpeEncodeWith(docs, "doc_id", "text", model)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tokenBudgetRates: both totals broadcast onto the strata frame — no strata-side shuffle join") {
+    import graft.operators.Pipelines
+    val df = Pipelines.tokenBudgetRates(
+      Tables.documents(spark, sfDir), "lang", "text", budgetTokens = 50000L)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+  }
+
   test("saltedJoin: a planted hot key never lands whole in one post-shuffle partition") {
     import graft.operators.Joins
     // one key carries 80% of the fact side — past what AQE's skew split
