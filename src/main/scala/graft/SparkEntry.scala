@@ -2551,12 +2551,17 @@ object SparkEntry {
         "ideal AS (SELECT query, CAST(COUNT(*) AS BIGINT) AS n_rel, " +
         "SUM(CASE WHEN irank <= 5 THEN CAST(ROUND((POWER(2.0, CAST(grade AS DOUBLE)) - 1.0) / (LN(CAST(irank AS DOUBLE) + 1.0) / LN(2.0)) * 1e12, 0) AS BIGINT) END) AS idcgq " +
         "FROM (SELECT query, grade, ROW_NUMBER() OVER (PARTITION BY query ORDER BY grade DESC, doc) AS irank FROM qrels) GROUP BY 1) " +
-        "SELECT pr.query, COALESCE(ideal.n_rel, 0) AS n_rel, pr.n_ret, " +
-        "ROUND(CAST(hits AS DOUBLE) / 5, 6) AS p_at_k, " +
-        "CASE WHEN n_rel > 0 THEN ROUND(CAST(hits AS DOUBLE) / n_rel, 6) END AS r_at_k, " +
+        // FULL outer, mirroring the engine's trec_eval parity: a judged
+        // query the run never returned still gets its zero-score row
+        // (coincides with the left join on this fixture — qrels queries
+        // are a subset of run queries — but the CONTRACT is full-outer)
+        "SELECT COALESCE(pr.query, ideal.query) AS query, COALESCE(ideal.n_rel, 0) AS n_rel, " +
+        "COALESCE(pr.n_ret, 0) AS n_ret, " +
+        "ROUND(CAST(COALESCE(hits, 0) AS DOUBLE) / 5, 6) AS p_at_k, " +
+        "CASE WHEN n_rel > 0 THEN ROUND(CAST(COALESCE(hits, 0) AS DOUBLE) / n_rel, 6) END AS r_at_k, " +
         "CASE WHEN firstrel IS NOT NULL THEN ROUND(1.0 / firstrel, 6) ELSE 0.0 END AS rr, " +
-        "CASE WHEN idcgq > 0 THEN ROUND(CAST(dcgq AS DOUBLE) / idcgq, 6) END AS ndcg_at_k " +
-        "FROM pr LEFT JOIN ideal ON pr.query = ideal.query ORDER BY pr.query"),
+        "CASE WHEN idcgq > 0 THEN ROUND(CAST(COALESCE(dcgq, 0) AS DOUBLE) / idcgq, 6) END AS ndcg_at_k " +
+        "FROM pr FULL OUTER JOIN ideal ON pr.query = ideal.query ORDER BY 1"),
     // temporal split audit: pure integer counting per key then one row
     "x_time_split" ->
       ("WITH pk AS (SELECT CAST(FLOOR(event_id / 3) AS BIGINT) AS blk, " +
