@@ -579,6 +579,23 @@ object Queries {
       nCells = IvfFixture.nCells, nProbe = IvfFixture.nProbe,
       lloydIters = IvfFixture.lloydIters, trainCap = IvfFixture.trainCap)
 
+  /** Token-budget fixture parameters shared by [[xTokenBudget]] and its
+    * DuckDB oracle string in [[SparkEntry]] — one source of truth, so a
+    * parameter tweak can never silently break hash parity. */
+  private[graft] object TokenBudgetFixture {
+    val budgetTokens = 50000L; val alpha = 0.5
+  }
+
+  /** Data-card fixture parameters shared by [[xDataCard]] and the
+    * dataCardOracleSql generator in [[SparkEntry]] — same
+    * one-source-of-truth contract as [[IvfFixture]]. Values deliberately
+    * match the standalone entries' fixtures (x_gopher's minWords,
+    * x_zipf's topN, x_curation_funnel's keep256) so the card equals the
+    * dashboards it summarizes. */
+  private[graft] object DataCardFixture {
+    val minWords = 20; val zipfTopN = 500; val keep256 = 192
+  }
+
   /** SemDeDup fixture parameters shared by [[xSemDedup]] and the
     * dump-time oracle generator — same pin rationale as [[IvfFixture]]:
     * Spark and SQL must train identical centroids for the hash compare
@@ -2266,7 +2283,8 @@ object Queries {
     * exercise the same algebra. */
   def xTokenBudget(s: SparkSession, d: String): DataFrame =
     Pipelines.tokenBudgetRates(documents(s, d), "lang", "text",
-        budgetTokens = 50000L, alpha = 0.5)
+        budgetTokens = TokenBudgetFixture.budgetTokens,
+        alpha = TokenBudgetFixture.alpha)
       .orderBy("lang")
 
   /** Tokenizer fertility per language: tokens-per-word under the same
@@ -2289,7 +2307,9 @@ object Queries {
   def xDataCard(s: SparkSession, d: String): DataFrame =
     graft.jobs.DataCardJob.run(documents(s, d),
       profileCols = Seq("doc_id", "text", "lang", "source", "n_chars"),
-      minWords = 20, zipfTopN = 500)
+      minWords = DataCardFixture.minWords,
+      keep256 = DataCardFixture.keep256,
+      zipfTopN = DataCardFixture.zipfTopN)
 
   /** BPE tokenizer artifact round-trip: train 30 merges, persist the
     * versioned vocab/merges table, load it back, and encode the corpus

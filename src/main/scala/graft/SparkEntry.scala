@@ -636,17 +636,27 @@ object SparkEntry {
     * memoized per sfDir — the training fold is deterministic, so one
     * computation serves x_bpe_encode, x_bpe_roundtrip AND
     * x_bpe_fertility without re-collecting the vocabulary per entry.
-    * JVM-lifetime cache by design: a Verify dump is one fresh JVM per
-    * run, so staleness after an in-place fixture regeneration is not a
-    * reachable state there; long-lived REPL sessions regenerating
-    * fixtures under the same path should restart before re-dumping. */
+    * The cache key pairs sfDir with a FINGERPRINT of the documents
+    * fixture (file names + lengths + mtimes), so a long-lived session
+    * that regenerates fixtures in place under the same path invalidates
+    * the memo automatically instead of dumping a stale oracle. */
   private val bpeValuesCache =
-    scala.collection.mutable.Map.empty[String, String]
+    scala.collection.mutable.Map.empty[(String, Long), String]
+  private def fixtureFingerprint(sfDir: String): Long = {
+    def walk(f: java.io.File): Long = {
+      val self = f.getName.hashCode.toLong * 31L +
+        f.length * 17L + f.lastModified
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName)
+        .foldLeft(self)((acc, k) => acc * 1000003L + walk(k))
+    }
+    walk(new java.io.File(sfDir, "documents.parquet"))
+  }
   private def bpeValuesLiteral(): String = {
     val spark = SparkSession.active
     val sfDir = sys.props("graft.oracle.sfDir") // no default: throws if unset
     bpeValuesCache.synchronized {
-      bpeValuesCache.getOrElseUpdate(sfDir, {
+      bpeValuesCache.getOrElseUpdate(sfDir -> fixtureFingerprint(sfDir), {
         val docs = Tables.documents(spark, sfDir)
         val table = graft.operators.Pipelines.bpeEncodingTable(
           docs, "text", numMerges = 30)
@@ -1097,7 +1107,7 @@ object SparkEntry {
       "len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha, " +
       "len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))), ['the','be','to','of','and','that','have','with'])) AS nstop FROM t), " +
       "p AS (SELECT doc_id, text, source, " +
-      "(nw BETWEEN 20 AND 100000 AND wc / greatest(nw, 1.0) BETWEEN 3.0 AND 10.0 " +
+      s"(nw BETWEEN ${Queries.DataCardFixture.minWords} AND 100000 AND wc / greatest(nw, 1.0) BETWEEN 3.0 AND 10.0 " +
       "AND (hashes + ell) / greatest(nw, 1.0) <= 0.1 AND alpha / greatest(nw, 1.0) >= 0.8 " +
       "AND nstop >= 2) AS passes FROM s), " +
       "k AS (SELECT MIN(doc_id) AS doc_id FROM p WHERE passes GROUP BY text), " +
@@ -1110,11 +1120,11 @@ object SparkEntry {
       "ff AS (SELECT source, COUNT(*) AS n_raw, " +
       "COUNT(CASE WHEN passes THEN 1 END) AS n_quality, " +
       "COUNT(CASE WHEN kept THEN 1 END) AS n_dedup, " +
-      "COUNT(CASE WHEN kept AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) < 192 THEN 1 END) AS n_sampled " +
+      s"COUNT(CASE WHEN kept AND CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) < ${Queries.DataCardFixture.keep256} THEN 1 END) AS n_sampled " +
       "FROM f GROUP BY source), " +
       "ztok AS (SELECT tok FROM documents, UNNEST(string_split(text, ' ')) AS u(tok) WHERE len(tok) > 0), " +
       "zc AS (SELECT tok, COUNT(*) AS n FROM ztok GROUP BY 1), " +
-      "ztop AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk FROM zc ORDER BY n DESC, tok LIMIT 500), " +
+      s"ztop AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk FROM zc ORDER BY n DESC, tok LIMIT ${Queries.DataCardFixture.zipfTopN}), " +
       "zs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms, " +
       "SUM(CAST(ROUND(ln(CAST(rk AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS sx, " +
       "SUM(CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS sy, " +
@@ -2635,14 +2645,14 @@ object SparkEntry {
       ("WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS nt FROM documents GROUP BY lang), " +
         "t AS (SELECT CAST(SUM(nt) AS DOUBLE) AS tt FROM s), " +
-        "w AS (SELECT lang, n_docs, nt, CAST(ROUND(POWER(CAST(nt AS DOUBLE) / tt, 0.5) * 1e12, 0) AS BIGINT) AS wq FROM s, t), " +
+        s"w AS (SELECT lang, n_docs, nt, CAST(ROUND(POWER(CAST(nt AS DOUBLE) / tt, ${Queries.TokenBudgetFixture.alpha}) * 1e12, 0) AS BIGINT) AS wq FROM s, t), " +
         "sw AS (SELECT CAST(SUM(wq) AS DOUBLE) AS swq FROM w) " +
         "SELECT lang, n_docs, nt AS n_tokens, " +
         "ROUND(wq / swq, 6) AS p_mix, " +
-        "ROUND(50000 * (wq / swq), 4) AS target_tokens, " +
-        "ROUND(LEAST(1.0, (50000 * (wq / swq)) / nt), 6) AS keep_frac, " +
-        "CAST(LEAST(256, CEIL(LEAST(1.0, (50000 * (wq / swq)) / nt) * 256)) AS BIGINT) AS keep256, " +
-        "(50000 * (wq / swq) >= CAST(nt AS DOUBLE)) AS capped " +
+        s"ROUND(${Queries.TokenBudgetFixture.budgetTokens} * (wq / swq), 4) AS target_tokens, " +
+        s"ROUND(LEAST(1.0, (${Queries.TokenBudgetFixture.budgetTokens} * (wq / swq)) / nt), 6) AS keep_frac, " +
+        s"CAST(LEAST(256, CEIL(LEAST(1.0, (${Queries.TokenBudgetFixture.budgetTokens} * (wq / swq)) / nt) * 256)) AS BIGINT) AS keep256, " +
+        s"(${Queries.TokenBudgetFixture.budgetTokens} * (wq / swq) >= CAST(nt AS DOUBLE)) AS capped " +
         "FROM w, sw ORDER BY lang"),
     // int8 quantization: scale/round/reconstruct algebra replayed
     // element-wise (err as a function of (x, s) — no list zip needed);

@@ -47,6 +47,18 @@ object DriftMonitorJob {
                    trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
       : StreamingQuery = {
     require(cols.nonEmpty, "DriftMonitorJob needs at least one column")
+    // fail fast on a metrics dir written by the pre-partitioned
+    // (flat-append) deployment: those part files carry batch_id as a
+    // DATA column at the dir root, and mixing them with batch_id=*
+    // partition dirs fails confusingly at read time. Fresh dirs and
+    // already-partitioned dirs pass untouched.
+    val rootFiles = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    require(!rootFiles.exists(f => f.isFile && f.getName.startsWith("part-")),
+      s"DriftMonitorJob: $outDir holds non-partitioned part files (a " +
+        "flat-append layout from an old deployment) — start a fresh " +
+        "outDir; the metrics table is dashboard-sized, one backfill " +
+        "re-derives history")
     val ref = reference.select(cols.map(col): _*).localCheckpoint()
     stream.writeStream
       .option("checkpointLocation", checkpoint)

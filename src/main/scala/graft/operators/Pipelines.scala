@@ -636,14 +636,22 @@ object Pipelines {
     var s = w.map(_.toString).toVector
     var done = s.length < 2
     while (!done) {
-      val present = s.indices.dropRight(1)
-        .flatMap(j => ranks.get(s(j) -> s(j + 1)))
-      if (present.isEmpty) done = true
+      // one O(len) sweep finds the lowest-ranked adjacent pair directly
+      // (ranks are distinct creation indices, so the argmin is unique);
+      // scanning the whole merge table per step would go
+      // O(len · numMerges) — a CPU cliff at production merge counts
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var j = 0
+      while (j < s.length - 1) {
+        val p = s(j) -> s(j + 1)
+        val r = ranks.getOrElse(p, Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = p }
+        j += 1
+      }
+      if (bestPair == null) done = true
       else {
-        val best = ranks.collectFirst {
-          case (p, r) if r == present.min => p
-        }.get
-        s = mergePair(s, best._1, best._2)
+        s = mergePair(s, bestPair._1, bestPair._2)
         done = s.length < 2
       }
     }
@@ -797,13 +805,26 @@ object Pipelines {
     * the same session's [[bpeTrainModel]] or a [[bpeLoad]] of a saved
     * artifact) — the production shape: train once, version the
     * artifact, encode everywhere. Same plan as bpeEncode: the UDF runs
-    * over the distinct-word table only, broadcast-joined back onto the
-    * position-exploded stream. */
+    * over the distinct-word table only, joined back onto the
+    * position-exploded stream.
+    *
+    * Broadcast safety valve: the word→encoding table broadcasts only
+    * while the vocabulary is at most `broadcastWordCap` distinct words
+    * (the default ~4 M words ≈ low hundreds of MB — well under Spark's
+    * 8 GB broadcast hard limit); past the cap it shuffle-joins the
+    * exploded stream instead, which costs one extra keyed exchange
+    * (the stream shuffles for the per-doc groupBy anyway), never an
+    * un-broadcastable multi-GB driver/executor copy. The vocabulary
+    * table is localCheckpoint'ed so the sizing count and the join read
+    * one materialization, not two corpus passes. Both modes are
+    * hash-identical by construction (same UDF, same join keys). */
   def bpeEncodeWith(df: DataFrame, idCol: String, textCol: String,
-                    model: BpeModel): DataFrame = {
+                    model: BpeModel,
+                    broadcastWordCap: Long = 4000000L): DataFrame = {
     Joins.requireFreeColumns("bpeEncodeWith", df.columns,
       "n_words", "n_tokens", "toks_str", "ids_str")
-    val words = distinctWordCounts(df, textCol)
+    val words = distinctWordCounts(df, textCol).localCheckpoint(eager = false)
+    val nWords = words.count()
     val spark = df.sparkSession
     val ranksB = spark.sparkContext.broadcast(model.ranks)
     val idsB = spark.sparkContext.broadcast(model.ids)
@@ -814,10 +835,12 @@ object Pipelines {
     }
     val wordToks = words.select(col("__w"),
       encodeUdf(col("__w")).as("__e"))
+    val mapping =
+      if (nWords <= broadcastWordCap) broadcast(wordToks) else wordToks
     val stream = df.select(col(idCol),
         posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
       .where(length(col("__w")) >= 1)
-    stream.join(broadcast(wordToks), "__w")
+    stream.join(mapping, "__w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("__e._3")).as("n_tokens"),

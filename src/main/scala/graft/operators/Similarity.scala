@@ -85,7 +85,14 @@ object Similarity {
     * zero shuffle, codegen-eligible, linear at any corpus size.
     * Output: (idCol, qvec array<tinyint>, scale). Reconstruct with
     * [[int8Reconstruct]]; audit the fidelity with [[int8QuantAudit]]
-    * BEFORE trusting quantized scores for a recall-sensitive cut. */
+    * BEFORE trusting quantized scores for a recall-sensitive cut.
+    *
+    * Precondition (here and in [[int8QuantAudit]]): every embedding is
+    * NON-EMPTY — an embedding table has one fixed dim by construction.
+    * A zero-length array would quantize to (empty qvec, scale 0) here
+    * while SQL engines fold an empty-list max to NULL (the DuckDB
+    * oracle would emit NULL rows) — filter `size(vecCol) > 0` upstream
+    * before pointing either operator at a column that can be empty. */
   def quantizeInt8(emb: DataFrame, idCol: String,
                    vecCol: String): DataFrame = {
     Joins.requireFreeColumns("quantizeInt8", Seq(idCol), "qvec", "scale")

@@ -49,12 +49,11 @@ import org.apache.spark.sql.functions._
   * Null contract: content hashing uses concat_ws, which skips nulls —
   * a null and an empty string hash alike; hash NULL-sensitive columns
   * through an explicit coalesce upstream if that distinction matters.
-  * JSON-specific corner: the JSON writer OMITS null fields, so a
-  * content column that is null in EVERY row of the export would be
-  * absent from the schema-inferred read-back and fail the manifest
-  * derivation loudly (AnalysisException on the missing column) —
-  * coalesce such columns upstream; partially-null columns round-trip
-  * fine (absent fields read back as null).
+  * The manifest read-back applies the WRITTEN DataFrame's schema (no
+  * inference), so JSON shards round-trip type-faithfully: omitted null
+  * fields read back as typed nulls (even for all-null columns), and a
+  * string column whose values happen to look numeric stays a string —
+  * checksums are format-invariant by construction.
   *
   * Returns the manifest DataFrame (also persisted at out/_manifest —
   * underscore-prefixed, so corpus readers of `outDir` never see it).
@@ -98,7 +97,12 @@ object CorpusExport {
       .write.format(format).mode("overwrite").partitionBy("split")
       .option("maxRecordsPerFile", rowsPerShard)
     codec.fold(writer)(c => writer.option("compression", c)).save(outDir)
-    val manifest = buildManifest(spark.read.format(format).load(outDir),
+    // read back under the WRITTEN schema, never inference: a JSON
+    // read-back of a numeric-looking string column would otherwise
+    // infer bigint and re-stringify differently ('007' → '7'),
+    // silently changing content_md5/content_xor vs the typed formats
+    val manifest = buildManifest(
+      spark.read.format(format).schema(labeled.schema).load(outDir),
       contentCols, outDir)
     manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
     spark.read.parquet(s"$outDir/_manifest")

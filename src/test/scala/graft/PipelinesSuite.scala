@@ -383,6 +383,27 @@ class PipelinesSuite extends AnyFunSuite {
     assert(out(1) == ((2L, 2L, 2L, "aa|b", "2,1")))
   }
 
+  test("bpeEncodeWord: production merge counts stay fast (O(len) per step, not O(len·numMerges))") {
+    // a prefix-fusion chain over 1000 distinct CJK chars — every step
+    // applies exactly one merge, so a 1000-char word walks 999 steps —
+    // padded with 50k filler ranks that never apply. The pre-fix argmin
+    // scanned the WHOLE 51k-entry table once per step (~5·10⁷ map
+    // traversals); the O(len)-per-step form does ~10⁶ adjacent-pair
+    // lookups total. The bound below is generous for the latter and a
+    // regression canary for the former.
+    val n = 1000
+    val chars = (0 until n).map(i => (0x4E00 + i).toChar.toString)
+    val chain = (1 until n).map(i => chars.take(i).mkString -> chars(i))
+    val filler = (0 until 50000).map(i => s"F$i" -> s"G$i")
+    val ranks = (chain ++ filler).zipWithIndex.toMap
+    val w = chars.mkString
+    val t0 = System.nanoTime()
+    val toks = Pipelines.bpeEncodeWord(w, ranks)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(toks == Vector(w), s"expected full fusion, got ${toks.length} toks")
+    assert(ms < 1000.0, s"encode of a $n-char word took $ms ms at 51k merges")
+  }
+
   test("BPE: every fixture word round-trips through its segmentation") {
     val docs = Tables.documents(spark, sfDir)
     val table = Pipelines.bpeEncodingTable(docs, "text", numMerges = 30)

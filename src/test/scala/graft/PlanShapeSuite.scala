@@ -231,6 +231,33 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bpeEncodeWith: past broadcastWordCap the mapping shuffle-joins instead (8 GB broadcast safety valve), hash-identically") {
+    import graft.operators.Pipelines
+    val docs = Tables.documents(spark, sfDir)
+    val model = Pipelines.bpeTrainModel(docs, "text", numMerges = 10)
+    val small = Pipelines.bpeEncodeWith(docs, "doc_id", "text", model)
+    val a = small.orderBy("doc_id").collect()
+    // auto-broadcast off while probing the above-cap shape: at the toy
+    // test SF the planner would otherwise broadcast the STREAM side on
+    // size stats, which a 100 TB corpus never permits. Restored in
+    // finally — TestSpark's session is shared across suites.
+    val restore = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val b = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = Pipelines.bpeEncodeWith(docs, "doc_id", "text", model,
+        broadcastWordCap = 0L)
+      val rows = big.orderBy("doc_id").collect()
+      val p = plan(big)
+      // above the cap the vocabulary-sized mapping must NOT broadcast —
+      // the planner keys both sides through an exchange instead
+      assert(!p.contains("BroadcastHashJoin"), p)
+      rows
+    } finally restore.fold(
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    assert(a.sameElements(b), "broadcast and shuffle-join modes diverged")
+  }
+
   test("tokenBudgetRates: both totals broadcast onto the strata frame — no strata-side shuffle join") {
     import graft.operators.Pipelines
     val df = Pipelines.tokenBudgetRates(

@@ -852,6 +852,26 @@ class StreamingSuite extends AnyFunSuite {
     assert(dataFiles().size == 2, dataFiles().toString)
   }
 
+  test("DriftMonitorJob: refuses a flat-append metrics dir from the pre-partitioned layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_drift_guard").toString
+    val (out, ckpt) = (s"$dir/out", s"$dir/ckpt")
+    // a root-level part file is the old deployment's signature: batch_id
+    // lived in the data, not the directory — mixing layouts would fail
+    // confusingly at read time, so the job must fail fast at start
+    Files.createDirectories(java.nio.file.Paths.get(out))
+    Files.write(java.nio.file.Paths.get(s"$out/part-00000-old.parquet"),
+      Array[Byte](1, 2, 3))
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/src"))
+    val stream = spark.readStream.schema("n LONG").json(s"$dir/src")
+    val e = intercept[IllegalArgumentException] {
+      graft.jobs.DriftMonitorJob.runStreaming(
+        stream, (1L to 10L).toDF("n"), Seq("n"), out, ckpt,
+        trigger = Trigger.AvailableNow())
+    }
+    assert(e.getMessage.contains("flat-append"), e.getMessage)
+  }
+
   test("T7×retention: streaming cohort activity equals the batch triangle across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val batch = graft.operators.EventAnalytics
