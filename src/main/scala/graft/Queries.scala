@@ -2107,6 +2107,59 @@ object Queries {
       .orderBy("split")
   }
 
+  /** WebDataset export roundtrip: documents land as POSIX-ustar tar
+    * shards (`split=…/shard-NNNNNN.tar`, members `{doc_id}.{col}`) via
+    * [[graft.sources.WebDataset.exportWebDataset]]; the manifest is
+    * derived by PARSING the committed tars back, so the per-split
+    * rollup proves the tar encode → commit → parse cycle preserved
+    * every row byte-for-byte. The oracle is the SAME table-side replay
+    * as the parquet/JSONL exports — checksums are format-invariant. */
+  def xWebDataset(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_export_wds_${s.sparkContext.applicationId}"
+    val manifest = graft.sources.WebDataset.exportWebDataset(
+      documents(s, d).select("doc_id", "text", "lang", "source"),
+      "doc_id", contentCols = Seq("doc_id", "text"), outDir = out,
+      targetShardBytes = 1L << 20)
+    manifest.groupBy("split")
+      .agg(sum("rows").as("docs"),
+        expr("bit_xor(content_xor)").as("content_xor"))
+      .orderBy("split")
+  }
+
+  /** Incremental export roundtrip: the corpus lands in TWO generation
+    * appends (even doc_ids as the initial crawl, odd as the delta) via
+    * [[graft.sources.CorpusExport.exportShardsIncremental]] — each
+    * append writes only its own `split=…/gen=N/` partitions and unions
+    * the manifest with monotone shard ids. The two generations
+    * partition the corpus, so the post-append manifest rollup must
+    * replay exactly from the raw table: the oracle is the SAME
+    * table-side SQL as x_corpus_export, proving manifest ≡ table after
+    * two appends. The outDir is wiped first so bench reps re-run the
+    * gen-0 append instead of tripping the out-of-order guard. */
+  def xCorpusExportIncr(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_export_incr_${s.sparkContext.applicationId}"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    val docs = documents(s, d).select("doc_id", "text", "lang", "source")
+    graft.sources.CorpusExport.exportShardsIncremental(
+      docs.where(col("doc_id") % 2 === 0), "doc_id",
+      contentCols = Seq("doc_id", "text"), outDir = out, generation = 0L,
+      targetShardBytes = 1L << 20)
+    val manifest = graft.sources.CorpusExport.exportShardsIncremental(
+      docs.where(col("doc_id") % 2 === 1), "doc_id",
+      contentCols = Seq("doc_id", "text"), outDir = out, generation = 1L,
+      targetShardBytes = 1L << 20)
+    manifest.groupBy("split")
+      .agg(sum("rows").as("docs"),
+        expr("bit_xor(content_xor)").as("content_xor"))
+      .orderBy("split")
+  }
+
   /** Unicode NFKC normalization over the document corpus: a
     * deterministic width/ligature/combining/compatibility variant
     * (keyed by doc_id % 4) is prepended to each doc, then folded by

@@ -1017,6 +1017,8 @@ object SparkEntry {
     "x_unicode_norm" -> (Queries.xUnicodeNorm _),
     "x_corpus_export" -> (Queries.xCorpusExport _),
     "x_corpus_export_jsonl" -> (Queries.xCorpusExportJsonl _),
+    "x_corpus_export_incr" -> (Queries.xCorpusExportIncr _),
+    "x_webdataset" -> (Queries.xWebDataset _),
     "x_interp" -> (Queries.xInterp _),
     "x_rank_eval" -> (Queries.xRankEval _),
     "x_calibration" -> (Queries.xCalibration _),
@@ -2524,6 +2526,14 @@ object SparkEntry {
     // JSONL variant: SAME table-side replay — the manifest rollup must
     // be format-invariant (json.gz shards carry identical content)
     "x_corpus_export_jsonl" -> corpusExportRollupSql,
+    // incremental variant: SAME table-side replay — two generation
+    // appends (even then odd doc_ids) partition the corpus, so the
+    // unioned manifest must roll up exactly as one overwrite export
+    "x_corpus_export_incr" -> corpusExportRollupSql,
+    // WebDataset tar variant: SAME table-side replay — the manifest is
+    // built by PARSING the committed ustar shards back, so equality
+    // proves the tar encode→commit→parse cycle row-exact
+    "x_webdataset" -> corpusExportRollupSql,
     // linear-interpolation resample: x_resample's grid + the same
     // default-frame prev / forward-frame next windows; the fill is one
     // per-row double expression on long bucket indices (no float sums)

@@ -108,11 +108,105 @@ object CorpusExport {
     spark.read.parquet(s"$outDir/_manifest")
   }
 
+  /** Incremental (generation-partitioned) corpus export — the recurring
+    * crawl's delivery path: each call lands ONLY the new generation's
+    * shards under `split=…/gen=N/` (dynamic partition overwrite, so a
+    * replayed generation atomically replaces exactly its own partitions
+    * — the bpeSave version contract) and UNIONS the manifest instead of
+    * rewriting the world. A monthly 1 PB corpus with a 10 TB delta
+    * writes 10 TB, not 1 PB.
+    *
+    * Manifest contract: same per-shard columns as [[exportShards]] plus
+    * (gen, shard_id). Checksums come from the COMMITTED files of the
+    * new generation only (read back under the written schema); prior
+    * generations' rows carry over untouched — they were derived from
+    * their own committed files at their own append time. `shard_id` is
+    * globally monotone: prior max + dense row_number over the new
+    * generation's (split, shard_path) — ids never reuse, so trainer
+    * resume offsets stay valid across appends.
+    *
+    * Replay rule: generations must land in order; re-running the
+    * LATEST generation is idempotent (its data partitions and manifest
+    * rows are replaced, ids re-derive from the same prior max), while
+    * appending below an existing later generation is refused loudly —
+    * that would re-number history under a mounted trainer. */
+  def exportShardsIncremental(delta: DataFrame, idCol: String,
+                              contentCols: Seq[String],
+                              outDir: String, generation: Long,
+                              format: String = "parquet",
+                              targetShardBytes: Long = 256L * 1024 * 1024,
+                              cuts: Seq[(String, Int)] =
+                                Seq("train" -> 14, "val" -> 15, "test" -> 16),
+                              sampleRows: Int = 10000,
+                              codec: Option[String] = None): DataFrame = {
+    require(generation >= 0, "generation must be >= 0")
+    require(targetShardBytes > 0, "targetShardBytes must be positive")
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    Joins.requireFreeColumns("exportShardsIncremental", delta.columns,
+      "split", "gen", "__shard", "__h", "__hl")
+    val spark = delta.sparkSession
+    val labeled = Pipelines.splitByMd5Prefix(delta, idCol, cuts)
+      .withColumn("gen", lit(generation))
+    val bytesPerRow = estimateBytesPerRow(labeled, sampleRows, format, codec)
+    val rowsPerShard = math.max(1L, (targetShardBytes / bytesPerRow).toLong)
+    val splitCounts = labeled.groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shardsPerSplit = splitCounts.map { case (s, n) =>
+      s -> math.max(1L, (n + rowsPerShard - 1L) / rowsPerShard)
+    }
+    val kExpr = shardsPerSplit.foldLeft(lit(1L)) { case (els, (s, k)) =>
+      when(col("split") === s, lit(k)).otherwise(els)
+    }
+    val totalShards = math.max(1L, shardsPerSplit.values.sum).toInt
+    val writer = labeled
+      .withColumn("__shard", pmod(xxhash64(col(idCol)), kExpr))
+      .repartition(totalShards, col("split"), col("__shard"))
+      .drop("__shard")
+      .write.format(format).mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("split", "gen")
+      .option("maxRecordsPerFile", rowsPerShard)
+    codec.fold(writer)(c => writer.option("compression", c)).save(outDir)
+    // manifest rows for THIS generation only, from its committed files
+    val genManifest = buildManifest(
+      spark.read.format(format).schema(labeled.schema).load(outDir)
+        .where(col("gen") === generation),
+      contentCols, outDir, partDepth = 2)
+      .withColumn("gen", lit(generation))
+    val manifestPath = s"$outDir/_manifest"
+    val hasPrior = listDataFiles(new java.io.File(manifestPath)).nonEmpty
+    // prior rows materialize BEFORE the overwrite below reads from the
+    // same path; the manifest is metadata-sized (one row per shard)
+    val prior =
+      if (hasPrior)
+        spark.read.parquet(manifestPath)
+          .where(col("gen") =!= generation).localCheckpoint()
+      else genManifest.withColumn("shard_id", lit(0L)).limit(0)
+    val laterGens = prior.where(col("gen") > generation).count()
+    require(laterGens == 0L,
+      s"exportShardsIncremental: generation $generation is below " +
+        s"already-landed generations at $outDir — appending out of order " +
+        "would re-number history under a mounted trainer")
+    val maxId = prior.agg(coalesce(max("shard_id"), lit(-1L)))
+      .head().getLong(0)
+    // unpartitioned window is safe here by the k-rows-only exception:
+    // the frame is ONE generation's manifest (a row per shard)
+    val fresh = genManifest.withColumn("shard_id",
+      lit(maxId) + row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("split"), col("shard_path"))).cast("long"))
+    prior.unionByName(fresh.select(prior.columns.map(col): _*))
+      .write.mode("overwrite").parquet(manifestPath)
+    spark.read.parquet(manifestPath)
+  }
+
   /** One manifest row per written shard file. Separate so audits can
-    * re-derive a manifest for an existing export and diff it. */
+    * re-derive a manifest for an existing export and diff it.
+    * `partDepth` is the number of partition directory levels under
+    * `outDir` (1 for split=…, 2 for split=…/gen=…). */
   private[graft] def buildManifest(written: DataFrame,
                                    contentCols: Seq[String],
-                                   outDir: String): DataFrame = {
+                                   outDir: String,
+                                   partDepth: Int = 1): DataFrame = {
     val rowHash = md5(concat_ws("\u0001",
       contentCols.map(c => col(c).cast("string")): _*))
     val perShard = written
@@ -138,7 +232,8 @@ object CorpusExport {
         .replace(java.io.File.separatorChar, '/'), f.length)
     }
     import spark.implicits._
-    val relOf = regexp_extract(col("shard_path"), "[^/]+/[^/]+$", 0)
+    val relOf = regexp_extract(col("shard_path"),
+      s"(?:[^/]+/){$partDepth}[^/]+$$", 0)
     perShard
       .withColumn("__rel", relOf)
       .join(broadcast(fileBytes.toDF("__rel", "bytes")), Seq("__rel"),

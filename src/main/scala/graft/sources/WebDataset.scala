@@ -1,0 +1,265 @@
+package graft.sources
+
+import graft.operators.{Joins, Pipelines}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WebDataset tar-shard corpus export — the trainer-mountable layout
+  * multimodal loaders stream (one `.tar` per shard; each sample's
+  * members stored contiguously as `{key}.{column}` files), under the
+  * SAME committed-files manifest contract as
+  * [[CorpusExport.exportShards]]:
+  *
+  *   out/split=train|val|test/shard-000000.tar
+  *   out/_manifest/                      (one row per shard)
+  *
+  * Tar encoding is plain POSIX ustar written by this object (no
+  * external tool): header mode 0644, uid/gid 0, mtime 0 — so a shard's
+  * bytes are a pure function of its sample CONTENT and the export is
+  * byte-reproducible run-over-run (the suite asserts it). Python's
+  * `tarfile`/WebDataset readers consume it directly.
+  *
+  * Scale shape (the 100 TB posture):
+  *  - shard count per split = ceil(rows / rowsPerShard) from a 3-row
+  *    count agg; rows route by pmod(xxhash64(id), k) — one writer task
+  *    per shard region, never a mega-reducer per split. Within a task,
+  *    rows arrive sorted by (split, shard, key) and stream straight to
+  *    the tar output (member-at-a-time; nothing buffers a whole shard).
+  *  - bytes-per-sample is estimated in ONE aggregation from the tar
+  *    framing formula (512 B header + 512-padded payload per member) —
+  *    no probe write needed, tar adds no compression.
+  *  - manifest counts/checksums derive from the COMMITTED tars read
+  *    back through [[readWebDataset]] (binaryFile scan + ustar parse),
+  *    so a manifest row is proof the shard on disk decodes to exactly
+  *    its rows — the same manifest ≡ table replay the parquet/JSONL
+  *    exports pin, now covering the tar encode→commit→parse cycle.
+  *
+  * Null contract: a NULL content column stores NO member for that
+  * sample (WebDataset convention); the manifest's per-sample hash
+  * concatenates the members PRESENT in `contentCols` order, which is
+  * exactly `concat_ws`'s skip-nulls fold — so checksums stay
+  * format-invariant with the parquet/JSONL exports. An EMPTY string
+  * stores an empty member (present, hashes as ""), preserving the
+  * null/empty distinction the other formats' rowHash sees.
+  *
+  * Member names are `{key}.{column}` with key = idCol cast to string —
+  * ustar's 100-byte name limit is enforced loudly per member. */
+object WebDataset {
+
+  def exportWebDataset(df: DataFrame, idCol: String,
+                       contentCols: Seq[String],
+                       outDir: String,
+                       targetShardBytes: Long = 256L * 1024 * 1024,
+                       cuts: Seq[(String, Int)] =
+                         Seq("train" -> 14, "val" -> 15, "test" -> 16))
+      : DataFrame = {
+    require(targetShardBytes > 0, "targetShardBytes must be positive")
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    Joins.requireFreeColumns("exportWebDataset", df.columns,
+      "split", "__shard", "__key", "__b", "__h", "__hl")
+    val spark = df.sparkSession
+    // overwrite semantics (the exportShards contract): stale shards
+    // from a prior export of different cardinality must not linger
+    val rootPath = new org.apache.hadoop.fs.Path(outDir)
+    val rootFs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rootFs.exists(rootPath))
+      rootFs.globStatus(new org.apache.hadoop.fs.Path(rootPath, "split=*"))
+        .foreach(st => rootFs.delete(st.getPath, true))
+    val labeled = Pipelines.splitByMd5Prefix(df, idCol, cuts)
+    // exact tar framing per member: 512 B header + payload padded to 512
+    val memberBytes = contentCols.map { c =>
+      when(col(c).isNull, lit(0L))
+        .otherwise(lit(512L) +
+          ceil(octet_length(col(c).cast("string")).cast("double") / 512.0)
+            .cast("long") * 512L)
+    }.reduce(_ + _)
+    val bytesPerSample = math.max(1.0,
+      labeled.select(memberBytes.as("__b")).agg(avg("__b")).head().getDouble(0))
+    val rowsPerShard = math.max(1L, (targetShardBytes / bytesPerSample).toLong)
+    val splitCounts = labeled.groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shardsPerSplit = splitCounts.map { case (s, n) =>
+      s -> math.max(1L, (n + rowsPerShard - 1L) / rowsPerShard)
+    }
+    val kExpr = shardsPerSplit.foldLeft(lit(1L)) { case (els, (s, k)) =>
+      when(col("split") === s, lit(k)).otherwise(els)
+    }
+    val totalShards = math.max(1L, shardsPerSplit.values.sum).toInt
+    val cols = contentCols
+    val projected = labeled
+      .withColumn("__shard", pmod(xxhash64(col(idCol)), kExpr))
+      .select(col("split") +: col("__shard") +:
+        col(idCol).cast("string").as("__key") +:
+        cols.map(c => col(c).cast("string").as(c)): _*)
+      .repartition(totalShards, col("split"), col("__shard"))
+      .sortWithinPartitions("split", "__shard", "__key")
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val out = outDir
+    projected.foreachPartition { (it: Iterator[Row]) =>
+      writePartitionTars(it, out, cols, serConf.value)
+    }
+    val manifest = buildTarManifest(spark, out, cols)
+    manifest.write.mode("overwrite").parquet(s"$out/_manifest")
+    spark.read.parquet(s"$out/_manifest")
+  }
+
+  /** Stream one writer task's rows — sorted by (split, shard, key) —
+    * into one tar per (split, shard) run. Write-then-rename commit:
+    * a crash leaves only `.inprogress` files, which readers and the
+    * manifest never see. */
+  private def writePartitionTars(it: Iterator[Row], outDir: String,
+                                 contentCols: Seq[String],
+                                 conf: org.apache.hadoop.conf.Configuration)
+      : Unit = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(conf)
+    var cur: Option[(String, Long,
+      org.apache.hadoop.fs.FSDataOutputStream,
+      org.apache.hadoop.fs.Path,
+      org.apache.hadoop.fs.Path)] = None
+    def close(): Unit = cur.foreach { case (_, _, os, tmp, fin) =>
+      os.write(new Array[Byte](1024)) // two zero end-of-archive blocks
+      os.close()
+      if (fs.exists(fin)) fs.delete(fin, false)
+      require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
+      cur = None
+    }
+    it.foreach { r =>
+      val split = r.getString(0)
+      val shard = r.getLong(1)
+      if (!cur.exists(c => c._1 == split && c._2 == shard)) {
+        close()
+        val dir = new org.apache.hadoop.fs.Path(root, s"split=$split")
+        fs.mkdirs(dir)
+        val fin = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%06d.tar")
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          f"shard-$shard%06d.tar.inprogress")
+        if (fs.exists(tmp)) fs.delete(tmp, false)
+        cur = Some((split, shard, fs.create(tmp, true), tmp, fin))
+      }
+      val os = cur.get._3
+      val key = r.getString(2)
+      contentCols.zipWithIndex.foreach { case (c, i) =>
+        if (!r.isNullAt(3 + i)) {
+          val payload = r.getString(3 + i).getBytes("UTF-8")
+          os.write(tarHeader(s"$key.$c", payload.length.toLong))
+          os.write(payload)
+          val pad = (512 - payload.length % 512) % 512
+          if (pad > 0) os.write(new Array[Byte](pad))
+        }
+      }
+    }
+    close()
+  }
+
+  /** One POSIX ustar header block: regular file, mode 0644, uid/gid 0,
+    * mtime 0 — every field deterministic, so shard bytes reproduce. */
+  private[graft] def tarHeader(name: String, size: Long): Array[Byte] = {
+    val nameBytes = name.getBytes("UTF-8")
+    require(nameBytes.length <= 100,
+      s"tar member name exceeds ustar's 100-byte limit: $name")
+    val h = new Array[Byte](512)
+    def put(s: String, off: Int): Unit = {
+      val b = s.getBytes("UTF-8")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    System.arraycopy(nameBytes, 0, h, 0, nameBytes.length)
+    put("0000644", 100) // mode
+    put("0000000", 108) // uid
+    put("0000000", 116) // gid
+    put(f"$size%011o", 124)
+    put("00000000000", 136) // mtime 0
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces
+    h(156) = '0' // typeflag: regular file
+    put("ustar", 257); h(262) = 0 // magic "ustar\0"
+    h(263) = '0'; h(264) = '0' // version "00"
+    val sum = h.map(_ & 0xff).sum
+    put(f"$sum%06o", 148)
+    h(154) = 0; h(155) = ' '.toByte
+    h
+  }
+
+  /** Parse one ustar archive into (member name, payload). Validates
+    * each header's checksum — a bit flip in a committed shard fails
+    * here, not as silently corrupt training data. */
+  private[graft] def parseTar(bytes: Array[Byte])
+      : Seq[(String, Array[Byte])] = {
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var off = 0
+    while (off + 512 <= bytes.length && bytes(off) != 0) {
+      val name = {
+        var end = 0
+        while (end < 100 && bytes(off + end) != 0) end += 1
+        new String(bytes, off, end, "UTF-8")
+      }
+      val stored = new String(bytes, off + 148, 8).takeWhile(c =>
+        c >= '0' && c <= '7')
+      val header = java.util.Arrays.copyOfRange(bytes, off, off + 512)
+      java.util.Arrays.fill(header, 148, 156, ' '.toByte)
+      val sum = header.map(_ & 0xff).sum
+      require(java.lang.Long.parseLong(stored, 8) == sum,
+        s"tar header checksum mismatch for member '$name'")
+      val sizeStr = new String(bytes, off + 124, 12).takeWhile(c =>
+        c >= '0' && c <= '7')
+      val size = java.lang.Long.parseLong(sizeStr, 8)
+      val data = java.util.Arrays.copyOfRange(bytes, off + 512,
+        off + 512 + size.toInt)
+      out += name -> data
+      off += 512 + ((size + 511) / 512).toInt * 512
+    }
+    out.result()
+  }
+
+  /** The committed shards decoded back to member granularity:
+    * (split, shard_path, shard_bytes, member, content). Distributed —
+    * one binaryFile scan over the tars, ustar-parsed per file. */
+  def readWebDataset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .load(s"$dir/split=*/shard-*.tar")
+      .select(col("path"), col("length"), col("content"))
+    files.as[(String, Long, Array[Byte])]
+      .flatMap { case (path, len, bytes) =>
+        parseTar(bytes).map { case (m, c) => (path, len, m, c) }
+      }
+      .toDF("shard_path", "shard_bytes", "member", "content")
+      .withColumn("split",
+        regexp_extract(col("shard_path"), "split=([^/]+)/", 1))
+  }
+
+  /** Manifest from the committed tars: per shard (split, shard_path,
+    * rows, bytes, content_md5, content_xor) — per-sample hash =
+    * md5 of the sample's members joined in `contentCols` order (the
+    * concat_ws skip-nulls fold), identical to the other exports'. */
+  private[graft] def buildTarManifest(spark: SparkSession, dir: String,
+                                      contentCols: Seq[String]): DataFrame = {
+    val colIdx = contentCols.zipWithIndex.toMap
+    val idxOf = colIdx.foldLeft(lit(-1)) { case (els, (c, i)) =>
+      when(expr(s"substring(member, length(member) - ${c.length})") ===
+        s".$c", lit(i)).otherwise(els)
+    }
+    val members = readWebDataset(spark, dir)
+      .withColumn("__i", idxOf)
+      .withColumn("__key", expr(
+        "substring(member, 1, length(member) - length(" +
+          "element_at(split(member, '\\\\.'), -1)) - 1)"))
+    val perSample = members
+      .groupBy("split", "shard_path", "shard_bytes", "__key")
+      .agg(md5(array_join(transform(
+        sort_array(collect_list(struct(col("__i"),
+          col("content").cast("string").as("__v")))),
+        x => x.getField("__v")), "\u0001")).as("__h"))
+      .withColumn("__hl",
+        conv(substring(col("__h"), 1, 15), 16, 10).cast("long"))
+    perSample
+      .groupBy("split", "shard_path")
+      .agg(count(lit(1)).as("rows"),
+        max(col("shard_bytes")).as("bytes"),
+        md5(concat_ws("", sort_array(collect_list(col("__h")))))
+          .as("content_md5"),
+        expr("bit_xor(__hl)").as("content_xor"))
+      .select("split", "shard_path", "rows", "bytes",
+        "content_md5", "content_xor")
+  }
+}

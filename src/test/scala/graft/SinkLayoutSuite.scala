@@ -229,6 +229,156 @@ class SinkLayoutSuite extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == nDocs)
   }
 
+  test("corpus export incremental: two generation appends — gen layout, manifest union, monotone ids, idempotent replay, ordered-append guard") {
+    import graft.sources.CorpusExport
+    val out = Files.createTempDirectory("graft_export_incr").toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    def append(df: org.apache.spark.sql.DataFrame, gen: Long) =
+      CorpusExport.exportShardsIncremental(df, "doc_id",
+        contentCols = Seq("doc_id", "text"), outDir = out,
+        generation = gen, targetShardBytes = 64L * 1024)
+    append(even, 0L)
+    def dataFiles() = listTree(java.nio.file.Paths.get(out))
+      .filterNot(f => f.endsWith("_SUCCESS") || f.contains(".crc") ||
+        f.startsWith("_manifest"))
+    val gen0Files = dataFiles().toSet
+
+    // the delta append: golden two-generation layout, gen-0 untouched
+    val m1 = append(odd, 1L).collect()
+    val files = dataFiles()
+    assert(files.forall(_.matches(
+      """split=(train|val|test)/gen=(0|1)/part-.*\.parquet""")),
+      files.toString)
+    assert(gen0Files.subsetOf(files.toSet), "delta rewrote generation 0")
+    assert(files.toSet.diff(gen0Files).forall(_.contains("gen=1/")))
+
+    // manifest union: both generations present; shard ids dense 1..n,
+    // monotone with generation (resume offsets never re-number)
+    val ids = m1.map(r => (r.getLong(6), r.getLong(7)))
+    assert(ids.map(_._2).sorted.toSeq == (0L until ids.length).toSeq,
+      ids.toSeq)
+    assert(ids.filter(_._1 == 1L).map(_._2).min >
+      ids.filter(_._1 == 0L).map(_._2).max)
+
+    // manifest ≡ table: per-split rollup over the UNION replays from
+    // the full corpus — two appends land exactly one overwrite's worth
+    val expect = graft.operators.Pipelines
+      .splitByMd5Prefix(docs, "doc_id")
+      .select(col("split"),
+        conv(substring(md5(concat_ws("\u0001", col("doc_id").cast("string"),
+          col("text").cast("string"))), 1, 15), 16, 10).cast("long")
+          .as("hl"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"), expr("bit_xor(hl)").as("cx"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = m1.groupBy(_.getString(0)).map { case (s, rows) =>
+      s -> ((rows.map(_.getLong(2)).sum,
+        rows.map(_.getLong(5)).reduce(_ ^ _)))
+    }
+    assert(got == expect)
+    assert(spark.read.parquet(out).count() == docs.count())
+
+    // replaying the LATEST generation is idempotent: the same manifest
+    // modulo part-file names (fresh write uuids; sizes/ids/checksums
+    // replay because shard routing and id order are deterministic)
+    val m2 = append(odd, 1L).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getString(0), r.getLong(2), r.getLong(3), r.getString(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).sortBy(_.toString).toSeq
+    assert(key(m2) == key(m1))
+    assert(spark.read.parquet(out).count() == docs.count())
+
+    // appending BELOW an existing generation is refused loudly
+    val e = intercept[IllegalArgumentException](append(even, 0L))
+    assert(e.getMessage.contains("out of order"), e.getMessage)
+  }
+
+  test("WebDataset export: ustar tar shards, byte-reproducible, manifest \u2261 parsed tars \u2261 table") {
+    import graft.sources.WebDataset
+    val out = Files.createTempDirectory("graft_export_wds").toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val nDocs = docs.count()
+    val manifest = WebDataset.exportWebDataset(docs, "doc_id",
+      contentCols = Seq("doc_id", "text"), outDir = out,
+      targetShardBytes = 64L * 1024).collect()
+
+    // golden layout: split dirs, zero-padded tar names, no leftovers
+    val files = listTree(java.nio.file.Paths.get(out))
+      .filterNot(f => f.endsWith("_SUCCESS") || f.contains(".crc") ||
+        f.startsWith("_manifest"))
+    assert(files.nonEmpty)
+    assert(files.forall(
+      _.matches("""split=(train|val|test)/shard-\d{6}\.tar""")),
+      files.toString)
+    assert(manifest.length == files.length)
+
+    // manifest \u2261 filesystem: byte-exact tar sizes
+    val fsFiles = files.map(f =>
+      f -> Files.size(java.nio.file.Paths.get(out, f))).toMap
+    val mfFiles = manifest.map(r =>
+      r.getString(1).split("/").takeRight(2).mkString("/") -> r.getLong(3))
+      .toMap
+    assert(mfFiles == fsFiles)
+
+    // manifest \u2261 table: the rollup replays from the raw corpus \u2014
+    // identical to the parquet/JSONL exports (format-invariant hashes)
+    val expect = graft.operators.Pipelines
+      .splitByMd5Prefix(docs, "doc_id")
+      .select(col("split"),
+        conv(substring(md5(concat_ws("\u0001", col("doc_id").cast("string"),
+          col("text").cast("string"))), 1, 15), 16, 10).cast("long")
+          .as("hl"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"), expr("bit_xor(hl)").as("cx"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = manifest.groupBy(_.getString(0)).map { case (sp, rows) =>
+      sp -> ((rows.map(_.getLong(2)).sum,
+        rows.map(_.getLong(5)).reduce(_ ^ _)))
+    }
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == nDocs)
+
+    // members decode: every doc contributes its {key}.doc_id and
+    // {key}.text files, content round-trips exactly
+    val members = WebDataset.readWebDataset(spark, out)
+    assert(members.count() == 2 * nDocs)
+    val backTexts = members.where(col("member").endsWith(".text"))
+      .select(expr("substring(member, 1, length(member) - 5)").cast("long")
+        .as("doc_id"), col("content").cast("string").as("text"))
+    val origTexts = docs.select(col("doc_id"), col("text"))
+    assert(backTexts.exceptAll(origTexts).isEmpty &&
+      origTexts.exceptAll(backTexts).isEmpty)
+
+    // determinism: a re-export of the same corpus writes byte-identical
+    // shards (mtime 0, fixed header fields, sorted member order)
+    val before = files.map(f => f -> java.util.Arrays.hashCode(
+      Files.readAllBytes(java.nio.file.Paths.get(out, f)))).toMap
+    WebDataset.exportWebDataset(docs, "doc_id",
+      contentCols = Seq("doc_id", "text"), outDir = out,
+      targetShardBytes = 64L * 1024)
+    val after = files.map(f => f -> java.util.Arrays.hashCode(
+      Files.readAllBytes(java.nio.file.Paths.get(out, f)))).toMap
+    assert(after == before, "re-export changed shard bytes")
+
+    // ustar unit contract: header checksum validates, corrupt byte loud
+    val shard = Files.readAllBytes(
+      java.nio.file.Paths.get(out, files.head))
+    val parsed = WebDataset.parseTar(shard)
+    assert(parsed.nonEmpty)
+    // flip a byte INSIDE a header (offset 105 = mode field) — payload
+    // bytes are not checksummed by ustar, headers are
+    val corrupt = shard.clone(); corrupt(105) = (corrupt(105) ^ 0x7).toByte
+    val err = intercept[IllegalArgumentException](
+      WebDataset.parseTar(corrupt))
+    assert(err.getMessage.contains("checksum"), err.getMessage)
+  }
+
   test("corpus export JSONL: gzip .json.gz shards under the identical manifest contract") {
     import graft.sources.CorpusExport
     val out = Files.createTempDirectory("graft_export_jsonl").toString
