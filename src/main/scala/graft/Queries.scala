@@ -1280,6 +1280,28 @@ object Queries {
     Pipelines.bpeEncode(documents(s, d), "doc_id", "text", numMerges = 30)
       .orderBy("doc_id")
 
+  /** Unigram-LM fixture parameters shared by [[xUnigramLm]] and the
+    * dump-time oracle generator in [[SparkEntry]] — the model the
+    * entry encodes with and the model the oracle's word→encoding
+    * VALUES table is built from must be the same artifact. */
+  private[graft] object UnigramFixture {
+    val vocabSize = 200; val maxPieceLen = 4; val emIters = 2
+  }
+
+  /** Unigram-LM (SentencePiece-style) encode: a 200-piece model
+    * hard-EM-trained on the corpus vocabulary, every doc Viterbi-
+    * segmented to pieces + ids — the other half of production
+    * tokenizer practice next to x_bpe_encode, same dump-time oracle
+    * convention (the learned word→encoding table ships as SQL
+    * literals, round-trip-checked at generation). */
+  def xUnigramLm(s: SparkSession, d: String): DataFrame =
+    Pipelines.unigramEncodeWith(documents(s, d), "doc_id", "text",
+        Pipelines.unigramTrainModel(documents(s, d), "text",
+          vocabSize = UnigramFixture.vocabSize,
+          maxPieceLen = UnigramFixture.maxPieceLen,
+          emIters = UnigramFixture.emIters))
+      .orderBy("doc_id")
+
   /** Leakage-free split over the dup-dense slice: near-dup clusters at
     * τ=0.8 (docs < 200), whole clusters assigned to one split. */
   def xClusterSplit(s: SparkSession, d: String): DataFrame =

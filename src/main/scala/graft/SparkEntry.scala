@@ -667,19 +667,53 @@ object SparkEntry {
     }
   }
 
+  /** The distributed-replay SQL every word→encoding oracle shares
+    * (BPE and unigram): position-exploded word stream, mapping join,
+    * ordered per-doc reassembly — exactly the part under test; the
+    * learned table itself ships as the `values` literal. */
+  private def wordEncodingReplaySql(values: String): String =
+    s"WITH m(word, toks, ids, nt) AS (VALUES $values), " +
+      "d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents), " +
+      "ti AS (SELECT doc_id, s, UNNEST(range(1, len(s) + 1)) AS pos FROM d), " +
+      "w AS (SELECT doc_id, pos, s[pos] AS word FROM ti WHERE len(s[pos]) >= 1), " +
+      "j AS (SELECT doc_id, pos, toks, ids, nt FROM w JOIN m USING (word)), " +
+      "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(nt) AS BIGINT) AS n_tokens, " +
+      "string_agg(toks, '|' ORDER BY pos) AS toks_str, string_agg(ids, ',' ORDER BY pos) AS ids_str " +
+      "FROM j GROUP BY doc_id) " +
+      "SELECT doc_id, n_words, n_tokens, toks_str, ids_str FROM a ORDER BY doc_id"
+
   private def bpeOracleSql: Option[(String, String)] = scala.util.Try {
-    val values = bpeValuesLiteral()
-    val sql =
-      s"WITH m(word, toks, ids, nt) AS (VALUES $values), " +
-        "d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents), " +
-        "ti AS (SELECT doc_id, s, UNNEST(range(1, len(s) + 1)) AS pos FROM d), " +
-        "w AS (SELECT doc_id, pos, s[pos] AS word FROM ti WHERE len(s[pos]) >= 1), " +
-        "j AS (SELECT doc_id, pos, toks, ids, nt FROM w JOIN m USING (word)), " +
-        "a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(nt) AS BIGINT) AS n_tokens, " +
-        "string_agg(toks, '|' ORDER BY pos) AS toks_str, string_agg(ids, ',' ORDER BY pos) AS ids_str " +
-        "FROM j GROUP BY doc_id) " +
-        "SELECT doc_id, n_words, n_tokens, toks_str, ids_str FROM a ORDER BY doc_id"
-    "x_bpe_encode" -> sql
+    "x_bpe_encode" -> wordEncodingReplaySql(bpeValuesLiteral())
+  }.toOption
+
+  /** x_unigram_lm's dump-time oracle: the SAME replay SQL over a
+    * word→encoding VALUES table built by the unigram train/Viterbi-
+    * encode path itself ([[graft.operators.Pipelines.unigramEncodingTable]],
+    * every entry round-trip `require`d), cached per (sfDir, fixture
+    * fingerprint) like the BPE literal. */
+  private val unigramValuesCache =
+    scala.collection.mutable.Map.empty[(String, Long), String]
+  private def unigramValuesLiteral(): String = {
+    val spark = SparkSession.active
+    val sfDir = sys.props("graft.oracle.sfDir")
+    unigramValuesCache.synchronized {
+      unigramValuesCache.getOrElseUpdate(sfDir -> fixtureFingerprint(sfDir), {
+        val docs = Tables.documents(spark, sfDir)
+        val model = graft.operators.Pipelines.unigramTrainModel(
+          docs, "text", vocabSize = Queries.UnigramFixture.vocabSize,
+          maxPieceLen = Queries.UnigramFixture.maxPieceLen,
+          emIters = Queries.UnigramFixture.emIters)
+        val table = graft.operators.Pipelines.unigramEncodingTable(
+          docs, "text", model)
+        table.map { case (w, t, i, n) =>
+          s"('${w.replace("'", "''")}', '${t.replace("'", "''")}', '$i', $n)"
+        }.mkString(", ")
+      })
+    }
+  }
+
+  private def unigramOracleSql: Option[(String, String)] = scala.util.Try {
+    "x_unigram_lm" -> wordEncodingReplaySql(unigramValuesLiteral())
   }.toOption
 
   /** x_bpe_roundtrip shares x_bpe_encode's dump-time oracle verbatim:
@@ -940,6 +974,7 @@ object SparkEntry {
     "x_bpe_merges" -> (Queries.xBpeMerges _),
     "x_bpe_encode" -> (Queries.xBpeEncode _),
     "x_bpe_roundtrip" -> (Queries.xBpeRoundtrip _),
+    "x_unigram_lm" -> (Queries.xUnigramLm _),
     "x_quality_lr" -> (Queries.xQualityLr _),
     "x_cluster_split" -> (Queries.xClusterSplit _),
     "x_temperature" -> (Queries.xTemperature _),
@@ -2788,5 +2823,6 @@ object SparkEntry {
         "FROM mi CROSS JOIN hx CROSS JOIN hy")
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ bpeRoundtripOracleSql ++
-    bpeFertilityOracleSql ++ qualityLrOracleSql ++ pcaOracleSql
+    bpeFertilityOracleSql ++ unigramOracleSql ++
+    qualityLrOracleSql ++ pcaOracleSql
 }

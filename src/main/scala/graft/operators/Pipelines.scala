@@ -821,18 +821,32 @@ object Pipelines {
   def bpeEncodeWith(df: DataFrame, idCol: String, textCol: String,
                     model: BpeModel,
                     broadcastWordCap: Long = 4000000L): DataFrame = {
-    Joins.requireFreeColumns("bpeEncodeWith", df.columns,
-      "n_words", "n_tokens", "toks_str", "ids_str")
-    val words = distinctWordCounts(df, textCol).localCheckpoint(eager = false)
-    val nWords = words.count()
     val spark = df.sparkSession
     val ranksB = spark.sparkContext.broadcast(model.ranks)
     val idsB = spark.sparkContext.broadcast(model.ids)
-    val encodeUdf = udf { (w: String) =>
+    encodeWordStream(df, idCol, textCol, broadcastWordCap, udf { (w: String) =>
       val toks = bpeEncodeWord(w, ranksB.value)
       (toks.mkString("|"), toks.map(idsB.value.getOrElse(_, -1L)).mkString(","),
         toks.length.toLong)
-    }
+    })
+  }
+
+  /** The tokenizer-apply plan [[bpeEncodeWith]] and
+    * [[unigramEncodeWith]] share: the per-word encode UDF runs over the
+    * DISTINCT-word table only (vocabulary-sized), joined back onto the
+    * position-exploded token stream — broadcast below
+    * `broadcastWordCap` distinct words, shuffle-join past it (the 8 GB
+    * broadcast safety valve); per-doc reassembly is one keyed groupBy
+    * bounded by doc length. The token stream itself never passes
+    * through the UDF and never collects. */
+  private def encodeWordStream(df: DataFrame, idCol: String,
+                               textCol: String, broadcastWordCap: Long,
+                               encodeUdf: org.apache.spark.sql.expressions
+                                 .UserDefinedFunction): DataFrame = {
+    Joins.requireFreeColumns("encodeWordStream", df.columns,
+      "n_words", "n_tokens", "toks_str", "ids_str")
+    val words = distinctWordCounts(df, textCol).localCheckpoint(eager = false)
+    val nWords = words.count()
     val wordToks = words.select(col("__w"),
       encodeUdf(col("__w")).as("__e"))
     val mapping =
@@ -935,6 +949,199 @@ object Pipelines {
       .select(col(groupCol), col("n_docs"), col("n_words"), col("n_tokens"),
         round(col("n_tokens").cast("double") / col("n_words"), roundDp)
           .as("fertility"))
+  }
+
+  /** A trained unigram-LM (SentencePiece-style, Kudo 2018) tokenizer:
+    * the piece inventory in id order with each piece's log probability
+    * — the complete, persistable artifact, the other half of
+    * production tokenizer practice next to [[BpeModel]]. Segmentation
+    * is Viterbi (max-sum of piece log probs), deterministic by
+    * construction: ties resolve to the longest piece (the DP scans
+    * split points left-to-right and only replaces on a STRICT
+    * improvement). Characters unseen at train time ride through as
+    * their own symbol at a fixed OOV penalty, id −1 — the honest OOV
+    * marker, same contract as BPE. */
+  case class UnigramModel(pieces: Seq[(String, Double)]) {
+    lazy val logProb: Map[String, Double] = pieces.toMap
+    lazy val ids: Map[String, Long] =
+      pieces.zipWithIndex.map { case ((p, _), i) => p -> i.toLong }.toMap
+    lazy val maxPieceLen: Int =
+      if (pieces.isEmpty) 1 else pieces.iterator.map(_._1.length).max
+  }
+
+  /** The fixed log-prob assigned to an out-of-vocabulary single
+    * character — harsh enough that known pieces always win, finite so
+    * unseen text still segments. */
+  private val UnigramOovLogProb = -20.0
+
+  /** Viterbi-segment one word under a trained [[UnigramModel]]. */
+  def unigramEncodeWord(w: String, model: UnigramModel): Vector[String] = {
+    val n = w.length
+    if (n == 0) return Vector.empty
+    val neg = Double.NegativeInfinity
+    val best = Array.fill(n + 1)(neg); best(0) = 0.0
+    val back = Array.fill(n + 1)(-1)
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - model.maxPieceLen)
+      while (j < i) {
+        if (best(j) != neg) {
+          val piece = w.substring(j, i)
+          val lp = model.logProb.getOrElse(piece,
+            if (i - j == 1) UnigramOovLogProb else neg)
+          if (lp != neg) {
+            val cand = best(j) + lp
+            if (cand > best(i)) { best(i) = cand; back(i) = j }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val segs = scala.collection.mutable.ListBuffer.empty[String]
+    var k = n
+    while (k > 0) { val j = back(k); segs.prepend(w.substring(j, k)); k = j }
+    segs.toVector
+  }
+
+  /** Train a [[UnigramModel]] on the corpus's distinct-word table —
+    * hard-EM (Viterbi counts) over the top-`trainCap` words, the same
+    * capped driver-side posture as [[bpeTrainModel]]:
+    *
+    *  1. seed = every single character plus the `4 × vocabSize` most
+    *     frequent substrings up to `maxPieceLen` (counts weighted by
+    *     word frequency), probabilities ∝ seed counts;
+    *  2. `emIters` rounds of: Viterbi-segment every distinct word under
+    *     the current model (weighted by its count), re-estimate piece
+    *     probabilities from the segmentation counts (multi-char pieces
+    *     that win nothing are dropped; characters always survive with a
+    *     +1 floor so every string stays segmentable);
+    *  3. prune to `vocabSize`: all characters (mandatory coverage),
+    *     then the best multi-char pieces by (count, piece).
+    *
+    * Everything sorts before it selects, so the artifact is a pure
+    * function of the word table. Id layout mirrors BPE: characters in
+    * sorted order first, then multi-char pieces by descending count. */
+  def unigramTrainModel(df: DataFrame, textCol: String,
+                        vocabSize: Int, maxPieceLen: Int = 8,
+                        emIters: Int = 3,
+                        trainCap: Int = 1000000): UnigramModel = {
+    require(vocabSize >= 1, "unigramTrainModel needs vocabSize >= 1")
+    require(maxPieceLen >= 1 && emIters >= 1, "bad unigram params")
+    val words = distinctWordCounts(df, textCol)
+      .orderBy(col("__c").desc, col("__w")).limit(trainCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val chars = words.flatMap(_._1.map(_.toString)).distinct.sorted
+    // seed substring counts, frequency-weighted
+    val seedCounts = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- words; len <- 1 to math.min(maxPieceLen, w.length);
+         start <- 0 to w.length - len) {
+      val p = w.substring(start, start + len)
+      seedCounts(p) = seedCounts.getOrElse(p, 0L) + c
+    }
+    val seedMulti = seedCounts.iterator.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(4 * vocabSize)
+    def toModel(counts: Seq[(String, Long)]): UnigramModel = {
+      val total = counts.iterator.map(_._2).sum.toDouble
+      val cs = counts.filter(_._1.length == 1).sortBy(_._1)
+      val ms = counts.filter(_._1.length > 1)
+        .sortBy { case (p, c) => (-c, p) }
+      UnigramModel((cs ++ ms).map { case (p, c) =>
+        p -> math.log(c / total) })
+    }
+    var model = toModel(
+      chars.map(c => c -> math.max(1L, seedCounts.getOrElse(c, 1L))) ++
+        seedMulti)
+    for (_ <- 1 to emIters) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, c) <- words; p <- unigramEncodeWord(w, model))
+        counts(p) = counts.getOrElse(p, 0L) + c
+      // chars always survive (coverage floor); dead multi-char drop
+      model = toModel(
+        chars.map(c => c -> (counts.getOrElse(c, 0L) + 1L)) ++
+          counts.iterator.filter(_._1.length > 1).toSeq)
+    }
+    // final prune: every char, then the best multi-char pieces
+    val keepMulti = math.max(0, vocabSize - chars.length)
+    val pruned = model.pieces.filter(_._1.length == 1) ++
+      model.pieces.filter(_._1.length > 1).take(keepMulti)
+    // re-normalize over the kept inventory (one more Viterbi count pass
+    // would also work; a plain renorm keeps the artifact minimal)
+    val mass = pruned.iterator.map { case (_, lp) => math.exp(lp) }.sum
+    UnigramModel(pruned.map { case (p, lp) => p -> (lp - math.log(mass)) })
+  }
+
+  /** Persist a [[UnigramModel]] through the same versioned-artifact
+    * seam as [[bpeSave]]: one row per piece (ord = id, log_prob),
+    * dynamic partition overwrite by version — idempotent re-saves,
+    * other versions untouched. */
+  def unigramSave(spark: SparkSession, model: UnigramModel, path: String,
+                  version: Long): Unit = {
+    require(version >= 0, "unigramSave needs version >= 0")
+    import spark.implicits._
+    model.pieces.zipWithIndex
+      .map { case ((p, lp), i) => (i.toLong, p, lp) }
+      .toDF("ord", "piece", "log_prob")
+      .withColumn("version", lit(version))
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("version").parquet(path)
+  }
+
+  /** Load a [[unigramSave]]d model: highest version at `path` or the
+    * requested one. Bit-identical encodings across sessions — the
+    * artifact stores the defining (ord, piece, log_prob) rows and the
+    * derived maps rebuild by the same formula. */
+  def unigramLoad(spark: SparkSession, path: String,
+                  version: Option[Long] = None): (UnigramModel, Long) = {
+    val all = spark.read.parquet(path)
+      .withColumn("version", col("version").cast("long"))
+    val v = version.getOrElse(all.agg(max("version")).head().getLong(0))
+    val rows = all.where(col("version") === v)
+      .select("ord", "piece", "log_prob").collect()
+    require(rows.nonEmpty, s"unigramLoad: no rows for version $v at $path")
+    (UnigramModel(rows.sortBy(_.getLong(0))
+      .map(r => r.getString(1) -> r.getDouble(2)).toSeq), v)
+  }
+
+  /** The word→encoding table [[unigramEncodeWith]] applies, for EVERY
+    * distinct corpus word — the oracle/debug surface, same contract as
+    * [[bpeEncodingTable]] (loud cap, every entry round-trips by
+    * segmentation construction). */
+  def unigramEncodingTable(df: DataFrame, textCol: String,
+                           model: UnigramModel,
+                           tableCap: Int = 100000)
+      : Seq[(String, String, String, Long)] = {
+    val all = distinctWordCounts(df, textCol)
+      .orderBy(col("__w")).collect().map(_.getString(0))
+    require(all.length <= tableCap,
+      s"unigramEncodingTable: ${all.length} distinct words exceeds cap $tableCap")
+    all.toSeq.map { w =>
+      val toks = unigramEncodeWord(w, model)
+      require(toks.mkString == w, s"unigram round-trip failed for '$w'")
+      (w, toks.mkString("|"),
+        toks.map(model.ids.getOrElse(_, -1L)).mkString(","),
+        toks.length.toLong)
+    }
+  }
+
+  /** Distributed unigram-LM encode against a trained model — the exact
+    * [[bpeEncodeWith]] plan (encode UDF over DISTINCT words only,
+    * joined back onto the position-exploded stream, broadcast under the
+    * cap / shuffle past it). Output: (id, n_words, n_tokens,
+    * toks_str `|`-joined, ids_str `,`-joined). */
+  def unigramEncodeWith(df: DataFrame, idCol: String, textCol: String,
+                        model: UnigramModel,
+                        broadcastWordCap: Long = 4000000L): DataFrame = {
+    val spark = df.sparkSession
+    val modelB = spark.sparkContext.broadcast(model)
+    encodeWordStream(df, idCol, textCol, broadcastWordCap, udf { (w: String) =>
+      val m = modelB.value
+      val toks = unigramEncodeWord(w, m)
+      (toks.mkString("|"), toks.map(m.ids.getOrElse(_, -1L)).mkString(","),
+        toks.length.toLong)
+    })
   }
 
   /** KMV (k-minimum-values) corpus-overlap estimation (Beyer et al.

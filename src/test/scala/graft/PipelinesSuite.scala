@@ -487,6 +487,59 @@ class PipelinesSuite extends AnyFunSuite {
     assert(Pipelines.bpeLoad(fresh, path)._1 == model)
   }
 
+  test("unigram LM: hand-checked Viterbi segmentation, longest-piece ties, OOV passthrough") {
+    // vocab: chars a,b + piece "ab" with a strong probability — "abab"
+    // must segment [ab, ab] (2 pieces beat 4 chars under any near-
+    // uniform model); an unseen char rides through at the OOV penalty
+    val model = Pipelines.UnigramModel(Seq(
+      "a" -> math.log(0.2), "b" -> math.log(0.2), "ab" -> math.log(0.6)))
+    assert(Pipelines.unigramEncodeWord("abab", model) == Vector("ab", "ab"))
+    assert(Pipelines.unigramEncodeWord("ba", model) == Vector("b", "a"))
+    assert(Pipelines.unigramEncodeWord("axb", model) == Vector("a", "x", "b"))
+    assert(Pipelines.unigramEncodeWord("", model) == Vector.empty)
+    // training end-to-end: repeated "ab" makes "ab" a learned piece
+    val df = Seq((1L, "ab ab ab abb"), (2L, "ab ba")).toDF("doc_id", "text")
+    val trained = Pipelines.unigramTrainModel(df, "text",
+      vocabSize = 5, maxPieceLen = 2, emIters = 2)
+    assert(trained.logProb.contains("ab"), trained.pieces.toString)
+    val enc = Pipelines.unigramEncodeWith(df, "doc_id", "text", trained)
+      .orderBy("doc_id").collect()
+    // every word round-trips: pieces re-concatenate to the text
+    assert(enc.map(r => r.getString(3).split("\\|").mkString
+      .replace("|", "")).toSeq == Seq("ababababb", "abba"))
+    // ids resolve within the model (no OOV on the training corpus)
+    assert(enc.forall(!_.getString(4).split(",").contains("-1")))
+  }
+
+  test("unigram artifact round-trip: save → fresh-session load → encode ≡ the training session") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_unigram_rt").toString
+    val small = Pipelines.unigramTrainModel(docs, "text",
+      vocabSize = 80, maxPieceLen = 3, emIters = 1)
+    Pipelines.unigramSave(spark, small, path, 1L)
+    val model = Pipelines.unigramTrainModel(docs, "text",
+      vocabSize = Queries.UnigramFixture.vocabSize,
+      maxPieceLen = Queries.UnigramFixture.maxPieceLen,
+      emIters = Queries.UnigramFixture.emIters)
+    Pipelines.unigramSave(spark, model, path, 2L)
+    val fresh = spark.newSession()
+    val (loaded, v) = Pipelines.unigramLoad(fresh, path)
+    assert(v == 2L)
+    assert(loaded == model) // defining (ord, piece, log_prob) rows exact
+    val want = Pipelines.unigramEncodeWith(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect().toSeq
+    val got = Pipelines.unigramEncodeWith(
+        Tables.documents(fresh, sfDir), "doc_id", "text", loaded)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == want)
+    val (v1, _) = Pipelines.unigramLoad(fresh, path, Some(1L))
+    assert(v1 == small)
+    // idempotent re-save of an existing version
+    Pipelines.unigramSave(spark, model, path, 2L)
+    assert(Pipelines.unigramLoad(fresh, path)._1 == model)
+  }
+
   test("urlNormalize: closed forms for every rule; urlDomain strips port and www") {
     val cases = Seq(
       // scheme+host lowercased, default port stripped, fragment dropped,
