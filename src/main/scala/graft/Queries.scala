@@ -1785,6 +1785,18 @@ object Queries {
       docs.where(col("source") === "src1"), "text")
   }
 
+  /** Categorical drift (smoothed JS over whole values) between the
+    * src0 slice's language mix and the rest of the corpus — the
+    * batch form of the streaming monitor's `js_cat` alarm row
+    * ([[graft.jobs.DriftMonitorJob]] calls this exact operator per
+    * micro-batch). */
+  def xCatDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Pipelines.categoricalDrift(
+      docs.where(col("source") === "src0").select("lang"),
+      docs.where(col("source") =!= "src0").select("lang"), "lang")
+  }
+
   /** RFM segmentation of the event log: per-user recency/frequency/
     * monetary with quintile scores from broadcast boundaries. */
   def xRfm(s: SparkSession, d: String): DataFrame =

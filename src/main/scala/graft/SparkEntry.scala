@@ -1016,6 +1016,7 @@ object SparkEntry {
     "x_jaccard_join" -> (Queries.xJaccardJoin _),
     "x_agg_merge" -> (Queries.xAggMerge _),
     "x_drift" -> (Queries.xDrift _),
+    "x_cat_drift" -> (Queries.xCatDrift _),
     "x_rfm" -> (Queries.xRfm _),
     "x_ohlc" -> (Queries.xOhlc _),
     "x_growth" -> (Queries.xGrowth _),
@@ -2206,6 +2207,19 @@ object SparkEntry {
         "SUM(CAST(round(q * ln(q / ((p + q) / 2.0)) * 1e12) AS BIGINT)) AS sqm FROM c GROUP BY v, na, nb) " +
         "SELECT CAST(v AS BIGINT) AS vocab, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
         "ROUND(CAST(sab AS DOUBLE) / 1e12, 6) AS kl_ab, ROUND(CAST(sba AS DOUBLE) / 1e12, 6) AS kl_ba, " +
+        "ROUND(CAST(spm + sqm AS DOUBLE) / 2e12, 6) AS js FROM s"),
+    // categorical JS drift: the x_drift quantized-term contract over
+    // whole values (lang) instead of tokens — each category's two JS
+    // terms round to 1e-12 longs before the order-free sum
+    "x_cat_drift" ->
+      ("WITH ca AS (SELECT lang AS k, COUNT(*) AS ca FROM documents WHERE source = 'src0' GROUP BY 1), " +
+        "cb AS (SELECT lang AS k, COUNT(*) AS cb FROM documents WHERE source <> 'src0' GROUP BY 1), " +
+        "j AS (SELECT COALESCE(ca.k, cb.k) AS k, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb FROM ca FULL OUTER JOIN cb ON ca.k = cb.k), " +
+        "tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v, CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb FROM j), " +
+        "c AS (SELECT (CAST(ca AS DOUBLE) + 1.0) / (na + v) AS p, (CAST(cb AS DOUBLE) + 1.0) / (nb + v) AS q, v, na, nb FROM j CROSS JOIN tt), " +
+        "s AS (SELECT v, na, nb, SUM(CAST(round(p * ln(p / ((p + q) / 2.0)) * 1e12) AS BIGINT)) AS spm, " +
+        "SUM(CAST(round(q * ln(q / ((p + q) / 2.0)) * 1e12) AS BIGINT)) AS sqm FROM c GROUP BY v, na, nb) " +
+        "SELECT CAST(v AS BIGINT) AS n_cats, CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur, " +
         "ROUND(CAST(spm + sqm AS DOUBLE) / 2e12, 6) AS js FROM s"),
     // RFM replay: exact integer-microsecond day division (no
     // truncation-vs-fraction seam), quantile_cont boundaries ≡ Spark's

@@ -1726,6 +1726,57 @@ object Pipelines {
       round((col("__spm") + col("__sqm")).cast("double") / 2e12, 6).as("js"))
   }
 
+  /** Categorical-distribution drift between two slices of one STRING
+    * column — [[tokenDrift]]'s smoothed Jensen-Shannon divergence with
+    * whole VALUES as the categories (no tokenization; a category may
+    * contain spaces): p_k = (c_ref(k)+1)/(n_ref+V) over the joint
+    * category set V, q_k likewise, js = (KL(p‖m)+KL(q‖m))/2, natural
+    * log, bounded by ln 2. The live alarm wire for "a new enum value /
+    * a shifted source mix appeared in this batch" — the categorical
+    * counterpart of [[psiDrift]]'s numeric screen, used per micro-batch
+    * by [[graft.jobs.DriftMonitorJob]].
+    *
+    * Scale shape: one map-side-combining count per side, a full-outer
+    * join on the CATEGORY set (category-sized, never corpus-sized),
+    * totals broadcast. Same integer-quantization contract as
+    * tokenDrift: each category's two JS terms round to 1e-12 longs
+    * before the order-free sum. NULLs are excluded (absence is not a
+    * category; count them upstream if it should be).
+    *
+    * Output (1 row): (n_cats, n_ref, n_cur, js); no rows when both
+    * sides are empty. */
+  def categoricalDrift(ref: DataFrame, cur: DataFrame, valCol: String,
+                       roundDp: Int = 6): DataFrame = {
+    Joins.requireFreeColumns("categoricalDrift", Seq(valCol),
+      "n_cats", "n_ref", "n_cur", "js", "__k", "__ca", "__cb",
+      "__v", "__na", "__nb", "__pm", "__qm")
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(col(valCol).cast("string").as("__k"))
+        .where(col("__k").isNotNull)
+        .groupBy("__k").agg(count(lit(1)).as(as))
+    val joint = counts(ref, "__ca")
+      .join(counts(cur, "__cb"), Seq("__k"), "full_outer")
+      .select(col("__k"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = joint.agg(count(lit(1)).cast("double").as("__v"),
+      sum("__ca").cast("double").as("__na"),
+      sum("__cb").cast("double").as("__nb"))
+    val p = (col("__ca").cast("double") + 1.0) / (col("__na") + col("__v"))
+    val q = (col("__cb").cast("double") + 1.0) / (col("__nb") + col("__v"))
+    val m = (p + q) / 2.0
+    def fx(x: Column): Column = round(x * 1e12, 0).cast("long")
+    joint.crossJoin(broadcast(totals))
+      .select(fx(p * log(p / m)).as("__pm"), fx(q * log(q / m)).as("__qm"),
+        col("__v"), col("__na"), col("__nb"))
+      .groupBy("__v", "__na", "__nb")
+      .agg(sum("__pm").as("__spm"), sum("__qm").as("__sqm"))
+      .select(col("__v").cast("long").as("n_cats"),
+        col("__na").cast("long").as("n_ref"),
+        col("__nb").cast("long").as("n_cur"),
+        round((col("__spm") + col("__sqm")).cast("double") / 2e12, roundDp)
+          .as("js"))
+  }
+
   /** k-anonymity audit over a quasi-identifier column set: every
     * quasi-id combination shared by FEWER than k rows re-identifies its
     * members — the standard privacy screen before releasing or training

@@ -820,7 +820,8 @@ class StreamingSuite extends AnyFunSuite {
       trigger = Trigger.AvailableNow())
     q.awaitTermination()
     def readReport() = spark.read.parquet(out)
-      .select(col("col_name"), col("psi"), col("batch_id").cast("long"))
+      .where(col("metric") === "psi")
+      .select(col("col_name"), col("value"), col("batch_id").cast("long"))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
     val report = readReport()
     assert(report.length == 2) // one PSI row per (batch, column)
@@ -850,6 +851,59 @@ class StreamingSuite extends AnyFunSuite {
     q2.awaitTermination()
     assert(readReport().sorted.toSeq == report.sorted.toSeq)
     assert(dataFiles().size == 2, dataFiles().toString)
+  }
+
+  test("DriftMonitorJob: planted categorical shift and novel envelope field raise their alarm rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_drift_cat").toString
+    val (out, ckpt) = (s"$dir/out", s"$dir/ckpt")
+    def envelope(extra: String): String =
+      s"""{"value": "{\\"after\\": {\\"ref\\": 1, \\"city_id\\": 10, \\"city_name\\": \\"beijing\\", \\"c_time\\": 1704067200000$extra}}"}"""
+    val conforming = envelope("")
+    // plain (uninterpolated) triple quotes: \" here is a literal
+    // backslash-quote, the inner-JSON escape the envelope needs
+    val novel = envelope(""", \"population\": 24870000""")
+    val reference = (1 to 100)
+      .map(i => (i.toLong, if (i % 3 == 0) "fr" else "en"))
+      .toDF("n", "lang")
+    // b1 in-distribution everywhere; b2: every lang a NOVEL category,
+    // every envelope carrying an upstream-added field
+    val b1 = (1 to 60).map(i =>
+      (i.toLong, if (i % 3 == 0) "fr" else "en", conforming))
+    val b2 = (1 to 60).map(i => (i.toLong, "zz", novel))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.jobs.DriftMonitorJob.runStreaming(
+      mem.toDF().toDF("n", "lang", "payload"), reference, Seq("n"),
+      out, ckpt, trigger = Trigger.ProcessingTime(100),
+      catCols = Seq("lang"), envelopeCol = Some("payload"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val report = spark.read.parquet(out)
+      .select(col("col_name"), col("metric"), col("value"),
+        col("batch_id").cast("long"))
+      .collect().map(r =>
+        (r.getString(1), r.getLong(3)) -> ((r.getString(0), r.getDouble(2))))
+      .toMap
+    // one row per (batch, surface): psi + js_cat + unknown_key_rate × 2
+    assert(report.size == 6, report.toString)
+    // the categorical alarm: quiet on the in-distribution batch, loud
+    // when every value is a never-seen category
+    assert(report(("js_cat", 0L))._2 < 0.05, report.toString)
+    assert(report(("js_cat", 1L))._2 > 0.3, report.toString)
+    // the schema alarm: zero on conforming envelopes, 1.0 when every
+    // row carries the upstream-added field
+    assert(report(("unknown_key_rate", 0L))._2 == 0.0)
+    assert(report(("unknown_key_rate", 1L))._2 == 1.0)
+    // the numeric PSI surface still reports per batch
+    assert(report.contains(("psi", 0L)) && report.contains(("psi", 1L)))
+    // report rows ≡ the batch categoricalDrift on the same frames
+    val wantLoud = graft.operators.Pipelines
+      .categoricalDrift(reference.select("lang"),
+        b2.map(_._2).toDF("lang"), "lang")
+      .head().getAs[Double]("js")
+    assert(report(("js_cat", 1L))._2 == wantLoud)
   }
 
   test("DriftMonitorJob: refuses a flat-append metrics dir from the pre-partitioned layout") {
