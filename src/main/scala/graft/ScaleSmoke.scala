@@ -330,6 +330,59 @@ object ScaleSmoke {
       // contract (probe-set-sized inputs; the scale path feeds ANN
       // output to mutualPairs), so replicating the corpus measures the
       // contract violation, not the operator
+      // categorical drift: two value-count passes ∝ rows; the joint
+      // category set (langs) is constant, so the divergence join is a
+      // handful of rows — wall must track the scans
+      q("x_cat_drift", "documents"),
+      // unigram-LM train+encode over the growing corpus: training is
+      // driver-side over the top-trainCap DISTINCT words (the replica
+      // c<i> tag grows vocab ∝ copies but the cap bounds the collect);
+      // the encode UDF runs over distinct words only and broadcast-joins
+      // the exploded stream — the corpus-sized work is the word explode
+      // + per-doc groupBy, so time must track rows
+      ("x_unigram_full", Seq("documents"), (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Pipelines.unigramEncodeWith(docs, "doc_id", "text",
+          graft.operators.Pipelines.unigramTrainModel(docs, "text",
+            vocabSize = 200, maxPieceLen = 4, emIters = 2))
+      }),
+      // WebDataset tar export over the growing corpus: one hash-routed
+      // writer task per shard, shard count ∝ corpus bytes, members
+      // stream straight through — write volume and the parse-back
+      // manifest must both track rows
+      ("x_webdataset_full", Seq("documents"), (s: SparkSession, d: String) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_wds_scale_${d.replaceAll("[^A-Za-z0-9]+", "_")}"
+        graft.sources.WebDataset.exportWebDataset(
+          Tables.documents(s, d).select("doc_id", "text", "lang", "source"),
+          "doc_id", contentCols = Seq("doc_id", "text"), outDir = out,
+          targetShardBytes = 4L << 20)
+      }),
+      // incremental export: generation 0 lands the growing corpus (cost
+      // ∝ rows, the honest first-crawl write), then a FIXED 1000-doc
+      // delta as generation 1 — whose write AND manifest derivation read
+      // only the delta's own partitions, so the delta term stays
+      // constant as the corpus grows (the whole point of the operator)
+      ("x_incr_export_full", Seq("documents"), (s: SparkSession, d: String) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_incr_scale_${d.replaceAll("[^A-Za-z0-9]+", "_")}"
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(out))
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source")
+        graft.sources.CorpusExport.exportShardsIncremental(docs, "doc_id",
+          contentCols = Seq("doc_id", "text"), outDir = out,
+          generation = 0L, targetShardBytes = 4L << 20)
+        graft.sources.CorpusExport.exportShardsIncremental(
+          docs.where(col("doc_id") < 1000)
+            .withColumn("doc_id", col("doc_id") + 1000000000L),
+          "doc_id", contentCols = Seq("doc_id", "text"), outDir = out,
+          generation = 1L, targetShardBytes = 4L << 20)
+      }),
       // two-phase quota on a deliberately UNKEYED mega-stratum (every
       // doc in one stratum): phase 1 shards it across 32 windows,
       // phase 2 sees ≤ 32·k rows — time must track rows where the
