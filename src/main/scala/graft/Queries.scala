@@ -1302,6 +1302,19 @@ object Queries {
           emIters = UnigramFixture.emIters))
       .orderBy("doc_id")
 
+  /** Tokenizer fertility per language under the SAME unigram model as
+    * x_unigram_lm — the per-language cost table that lets a
+    * BPE-vs-unigram choice be judged side by side with
+    * x_bpe_fertility. Oracle replays the unigram dump-time
+    * word→encoding table with the lang rollup. */
+  def xUnigramFertility(s: SparkSession, d: String): DataFrame =
+    Pipelines.unigramFertility(documents(s, d), "doc_id", "text", "lang",
+        Pipelines.unigramTrainModel(documents(s, d), "text",
+          vocabSize = UnigramFixture.vocabSize,
+          maxPieceLen = UnigramFixture.maxPieceLen,
+          emIters = UnigramFixture.emIters))
+      .orderBy("lang")
+
   /** Leakage-free split over the dup-dense slice: near-dup clusters at
     * τ=0.8 (docs < 200), whole clusters assigned to one split. */
   def xClusterSplit(s: SparkSession, d: String): DataFrame =

@@ -723,23 +723,29 @@ object SparkEntry {
   private def bpeRoundtripOracleSql: Option[(String, String)] =
     bpeOracleSql.map { case (_, sql) => "x_bpe_roundtrip" -> sql }
 
-  /** x_bpe_fertility: the same dump-time word→encoding table, rolled up
-    * per language — replays only the distributed half (word stream,
-    * mapping join, lang rollup), exactly the part under test. */
+  /** x_bpe_fertility / x_unigram_fertility: the dump-time word→encoding
+    * table of the respective tokenizer, rolled up per language —
+    * replays only the distributed half (word stream, mapping join,
+    * lang rollup), exactly the part under test. */
+  private def fertilityReplaySql(values: String): String =
+    s"WITH m(word, toks, ids, nt) AS (VALUES $values), " +
+      "d AS (SELECT doc_id, lang, string_split(text, ' ') AS s FROM documents), " +
+      "ti AS (SELECT doc_id, lang, s, UNNEST(range(1, len(s) + 1)) AS pos FROM d), " +
+      "w AS (SELECT doc_id, lang, s[pos] AS word FROM ti WHERE len(s[pos]) >= 1), " +
+      "j AS (SELECT doc_id, lang, nt FROM w JOIN m USING (word)) " +
+      "SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(nt) AS BIGINT) AS n_tokens, " +
+      "ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS fertility " +
+      "FROM j GROUP BY lang ORDER BY lang"
+
   private def bpeFertilityOracleSql: Option[(String, String)] = scala.util.Try {
-    val values = bpeValuesLiteral()
-    val sql =
-      s"WITH m(word, toks, ids, nt) AS (VALUES $values), " +
-        "d AS (SELECT doc_id, lang, string_split(text, ' ') AS s FROM documents), " +
-        "ti AS (SELECT doc_id, lang, s, UNNEST(range(1, len(s) + 1)) AS pos FROM d), " +
-        "w AS (SELECT doc_id, lang, s[pos] AS word FROM ti WHERE len(s[pos]) >= 1), " +
-        "j AS (SELECT doc_id, lang, nt FROM w JOIN m USING (word)) " +
-        "SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(nt) AS BIGINT) AS n_tokens, " +
-        "ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS fertility " +
-        "FROM j GROUP BY lang ORDER BY lang"
-    "x_bpe_fertility" -> sql
+    "x_bpe_fertility" -> fertilityReplaySql(bpeValuesLiteral())
   }.toOption
+
+  private def unigramFertilityOracleSql: Option[(String, String)] =
+    scala.util.Try {
+      "x_unigram_fertility" -> fertilityReplaySql(unigramValuesLiteral())
+    }.toOption
 
   private def ivfadcOracleSql: Option[(String, String)] = scala.util.Try {
     val spark = SparkSession.active
@@ -975,6 +981,7 @@ object SparkEntry {
     "x_bpe_encode" -> (Queries.xBpeEncode _),
     "x_bpe_roundtrip" -> (Queries.xBpeRoundtrip _),
     "x_unigram_lm" -> (Queries.xUnigramLm _),
+    "x_unigram_fertility" -> (Queries.xUnigramFertility _),
     "x_quality_lr" -> (Queries.xQualityLr _),
     "x_cluster_split" -> (Queries.xClusterSplit _),
     "x_temperature" -> (Queries.xTemperature _),
@@ -2838,5 +2845,5 @@ object SparkEntry {
   ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
     ivfadcOracleSql ++ bpeOracleSql ++ bpeRoundtripOracleSql ++
     bpeFertilityOracleSql ++ unigramOracleSql ++
-    qualityLrOracleSql ++ pcaOracleSql
+    unigramFertilityOracleSql ++ qualityLrOracleSql ++ pcaOracleSql
 }

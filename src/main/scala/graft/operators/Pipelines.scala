@@ -937,10 +937,28 @@ object Pipelines {
     * Output: (groupCol, n_docs, n_words, n_tokens, fertility). */
   def bpeFertility(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, model: BpeModel,
-                   roundDp: Int = 6): DataFrame = {
-    Joins.requireFreeColumns("bpeFertility", Seq(idCol, groupCol),
+                   roundDp: Int = 6): DataFrame =
+    fertilityRollup(bpeEncodeWith(df, idCol, textCol, model),
+      df, idCol, groupCol, roundDp)
+
+  /** [[bpeFertility]] under a unigram-LM model — the same
+    * tokens-per-word-by-language audit for the OTHER production
+    * tokenizer family, so a BPE-vs-unigram choice can be judged on the
+    * same per-language cost table. Identical plan: encode over distinct
+    * words, one keyed join back to the group column, one map-side-
+    * combining rollup. */
+  def unigramFertility(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, model: UnigramModel,
+                       roundDp: Int = 6): DataFrame =
+    fertilityRollup(unigramEncodeWith(df, idCol, textCol, model),
+      df, idCol, groupCol, roundDp)
+
+  private def fertilityRollup(encoded: DataFrame, df: DataFrame,
+                              idCol: String, groupCol: String,
+                              roundDp: Int): DataFrame = {
+    Joins.requireFreeColumns("fertility", Seq(idCol, groupCol),
       "n_docs", "n_words", "n_tokens", "fertility")
-    bpeEncodeWith(df, idCol, textCol, model)
+    encoded
       .join(df.select(col(idCol), col(groupCol)), idCol)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),

@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   *    its rows — the same manifest ≡ table replay the parquet/JSONL
   *    exports pin, now covering the tar encode→commit→parse cycle.
   *
+  * Binary contract: a BINARY content column (the multimodal payload
+  * case) stores its bytes RAW — never a string cast, which would
+  * mangle non-UTF-8 sequences — and hashes through lossless HEX in the
+  * manifest; string/other columns store their UTF-8 string form, so a
+  * text-only export's checksums are unchanged by this rule.
+  *
   * Null contract: a NULL content column stores NO member for that
   * sample (WebDataset convention); the manifest's per-sample hash
   * concatenates the members PRESENT in `contentCols` order, which is
@@ -66,11 +72,18 @@ object WebDataset {
       rootFs.globStatus(new org.apache.hadoop.fs.Path(rootPath, "split=*"))
         .foreach(st => rootFs.delete(st.getPath, true))
     val labeled = Pipelines.splitByMd5Prefix(df, idCol, cuts)
+    // binary columns (the multimodal payload case) pass through RAW —
+    // a string cast would mangle any non-UTF-8 byte sequence; all other
+    // types store their string form in UTF-8
+    val binaryCols = contentCols.filter(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.BinaryType).toSet
+    def payloadCol(c: String) =
+      if (binaryCols(c)) col(c) else col(c).cast("string")
     // exact tar framing per member: 512 B header + payload padded to 512
     val memberBytes = contentCols.map { c =>
       when(col(c).isNull, lit(0L))
         .otherwise(lit(512L) +
-          ceil(octet_length(col(c).cast("string")).cast("double") / 512.0)
+          ceil(octet_length(payloadCol(c)).cast("double") / 512.0)
             .cast("long") * 512L)
     }.reduce(_ + _)
     val bytesPerSample = math.max(1.0,
@@ -90,16 +103,17 @@ object WebDataset {
       .withColumn("__shard", pmod(xxhash64(col(idCol)), kExpr))
       .select(col("split") +: col("__shard") +:
         col(idCol).cast("string").as("__key") +:
-        cols.map(c => col(c).cast("string").as(c)): _*)
+        cols.map(c => payloadCol(c).as(c)): _*)
       .repartition(totalShards, col("split"), col("__shard"))
       .sortWithinPartitions("split", "__shard", "__key")
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val out = outDir
+    val isBinary = cols.map(binaryCols).toArray
     projected.foreachPartition { (it: Iterator[Row]) =>
-      writePartitionTars(it, out, cols, serConf.value)
+      writePartitionTars(it, out, cols, isBinary, serConf.value)
     }
-    val manifest = buildTarManifest(spark, out, cols)
+    val manifest = buildTarManifest(spark, out, cols, binaryCols)
     manifest.write.mode("overwrite").parquet(s"$out/_manifest")
     spark.read.parquet(s"$out/_manifest")
   }
@@ -110,6 +124,7 @@ object WebDataset {
     * manifest never see. */
   private def writePartitionTars(it: Iterator[Row], outDir: String,
                                  contentCols: Seq[String],
+                                 isBinary: Array[Boolean],
                                  conf: org.apache.hadoop.conf.Configuration)
       : Unit = {
     val root = new org.apache.hadoop.fs.Path(outDir)
@@ -142,7 +157,9 @@ object WebDataset {
       val key = r.getString(2)
       contentCols.zipWithIndex.foreach { case (c, i) =>
         if (!r.isNullAt(3 + i)) {
-          val payload = r.getString(3 + i).getBytes("UTF-8")
+          val payload =
+            if (isBinary(i)) r.getAs[Array[Byte]](3 + i)
+            else r.getString(3 + i).getBytes("UTF-8")
           os.write(tarHeader(s"$key.$c", payload.length.toLong))
           os.write(payload)
           val pad = (512 - payload.length % 512) % 512
@@ -233,7 +250,9 @@ object WebDataset {
     * md5 of the sample's members joined in `contentCols` order (the
     * concat_ws skip-nulls fold), identical to the other exports'. */
   private[graft] def buildTarManifest(spark: SparkSession, dir: String,
-                                      contentCols: Seq[String]): DataFrame = {
+                                      contentCols: Seq[String],
+                                      binaryCols: Set[String] = Set.empty)
+      : DataFrame = {
     val colIdx = contentCols.zipWithIndex.toMap
     val idxOf = colIdx.foldLeft(lit(-1)) { case (els, (c, i)) =>
       when(expr(s"substring(member, length(member) - ${c.length})") ===
@@ -244,11 +263,21 @@ object WebDataset {
       .withColumn("__key", expr(
         "substring(member, 1, length(member) - length(" +
           "element_at(split(member, '\\\\.'), -1)) - 1)"))
+    // binary-origin members hash through HEX (lossless for arbitrary
+    // bytes); everything else hashes its UTF-8 string form — identical
+    // to the pre-binary behavior for string columns
+    val binaryIdx = contentCols.zipWithIndex.collect {
+      case (c, i) if binaryCols(c) => i
+    }.toSet
+    val hashVal =
+      if (binaryIdx.isEmpty) col("content").cast("string")
+      else when(col("__i").isInCollection(binaryIdx.map(Int.box)),
+        hex(col("content"))).otherwise(col("content").cast("string"))
     val perSample = members
       .groupBy("split", "shard_path", "shard_bytes", "__key")
       .agg(md5(array_join(transform(
         sort_array(collect_list(struct(col("__i"),
-          col("content").cast("string").as("__v")))),
+          hashVal.as("__v")))),
         x => x.getField("__v")), "\u0001")).as("__h"))
       .withColumn("__hl",
         conv(substring(col("__h"), 1, 15), 16, 10).cast("long"))

@@ -511,6 +511,20 @@ class PipelinesSuite extends AnyFunSuite {
     assert(enc.forall(!_.getString(4).split(",").contains("-1")))
   }
 
+  test("unigramFertility: hand-computed tokens-per-word by group") {
+    // model: "ab" a strong piece — "ab ab" segments 1 token per word
+    // (fertility 1.0); "ba" has no piece, segments [b, a] (fertility 2)
+    val model = Pipelines.UnigramModel(Seq(
+      "a" -> math.log(0.2), "b" -> math.log(0.2), "ab" -> math.log(0.6)))
+    val df = Seq((1L, "ab ab", "en"), (2L, "ba", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = Pipelines.unigramFertility(df, "doc_id", "text", "lang", model)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("en") == ((1L, 2L, 2L, 1.0)))
+    assert(got("fr") == ((1L, 1L, 2L, 2.0)))
+  }
+
   test("unigram artifact round-trip: save → fresh-session load → encode ≡ the training session") {
     val docs = Tables.documents(spark, sfDir)
     val path = java.nio.file.Files

@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * fails `sbt test` loudly instead of only slowing the bench.
   *
   * Regenerate after an INTENDED plan change with
-  * `sbt -Dgraft.planshapes.regen=true "testOnly graft.PlanSnapshotSuite"`
+  * `GRAFT_PLANSHAPES_REGEN=true sbt "testOnly graft.PlanSnapshotSuite"`
   * and review the diff like any other golden file. */
 class PlanSnapshotSuite extends AnyFunSuite {
   import TestSpark.{sfDir, spark}
@@ -55,7 +55,10 @@ class PlanSnapshotSuite extends AnyFunSuite {
         val df = fn(spark, sfDir)
         name -> shapeOf(df.queryExecution.executedPlan.toString)
       }
-    val regen = sys.props.get("graft.planshapes.regen").contains("true")
+    // Test/fork=true: -D flags on the sbt JVM don't reach the forked
+    // test JVM, so the env-var form is the reliable switch
+    val regen = sys.props.get("graft.planshapes.regen").contains("true") ||
+      sys.env.get("GRAFT_PLANSHAPES_REGEN").contains("true")
     if (regen || !golden.exists()) {
       golden.getParentFile.mkdirs()
       java.nio.file.Files.write(golden.toPath,
@@ -78,7 +81,7 @@ class PlanSnapshotSuite extends AnyFunSuite {
         }
       } ++ missing.toSeq.sorted.map(n => s"$n: in golden but no longer declared")
       assert(diffs.isEmpty,
-        "plan shapes drifted (regen with -Dgraft.planshapes.regen=true " +
+        "plan shapes drifted (regen with GRAFT_PLANSHAPES_REGEN=true " +
           "ONLY for intended changes):\n" + diffs.mkString("\n"))
     }
   }

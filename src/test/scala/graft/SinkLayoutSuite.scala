@@ -379,6 +379,37 @@ class SinkLayoutSuite extends AnyFunSuite {
     assert(err.getMessage.contains("checksum"), err.getMessage)
   }
 
+  test("WebDataset export: binary payload members round-trip bit-exact (no UTF-8 mangling)") {
+    import graft.sources.WebDataset
+    val out = Files.createTempDirectory("graft_wds_bin").toString
+    // payloads deliberately include invalid-UTF-8 sequences (0xFF, a
+    // continuation-less 0xC0) that a string cast would fold to U+FFFD
+    def payload(id: Long): Array[Byte] =
+      Array.tabulate(600)(j => ((id * 31 + j * 7) % 256).toByte) ++
+        Array(0xFF.toByte, 0xC0.toByte, 0x00.toByte)
+    val rows = (1L to 40L).map(i =>
+      (i, payload(i), s"""{"media":"img","id":$i}"""))
+    val df = rows.toDF("doc_id", "payload", "meta")
+    val manifest = WebDataset.exportWebDataset(df, "doc_id",
+      contentCols = Seq("payload", "meta"), outDir = out,
+      targetShardBytes = 16L * 1024).collect()
+    assert(manifest.map(_.getLong(2)).sum == 40L)
+    val members = WebDataset.readWebDataset(spark, out)
+    val back = members.where(col("member").endsWith(".payload"))
+      .select(expr("substring(member, 1, length(member) - 8)")
+        .cast("long").as("doc_id"), col("content"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(back.size == 40)
+    rows.foreach { case (id, p, _) =>
+      assert(java.util.Arrays.equals(back(id), p), s"payload $id mangled")
+    }
+    // sidecar metadata members stay readable as JSON text
+    val meta = members.where(col("member").endsWith(".meta"))
+      .select(col("content").cast("string")).collect()
+    assert(meta.length == 40 &&
+      meta.forall(_.getString(0).startsWith("{\"media\"")))
+  }
+
   test("corpus export JSONL: gzip .json.gz shards under the identical manifest contract") {
     import graft.sources.CorpusExport
     val out = Files.createTempDirectory("graft_export_jsonl").toString
