@@ -125,11 +125,14 @@ object CorpusExport {
     * generation's (split, shard_path) — ids never reuse, so trainer
     * resume offsets stay valid across appends.
     *
-    * Replay rule: generations must land in order; re-running the
-    * LATEST generation is idempotent (its data partitions and manifest
-    * rows are replaced, ids re-derive from the same prior max), while
-    * appending below an existing later generation is refused loudly —
-    * that would re-number history under a mounted trainer. */
+    * Replay rule: NEW generations must land in increasing order, but
+    * re-running any EXISTING generation is idempotent (its data
+    * partitions and manifest rows are replaced; ids re-derive from the
+    * generations below it, which a same-data replay reproduces
+    * exactly — the at-least-once contract a fresh-checkpoint stream
+    * replay needs). Only inserting a NEW generation below
+    * already-landed ones is refused loudly — that would re-number
+    * history under a mounted trainer. */
   def exportShardsIncremental(delta: DataFrame, idCol: String,
                               contentCols: Seq[String],
                               outDir: String, generation: Long,
@@ -177,17 +180,25 @@ object CorpusExport {
     val hasPrior = listDataFiles(new java.io.File(manifestPath)).nonEmpty
     // prior rows materialize BEFORE the overwrite below reads from the
     // same path; the manifest is metadata-sized (one row per shard)
-    val prior =
+    val allPrior =
       if (hasPrior)
-        spark.read.parquet(manifestPath)
-          .where(col("gen") =!= generation).localCheckpoint()
+        spark.read.parquet(manifestPath).localCheckpoint()
       else genManifest.withColumn("shard_id", lit(0L)).limit(0)
-    val laterGens = prior.where(col("gen") > generation).count()
-    require(laterGens == 0L,
-      s"exportShardsIncremental: generation $generation is below " +
-        s"already-landed generations at $outDir — appending out of order " +
-        "would re-number history under a mounted trainer")
-    val maxId = prior.agg(coalesce(max("shard_id"), lit(-1L)))
+    // replaying an EXISTING generation is legal and idempotent (the
+    // at-least-once contract: a fresh-checkpoint stream replay re-lands
+    // every batch; ids re-derive from the generations BELOW it, which a
+    // same-data replay reproduces exactly). Only a NEW generation
+    // inserted below already-landed ones is refused — that renumbers
+    // history under a mounted trainer.
+    val allGens = allPrior.select(col("gen")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    require(allGens.forall(_ < generation) || allGens(generation),
+      s"exportShardsIncremental: generation $generation would be a NEW " +
+        s"generation below already-landed ones at $outDir — appending " +
+        "out of order would re-number history under a mounted trainer")
+    val prior = allPrior.where(col("gen") =!= generation)
+    val maxId = prior.where(col("gen") < generation)
+      .agg(coalesce(max("shard_id"), lit(-1L)))
       .head().getLong(0)
     // unpartitioned window is safe here by the k-rows-only exception:
     // the frame is ONE generation's manifest (a row per shard)

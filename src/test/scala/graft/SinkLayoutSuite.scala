@@ -292,8 +292,16 @@ class SinkLayoutSuite extends AnyFunSuite {
     assert(key(m2) == key(m1))
     assert(spark.read.parquet(out).count() == docs.count())
 
-    // appending BELOW an existing generation is refused loudly
-    val e = intercept[IllegalArgumentException](append(even, 0L))
+    // replaying an EXISTING earlier generation is idempotent too (the
+    // fresh-checkpoint full-replay path): gen 0 re-lands with its
+    // original ids and the manifest union is unchanged
+    val m3 = append(even, 0L).collect()
+    assert(key(m3) == key(m1))
+
+    // but a NEW generation inserted below already-landed ones is
+    // refused loudly (gens now 0,1,3 — inserting 2 would re-number)
+    append(odd, 3L)
+    val e = intercept[IllegalArgumentException](append(even, 2L))
     assert(e.getMessage.contains("out of order"), e.getMessage)
   }
 

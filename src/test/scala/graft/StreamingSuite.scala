@@ -853,6 +853,58 @@ class StreamingSuite extends AnyFunSuite {
     assert(dataFiles().size == 2, dataFiles().toString)
   }
 
+  test("CrawlIngestJob: quality gate + dedup-vs-landed + generation appends, replay-idempotent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_crawl").toString
+    val (src, out) = (s"$dir/src", s"$dir/out")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def text(i: Long) = s"the data and value of table with more row item$i"
+    def doc(id: Long, t: String) =
+      s"""{"doc_id":$id,"text":"$t"}"""
+    // batch 1: 20 passing docs + junk (fails the word-count gate)
+    val b1 = (1L to 20L).map(i => doc(i, text(i))) :+ doc(99L, "zz")
+    // batch 2: 10 new docs + 5 cross-batch content dups of batch 1 +
+    // 1 within-batch dup of doc 21 + junk
+    val b2 = (21L to 30L).map(i => doc(i, text(i))) ++
+      (1L to 5L).map(i => doc(100L + i, text(i))) :+
+      doc(106L, text(21L)) :+ doc(199L, "zz")
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      b1.mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(s"$src/b2.json"),
+      b2.mkString("\n").getBytes)
+    def run(ckpt: String) = {
+      val q = graft.jobs.CrawlIngestJob.runStreaming(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1).json(s"$src/*"),
+        "doc_id", "text", contentCols = Seq("doc_id", "text"),
+        outDir = out, checkpoint = s"$dir/$ckpt", minWords = 5,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    run("ckpt")
+    def landed() = spark.read.parquet(out)
+      .select(col("doc_id"), col("gen").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    val first = landed()
+    // gate dropped the junk, dedup dropped the 5 cross-batch and 1
+    // within-batch content dups: exactly ids 1-30, gen 0 then gen 1
+    assert(first.map(_._1) == (1L to 30L))
+    assert(first.filter(_._2 == 0L).map(_._1) == (1L to 20L))
+    assert(first.filter(_._2 == 1L).map(_._1) == (21L to 30L))
+    // the manifest agrees with the landed table
+    val manifest = spark.read.parquet(s"$out/_manifest")
+    assert(manifest.agg(sum("rows")).head().getLong(0) == 30L)
+    assert(manifest.select("gen").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+    // a full replay (fresh checkpoint, same source, same batch ids)
+    // overwrites each generation with itself — never dedups a batch
+    // against its own landed rows, never duplicates
+    run("ckpt_replay")
+    assert(landed() == first)
+    assert(spark.read.parquet(s"$out/_manifest")
+      .agg(sum("rows")).head().getLong(0) == 30L)
+  }
+
   test("DriftMonitorJob: planted categorical shift and novel envelope field raise their alarm rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
