@@ -2219,8 +2219,8 @@ object SparkEntry {
     // whole values (lang) instead of tokens — each category's two JS
     // terms round to 1e-12 longs before the order-free sum
     "x_cat_drift" ->
-      ("WITH ca AS (SELECT lang AS k, COUNT(*) AS ca FROM documents WHERE source = 'src0' GROUP BY 1), " +
-        "cb AS (SELECT lang AS k, COUNT(*) AS cb FROM documents WHERE source <> 'src0' GROUP BY 1), " +
+      ("WITH ca AS (SELECT lang AS k, COUNT(*) AS ca FROM documents WHERE source = 'src0' AND lang IS NOT NULL GROUP BY 1), " +
+        "cb AS (SELECT lang AS k, COUNT(*) AS cb FROM documents WHERE source <> 'src0' AND lang IS NOT NULL GROUP BY 1), " +
         "j AS (SELECT COALESCE(ca.k, cb.k) AS k, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb FROM ca FULL OUTER JOIN cb ON ca.k = cb.k), " +
         "tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v, CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb FROM j), " +
         "c AS (SELECT (CAST(ca AS DOUBLE) + 1.0) / (na + v) AS p, (CAST(cb AS DOUBLE) + 1.0) / (nb + v) AS q, v, na, nb FROM j CROSS JOIN tt), " +

@@ -90,9 +90,13 @@ object DriftMonitorJob {
               col("n_ref"), col("n_cur"), col("js").as("value"))
         }
         val envRows = envelopeCol.toSeq.map { c =>
+          // denominator = DECODABLE envelopes only (unknownAfterKeys is
+          // null for undecodable rows — corruptRecords territory, not
+          // drift): a steady corrupt-row fraction must not dilute the
+          // schema alarm. n_cur reports the decodable count.
           batch.select(
               CdcIngest.unknownAfterKeys(c).as("__unk"))
-            .agg(count(lit(1)).as("n_cur"),
+            .agg(count(col("__unk")).as("n_cur"),
               count(when(size(col("__unk")) > 0, lit(1))).as("__novel"))
             .select(lit(c).as("col_name"),
               lit("unknown_key_rate").as("metric"),

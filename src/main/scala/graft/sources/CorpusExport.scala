@@ -148,6 +148,29 @@ object CorpusExport {
     Joins.requireFreeColumns("exportShardsIncremental", delta.columns,
       "split", "gen", "__shard", "__h", "__hl")
     val spark = delta.sparkSession
+    // the order guard runs BEFORE any data write: a refused generation
+    // must leave the corpus dir untouched (a post-write throw would
+    // orphan shards no manifest row covers — phantom rows for every
+    // reader of outDir)
+    val manifestPath = s"$outDir/_manifest"
+    val hasPrior = listDataFiles(new java.io.File(manifestPath)).nonEmpty
+    // prior rows materialize NOW; the manifest overwrite below reads
+    // from the same path; the table is metadata-sized (row per shard)
+    val allPrior: Option[DataFrame] =
+      if (hasPrior) Some(spark.read.parquet(manifestPath).localCheckpoint())
+      else None
+    // replaying an EXISTING generation is legal and idempotent (the
+    // at-least-once contract: a fresh-checkpoint stream replay re-lands
+    // every batch; ids re-derive from the generations BELOW it, which a
+    // same-data replay reproduces exactly). Only a NEW generation
+    // inserted below already-landed ones is refused — that renumbers
+    // history under a mounted trainer.
+    val allGens = allPrior.map(_.select(col("gen")).distinct()
+      .collect().map(_.getLong(0)).toSet).getOrElse(Set.empty[Long])
+    require(allGens.forall(_ < generation) || allGens(generation),
+      s"exportShardsIncremental: generation $generation would be a NEW " +
+        s"generation below already-landed ones at $outDir — appending " +
+        "out of order would re-number history under a mounted trainer")
     val labeled = Pipelines.splitByMd5Prefix(delta, idCol, cuts)
       .withColumn("gen", lit(generation))
     val bytesPerRow = estimateBytesPerRow(labeled, sampleRows, format, codec)
@@ -176,27 +199,9 @@ object CorpusExport {
         .where(col("gen") === generation),
       contentCols, outDir, partDepth = 2)
       .withColumn("gen", lit(generation))
-    val manifestPath = s"$outDir/_manifest"
-    val hasPrior = listDataFiles(new java.io.File(manifestPath)).nonEmpty
-    // prior rows materialize BEFORE the overwrite below reads from the
-    // same path; the manifest is metadata-sized (one row per shard)
-    val allPrior =
-      if (hasPrior)
-        spark.read.parquet(manifestPath).localCheckpoint()
-      else genManifest.withColumn("shard_id", lit(0L)).limit(0)
-    // replaying an EXISTING generation is legal and idempotent (the
-    // at-least-once contract: a fresh-checkpoint stream replay re-lands
-    // every batch; ids re-derive from the generations BELOW it, which a
-    // same-data replay reproduces exactly). Only a NEW generation
-    // inserted below already-landed ones is refused — that renumbers
-    // history under a mounted trainer.
-    val allGens = allPrior.select(col("gen")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    require(allGens.forall(_ < generation) || allGens(generation),
-      s"exportShardsIncremental: generation $generation would be a NEW " +
-        s"generation below already-landed ones at $outDir — appending " +
-        "out of order would re-number history under a mounted trainer")
-    val prior = allPrior.where(col("gen") =!= generation)
+    val prior = allPrior
+      .getOrElse(genManifest.withColumn("shard_id", lit(0L)).limit(0))
+      .where(col("gen") =!= generation)
     val maxId = prior.where(col("gen") < generation)
       .agg(coalesce(max("shard_id"), lit(-1L)))
       .head().getLong(0)

@@ -46,7 +46,12 @@ import org.apache.spark.sql.functions._
   * exactly `concat_ws`'s skip-nulls fold — so checksums stay
   * format-invariant with the parquet/JSONL exports. An EMPTY string
   * stores an empty member (present, hashes as ""), preserving the
-  * null/empty distinction the other formats' rowHash sees.
+  * null/empty distinction the other formats' rowHash sees. A sample
+  * whose content columns are ALL null still lands — as one empty
+  * member for the first content column, hashing as "" exactly like
+  * concat_ws's all-null fold — so no row ever silently vanishes from
+  * the export. Content column names must be dot-free (enforced
+  * loudly); sample keys may contain dots.
   *
   * Member names are `{key}.{column}` with key = idCol cast to string —
   * ustar's 100-byte name limit is enforced loudly per member. */
@@ -61,6 +66,12 @@ object WebDataset {
       : DataFrame = {
     require(targetShardBytes > 0, "targetShardBytes must be positive")
     require(contentCols.nonEmpty, "contentCols must be non-empty")
+    // member names are {key}.{column} and the reader keys a sample by
+    // stripping the FINAL dot-segment — a dotted column name would
+    // mis-key every sample (keys themselves may contain dots freely)
+    require(contentCols.forall(!_.contains(".")),
+      s"exportWebDataset: content column names must not contain '.' " +
+        s"(got ${contentCols.filter(_.contains(".")).mkString(", ")})")
     Joins.requireFreeColumns("exportWebDataset", df.columns,
       "split", "__shard", "__key", "__b", "__h", "__hl")
     val spark = df.sparkSession
@@ -86,8 +97,11 @@ object WebDataset {
           ceil(octet_length(payloadCol(c)).cast("double") / 512.0)
             .cast("long") * 512L)
     }.reduce(_ + _)
+    // coalesce: avg over an EMPTY corpus is NULL — an empty export must
+    // degrade to an empty layout, not a bare NullPointerException
     val bytesPerSample = math.max(1.0,
-      labeled.select(memberBytes.as("__b")).agg(avg("__b")).head().getDouble(0))
+      labeled.select(memberBytes.as("__b"))
+        .agg(coalesce(avg("__b"), lit(1.0))).head().getDouble(0))
     val rowsPerShard = math.max(1L, (targetShardBytes / bytesPerSample).toLong)
     val splitCounts = labeled.groupBy("split").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -113,7 +127,19 @@ object WebDataset {
     projected.foreachPartition { (it: Iterator[Row]) =>
       writePartitionTars(it, out, cols, isBinary, serConf.value)
     }
-    val manifest = buildTarManifest(spark, out, cols, binaryCols)
+    // an empty corpus writes no shards; the manifest must then be the
+    // empty table, not a failing glob read
+    val hasShards = rootFs.exists(rootPath) &&
+      rootFs.globStatus(new org.apache.hadoop.fs.Path(rootPath,
+        "split=*/shard-*.tar")).nonEmpty
+    val manifest =
+      if (hasShards) buildTarManifest(spark, out, cols, binaryCols)
+      else {
+        import spark.implicits._
+        Seq.empty[(String, String, Long, Long, String, Long)]
+          .toDF("split", "shard_path", "rows", "bytes",
+            "content_md5", "content_xor")
+      }
     manifest.write.mode("overwrite").parquet(s"$out/_manifest")
     spark.read.parquet(s"$out/_manifest")
   }
@@ -155,17 +181,25 @@ object WebDataset {
       }
       val os = cur.get._3
       val key = r.getString(2)
-      contentCols.zipWithIndex.foreach { case (c, i) =>
-        if (!r.isNullAt(3 + i)) {
-          val payload =
-            if (isBinary(i)) r.getAs[Array[Byte]](3 + i)
-            else r.getString(3 + i).getBytes("UTF-8")
-          os.write(tarHeader(s"$key.$c", payload.length.toLong))
-          os.write(payload)
-          val pad = (512 - payload.length % 512) % 512
-          if (pad > 0) os.write(new Array[Byte](pad))
-        }
+      var wrote = false
+      def member(c: String, payload: Array[Byte]): Unit = {
+        os.write(tarHeader(s"$key.$c", payload.length.toLong))
+        os.write(payload)
+        val pad = (512 - payload.length % 512) % 512
+        if (pad > 0) os.write(new Array[Byte](pad))
+        wrote = true
       }
+      contentCols.zipWithIndex.foreach { case (c, i) =>
+        if (!r.isNullAt(3 + i))
+          member(c,
+            if (isBinary(i)) r.getAs[Array[Byte]](3 + i)
+            else r.getString(3 + i).getBytes("UTF-8"))
+      }
+      // a sample whose content columns are ALL null must still LAND —
+      // a zero-member sample would silently vanish from rows and
+      // checksums. One empty member keeps manifest ≡ table: it hashes
+      // as "", exactly concat_ws's fold over all-null columns
+      if (!wrote) member(contentCols.head, Array.emptyByteArray)
     }
     close()
   }

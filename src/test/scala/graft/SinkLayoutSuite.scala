@@ -299,10 +299,16 @@ class SinkLayoutSuite extends AnyFunSuite {
     assert(key(m3) == key(m1))
 
     // but a NEW generation inserted below already-landed ones is
-    // refused loudly (gens now 0,1,3 — inserting 2 would re-number)
+    // refused loudly (gens now 0,1,3 — inserting 2 would re-number) —
+    // and BEFORE any data write: the corpus dir must hold no gen=2
+    // orphans after the refusal
     append(odd, 3L)
+    val filesBefore = dataFiles().toSet
     val e = intercept[IllegalArgumentException](append(even, 2L))
     assert(e.getMessage.contains("out of order"), e.getMessage)
+    assert(dataFiles().toSet == filesBefore,
+      "a refused generation wrote orphan shards")
+    assert(!dataFiles().exists(_.contains("gen=2/")))
   }
 
   test("WebDataset export: ustar tar shards, byte-reproducible, manifest \u2261 parsed tars \u2261 table") {
@@ -416,6 +422,43 @@ class SinkLayoutSuite extends AnyFunSuite {
       .select(col("content").cast("string")).collect()
     assert(meta.length == 40 &&
       meta.forall(_.getString(0).startsWith("{\"media\"")))
+  }
+
+  test("WebDataset export: all-null sample lands as one empty member; empty input yields an empty layout") {
+    import graft.sources.WebDataset
+    val out = Files.createTempDirectory("graft_wds_nulls").toString
+    val df = Seq(
+      (1L, Option("hello world"), Option("m1")),
+      (2L, Option.empty[String], Option.empty[String]))
+      .toDF("doc_id", "text", "meta")
+    val manifest = WebDataset.exportWebDataset(df, "doc_id",
+      contentCols = Seq("text", "meta"), outDir = out).collect()
+    // BOTH rows land — the all-null sample must not silently vanish
+    assert(manifest.map(_.getLong(2)).sum == 2L, manifest.toSeq.toString)
+    val members = WebDataset.readWebDataset(spark, out).collect()
+      .map(r => r.getAs[String]("member") ->
+        new String(r.getAs[Array[Byte]]("content"), "UTF-8")).toMap
+    // sample 1: both members; sample 2: exactly ONE empty member for
+    // the first content column (hashes as "", concat_ws's all-null fold)
+    assert(members.keySet == Set("1.text", "1.meta", "2.text"), members.keySet)
+    assert(members("2.text") == "")
+    // manifest hash parity with the concat_ws fold over the raw table
+    val expectXor = df
+      .select(conv(substring(md5(concat_ws("\u0001", col("text"),
+        col("meta"))), 1, 15), 16, 10).cast("long").as("hl"))
+      .agg(expr("bit_xor(hl)")).head().getLong(0)
+    assert(manifest.map(_.getLong(5)).reduce(_ ^ _) == expectXor)
+    // an empty corpus degrades to an empty layout + empty manifest
+    val out2 = Files.createTempDirectory("graft_wds_empty").toString
+    val empty = WebDataset.exportWebDataset(df.limit(0), "doc_id",
+      contentCols = Seq("text", "meta"), outDir = out2)
+    assert(empty.count() == 0L)
+    // dotted content column names are refused loudly
+    val err = intercept[IllegalArgumentException](
+      WebDataset.exportWebDataset(
+        df.withColumnRenamed("meta", "img.jpg"), "doc_id",
+        contentCols = Seq("text", "img.jpg"), outDir = out2))
+    assert(err.getMessage.contains("must not contain"), err.getMessage)
   }
 
   test("corpus export JSONL: gzip .json.gz shards under the identical manifest contract") {

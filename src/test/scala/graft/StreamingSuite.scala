@@ -923,7 +923,10 @@ class StreamingSuite extends AnyFunSuite {
     // every envelope carrying an upstream-added field
     val b1 = (1 to 60).map(i =>
       (i.toLong, if (i % 3 == 0) "fr" else "en", conforming))
-    val b2 = (1 to 60).map(i => (i.toLong, "zz", novel))
+    // one undecodable envelope rides along: corruption is not drift
+    // and must not dilute the schema alarm's denominator
+    val b2 = (1 to 60).map(i => (i.toLong, "zz", novel)) :+
+      ((61L, "zz", "not json at all"))
     val mem = MemoryStream[(Long, String, String)]
     val q = graft.jobs.DriftMonitorJob.runStreaming(
       mem.toDF().toDF("n", "lang", "payload"), reference, Seq("n"),
@@ -945,7 +948,9 @@ class StreamingSuite extends AnyFunSuite {
     assert(report(("js_cat", 0L))._2 < 0.05, report.toString)
     assert(report(("js_cat", 1L))._2 > 0.3, report.toString)
     // the schema alarm: zero on conforming envelopes, 1.0 when every
-    // row carries the upstream-added field
+    // DECODABLE row carries the upstream-added field (the planted
+    // corrupt envelope is excluded from the denominator — rate would
+    // read 60/61 otherwise)
     assert(report(("unknown_key_rate", 0L))._2 == 0.0)
     assert(report(("unknown_key_rate", 1L))._2 == 1.0)
     // the numeric PSI surface still reports per batch
