@@ -12,6 +12,9 @@ import graft.sources.CorpusExport
   *
   *   quality gate (Gopher flags) → within-batch exact dedup →
   *   exact dedup vs the ALREADY-LANDED corpus (bloom-pruned) →
+  *   optional NEAR-dup drop vs the landed corpus (`nearDupTau`:
+  *   MinHash-banded candidates, exact-Jaccard verified — paraphrased
+  *   crawl duplicates, not just byte-identical ones) →
   *   land the survivors as export generation = batch id
   *   ([[CorpusExport.exportShardsIncremental]]).
   *
@@ -47,9 +50,14 @@ object CrawlIngestJob {
                    minWords: Int = 20,
                    targetShardBytes: Long = 256L * 1024 * 1024,
                    expectedSeen: Long = 1L << 20,
-                   trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+                   trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                   nearDupTau: Option[Double] = None,
+                   nearDupNumHashes: Int = 64,
+                   nearDupBands: Int = 32)
       : StreamingQuery = {
     require(contentCols.nonEmpty, "CrawlIngestJob needs contentCols")
+    require(nearDupTau.forall(t => t > 0.0 && t <= 1.0),
+      s"nearDupTau must be in (0, 1], got $nearDupTau")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -64,18 +72,42 @@ object CrawlIngestJob {
           Seq(idCol), "left_semi")
         val inBatch = Dedup.exactDedup(quality, textCol, idCol)
         // the landed corpus is the seen set — minus THIS generation,
-        // so a replay never deduplicates against its own crashed write
-        val hasLanded = Option(new java.io.File(outDir).listFiles())
-          .exists(_.exists(f => f.isDirectory &&
-            f.getName.startsWith("split=")))
-        val novel =
-          if (!hasLanded) inBatch
-          else Dedup.incrementalExactDedup(
-            inBatch,
-            spark.read.parquet(outDir)
-              .where(col("gen").cast("long") =!= batchId)
-              .select(textCol),
-            textCol, textCol, expectedSeen = expectedSeen)
+        // so a replay never deduplicates against its own crashed write.
+        // The probe resolves through the Hadoop FileSystem of outDir: a
+        // java.io.File probe on an hdfs://|s3a:// dir reads empty, which
+        // would silently skip dedup-vs-landed on every batch
+        val root = new org.apache.hadoop.fs.Path(outDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasLanded = fs.exists(root) && Option(
+            fs.globStatus(new org.apache.hadoop.fs.Path(root, "split=*")))
+          .exists(_.exists(_.isDirectory))
+        val landedPrior =
+          if (!hasLanded) None
+          else Some(spark.read.parquet(outDir)
+            .where(col("gen").cast("long") =!= batchId))
+        val novelExact = landedPrior.fold(inBatch)(seen =>
+          Dedup.incrementalExactDedup(inBatch, seen.select(textCol),
+            textCol, textCol, expectedSeen = expectedSeen))
+        // optional near-dup stage: a paraphrased crawl duplicate
+        // (token-set Jaccard ≥ tau vs ANY already-landed doc) is
+        // dropped via the asymmetric band-key join — delta×seen
+        // candidates only, never seen×seen — then a left-anti on the
+        // matched delta ids. Within-batch paraphrases are NOT deduped
+        // here (only exact within-batch dups are): they land together
+        // and the later batch's copies dedup against them once landed.
+        // Per-batch cost adds one band projection over the landed
+        // corpus; a 100 TB deployment persists the seen side's banded
+        // form and appends each batch's bands instead (the documented
+        // [[Dedup.incrementalNearDupPairs]] posture).
+        val novel = (nearDupTau, landedPrior) match {
+          case (Some(tau), Some(seen)) =>
+            val dupIds = Dedup.incrementalNearDupPairs(
+                novelExact, seen, idCol, textCol, tau,
+                numHashes = nearDupNumHashes, bands = nearDupBands)
+              .select(col("delta_id").as(idCol)).distinct()
+            novelExact.join(dupIds, Seq(idCol), "left_anti")
+          case _ => novelExact
+        }
         // stage the (batch-sized) survivors once: the export's probe,
         // count, route and write passes re-read THIS, not the
         // gate+dedup pipeline (whose seen-bloom build they would

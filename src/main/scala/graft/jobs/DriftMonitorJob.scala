@@ -62,10 +62,17 @@ object DriftMonitorJob {
     // (flat-append) deployment: those part files carry batch_id as a
     // DATA column at the dir root, and mixing them with batch_id=*
     // partition dirs fails confusingly at read time. Fresh dirs and
-    // already-partitioned dirs pass untouched.
-    val rootFiles = Option(new java.io.File(outDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-    require(!rootFiles.exists(f => f.isFile && f.getName.startsWith("part-")),
+    // already-partitioned dirs pass untouched. The probe resolves
+    // through the Hadoop FileSystem of outDir — a java.io.File listing
+    // of an hdfs://|s3a:// dir reads empty and defeats the guard.
+    val rootP = new org.apache.hadoop.fs.Path(outDir)
+    val rootFs = rootP.getFileSystem(
+      stream.sparkSession.sparkContext.hadoopConfiguration)
+    val rootFiles =
+      if (rootFs.exists(rootP)) rootFs.listStatus(rootP).toSeq
+      else Seq.empty[org.apache.hadoop.fs.FileStatus]
+    require(!rootFiles.exists(st =>
+        st.isFile && st.getPath.getName.startsWith("part-")),
       s"DriftMonitorJob: $outDir holds non-partitioned part files (a " +
         "flat-append layout from an old deployment) — start a fresh " +
         "outDir; the metrics table is dashboard-sized, one backfill " +

@@ -79,7 +79,8 @@ object CorpusExport {
     // 100 TB corpus in executor storage to save re-deriving an md5
     // nibble would be the real scale bug.
     val labeled = Pipelines.splitByMd5Prefix(df, idCol, cuts)
-    val bytesPerRow = estimateBytesPerRow(labeled, sampleRows, format, codec)
+    val bytesPerRow = estimateBytesPerRow(labeled, sampleRows, format,
+      s"$outDir/_probe", codec)
     val rowsPerShard = math.max(1L, (targetShardBytes / bytesPerRow).toLong)
     val splitCounts = labeled.groupBy("split").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -153,7 +154,27 @@ object CorpusExport {
     // orphan shards no manifest row covers — phantom rows for every
     // reader of outDir)
     val manifestPath = s"$outDir/_manifest"
-    val hasPrior = listDataFiles(new java.io.File(manifestPath)).nonEmpty
+    // all probes resolve through the Hadoop FileSystem of outDir — a
+    // java.io.File probe on an hdfs://|s3a:// dir would silently read
+    // empty and drop every prior generation from the manifest
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasPrior =
+      listDataFiles(fs, new org.apache.hadoop.fs.Path(manifestPath)).nonEmpty
+    // a data dir with NO manifest means a crashed manifest commit (the
+    // union lives at _manifest_staging) or a foreign directory —
+    // proceeding would rebuild a manifest containing only this
+    // generation, turning every prior generation's shards into phantom
+    // rows and restarting shard_id under a mounted trainer
+    val hasData = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$outDir/split=*")))
+      .exists(_.nonEmpty)
+    require(hasPrior || !hasData,
+      s"exportShardsIncremental: $outDir holds split=* data partitions " +
+        "but no _manifest — a crashed manifest commit leaves the full " +
+        "union at _manifest_staging (rename it back to _manifest); " +
+        "refusing to rebuild a manifest that would orphan prior " +
+        "generations")
     // prior rows materialize NOW; the manifest overwrite below reads
     // from the same path; the table is metadata-sized (row per shard)
     val allPrior: Option[DataFrame] =
@@ -173,7 +194,8 @@ object CorpusExport {
         "out of order would re-number history under a mounted trainer")
     val labeled = Pipelines.splitByMd5Prefix(delta, idCol, cuts)
       .withColumn("gen", lit(generation))
-    val bytesPerRow = estimateBytesPerRow(labeled, sampleRows, format, codec)
+    val bytesPerRow = estimateBytesPerRow(labeled, sampleRows, format,
+      s"$outDir/_probe", codec)
     val rowsPerShard = math.max(1L, (targetShardBytes / bytesPerRow).toLong)
     val splitCounts = labeled.groupBy("split").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -210,8 +232,21 @@ object CorpusExport {
     val fresh = genManifest.withColumn("shard_id",
       lit(maxId) + row_number().over(org.apache.spark.sql.expressions
         .Window.orderBy(col("split"), col("shard_path"))).cast("long"))
+    // atomic-ish manifest commit: the union lands complete at a staging
+    // path first, then swaps in via delete + rename — an in-place
+    // overwrite would truncate _manifest before rewriting it, and a
+    // crash in that window silently erases every prior generation's
+    // rows (the next append would see hasPrior=false). A crash between
+    // the delete and the rename leaves _manifest absent WITH data
+    // present, which the entry guard above refuses loudly and the
+    // staging dir recovers.
+    val stagingPath = new org.apache.hadoop.fs.Path(s"$outDir/_manifest_staging")
+    val manifestP = new org.apache.hadoop.fs.Path(manifestPath)
     prior.unionByName(fresh.select(prior.columns.map(col): _*))
-      .write.mode("overwrite").parquet(manifestPath)
+      .write.mode("overwrite").parquet(stagingPath.toString)
+    if (fs.exists(manifestP)) fs.delete(manifestP, true)
+    require(fs.rename(stagingPath, manifestP),
+      s"exportShardsIncremental: rename $stagingPath -> $manifestP failed")
     spark.read.parquet(manifestPath)
   }
 
@@ -240,13 +275,13 @@ object CorpusExport {
     // join key is the outDir-RELATIVE path (split=…/part-…): part-file
     // names repeat across partition dirs (one task number serves every
     // split it touches), and absolute URIs don't compare byte-for-byte
-    // between input_file_name() and java.io.File (scheme slashing).
+    // between input_file_name() and the listing (scheme slashing).
+    // Listing goes through the Hadoop FileSystem of outDir so it
+    // resolves file://, hdfs://, and s3a:// alike.
     val spark = written.sparkSession
-    val root = new java.io.File(outDir)
-    val fileBytes = listDataFiles(root).map { f =>
-      (root.toPath.relativize(f.toPath).toString
-        .replace(java.io.File.separatorChar, '/'), f.length)
-    }
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileBytes = listDataFiles(fs, new org.apache.hadoop.fs.Path(outDir))
     import spark.implicits._
     val relOf = regexp_extract(col("shard_path"),
       s"(?:[^/]+/){$partDepth}[^/]+$$", 0)
@@ -258,41 +293,52 @@ object CorpusExport {
         col("content_md5"), col("content_xor"))
   }
 
-  private def listDataFiles(dir: java.io.File): Seq[java.io.File] = {
-    val kids = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-    kids.filter(f => f.isFile && !f.getName.startsWith("_") &&
-        !f.getName.startsWith(".")) ++
-      kids.filter(f => f.isDirectory && !f.getName.startsWith("_") &&
-        !f.getName.startsWith(".")).flatMap(listDataFiles)
-  }
+  /** Recursive data-file listing (underscore/dot names pruned) through
+    * the Hadoop FileSystem API — works for file://, hdfs://, s3a://
+    * and bare local paths alike, and returns the empty listing (never
+    * null, never a throw) when `dir` does not exist. Yields
+    * (dir-relative path with '/' separators, bytes) per file. */
+  private[graft] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                   dir: org.apache.hadoop.fs.Path,
+                                   prefix: String = ""): Seq[(String, Long)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .flatMap { st =>
+        if (st.isFile) Seq((prefix + st.getPath.getName, st.getLen))
+        else listDataFiles(fs, st.getPath, prefix + st.getPath.getName + "/")
+      }
 
   /** Encoded bytes per row in `format`, measured from a bounded probe
     * write — the [[OrcTableSink.estimateOrcBytesPerRow]] pattern
-    * generalized over formats. */
+    * generalized over formats. The probe lands at `probeDir` (an
+    * underscore-named subdir of the destination, so it shares the
+    * destination's FILESYSTEM — a driver-local temp dir would read back
+    * empty on a real cluster, where executors write their local disks,
+    * and silently collapse the sizing to one shard per split) and is
+    * deleted after measuring. */
   private[graft] def estimateBytesPerRow(df: DataFrame, sampleRows: Int,
-                                         format: String,
+                                         format: String, probeDir: String,
                                          codec: Option[String] = None)
       : Double = {
     require(sampleRows > 0, "sampleRows must be positive")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_export_probe")
-      .toFile
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(probeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val probe = df.limit(sampleRows).coalesce(1)
         .write.mode("overwrite").format(format)
-      codec.fold(probe)(c => probe.option("compression", c))
-        .save(tmp.getAbsolutePath)
-      val files = Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("part-"))
-      val bytes = files.map(_.length).sum
-      val rows = df.sparkSession.read.format(format)
-        .load(tmp.getAbsolutePath).count()
+      codec.fold(probe)(c => probe.option("compression", c)).save(probeDir)
+      val bytes = fs.listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getLen).sum
+      val rows = spark.read.format(format).load(probeDir).count()
       bytes.toDouble / math.max(rows, 1L)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(tmp)
+      fs.delete(p, true); ()
     }
   }
 }

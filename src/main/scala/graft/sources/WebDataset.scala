@@ -54,7 +54,10 @@ import org.apache.spark.sql.functions._
   * loudly); sample keys may contain dots.
   *
   * Member names are `{key}.{column}` with key = idCol cast to string —
-  * ustar's 100-byte name limit is enforced loudly per member. */
+  * ustar's 100-byte name limit is enforced loudly per member, and keys
+  * must be non-null and unique (also enforced loudly: duplicate keys
+  * would merge into one sample at read time, silently diverging the
+  * manifest from the table). */
 object WebDataset {
 
   def exportWebDataset(df: DataFrame, idCol: String,
@@ -98,10 +101,28 @@ object WebDataset {
             .cast("long") * 512L)
     }.reduce(_ + _)
     // coalesce: avg over an EMPTY corpus is NULL — an empty export must
-    // degrade to an empty layout, not a bare NullPointerException
-    val bytesPerSample = math.max(1.0,
-      labeled.select(memberBytes.as("__b"))
-        .agg(coalesce(avg("__b"), lit(1.0))).head().getDouble(0))
+    // degrade to an empty layout, not a bare NullPointerException.
+    // The same pass audits key integrity: duplicate (or null) keys
+    // would write duplicate {key}.{col} members that the reader's
+    // groupBy __key merges into ONE sample — rows undercounts and the
+    // per-sample hash concatenates both values, silently breaking the
+    // manifest ≡ table contract — so they refuse loudly instead.
+    val stats = labeled
+      .select(memberBytes.as("__b"), col(idCol).cast("string").as("__key"))
+      .agg(coalesce(avg("__b"), lit(1.0)).as("b"),
+        count(lit(1)).as("n"), count(col("__key")).as("nk"),
+        count_distinct(col("__key")).as("nd"))
+      .head()
+    require(stats.getLong(1) == stats.getLong(2),
+      s"exportWebDataset: idCol '$idCol' holds null keys " +
+        s"(${stats.getLong(1) - stats.getLong(2)} of ${stats.getLong(1)} " +
+        "rows) — every sample needs a key to name its members")
+    require(stats.getLong(2) == stats.getLong(3),
+      s"exportWebDataset: idCol '$idCol' is not unique " +
+        s"(${stats.getLong(2)} rows, ${stats.getLong(3)} distinct keys) — " +
+        "duplicate keys merge into one WebDataset sample and corrupt " +
+        "the manifest ≡ table contract; dedup upstream first")
+    val bytesPerSample = math.max(1.0, stats.getDouble(0))
     val rowsPerShard = math.max(1L, (targetShardBytes / bytesPerSample).toLong)
     val splitCounts = labeled.groupBy("split").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -174,8 +195,17 @@ object WebDataset {
         val dir = new org.apache.hadoop.fs.Path(root, s"split=$split")
         fs.mkdirs(dir)
         val fin = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%06d.tar")
+        // staging name carries the task ATTEMPT id: with speculative
+        // execution or a racing retry, a shared tmp path would let a
+        // second attempt's create(overwrite) truncate the file the
+        // first is still writing, and the loser's delete-then-rename
+        // could commit a corrupt tar under the final name. Distinct
+        // attempt suffixes make the rename last-writer-wins on
+        // byte-identical content instead.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val tmp = new org.apache.hadoop.fs.Path(dir,
-          f"shard-$shard%06d.tar.inprogress")
+          f"shard-$shard%06d.tar.inprogress-$attempt")
         if (fs.exists(tmp)) fs.delete(tmp, false)
         cur = Some((split, shard, fs.create(tmp, true), tmp, fin))
       }
@@ -254,6 +284,13 @@ object WebDataset {
       val sizeStr = new String(bytes, off + 124, 12).takeWhile(c =>
         c >= '0' && c <= '7')
       val size = java.lang.Long.parseLong(sizeStr, 8)
+      // copyOfRange zero-pads past the end of the array: a shard
+      // truncated mid-member (partial copy, storage fault) would parse
+      // "successfully" with a zero-filled payload — corruption must
+      // fail loudly, not become silent training data
+      require(off + 512L + size <= bytes.length,
+        s"truncated tar: member '$name' claims $size bytes but the " +
+          s"archive ends ${bytes.length - off - 512} bytes in")
       val data = java.util.Arrays.copyOfRange(bytes, off + 512,
         off + 512 + size.toInt)
       out += name -> data

@@ -311,6 +311,112 @@ class SinkLayoutSuite extends AnyFunSuite {
     assert(!dataFiles().exists(_.contains("gen=2/")))
   }
 
+  test("remote-FS posture: incremental export and crawl ingest resolve their probes through an explicit file:/// URI") {
+    import graft.sources.CorpusExport
+    import org.apache.spark.sql.streaming.Trigger
+    // scheme-qualified URI, not a bare path: a java.io.File probe on
+    // "file:///..." reads empty (it treats the scheme as a relative
+    // path segment), exactly like it would on hdfs:// or s3a:// \u2014 so
+    // prior-generation survival below proves the probes resolve
+    // through the Hadoop FileSystem API
+    val dir = Files.createTempDirectory("graft_remote_fs").toString
+    val out = s"file://$dir/out"
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    def append(df: org.apache.spark.sql.DataFrame, gen: Long) =
+      CorpusExport.exportShardsIncremental(df, "doc_id",
+        contentCols = Seq("doc_id", "text"), outDir = out,
+        generation = gen, targetShardBytes = 64L * 1024)
+    append(even, 0L)
+    val m0 = spark.read.parquet(s"$out/_manifest").collect()
+    val m1 = append(odd, 1L).collect()
+    // hasPrior resolved: generation 0's manifest rows SURVIVE the
+    // gen-1 append (the java.io.File failure mode drops them and
+    // restarts shard_id at 0), and ids continue past gen 0's max
+    val byGen = m1.groupBy(_.getLong(6))
+    assert(byGen.keySet == Set(0L, 1L), byGen.keySet.toString)
+    assert(byGen(0L).map(_.getLong(7)).sorted.toSeq ==
+      m0.map(_.getLong(7)).sorted.toSeq)
+    assert(byGen(1L).map(_.getLong(7)).min > byGen(0L).map(_.getLong(7)).max)
+    assert(spark.read.parquet(out).count() == docs.count())
+
+    // CrawlIngestJob against the same URI posture: batch 2's
+    // cross-batch content duplicate must be dropped, which requires
+    // hasLanded to see batch 1's split=* dirs through the Hadoop path
+    val cdir = Files.createTempDirectory("graft_remote_crawl").toString
+    val (src, cout) = (s"$cdir/src", s"file://$cdir/out")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def text(i: Long) = s"the data and value of table with more row item$i"
+    def doc(id: Long, t: String) = s"""{"doc_id":$id,"text":"$t"}"""
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      (1L to 5L).map(i => doc(i, text(i))).mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(s"$src/b2.json"),
+      (Seq(doc(6L, text(6L))) ++ Seq(doc(101L, text(1L))))
+        .mkString("\n").getBytes)
+    val q = graft.jobs.CrawlIngestJob.runStreaming(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).json(s"$src/*"),
+      "doc_id", "text", contentCols = Seq("doc_id", "text"),
+      outDir = cout, checkpoint = s"$cdir/ckpt", minWords = 5,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val landed = spark.read.parquet(cout).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(landed == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      s"cross-batch dedup skipped (hasLanded probe failed): $landed")
+  }
+
+  test("corpus export incremental: a data dir with no _manifest refuses loudly; _manifest_staging restores it") {
+    import graft.sources.CorpusExport
+    val dir = Files.createTempDirectory("graft_mf_guard")
+    val out = dir.toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text", "lang", "source")
+    def append(df: org.apache.spark.sql.DataFrame, gen: Long) =
+      CorpusExport.exportShardsIncremental(df, "doc_id",
+        contentCols = Seq("doc_id", "text"), outDir = out,
+        generation = gen, targetShardBytes = 64L * 1024)
+    val m0 = append(docs.where(col("doc_id") % 2 === 0), 0L).collect()
+    // simulate the commit crash window: _manifest deleted, the full
+    // union still at _manifest_staging (the atomic-commit layout)
+    Files.move(dir.resolve("_manifest"), dir.resolve("_manifest_staging"))
+    val e = intercept[IllegalArgumentException](
+      append(docs.where(col("doc_id") % 2 === 1), 1L))
+    assert(e.getMessage.contains("_manifest_staging"), e.getMessage)
+    // no gen-1 orphans from the refused append
+    assert(!listTree(dir).exists(_.contains("gen=1/")))
+    // recovery: rename staging back, the append proceeds and gen 0's
+    // rows survive with their original ids
+    Files.move(dir.resolve("_manifest_staging"), dir.resolve("_manifest"))
+    val m1 = append(docs.where(col("doc_id") % 2 === 1), 1L).collect()
+    assert(m1.filter(_.getLong(6) == 0L).map(_.getLong(7)).sorted.toSeq ==
+      m0.map(_.getLong(7)).sorted.toSeq)
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
+
+  test("WebDataset: truncated tar and duplicate/null keys fail loudly") {
+    import graft.sources.WebDataset
+    // a member whose header claims more payload than the archive holds
+    // (mid-member truncation) must refuse, not zero-fill
+    val full = WebDataset.tarHeader("k.text", 1000L) ++ new Array[Byte](400)
+    val e1 = intercept[IllegalArgumentException](WebDataset.parseTar(full))
+    assert(e1.getMessage.contains("truncated"), e1.getMessage)
+
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_wds_keys").toString
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException](
+      WebDataset.exportWebDataset(dup, "doc_id", Seq("text"), s"$out/dup"))
+    assert(e2.getMessage.contains("not unique"), e2.getMessage)
+    val nulls = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "b")).toDF("doc_id", "text")
+    val e3 = intercept[IllegalArgumentException](
+      WebDataset.exportWebDataset(nulls, "doc_id", Seq("text"), s"$out/nul"))
+    assert(e3.getMessage.contains("null keys"), e3.getMessage)
+  }
+
   test("WebDataset export: ustar tar shards, byte-reproducible, manifest \u2261 parsed tars \u2261 table") {
     import graft.sources.WebDataset
     val out = Files.createTempDirectory("graft_export_wds").toString

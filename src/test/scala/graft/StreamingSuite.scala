@@ -905,6 +905,55 @@ class StreamingSuite extends AnyFunSuite {
       .agg(sum("rows")).head().getLong(0) == 30L)
   }
 
+  test("CrawlIngestJob: nearDupTau drops a paraphrased cross-batch duplicate; replay stays idempotent") {
+    val dir = Files.createTempDirectory("graft_crawl_nd").toString
+    val (src, out) = (s"$dir/src", s"$dir/out")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    // per-doc texts share only 6 template tokens (pairwise J = 6/22 ≈
+    // 0.27, safely below tau) so only the PLANTED paraphrase trips the
+    // near-dup stage; "the"/"and" keep the Gopher stopword gate green
+    def text(i: Long) = s"the document number $i talks and about " +
+      s"topic$i subject$i theme$i detail$i widget$i gadget$i notion$i"
+    def doc(id: Long, t: String) = s"""{"doc_id":$id,"text":"$t"}"""
+    // batch 2 carries: one genuinely new doc, one PARAPHRASE of a
+    // batch-1 doc (one word swapped → token Jaccard 13/15 ≈ 0.867 ≥
+    // tau=0.7, but NOT byte-identical, so exact dedup alone lands it),
+    // and one distant text sharing a few tokens (5/23 ≈ 0.22) that
+    // must survive
+    val nearDup = "the document number 1 talks and regarding " +
+      "topic1 subject1 theme1 detail1 widget1 gadget1 notion1" // ≈ 0.867
+    val farDup = "the document number 9 mentions and topic1 plus " +
+      "wholly unrelated words in this sentence"                // ≈ 0.22
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      (1L to 5L).map(i => doc(i, text(i))).mkString("\n").getBytes)
+    Files.write(java.nio.file.Paths.get(s"$src/b2.json"),
+      Seq(doc(6L, text(6L)), doc(101L, nearDup), doc(102L, farDup))
+        .mkString("\n").getBytes)
+    def run(ckpt: String) = {
+      val q = graft.jobs.CrawlIngestJob.runStreaming(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1).json(s"$src/*"),
+        "doc_id", "text", contentCols = Seq("doc_id", "text"),
+        outDir = out, checkpoint = s"$dir/$ckpt", minWords = 5,
+        trigger = Trigger.AvailableNow(), nearDupTau = Some(0.7))
+      q.awaitTermination()
+    }
+    run("ckpt")
+    def landed() = spark.read.parquet(out)
+      .select(col("doc_id"), col("gen").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    val first = landed()
+    // 101 (above-tau paraphrase) dropped; 102 (below-tau) landed
+    assert(first.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L, 102L), first)
+    assert(first.filter(_._2 == 1L).map(_._1) == Seq(6L, 102L))
+    // full replay (fresh checkpoint): gen 1 must not dedup against its
+    // own crashed write nor re-land the paraphrase — bit-stable
+    run("ckpt_replay")
+    assert(landed() == first)
+    assert(spark.read.parquet(s"$out/_manifest")
+      .agg(sum("rows")).head().getLong(0) == 7L)
+  }
+
   test("DriftMonitorJob: planted categorical shift and novel envelope field raise their alarm rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
