@@ -579,6 +579,25 @@ object Queries {
       nCells = IvfFixture.nCells, nProbe = IvfFixture.nProbe,
       lloydIters = IvfFixture.lloydIters, trainCap = IvfFixture.trainCap)
 
+  /** [[xIvfTopK]] scored through the VERSIONED index artifact: the same
+    * [[IvfFixture]] training, but the centroids pass through
+    * [[Similarity.ivfSave]] → [[Similarity.ivfLoad]] before routing —
+    * the train-once / mount-everywhere production path. The oracle is
+    * the same dump-time SQL as x_ivf_topk (identical trained
+    * centroids), so any lossy step in the artifact round-trip breaks
+    * the hash. */
+  def xIvfTopKLoaded(s: SparkSession, d: String): DataFrame = {
+    val cs = Similarity.ivfTrain(embeddings(s, d), "vec_id", "embedding",
+      IvfFixture.nCells, IvfFixture.lloydIters, IvfFixture.trainCap)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index").toString
+    Similarity.ivfSave(s, cs, path, version = 1L)
+    val (loaded, _) = Similarity.ivfLoad(s, path)
+    Similarity.ivfTopKWith(embeddings(s, d), "vec_id", "embedding",
+      queryId = IvfFixture.queryId, k = IvfFixture.k, loaded,
+      nProbe = IvfFixture.nProbe)
+  }
+
   /** Token-budget fixture parameters shared by [[xTokenBudget]] and its
     * DuckDB oracle string in [[SparkEntry]] — one source of truth, so a
     * parameter tweak can never silently break hash parity. */
@@ -642,6 +661,20 @@ object Queries {
       queryId = PqFixture.queryId, k = PqFixture.k,
       m = PqFixture.m, ks = PqFixture.ks,
       lloydIters = PqFixture.lloydIters, trainCap = PqFixture.trainCap)
+
+  /** [[xPqTopK]] scored through the VERSIONED codebook artifact
+    * ([[Similarity.pqSave]] → [[Similarity.pqLoad]]) — the
+    * [[xIvfTopKLoaded]] contract for the PQ index. */
+  def xPqTopKLoaded(s: SparkSession, d: String): DataFrame = {
+    val cbs = Similarity.pqTrain(embeddings(s, d), "vec_id", "embedding",
+      PqFixture.m, PqFixture.ks, PqFixture.lloydIters, PqFixture.trainCap)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pq_index").toString
+    Similarity.pqSave(s, cbs, path, version = 1L)
+    val (loaded, _) = Similarity.pqLoad(s, path)
+    Similarity.pqTopKWith(embeddings(s, d), "vec_id", "embedding",
+      queryId = PqFixture.queryId, k = PqFixture.k, loaded)
+  }
 
   /** ANN top-10 via IVFADC: IVF cell routing ([[IvfFixture]] coarse
     * params) composed with PQ ADC scoring ([[PqFixture]] code params) —

@@ -925,6 +925,7 @@ object SparkEntry {
     "x_knn_join" -> (Queries.xKnnJoin _),
     "x_ann_knn_join" -> (Queries.xAnnKnnJoin _),
     "x_ivf_topk" -> (Queries.xIvfTopK _),
+    "x_ivf_topk_loaded" -> (Queries.xIvfTopKLoaded _),
     "x_semdedup" -> (Queries.xSemDedup _),
     "x_d4_prune" -> (Queries.xD4Prune _),
     "x_embed_neardup" -> (Queries.xEmbedNearDup _),
@@ -958,6 +959,7 @@ object SparkEntry {
     "x_pack" -> (Queries.xPack _),
     "x_mixture" -> (Queries.xMixture _),
     "x_pq_topk" -> (Queries.xPqTopK _),
+    "x_pq_topk_loaded" -> (Queries.xPqTopKLoaded _),
     "x_ivfadc_topk" -> (Queries.xIvfAdcTopK _),
     "x_shuffle" -> (Queries.xShuffle _),
     "x_lm_score" -> (Queries.xLmScore _),
@@ -2842,7 +2844,14 @@ object SparkEntry {
         "CASE WHEN LEAST(CAST(qx AS DOUBLE) / 1e12, CAST(qy AS DOUBLE) / 1e12) > 0 " +
         "THEN ROUND(CAST(q AS DOUBLE) / 1e12 / LEAST(CAST(qx AS DOUBLE) / 1e12, CAST(qy AS DOUBLE) / 1e12), 6) END AS redundancy " +
         "FROM mi CROSS JOIN hx CROSS JOIN hy")
-  ) ++ ivfOracleSql ++ semDedupOracles ++ pqOracleSql ++
+  ) ++ ivfOracleSql.toSeq.flatMap { case (k, sql) =>
+    // the loaded-artifact entry trains the SAME centroids and must
+    // reproduce the same rows — one dump-time SQL serves both, so a
+    // lossy ivfSave/ivfLoad round-trip fails the hash compare
+    Seq(k -> sql, "x_ivf_topk_loaded" -> sql)
+  } ++ semDedupOracles ++ pqOracleSql.toSeq.flatMap { case (k, sql) =>
+    Seq(k -> sql, "x_pq_topk_loaded" -> sql)
+  } ++
     ivfadcOracleSql ++ bpeOracleSql ++ bpeRoundtripOracleSql ++
     bpeFertilityOracleSql ++ unigramOracleSql ++
     unigramFertilityOracleSql ++ qualityLrOracleSql ++ pcaOracleSql

@@ -741,25 +741,84 @@ object Similarity {
 
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nCells: Int = 16, nProbe: Int = 4,
-              lloydIters: Int = 2, trainCap: Int = 4096): DataFrame = {
+              lloydIters: Int = 2, trainCap: Int = 4096): DataFrame =
+    ivfTopKWith(emb, idCol, vecCol, queryId, k,
+      ivfTrain(emb, idCol, vecCol, nCells, lloydIters, trainCap), nProbe)
+
+  /** [[ivfTopK]]'s apply half against ALREADY-TRAINED centroids (same
+    * session's [[ivfTrain]] or an [[ivfLoad]] of a versioned artifact) —
+    * the production shape: train once, version the index, route every
+    * query batch with the mounted centroids and never re-run Lloyd per
+    * query. Output ≡ ivfTopK at equal centroids by construction (the
+    * suite round-trips it bit-for-bit through save/load). */
+  def ivfTopKWith(emb: DataFrame, idCol: String, vecCol: String,
+                  queryId: Long, k: Int,
+                  centroids: Array[Array[Double]],
+                  nProbe: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopKWith needs at least one centroid")
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col(idCol).cast("long"), toDouble(col(vecCol)))
       .as[(Long, Array[Double])]
-    val finalCs = ivfTrain(emb, idCol, vecCol, nCells, lloydIters, trainCap)
-    val bc = spark.sparkContext.broadcast(finalCs)
+    val bc = spark.sparkContext.broadcast(centroids)
     val assigned = vecs.map { case (id, v) => (id, v, nearestCell(v, bc.value)) }
       .toDF(idCol, "__v", "__cell")
     val qVec = assigned.where(col(idCol) === queryId)
       .select("__v").as[Array[Double]].head()
     // probe the nProbe cells whose centroids are nearest the query
-    val probeCells = ivfProbes(finalCs, qVec, nProbe)
+    val probeCells = ivfProbes(centroids, qVec, nProbe)
     val qVecCol = array(qVec.map(lit).toIndexedSeq: _*)
     assigned.where(col("__cell").isin(probeCells: _*) && col(idCol) =!= queryId)
       .select(col(idCol),
         (round(cosine(col("__v"), qVecCol), 4) + 0.0).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Persist trained IVF centroids as a VERSIONED warehouse table at
+    * `path` (parquet, partitioned by `version`, the [[graft.operators
+    * .Pipelines.bpeSave]] contract: dynamic partition overwrite, so
+    * re-saving a version REPLACES exactly that version and re-runs are
+    * idempotent; other versions stay). One row per centroid —
+    * metadata-sized at any corpus size. Doubles round-trip parquet
+    * bit-exactly, so a load reproduces the training session's routing
+    * decisions identically. */
+  def ivfSave(spark: org.apache.spark.sql.SparkSession,
+              centroids: Array[Array[Double]], path: String,
+              version: Long): Unit = {
+    require(version >= 0, "ivfSave needs version >= 0")
+    require(centroids.nonEmpty, "ivfSave needs at least one centroid")
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .withColumn("version", lit(version))
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("version").parquet(path)
+  }
+
+  /** Load [[ivfSave]]d centroids: the highest version at `path`, or the
+    * explicitly requested one (loud when absent). Cells must come back
+    * dense 0..n-1 — a partially-written artifact fails here, not as a
+    * silently mis-routed index. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String,
+              version: Option[Long] = None)
+      : (Array[Array[Double]], Long) = {
+    // partition-column inference may narrow `version` to int — cast
+    val all = spark.read.parquet(path)
+      .withColumn("version", col("version").cast("long"))
+    val v = version.getOrElse(all.agg(max("version")).head().getLong(0))
+    val rows = all.where(col("version") === v)
+      .select("cell", "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"ivfLoad: no rows for version $v at $path")
+    require(rows.map(_._1).toSeq == (0L until rows.length).toSeq,
+      s"ivfLoad: cells not dense 0..${rows.length - 1} for version $v " +
+        s"at $path — partial or corrupt artifact")
+    (rows.map(_._2), v)
   }
 
   /** Deterministic product-quantization training (Jégou/Douze/Schmid,
@@ -854,10 +913,22 @@ object Similarity {
     * ties broken by id, query row excluded. */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
              queryId: Long, k: Int, m: Int = 4, ks: Int = 16,
-             lloydIters: Int = 2, trainCap: Int = 4096): DataFrame = {
+             lloydIters: Int = 2, trainCap: Int = 4096): DataFrame =
+    pqTopKWith(emb, idCol, vecCol, queryId, k,
+      pqTrain(emb, idCol, vecCol, m, ks, lloydIters, trainCap))
+
+  /** [[pqTopK]]'s apply half against ALREADY-TRAINED codebooks (same
+    * session's [[pqTrain]] or a [[pqLoad]] of a versioned artifact) —
+    * train once, version the index, score every query batch with the
+    * mounted codebooks. Output ≡ pqTopK at equal codebooks. */
+  def pqTopKWith(emb: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int,
+                 cbs: Array[Array[Array[Double]]]): DataFrame = {
+    require(cbs.nonEmpty && cbs.forall(_.nonEmpty),
+      "pqTopKWith needs non-empty codebooks")
+    val m = cbs.length
     val spark = emb.sparkSession
     import spark.implicits._
-    val cbs = pqTrain(emb, idCol, vecCol, m, ks, lloydIters, trainCap)
     val qVec = emb.where(col(idCol) === queryId)
       .select(toDouble(col(vecCol))).as[Array[Double]].head()
     val dim = qVec.length
@@ -885,6 +956,55 @@ object Similarity {
       .select(col(idCol), (round(col("__cos"), 4) + 0.0).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Persist trained PQ codebooks as a VERSIONED warehouse table at
+    * `path` — the [[ivfSave]] contract with one row per (subspace,
+    * code) centroid. m × ks rows: metadata-sized forever. */
+  def pqSave(spark: org.apache.spark.sql.SparkSession,
+             codebooks: Array[Array[Array[Double]]], path: String,
+             version: Long): Unit = {
+    require(version >= 0, "pqSave needs version >= 0")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "pqSave needs non-empty codebooks")
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, j) => (s.toLong, j.toLong, c.toSeq) }
+    }.toSeq
+      .toDF("sub", "code", "vec")
+      .withColumn("version", lit(version))
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("version").parquet(path)
+  }
+
+  /** Load [[pqSave]]d codebooks (highest version, or the requested one
+    * — loud when absent). Subspaces must come back dense 0..m-1 with a
+    * uniform code count per subspace — a ragged artifact fails here. */
+  def pqLoad(spark: org.apache.spark.sql.SparkSession, path: String,
+             version: Option[Long] = None)
+      : (Array[Array[Array[Double]]], Long) = {
+    val all = spark.read.parquet(path)
+      .withColumn("version", col("version").cast("long"))
+    val v = version.getOrElse(all.agg(max("version")).head().getLong(0))
+    val rows = all.where(col("version") === v)
+      .select("sub", "code", "vec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"pqLoad: no rows for version $v at $path")
+    val bySub = rows.groupBy(_._1)
+    val m = bySub.size
+    require(bySub.keySet == (0L until m).toSet,
+      s"pqLoad: subspaces not dense 0..${m - 1} for version $v at $path")
+    val ks = bySub(0L).length
+    val cbs = Array.tabulate(m) { s =>
+      val cb = bySub(s.toLong).sortBy(_._2)
+      require(cb.length == ks && cb.map(_._2).toSeq == (0L until ks).toSeq,
+        s"pqLoad: subspace $s codes not dense 0..${ks - 1} for version " +
+          s"$v at $path — partial or corrupt artifact")
+      cb.map(_._3)
+    }
+    (cbs, v)
   }
 
   /** IVFADC ANN top-k (Jégou/Douze/Schmid PAMI 2011 §IV — the layout

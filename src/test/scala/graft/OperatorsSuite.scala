@@ -561,6 +561,62 @@ class OperatorsSuite extends AnyFunSuite {
     assert(a == ivf()) // seeded training → same result every run
   }
 
+  test("L3 versioned ANN index artifacts: save/load round-trips bit-identically; loud on corrupt/missing versions") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx")
+
+    // IVF: the loaded centroids are BIT-identical (doubles round-trip
+    // parquet exactly) and the routed top-k matches the train-session's
+    val cs = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nCells = 8, lloydIters = 2, trainCap = 4096)
+    Similarity.ivfSave(spark, cs, s"$dir/ivf", 1L)
+    Similarity.ivfSave(spark, cs, s"$dir/ivf", 1L) // replay: idempotent
+    val (csBack, v1) = Similarity.ivfLoad(spark, s"$dir/ivf")
+    assert(v1 == 1L)
+    assert(csBack.length == cs.length &&
+      csBack.zip(cs).forall { case (a, b) => a.sameElements(b) })
+    val fresh = Similarity.ivfTopKWith(emb, "vec_id", "embedding",
+      0L, 10, csBack, nProbe = 4).collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).toSeq
+    val trained = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nCells = 8, nProbe = 4).collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fresh == trained)
+    // version semantics: latest wins; explicit absent version is loud
+    Similarity.ivfSave(spark, cs.take(4), s"$dir/ivf", 2L)
+    assert(Similarity.ivfLoad(spark, s"$dir/ivf")._1.length == 4)
+    assert(Similarity.ivfLoad(spark, s"$dir/ivf", Some(1L))._1.length == 8)
+    val eAbsent = intercept[IllegalArgumentException](
+      Similarity.ivfLoad(spark, s"$dir/ivf", Some(9L)))
+    assert(eAbsent.getMessage.contains("no rows"), eAbsent.getMessage)
+    // empty input is loud at save time, not a corrupt artifact later
+    intercept[IllegalArgumentException](
+      Similarity.ivfSave(spark, Array.empty, s"$dir/ivf_e", 1L))
+
+    // PQ: same contract; a RAGGED artifact (a lost codebook row) is
+    // refused at load, never silently mis-scored
+    val cbs = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, ks = 8, lloydIters = 2, trainCap = 4096)
+    Similarity.pqSave(spark, cbs, s"$dir/pq", 1L)
+    val (cbsBack, _) = Similarity.pqLoad(spark, s"$dir/pq")
+    assert(cbsBack.length == cbs.length && cbsBack.zip(cbs).forall {
+      case (a, b) => a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    })
+    val pqFresh = Similarity.pqTopKWith(emb, "vec_id", "embedding",
+      0L, 10, cbsBack).collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).toSeq
+    val pqTrained = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 10,
+      m = 4, ks = 8).collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pqFresh == pqTrained)
+    val ragged = spark.read.parquet(s"$dir/pq")
+      .where(!(col("sub") === 2 && col("code") === 3))
+    ragged.drop("version").write.parquet(s"$dir/pq_ragged/version=1")
+    val eRagged = intercept[IllegalArgumentException](
+      Similarity.pqLoad(spark, s"$dir/pq_ragged"))
+    assert(eRagged.getMessage.contains("not dense"), eRagged.getMessage)
+  }
+
   test("L4 fingerprint is order-sensitive (reordered tokens differ)") {
     import spark.implicits._
     import graft.operators.TextAnalysis
