@@ -1305,6 +1305,27 @@ object Queries {
     Pipelines.bpeMergeCandidates(documents(s, d), "text", k = 50)
       .orderBy("rank")
 
+  /** Distributed-trainer fixture, shared with the dump-time oracle
+    * generator in [[SparkEntry]]: merge count kept modest — each merge
+    * is one keyed vocabulary-pass round. */
+  private[graft] object BpeDistFixture { val numMerges = 16 }
+
+  /** The DISTRIBUTED BPE trainer's merge sequence over the full corpus
+    * vocabulary (rank = creation order) — the no-driver-cap training
+    * path. The oracle is the LOCAL trainer's sequence on the same
+    * vocabulary, shipped as dump-time literals: a genuine
+    * distributed-vs-local differential through DuckDB, since any
+    * divergence in pair counting, tie-breaking, or merge application
+    * breaks the hash. */
+  def xBpeDistMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Pipelines.bpeTrainMergesDistributed(documents(s, d), "text",
+        BpeDistFixture.numMerges)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("rank", "left_sym", "right_sym")
+  }
+
   /** Full BPE encode: 30 merges trained on the corpus vocabulary,
     * every doc segmented to subword tokens + ids (dump-time oracle —
     * the learned word→encoding table ships as SQL literals, each entry

@@ -686,6 +686,42 @@ object SparkEntry {
     "x_bpe_encode" -> wordEncodingReplaySql(bpeValuesLiteral())
   }.toOption
 
+  /** x_bpe_dist_merges' dump-time oracle: the LOCAL trainer
+    * ([[graft.operators.Pipelines.bpeTrainModel]]) runs on the same
+    * corpus and its merge sequence ships as VALUES literals — a true
+    * distributed-vs-local differential (the entry runs the distributed
+    * trainer; equal sequences are the theorem under test). Exactness
+    * requires the vocabulary under the local trainCap, asserted loudly
+    * (entry omitted → rows-only fallback past it). */
+  private def bpeDistOracleSql: Option[(String, String)] = scala.util.Try {
+    val spark = SparkSession.active
+    val sfDir = sys.props("graft.oracle.sfDir")
+    val docs = Tables.documents(spark, sfDir)
+    val cap = 1000000
+    val nVocab = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("__w"))
+      .where(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("__w")) >= 1)
+      .select("__w").distinct().count()
+    require(nVocab <= cap,
+      s"x_bpe_dist_merges oracle: $nVocab distinct words exceeds the " +
+        s"local trainer's cap $cap — differential not exact, omitting")
+    val model = graft.operators.Pipelines.bpeTrainModel(
+      docs, "text", Queries.BpeDistFixture.numMerges)
+    require(model.merges.nonEmpty,
+      "x_bpe_dist_merges oracle: empty merge sequence (empty VALUES is " +
+        "invalid SQL), omitting")
+    val values = model.merges.zipWithIndex.map { case ((a, b), i) =>
+      s"(${i + 1}, '${a.replace("'", "''")}', '${b.replace("'", "''")}')"
+    }.mkString(", ")
+    "x_bpe_dist_merges" ->
+      (s"SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym " +
+        s"FROM (VALUES $values) AS t(rank, left_sym, right_sym) " +
+        "ORDER BY rank")
+  }.toOption
+
   /** x_unigram_lm's dump-time oracle: the SAME replay SQL over a
     * word→encoding VALUES table built by the unigram train/Viterbi-
     * encode path itself ([[graft.operators.Pipelines.unigramEncodingTable]],
@@ -980,6 +1016,7 @@ object SparkEntry {
     "x_kmv_overlap" -> (Queries.xKmvOverlap _),
     "x_incr_neardup" -> (Queries.xIncrementalNearDup _),
     "x_bpe_merges" -> (Queries.xBpeMerges _),
+    "x_bpe_dist_merges" -> (Queries.xBpeDistMerges _),
     "x_bpe_encode" -> (Queries.xBpeEncode _),
     "x_bpe_roundtrip" -> (Queries.xBpeRoundtrip _),
     "x_unigram_lm" -> (Queries.xUnigramLm _),
@@ -2852,7 +2889,8 @@ object SparkEntry {
   } ++ semDedupOracles ++ pqOracleSql.toSeq.flatMap { case (k, sql) =>
     Seq(k -> sql, "x_pq_topk_loaded" -> sql)
   } ++
-    ivfadcOracleSql ++ bpeOracleSql ++ bpeRoundtripOracleSql ++
+    ivfadcOracleSql ++ bpeOracleSql ++ bpeDistOracleSql ++
+    bpeRoundtripOracleSql ++
     bpeFertilityOracleSql ++ unigramOracleSql ++
     unigramFertilityOracleSql ++ qualityLrOracleSql ++ pcaOracleSql
 }

@@ -575,7 +575,7 @@ object Dedup {
     * IS a checkpoint — so it's a true no-op on anything else; a plan
     * traversal would also unpersist caller-owned RDD-backed inputs
     * buried inside derived frames. */
-  private def uncheckpoint(df: DataFrame): Unit =
+  private[graft] def uncheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false); ()

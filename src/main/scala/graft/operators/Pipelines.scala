@@ -658,6 +658,82 @@ object Pipelines {
     s
   }
 
+  /** Distributed BPE trainer — [[bpeTrainMerges]] with NO driver word
+    * cap: the (word, count) vocabulary stays a DataFrame end-to-end, so
+    * training scales to any corpus vocabulary. Each round is one
+    * vocabulary pass: adjacent symbol pairs explode from the symbol
+    * arrays (weighted by word count), a map-side-combining groupBy sums
+    * them, and the argmax arrives via TakeOrdered(1) — ONE (a, b, cnt)
+    * row reaches the driver per round, the loop's entire driver
+    * footprint. The winning merge applies as a vocabulary-sized map
+    * (the same [[mergePair]] fold the local trainer runs), and lineage
+    * truncates every round with an eager localCheckpoint whose
+    * predecessor's blocks are explicitly unpersisted (the
+    * [[Dedup.connectedComponents]] superstep posture), keeping plan
+    * depth and block-manager storage O(1) across `numMerges` rounds.
+    *
+    * The character split runs the SAME Java UTF-16-unit iteration as
+    * the local trainer (a per-word UDF over the vocabulary table — the
+    * token stream never passes through it), so the merge sequence is
+    * bit-equal to [[bpeTrainMerges]] on the same vocabulary: ties break
+    * to the lexicographically smallest (a, b) in both (PipelinesSuite
+    * differential; the x_bpe_dist_merges oracle replays the local fold
+    * as dump-time literals). Stops early when no adjacent pair remains. */
+  def bpeTrainMergesDistributed(df: DataFrame, textCol: String,
+                                numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, "bpeTrainMergesDistributed needs numMerges >= 0")
+    val charSplit = udf { w: String => w.map(_.toString) }
+    var syms = distinctWordCounts(df, textCol)
+      .select(col("__c"), charSplit(col("__w")).as("__s"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      // guard size >= 2 BEFORE the sequence: sequence(1, 0) would
+      // generate the DESCENDING [1, 0] and element_at(_, 0) throws
+      val top = syms.where(size(col("__s")) >= 2)
+        .select(col("__c"), explode(
+          transform(sequence(lit(1), size(col("__s")) - 1),
+            j => struct(element_at(col("__s"), j).as("a"),
+              element_at(col("__s"), j + 1).as("b")))).as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(sum(col("__c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        merges += (a -> b)
+        val applyMerge = udf { s: Seq[String] => mergePair(s.toVector, a, b) }
+        val next = syms.withColumn("__s", applyMerge(col("__s")))
+          .localCheckpoint()
+        Dedup.uncheckpoint(syms)
+        syms = next
+        i += 1
+      }
+    }
+    Dedup.uncheckpoint(syms)
+    merges.result()
+  }
+
+  /** A [[BpeModel]] from the distributed trainer: merges from
+    * [[bpeTrainMergesDistributed]], base characters from a distributed
+    * distinct over the vocabulary (same UTF-16-unit split, sorted).
+    * Equals [[bpeTrainModel]] bit-for-bit whenever the vocabulary fits
+    * under its trainCap (the suite pins it); past the cap this is the
+    * exact trainer — no word ever drops from the statistics. */
+  def bpeTrainModelDistributed(df: DataFrame, textCol: String,
+                               numMerges: Int): BpeModel = {
+    val merges = bpeTrainMergesDistributed(df, textCol, numMerges)
+    val charSplit = udf { w: String => w.map(_.toString) }
+    val baseChars = distinctWordCounts(df, textCol)
+      .select(explode(charSplit(col("__w"))).as("__ch"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    BpeModel(baseChars, merges)
+  }
+
   private def distinctWordCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(split(col(textCol), " ")).as("__w"))
       .where(length(col("__w")) >= 1)

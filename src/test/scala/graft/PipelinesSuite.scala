@@ -459,6 +459,40 @@ class PipelinesSuite extends AnyFunSuite {
     assert(got("de") == ((1L, 2L, 6L, 3.0))) // the 3x-cost language
   }
 
+  test("distributed BPE trainer ≡ local trainer: merge sequence, model, and edge inputs") {
+    // differential on the real fixture: same corpus, same merge count —
+    // the distributed argmax loop must reproduce the local fold's
+    // sequence exactly (counts, lexicographic tie-breaks, merge
+    // application), and the full model (base chars included) must match
+    val docs = Tables.documents(spark, sfDir)
+    val n = Queries.BpeDistFixture.numMerges
+    val local = Pipelines.bpeTrainModel(docs, "text", numMerges = n)
+    val dist = Pipelines.bpeTrainModelDistributed(docs, "text", numMerges = n)
+    assert(dist.merges == local.merges)
+    assert(dist.baseChars == local.baseChars)
+    assert(dist == local)
+
+    // a hand-checked tie + repeat case: "aaa" counts (a,a) twice; after
+    // the (a,a) merge the greedy pass leaves [aa, a], so round 2 sees
+    // (aa, a) vs (a, b)-style leftovers exactly like the local trainer
+    val tiny = Seq((1L, "aaa aaa ab"), (2L, "ab ba")).toDF("doc_id", "text")
+    val wantTiny = Pipelines.bpeTrainMerges(
+      Seq("aaa" -> 2L, "ab" -> 2L, "ba" -> 1L), 4)
+    assert(Pipelines.bpeTrainMergesDistributed(tiny, "text", 4) == wantTiny)
+
+    // edge trio: empty corpus → no merges (no throw); single-char words
+    // only → no adjacent pair → early stop; numMerges = 0 → Nil
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Pipelines.bpeTrainMergesDistributed(empty, "text", 3) == Nil)
+    val single = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    assert(Pipelines.bpeTrainMergesDistributed(single, "text", 3) == Nil)
+    assert(Pipelines.bpeTrainMergesDistributed(docs, "text", 0) == Nil)
+    // more rounds than mergeable pairs: stops at exhaustion, ≡ local
+    val exhaust = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(Pipelines.bpeTrainMergesDistributed(exhaust, "text", 5) ==
+      Pipelines.bpeTrainMerges(Seq("ab" -> 2L), 5))
+  }
+
   test("BPE artifact round-trip: save → fresh-session load → encode ≡ the training session") {
     val docs = Tables.documents(spark, sfDir)
     val path = java.nio.file.Files
