@@ -21,10 +21,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (the 100 TB posture):
   *  - shard count per split = ceil(rows / rowsPerShard) from a 3-row
-  *    count agg; rows route by pmod(xxhash64(id), k) — one writer task
-  *    per shard region, never a mega-reducer per split. Within a task,
-  *    rows arrive sorted by (split, shard, key) and stream straight to
-  *    the tar output (member-at-a-time; nothing buffers a whole shard).
+  *    count agg; rows route by pmod(xxhash64(id), k), and each
+  *    (split, shard) is placed on its OWN writer task via a dense
+  *    global index + identity-partition token ([[identityTokens]]) —
+  *    exactly one tar per task, no birthday-bound idle slots, never a
+  *    mega-reducer per split. Within a task, rows arrive sorted by
+  *    (split, shard, key) and stream straight to the tar output
+  *    (member-at-a-time; nothing buffers a whole shard).
   *  - bytes-per-sample is estimated in ONE aggregation from the tar
   *    framing formula (512 B header + 512-padded payload per member) —
   *    no probe write needed, tar adds no compression.
@@ -76,7 +79,7 @@ object WebDataset {
       s"exportWebDataset: content column names must not contain '.' " +
         s"(got ${contentCols.filter(_.contains(".")).mkString(", ")})")
     Joins.requireFreeColumns("exportWebDataset", df.columns,
-      "split", "__shard", "__key", "__b", "__h", "__hl")
+      "split", "__shard", "__key", "__b", "__h", "__hl", "__gidx", "__tok")
     val spark = df.sparkSession
     // overwrite semantics (the exportShards contract): stale shards
     // from a prior export of different cardinality must not linger
@@ -134,12 +137,39 @@ object WebDataset {
     }
     val totalShards = math.max(1L, shardsPerSplit.values.sum).toInt
     val cols = contentCols
+    // writer-task balance: hash-repartitioning on (split, __shard)
+    // collides distinct shards into shared tasks and leaves others idle
+    // (~37% of slots empty at 400 shards by the birthday bound, with
+    // multi-tar stragglers setting the wall clock). Instead each
+    // (split, shard) gets a DENSE global index, and a driver-computed
+    // token per index — chosen so Spark's own hash partitioner places
+    // it EXACTLY on partition #index — routes every shard to its own
+    // writer task: one task, one tar, no idle slots. Content routing
+    // (pmod(xxhash64(id), k)) is untouched, so shard bytes and manifest
+    // hashes are identical to the collision-prone layout.
+    val splitOrder = shardsPerSplit.keys.toSeq.sorted
+    val offsets = {
+      var acc = 0L
+      splitOrder.map { sp =>
+        val o = acc; acc += shardsPerSplit(sp); sp -> o
+      }.toMap
+    }
+    val gidxExpr = splitOrder.foldLeft(lit(0L)) { case (els, sp) =>
+      when(col("split") === sp, lit(offsets(sp)) + col("__shard"))
+        .otherwise(els)
+    }
+    import spark.implicits._
+    val tokDf = identityTokens(totalShards).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("__gidx", "__tok")
     val projected = labeled
       .withColumn("__shard", pmod(xxhash64(col(idCol)), kExpr))
+      .withColumn("__gidx", gidxExpr)
+      .join(broadcast(tokDf), "__gidx")
       .select(col("split") +: col("__shard") +:
         col(idCol).cast("string").as("__key") +:
-        cols.map(c => payloadCol(c).as(c)): _*)
-      .repartition(totalShards, col("split"), col("__shard"))
+        cols.map(c => payloadCol(c).as(c)) :+ col("__tok"): _*)
+      .repartition(totalShards, col("__tok"))
+      .drop("__tok")
       .sortWithinPartitions("split", "__shard", "__key")
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -163,6 +193,34 @@ object WebDataset {
       }
     manifest.write.mode("overwrite").parquet(s"$out/_manifest")
     spark.read.parquet(s"$out/_manifest")
+  }
+
+  /** One routing token per partition index: token[p] is the smallest
+    * non-negative long whose Spark hash-partition assignment
+    * (pmod(murmur3(long, seed 42), n) — exactly what
+    * `repartition(n, col)` computes for a long column) equals p, so a
+    * frame repartitioned on the token column lands each index on ITS
+    * OWN partition. Coupon-collector search: ~n·ln(n) murmur
+    * evaluations (a few ms even at the ~400k shards of a 100 TB
+    * export), with a loud trial cap. The placement contract is
+    * asserted end-to-end in SinkLayoutSuite via spark_partition_id. */
+  private[graft] def identityTokens(n: Int): Array[Long] = {
+    require(n >= 1, "identityTokens needs n >= 1")
+    val toks = new Array[Long](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var t = 0L
+    val maxTrials = 1000L * n + 100000L
+    while (remaining > 0 && t < maxTrials) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(t, 42)
+      val p = ((h % n) + n) % n
+      if (!found(p)) { found(p) = true; toks(p) = t; remaining -= 1 }
+      t += 1
+    }
+    require(remaining == 0,
+      s"identityTokens: ${remaining} of $n partitions uncovered after " +
+        s"$maxTrials trials — hash family assumption broken")
+    toks
   }
 
   /** Stream one writer task's rows — sorted by (split, shard, key) —

@@ -417,6 +417,39 @@ class SinkLayoutSuite extends AnyFunSuite {
     assert(e3.getMessage.contains("null keys"), e3.getMessage)
   }
 
+  test("WebDataset writer balance: identity tokens place every shard on its own task") {
+    import graft.sources.WebDataset
+    // the mechanism: repartition(n, token) must land index i's token
+    // exactly on partition i \u2014 Spark's own hash partitioner, observed
+    // via spark_partition_id, not a re-implementation
+    val n = 37
+    val placed = WebDataset.identityTokens(n).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("gidx", "__tok")
+      .repartition(n, col("__tok"))
+      .select(col("gidx"), spark_partition_id().as("p"))
+      .collect()
+    assert(placed.length == n)
+    assert(placed.forall(r => r.getInt(1).toLong == r.getLong(0)),
+      placed.map(r => (r.getLong(0), r.getInt(1))).toSeq.toString)
+
+    // end-to-end at a planted multi-shard scale: a tight shard target
+    // forces \u2265 6 shards across splits; balanced routing means every
+    // writer task opened exactly one tar, so tar count == distinct
+    // (split, shard) routes == manifest rows, and the manifest \u2261 table
+    // rollup still holds (content routing unchanged)
+    val out = Files.createTempDirectory("graft_wds_bal").toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text")
+    val manifest = WebDataset.exportWebDataset(docs, "doc_id",
+      contentCols = Seq("doc_id", "text"), outDir = out,
+      targetShardBytes = 32L * 1024).collect()
+    val tars = listTree(java.nio.file.Paths.get(out))
+      .filter(_.matches("""split=(train|val|test)/shard-\d{6}\.tar"""))
+    assert(tars.length >= 6, s"fixture too small to plant multi-shard: $tars")
+    assert(manifest.length == tars.length)
+    assert(manifest.map(_.getLong(2)).sum == docs.count())
+  }
+
   test("WebDataset export: ustar tar shards, byte-reproducible, manifest \u2261 parsed tars \u2261 table") {
     import graft.sources.WebDataset
     val out = Files.createTempDirectory("graft_export_wds").toString
