@@ -2261,6 +2261,38 @@ object Queries {
       .orderBy("split")
   }
 
+  /** Incremental WebDataset roundtrip: the corpus lands as tar shards
+    * in TWO generation appends (`split=…/gen=N/shard-*.tar` via
+    * [[graft.sources.WebDataset.exportWebDatasetIncremental]]), each
+    * manifest derived by PARSING the new generation's committed tars
+    * back. The generations partition the corpus, so the post-append
+    * rollup replays from the raw table — the SAME oracle as
+    * x_corpus_export/x_webdataset (checksums format- and
+    * layout-invariant). The outDir is wiped first so bench reps re-run
+    * gen 0 instead of tripping the out-of-order guard. */
+  def xWebDatasetIncr(s: SparkSession, d: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_export_wdsi_${s.sparkContext.applicationId}"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    val docs = documents(s, d).select("doc_id", "text", "lang", "source")
+    graft.sources.WebDataset.exportWebDatasetIncremental(
+      docs.where(col("doc_id") % 2 === 0), "doc_id",
+      contentCols = Seq("doc_id", "text"), outDir = out, generation = 0L,
+      targetShardBytes = 1L << 20)
+    val manifest = graft.sources.WebDataset.exportWebDatasetIncremental(
+      docs.where(col("doc_id") % 2 === 1), "doc_id",
+      contentCols = Seq("doc_id", "text"), outDir = out, generation = 1L,
+      targetShardBytes = 1L << 20)
+    manifest.groupBy("split")
+      .agg(sum("rows").as("docs"),
+        expr("bit_xor(content_xor)").as("content_xor"))
+      .orderBy("split")
+  }
+
   /** Unicode NFKC normalization over the document corpus: a
     * deterministic width/ligature/combining/compatibility variant
     * (keyed by doc_id % 4) is prepended to each doc, then folded by

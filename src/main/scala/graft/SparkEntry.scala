@@ -1101,6 +1101,7 @@ object SparkEntry {
     "x_corpus_export_jsonl" -> (Queries.xCorpusExportJsonl _),
     "x_corpus_export_incr" -> (Queries.xCorpusExportIncr _),
     "x_webdataset" -> (Queries.xWebDataset _),
+    "x_webdataset_incr" -> (Queries.xWebDatasetIncr _),
     "x_interp" -> (Queries.xInterp _),
     "x_rank_eval" -> (Queries.xRankEval _),
     "x_calibration" -> (Queries.xCalibration _),
@@ -2629,6 +2630,9 @@ object SparkEntry {
     // built by PARSING the committed ustar shards back, so equality
     // proves the tar encode→commit→parse cycle row-exact
     "x_webdataset" -> corpusExportRollupSql,
+    // two tar-shard generation appends partition the corpus, so the
+    // unioned manifest's rollup replays from the same table-side SQL
+    "x_webdataset_incr" -> corpusExportRollupSql,
     // linear-interpolation resample: x_resample's grid + the same
     // default-frame prev / forward-frame next windows; the fill is one
     // per-row double expression on long bucket indices (no float sums)

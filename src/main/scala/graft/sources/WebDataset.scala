@@ -89,11 +89,138 @@ object WebDataset {
       rootFs.globStatus(new org.apache.hadoop.fs.Path(rootPath, "split=*"))
         .foreach(st => rootFs.delete(st.getPath, true))
     val labeled = Pipelines.splitByMd5Prefix(df, idCol, cuts)
+    val binaryCols = writeTarShards(labeled, idCol, contentCols, outDir,
+      targetShardBytes, gen = None)
+    // an empty corpus writes no shards; the manifest must then be the
+    // empty table, not a failing glob read
+    val hasShards = rootFs.exists(rootPath) &&
+      rootFs.globStatus(new org.apache.hadoop.fs.Path(rootPath,
+        "split=*/shard-*.tar")).nonEmpty
+    val manifest =
+      if (hasShards) buildTarManifest(spark, outDir, contentCols, binaryCols)
+      else emptyManifest(spark)
+    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
+    spark.read.parquet(s"$outDir/_manifest")
+  }
+
+  /** Incremental (generation-partitioned) WebDataset export — the
+    * [[CorpusExport.exportShardsIncremental]] contract over tar shards:
+    * each call lands ONLY the new generation's tars under
+    * `split=…/gen=N/shard-NNNNNN.tar` (its own gen dirs are wiped
+    * first, so replaying an EXISTING generation is idempotent) and
+    * UNIONS the manifest under the same atomic staging commit, with
+    * the same guards: NEW generations land in increasing order only,
+    * and a data dir with no `_manifest` refuses loudly. Manifest rows
+    * carry (gen, shard_id) with shard_id globally monotone — trainer
+    * resume offsets never re-number. A trainer-side reader follows new
+    * generations live via [[readWebDatasetStream]]. */
+  def exportWebDatasetIncremental(delta: DataFrame, idCol: String,
+                                  contentCols: Seq[String],
+                                  outDir: String, generation: Long,
+                                  targetShardBytes: Long = 256L * 1024 * 1024,
+                                  cuts: Seq[(String, Int)] =
+                                    Seq("train" -> 14, "val" -> 15,
+                                      "test" -> 16)): DataFrame = {
+    require(generation >= 0, "generation must be >= 0")
+    require(targetShardBytes > 0, "targetShardBytes must be positive")
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    require(contentCols.forall(!_.contains(".")),
+      s"exportWebDatasetIncremental: content column names must not " +
+        s"contain '.' " +
+        s"(got ${contentCols.filter(_.contains(".")).mkString(", ")})")
+    Joins.requireFreeColumns("exportWebDatasetIncremental", delta.columns,
+      "split", "gen", "__shard", "__key", "__b", "__h", "__hl",
+      "__gidx", "__tok")
+    val spark = delta.sparkSession
+    val rootPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestPath = s"$outDir/_manifest"
+    // same crash-window guard as exportShardsIncremental: data with no
+    // manifest means a crashed manifest commit (recover from
+    // _manifest_staging) — rebuilding would orphan prior generations
+    val hasPrior =
+      CorpusExport.listDataFiles(fs,
+        new org.apache.hadoop.fs.Path(manifestPath)).nonEmpty
+    val hasData = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$outDir/split=*")))
+      .exists(_.nonEmpty)
+    require(hasPrior || !hasData,
+      s"exportWebDatasetIncremental: $outDir holds split=* data but no " +
+        "_manifest — a crashed manifest commit leaves the full union at " +
+        "_manifest_staging (rename it back to _manifest); refusing to " +
+        "rebuild a manifest that would orphan prior generations")
+    val allPrior: Option[DataFrame] =
+      if (hasPrior) Some(spark.read.parquet(manifestPath).localCheckpoint())
+      else None
+    val allGens = allPrior.map(_.select(col("gen")).distinct()
+      .collect().map(_.getLong(0)).toSet).getOrElse(Set.empty[Long])
+    require(allGens.forall(_ < generation) || allGens(generation),
+      s"exportWebDatasetIncremental: generation $generation would be a " +
+        s"NEW generation below already-landed ones at $outDir — " +
+        "appending out of order would re-number history under a " +
+        "mounted trainer")
+    // replay idempotency: this generation's own dirs are replaced
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$outDir/split=*/gen=$generation")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .foreach(st => fs.delete(st.getPath, true))
+    val labeled = Pipelines.splitByMd5Prefix(delta, idCol, cuts)
+    val binaryCols = writeTarShards(labeled, idCol, contentCols, outDir,
+      targetShardBytes, gen = Some(generation))
+    val genGlob = s"split=*/gen=$generation/shard-*.tar"
+    val hasShards = fs.exists(rootPath) && Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(rootPath, genGlob)))
+      .exists(_.nonEmpty)
+    val genManifest =
+      (if (hasShards)
+        buildTarManifest(spark, outDir, contentCols, binaryCols, genGlob)
+      else emptyManifest(spark))
+        .withColumn("gen", lit(generation))
+    val prior = allPrior
+      .getOrElse(genManifest.withColumn("shard_id", lit(0L)).limit(0))
+      .where(col("gen") =!= generation)
+    val maxId = prior.where(col("gen") < generation)
+      .agg(coalesce(max("shard_id"), lit(-1L)))
+      .head().getLong(0)
+    // unpartitioned window: one generation's manifest — a row per shard
+    val fresh = genManifest.withColumn("shard_id",
+      lit(maxId) + row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("split"), col("shard_path"))).cast("long"))
+    // atomic staging commit (the exportShardsIncremental contract)
+    val stagingPath =
+      new org.apache.hadoop.fs.Path(s"$outDir/_manifest_staging")
+    val manifestP = new org.apache.hadoop.fs.Path(manifestPath)
+    prior.unionByName(fresh.select(prior.columns.map(col): _*))
+      .write.mode("overwrite").parquet(stagingPath.toString)
+    if (fs.exists(manifestP)) fs.delete(manifestP, true)
+    require(fs.rename(stagingPath, manifestP),
+      s"exportWebDatasetIncremental: rename $stagingPath -> $manifestP failed")
+    spark.read.parquet(manifestPath)
+  }
+
+  private def emptyManifest(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Long, Long, String, Long)]
+      .toDF("split", "shard_path", "rows", "bytes",
+        "content_md5", "content_xor")
+  }
+
+  /** The shared encode → size → route → write core of both exports:
+    * key-integrity audit, tar-framing size probe, per-(split, shard)
+    * routing with identity-token task placement, and the streaming tar
+    * write (into `split=…/` or `split=…/gen=N/` per `gen`). Returns
+    * the binary content-column set for the manifest's hash rule. */
+  private def writeTarShards(labeled: DataFrame, idCol: String,
+                             contentCols: Seq[String], outDir: String,
+                             targetShardBytes: Long,
+                             gen: Option[Long]): Set[String] = {
+    val spark = labeled.sparkSession
     // binary columns (the multimodal payload case) pass through RAW —
     // a string cast would mangle any non-UTF-8 byte sequence; all other
     // types store their string form in UTF-8
     val binaryCols = contentCols.filter(c =>
-      df.schema(c).dataType == org.apache.spark.sql.types.BinaryType).toSet
+      labeled.schema(c).dataType == org.apache.spark.sql.types.BinaryType)
+      .toSet
     def payloadCol(c: String) =
       if (binaryCols(c)) col(c) else col(c).cast("string")
     // exact tar framing per member: 512 B header + payload padded to 512
@@ -117,11 +244,11 @@ object WebDataset {
         count_distinct(col("__key")).as("nd"))
       .head()
     require(stats.getLong(1) == stats.getLong(2),
-      s"exportWebDataset: idCol '$idCol' holds null keys " +
+      s"WebDataset export: idCol '$idCol' holds null keys " +
         s"(${stats.getLong(1) - stats.getLong(2)} of ${stats.getLong(1)} " +
         "rows) — every sample needs a key to name its members")
     require(stats.getLong(2) == stats.getLong(3),
-      s"exportWebDataset: idCol '$idCol' is not unique " +
+      s"WebDataset export: idCol '$idCol' is not unique " +
         s"(${stats.getLong(2)} rows, ${stats.getLong(3)} distinct keys) — " +
         "duplicate keys merge into one WebDataset sample and corrupt " +
         "the manifest ≡ table contract; dedup upstream first")
@@ -175,24 +302,11 @@ object WebDataset {
       spark.sparkContext.hadoopConfiguration)
     val out = outDir
     val isBinary = cols.map(binaryCols).toArray
+    val genSub = gen.map(g => s"gen=$g")
     projected.foreachPartition { (it: Iterator[Row]) =>
-      writePartitionTars(it, out, cols, isBinary, serConf.value)
+      writePartitionTars(it, out, cols, isBinary, serConf.value, genSub)
     }
-    // an empty corpus writes no shards; the manifest must then be the
-    // empty table, not a failing glob read
-    val hasShards = rootFs.exists(rootPath) &&
-      rootFs.globStatus(new org.apache.hadoop.fs.Path(rootPath,
-        "split=*/shard-*.tar")).nonEmpty
-    val manifest =
-      if (hasShards) buildTarManifest(spark, out, cols, binaryCols)
-      else {
-        import spark.implicits._
-        Seq.empty[(String, String, Long, Long, String, Long)]
-          .toDF("split", "shard_path", "rows", "bytes",
-            "content_md5", "content_xor")
-      }
-    manifest.write.mode("overwrite").parquet(s"$out/_manifest")
-    spark.read.parquet(s"$out/_manifest")
+    binaryCols
   }
 
   /** One routing token per partition index: token[p] is the smallest
@@ -230,7 +344,8 @@ object WebDataset {
   private def writePartitionTars(it: Iterator[Row], outDir: String,
                                  contentCols: Seq[String],
                                  isBinary: Array[Boolean],
-                                 conf: org.apache.hadoop.conf.Configuration)
+                                 conf: org.apache.hadoop.conf.Configuration,
+                                 genSub: Option[String] = None)
       : Unit = {
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(conf)
@@ -250,7 +365,9 @@ object WebDataset {
       val shard = r.getLong(1)
       if (!cur.exists(c => c._1 == split && c._2 == shard)) {
         close()
-        val dir = new org.apache.hadoop.fs.Path(root, s"split=$split")
+        val dir = genSub.foldLeft(
+          new org.apache.hadoop.fs.Path(root, s"split=$split"))(
+          (d, g) => new org.apache.hadoop.fs.Path(d, g))
         fs.mkdirs(dir)
         val fin = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%06d.tar")
         // staging name carries the task ATTEMPT id: with speculative
@@ -359,13 +476,42 @@ object WebDataset {
 
   /** The committed shards decoded back to member granularity:
     * (split, shard_path, shard_bytes, member, content). Distributed —
-    * one binaryFile scan over the tars, ustar-parsed per file. */
-  def readWebDataset(spark: SparkSession, dir: String): DataFrame = {
+    * one binaryFile scan over the tars, ustar-parsed per file. `glob`
+    * selects the layout: the default flat export, or the gen-nested
+    * glob (split=… then gen=… then shard tars) that
+    * [[exportWebDatasetIncremental]] writes. */
+  def readWebDataset(spark: SparkSession, dir: String,
+                     glob: String = "split=*/shard-*.tar"): DataFrame =
+    decodeTarFiles(spark.read.format("binaryFile").load(s"$dir/$glob"))
+
+  /** The STREAMING side of [[readWebDataset]] — the trainer-resume
+    * ingest flow: a binaryFile file-stream source over the committed
+    * tar glob (defaulting to [[exportWebDatasetIncremental]]'s
+    * generation layout), ustar-parsed to the same member-granularity
+    * schema. As generations land, the stream delivers each committed
+    * shard's members exactly once (file sources track consumed PATHS
+    * in the checkpoint). Caveat that follows from path tracking: a
+    * REPLAYED generation rewrites the same shard paths, so an
+    * already-running stream does not re-deliver them — mount the
+    * stream against a corpus whose replays happen before trainers
+    * attach, or key resume offsets off the manifest. `.inprogress-*`
+    * staging files never match the glob, so a crash mid-write is
+    * invisible here. */
+  def readWebDatasetStream(spark: SparkSession, dir: String,
+                           glob: String = "split=*/gen=*/shard-*.tar")
+      : DataFrame =
+    // binaryFile's schema is FIXED by the format, but a streaming file
+    // source refuses to start without an explicit one — spell it out
+    decodeTarFiles(spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length LONG, content BINARY")
+      .load(s"$dir/$glob"))
+
+  private def decodeTarFiles(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    val files = spark.read.format("binaryFile")
-      .load(s"$dir/split=*/shard-*.tar")
-      .select(col("path"), col("length"), col("content"))
-    files.as[(String, Long, Array[Byte])]
+    files.select(col("path"), col("length"), col("content"))
+      .as[(String, Long, Array[Byte])]
       .flatMap { case (path, len, bytes) =>
         parseTar(bytes).map { case (m, c) => (path, len, m, c) }
       }
@@ -380,14 +526,15 @@ object WebDataset {
     * concat_ws skip-nulls fold), identical to the other exports'. */
   private[graft] def buildTarManifest(spark: SparkSession, dir: String,
                                       contentCols: Seq[String],
-                                      binaryCols: Set[String] = Set.empty)
+                                      binaryCols: Set[String] = Set.empty,
+                                      glob: String = "split=*/shard-*.tar")
       : DataFrame = {
     val colIdx = contentCols.zipWithIndex.toMap
     val idxOf = colIdx.foldLeft(lit(-1)) { case (els, (c, i)) =>
       when(expr(s"substring(member, length(member) - ${c.length})") ===
         s".$c", lit(i)).otherwise(els)
     }
-    val members = readWebDataset(spark, dir)
+    val members = readWebDataset(spark, dir, glob)
       .withColumn("__i", idxOf)
       .withColumn("__key", expr(
         "substring(member, 1, length(member) - length(" +

@@ -450,6 +450,86 @@ class SinkLayoutSuite extends AnyFunSuite {
     assert(manifest.map(_.getLong(2)).sum == docs.count())
   }
 
+  test("WebDataset incremental: generation-nested tar layout, manifest union with monotone ids, idempotent replay, guards") {
+    import graft.sources.WebDataset
+    val dir = Files.createTempDirectory("graft_wds_incr")
+    val out = dir.toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    def append(df: org.apache.spark.sql.DataFrame, gen: Long) =
+      WebDataset.exportWebDatasetIncremental(df, "doc_id",
+        contentCols = Seq("doc_id", "text"), outDir = out,
+        generation = gen, targetShardBytes = 64L * 1024)
+    append(even, 0L)
+    def tars() = listTree(dir).filter(_.endsWith(".tar"))
+    val gen0 = tars().toSet
+    assert(gen0.nonEmpty && gen0.forall(
+      _.matches("""split=(train|val|test)/gen=0/shard-\d{6}\.tar""")),
+      gen0.toString)
+
+    // the delta append: gen-0 tars byte-untouched, new tars under gen=1
+    val gen0Bytes = gen0.map(f => f -> java.util.Arrays.hashCode(
+      Files.readAllBytes(dir.resolve(f)))).toMap
+    val m1 = append(odd, 1L).collect()
+    assert(tars().toSet.diff(gen0).forall(_.contains("gen=1/")))
+    assert(gen0.forall(f => java.util.Arrays.hashCode(
+      Files.readAllBytes(dir.resolve(f))) == gen0Bytes(f)),
+      "delta append rewrote generation-0 tars")
+
+    // manifest union: both gens, dense monotone shard ids, \u2261 table
+    val ids = m1.map(r => (r.getLong(6), r.getLong(7)))
+    assert(ids.map(_._2).sorted.toSeq == (0L until ids.length).toSeq)
+    assert(ids.filter(_._1 == 1L).map(_._2).min >
+      ids.filter(_._1 == 0L).map(_._2).max)
+    val expect = graft.operators.Pipelines
+      .splitByMd5Prefix(docs, "doc_id")
+      .select(col("split"),
+        conv(substring(md5(concat_ws("\u0001", col("doc_id").cast("string"),
+          col("text").cast("string"))), 1, 15), 16, 10).cast("long")
+          .as("hl"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"), expr("bit_xor(hl)").as("cx"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = m1.groupBy(_.getString(0)).map { case (sp, rows) =>
+      sp -> ((rows.map(_.getLong(2)).sum,
+        rows.map(_.getLong(5)).reduce(_ ^ _)))
+    }
+    assert(got == expect)
+    // members decode across generations through the gen-nested glob
+    val members = WebDataset.readWebDataset(spark, out,
+      glob = "split=*/gen=*/shard-*.tar")
+    assert(members.count() == 2 * docs.count())
+
+    // replaying the latest generation is idempotent (same manifest
+    // modulo nothing: tar names are deterministic, unlike parquet)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_.toString).toSeq
+    val m2 = append(odd, 1L).collect()
+    assert(key(m2) == key(m1))
+
+    // guards: out-of-order refuse leaves no orphans; missing manifest
+    // with data present refuses with the staging recovery hint
+    val m3 = append(odd, 3L).collect()
+    val before = tars().toSet
+    val e1 = intercept[IllegalArgumentException](append(even, 2L))
+    assert(e1.getMessage.contains("out of order"), e1.getMessage)
+    assert(tars().toSet == before)
+    Files.move(dir.resolve("_manifest"), dir.resolve("_manifest_staging"))
+    val e2 = intercept[IllegalArgumentException](append(even, 4L))
+    assert(e2.getMessage.contains("_manifest_staging"), e2.getMessage)
+    Files.move(dir.resolve("_manifest_staging"), dir.resolve("_manifest"))
+
+    // empty delta: a generation with no rows lands no tars and keeps
+    // the prior manifest rows exactly (no gen-4 rows appear)
+    val m4 = append(docs.where(lit(false)), 4L).collect()
+    assert(key(m4) == key(m3))
+  }
+
   test("WebDataset export: ustar tar shards, byte-reproducible, manifest \u2261 parsed tars \u2261 table") {
     import graft.sources.WebDataset
     val out = Files.createTempDirectory("graft_export_wds").toString

@@ -954,6 +954,43 @@ class StreamingSuite extends AnyFunSuite {
       .agg(sum("rows")).head().getLong(0) == 7L)
   }
 
+  test("WebDataset streaming readback: a trainer-side stream sees each landed generation's members exactly once") {
+    import graft.sources.WebDataset
+    val dir = Files.createTempDirectory("graft_wds_stream").toString
+    val (out, ckpt) = (s"$dir/out", s"$dir/ckpt")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    def land(df: org.apache.spark.sql.DataFrame, gen: Long) =
+      WebDataset.exportWebDatasetIncremental(df, "doc_id",
+        contentCols = Seq("doc_id", "text"), outDir = out,
+        generation = gen, targetShardBytes = 64L * 1024)
+    land(even, 0L)
+    val q = WebDataset.readWebDatasetStream(spark, out)
+      .select(col("member"))
+      .writeStream.format("memory").queryName("wds_readback")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    q.processAllAvailable()
+    def members() = spark.table("wds_readback")
+      .collect().map(_.getString(0)).toSeq
+    // two members per doc ({id}.doc_id + {id}.text), delivered once
+    assert(members().length == 2 * even.count(), members().length)
+    // a new generation lands WHILE the stream runs: its members arrive,
+    // gen 0's are not re-delivered — old + new exactly once each
+    land(odd, 1L)
+    q.processAllAvailable()
+    q.stop()
+    val all = members()
+    assert(all.length == 2 * docs.count(), all.length)
+    assert(all.distinct.length == all.length, "stream re-delivered members")
+    val wantKeys = docs.collect().map(_.getLong(0))
+      .flatMap(id => Seq(s"$id.doc_id", s"$id.text")).sorted.toSeq
+    assert(all.sorted == wantKeys)
+  }
+
   test("DriftMonitorJob: planted categorical shift and novel envelope field raise their alarm rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
