@@ -589,8 +589,11 @@ object Queries {
   def xIvfTopKLoaded(s: SparkSession, d: String): DataFrame = {
     val cs = Similarity.ivfTrain(embeddings(s, d), "vec_id", "embedding",
       IvfFixture.nCells, IvfFixture.lloydIters, IvfFixture.trainCap)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_ivf_index").toString
+    // app-keyed dir, reused across bench reps (a fresh temp dir per rep
+    // would leak one artifact per run); re-saving version 1 replaces
+    // its partition — the idempotent-artifact contract under test
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_ivf_index_${s.sparkContext.applicationId}"
     Similarity.ivfSave(s, cs, path, version = 1L)
     val (loaded, _) = Similarity.ivfLoad(s, path)
     Similarity.ivfTopKWith(embeddings(s, d), "vec_id", "embedding",
@@ -668,8 +671,8 @@ object Queries {
   def xPqTopKLoaded(s: SparkSession, d: String): DataFrame = {
     val cbs = Similarity.pqTrain(embeddings(s, d), "vec_id", "embedding",
       PqFixture.m, PqFixture.ks, PqFixture.lloydIters, PqFixture.trainCap)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_pq_index").toString
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_pq_index_${s.sparkContext.applicationId}"
     Similarity.pqSave(s, cbs, path, version = 1L)
     val (loaded, _) = Similarity.pqLoad(s, path)
     Similarity.pqTopKWith(embeddings(s, d), "vec_id", "embedding",
@@ -2241,11 +2244,8 @@ object Queries {
   def xCorpusExportIncr(s: SparkSession, d: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/" +
       s"graft_export_incr_${s.sparkContext.applicationId}"
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(out))
+    val outP = new org.apache.hadoop.fs.Path(out)
+    outP.getFileSystem(s.sparkContext.hadoopConfiguration).delete(outP, true)
     val docs = documents(s, d).select("doc_id", "text", "lang", "source")
     graft.sources.CorpusExport.exportShardsIncremental(
       docs.where(col("doc_id") % 2 === 0), "doc_id",
@@ -2273,11 +2273,8 @@ object Queries {
   def xWebDatasetIncr(s: SparkSession, d: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/" +
       s"graft_export_wdsi_${s.sparkContext.applicationId}"
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(out))
+    val outP = new org.apache.hadoop.fs.Path(out)
+    outP.getFileSystem(s.sparkContext.hadoopConfiguration).delete(outP, true)
     val docs = documents(s, d).select("doc_id", "text", "lang", "source")
     graft.sources.WebDataset.exportWebDatasetIncremental(
       docs.where(col("doc_id") % 2 === 0), "doc_id",

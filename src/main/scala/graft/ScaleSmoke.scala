@@ -366,12 +366,9 @@ object ScaleSmoke {
       ("x_incr_export_full", Seq("documents"), (s: SparkSession, d: String) => {
         val out = s"${System.getProperty("java.io.tmpdir")}/" +
           s"graft_incr_scale_${d.replaceAll("[^A-Za-z0-9]+", "_")}"
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(out))
+        val outP = new org.apache.hadoop.fs.Path(out)
+        outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(outP, true)
         val docs = Tables.documents(s, d)
           .select("doc_id", "text", "lang", "source")
         graft.sources.CorpusExport.exportShardsIncremental(docs, "doc_id",
@@ -382,6 +379,41 @@ object ScaleSmoke {
             .withColumn("doc_id", col("doc_id") + 1000000000L),
           "doc_id", contentCols = Seq("doc_id", "text"), outDir = out,
           generation = 1L, targetShardBytes = 4L << 20)
+      }),
+      // incremental WebDataset: the x_incr_export_full contract over
+      // tar shards — gen 0 lands the growing corpus, then a FIXED
+      // 1000-doc delta whose tar write and parse-back manifest read
+      // only its own gen dirs; the only corpus-sized delta-term work is
+      // the prior-manifest union, which is shard-count-sized metadata
+      ("x_wds_incr_full", Seq("documents"), (s: SparkSession, d: String) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_wdsi_scale_${d.replaceAll("[^A-Za-z0-9]+", "_")}"
+        val outP = new org.apache.hadoop.fs.Path(out)
+        outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(outP, true)
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source")
+        graft.sources.WebDataset.exportWebDatasetIncremental(docs,
+          "doc_id", contentCols = Seq("doc_id", "text"), outDir = out,
+          generation = 0L, targetShardBytes = 4L << 20)
+        graft.sources.WebDataset.exportWebDatasetIncremental(
+          docs.where(col("doc_id") < 1000)
+            .withColumn("doc_id", col("doc_id") + 1000000000L),
+          "doc_id", contentCols = Seq("doc_id", "text"), outDir = out,
+          generation = 1L, targetShardBytes = 4L << 20)
+      }),
+      // distributed BPE training over the growing corpus: each merge
+      // round is one vocabulary-keyed pair count (map-side combining)
+      // + a TakeOrdered(1) argmax + a vocabulary-sized merge map, with
+      // per-round localCheckpoint truncation — the replica's c<i> text
+      // tag grows the vocabulary ∝ copies, so time must track rows
+      // while the driver sees exactly numMerges single-row collects
+      ("x_bpe_dist_full", Seq("documents"), (s: SparkSession, d: String) => {
+        import s.implicits._
+        graft.operators.Pipelines.bpeTrainMergesDistributed(
+            Tables.documents(s, d), "text", numMerges = 4)
+          .zipWithIndex.map { case ((a, b), i) => (i + 1L, a, b) }
+          .toDF("rank", "left_sym", "right_sym")
       }),
       // two-phase quota on a deliberately UNKEYED mega-stratum (every
       // doc in one stratum): phase 1 shards it across 32 windows,

@@ -111,14 +111,19 @@ object CrawlIngestJob {
         // stage the (batch-sized) survivors once: the export's probe,
         // count, route and write passes re-read THIS, not the
         // gate+dedup pipeline (whose seen-bloom build they would
-        // otherwise re-run per action)
+        // otherwise re-run per action). The checkpoint's blocks are
+        // explicitly dropped after the batch — a stream on a 10 s
+        // trigger would otherwise pin one batch of survivors in
+        // block-manager storage PER TRIGGER for the job's lifetime
         val staged = novel.localCheckpoint()
-        if (staged.limit(1).count() > 0) {
-          CorpusExport.exportShardsIncremental(staged, idCol, contentCols,
-            outDir, generation = batchId,
-            targetShardBytes = targetShardBytes)
-          ()
-        }
+        try {
+          if (staged.limit(1).count() > 0) {
+            CorpusExport.exportShardsIncremental(staged, idCol,
+              contentCols, outDir, generation = batchId,
+              targetShardBytes = targetShardBytes)
+            ()
+          }
+        } finally Dedup.uncheckpoint(staged)
         ()
       }
       .start()

@@ -587,11 +587,29 @@ object Pipelines {
     * distinct-word counts (capped — see [[bpeEncode]]), never the
     * token stream. Deterministic: same vocabulary → same merges on
     * every run/engine. Stops early when no adjacent pair remains. */
+  /** One symbol per Unicode CODE POINT — never per UTF-16 unit: a
+    * per-unit split would make each half of a surrogate pair (any
+    * emoji) its own symbol, and a lone surrogate cannot survive the
+    * executor's UTF8String round-trip (it mangles to '?', collapsing
+    * distinct symbols in the distributed trainer's pair counts). One
+    * splitter shared by the local and distributed trainers keeps their
+    * merge sequences bit-equal on ANY corpus; identical on BMP text. */
+  private[graft] def splitChars(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   def bpeTrainMerges(words: Seq[(String, Long)],
                      numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 0, "bpeTrainMerges needs numMerges >= 0")
     var syms: Seq[(Vector[String], Long)] =
-      words.map { case (w, c) => w.map(_.toString).toVector -> c }
+      words.map { case (w, c) => splitChars(w) -> c }
     val merges = Seq.newBuilder[(String, String)]
     var done = false
     var i = 0
@@ -633,7 +651,7 @@ object Pipelines {
     * character rides through as its own symbol). */
   def bpeEncodeWord(w: String,
                     ranks: Map[(String, String), Int]): Vector[String] = {
-    var s = w.map(_.toString).toVector
+    var s = splitChars(w)
     var done = s.length < 2
     while (!done) {
       // one O(len) sweep finds the lowest-ranked adjacent pair directly
@@ -672,17 +690,18 @@ object Pipelines {
     * [[Dedup.connectedComponents]] superstep posture), keeping plan
     * depth and block-manager storage O(1) across `numMerges` rounds.
     *
-    * The character split runs the SAME Java UTF-16-unit iteration as
-    * the local trainer (a per-word UDF over the vocabulary table — the
+    * The character split is the SAME code-point [[splitChars]] the
+    * local trainer runs (a per-word UDF over the vocabulary table — the
     * token stream never passes through it), so the merge sequence is
     * bit-equal to [[bpeTrainMerges]] on the same vocabulary: ties break
     * to the lexicographically smallest (a, b) in both (PipelinesSuite
-    * differential; the x_bpe_dist_merges oracle replays the local fold
-    * as dump-time literals). Stops early when no adjacent pair remains. */
+    * differential incl. an astral-char corpus; the x_bpe_dist_merges
+    * oracle replays the local fold as dump-time literals). Stops early
+    * when no adjacent pair remains. */
   def bpeTrainMergesDistributed(df: DataFrame, textCol: String,
                                 numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 0, "bpeTrainMergesDistributed needs numMerges >= 0")
-    val charSplit = udf { w: String => w.map(_.toString) }
+    val charSplit = udf { w: String => splitChars(w) }
     var syms = distinctWordCounts(df, textCol)
       .select(col("__c"), charSplit(col("__w")).as("__s"))
       .localCheckpoint()
@@ -720,14 +739,14 @@ object Pipelines {
 
   /** A [[BpeModel]] from the distributed trainer: merges from
     * [[bpeTrainMergesDistributed]], base characters from a distributed
-    * distinct over the vocabulary (same UTF-16-unit split, sorted).
+    * distinct over the vocabulary (same code-point split, sorted).
     * Equals [[bpeTrainModel]] bit-for-bit whenever the vocabulary fits
     * under its trainCap (the suite pins it); past the cap this is the
     * exact trainer — no word ever drops from the statistics. */
   def bpeTrainModelDistributed(df: DataFrame, textCol: String,
                                numMerges: Int): BpeModel = {
     val merges = bpeTrainMergesDistributed(df, textCol, numMerges)
-    val charSplit = udf { w: String => w.map(_.toString) }
+    val charSplit = udf { w: String => splitChars(w) }
     val baseChars = distinctWordCounts(df, textCol)
       .select(explode(charSplit(col("__w"))).as("__ch"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
@@ -764,7 +783,7 @@ object Pipelines {
       .orderBy(col("__c").desc, col("__w")).limit(trainCap)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val merges = bpeTrainMerges(trainWords, numMerges)
-    val baseChars = trainWords.flatMap(_._1.map(_.toString)).distinct.sorted
+    val baseChars = trainWords.flatMap(w => splitChars(w._1)).distinct.sorted
     BpeModel(baseChars, merges)
   }
 

@@ -161,20 +161,20 @@ object CorpusExport {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasPrior =
       listDataFiles(fs, new org.apache.hadoop.fs.Path(manifestPath)).nonEmpty
-    // a data dir with NO manifest means a crashed manifest commit (the
-    // union lives at _manifest_staging) or a foreign directory —
-    // proceeding would rebuild a manifest containing only this
-    // generation, turning every prior generation's shards into phantom
-    // rows and restarting shard_id under a mounted trainer
-    val hasData = Option(fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$outDir/split=*")))
-      .exists(_.nonEmpty)
-    require(hasPrior || !hasData,
-      s"exportShardsIncremental: $outDir holds split=* data partitions " +
-        "but no _manifest — a crashed manifest commit leaves the full " +
-        "union at _manifest_staging (rename it back to _manifest); " +
-        "refusing to rebuild a manifest that would orphan prior " +
-        "generations")
+    // a data dir with NO manifest is one of three states, two refused:
+    // (a) a crashed manifest COMMIT — the full union still lives at
+    //     _manifest_staging; refuse with the rename-recovery hint
+    //     (rebuilding would orphan every prior generation as phantom
+    //     rows and restart shard_id under a mounted trainer);
+    // (b) data for OTHER generations with neither manifest nor staging
+    //     — a foreign dir or a truly lost manifest; refuse loudly;
+    // (c) data for exactly THIS generation — a crashed FIRST append
+    //     (later appends never remove _manifest while data stands
+    //     except inside the staged swap, which leaves staging), whose
+    //     replay must proceed: dynamic overwrite replaces its own
+    //     partitions wholesale and the manifest rebuilds from scratch.
+    checkDataWithoutManifest("exportShardsIncremental", fs, outDir,
+      hasPrior, generation)
     // prior rows materialize NOW; the manifest overwrite below reads
     // from the same path; the table is metadata-sized (row per shard)
     val allPrior: Option[DataFrame] =
@@ -232,6 +232,24 @@ object CorpusExport {
     val fresh = genManifest.withColumn("shard_id",
       lit(maxId) + row_number().over(org.apache.spark.sql.expressions
         .Window.orderBy(col("split"), col("shard_path"))).cast("long"))
+    // a NON-latest generation's replay re-derives its ids from the
+    // generations below it — legal only when it reproduces the same
+    // shard COUNT (a same-data replay does, deterministically): a
+    // different count would make the re-derived ids collide with, or
+    // gap against, later generations' ids under a mounted trainer
+    if (allGens.exists(_ > generation)) {
+      val oldN = allPrior.get.where(col("gen") === generation).count()
+      val newN = genManifest.count()
+      require(newN == oldN,
+        s"exportShardsIncremental: replaying NON-latest generation " +
+          s"$generation produced $newN shards where the manifest holds " +
+          s"$oldN — the re-derived shard ids would collide with or gap " +
+          "against later generations'; only a same-data (same shard " +
+          "count) replay of a non-latest generation is legal. NOTE: " +
+          "this generation's data partitions were already replaced by " +
+          "this run — re-run the ORIGINAL (same-data) append to " +
+          "restore data ≡ manifest consistency")
+    }
     // atomic-ish manifest commit: the union lands complete at a staging
     // path first, then swaps in via delete + rename — an in-place
     // overwrite would truncate _manifest before rewriting it, and a
@@ -291,6 +309,40 @@ object CorpusExport {
         "left")
       .select(col("split"), col("shard_path"), col("rows"), col("bytes"),
         col("content_md5"), col("content_xor"))
+  }
+
+  /** The data-without-manifest triage shared by the parquet/JSONL and
+    * WebDataset incremental exports (the three-state contract in
+    * [[exportShardsIncremental]]'s comment): refuse a crashed manifest
+    * commit with the `_manifest_staging` recovery hint, refuse foreign
+    * or manifest-lost generation data, and let exactly the replay of a
+    * crashed FIRST append (all existing gen dirs == this generation)
+    * proceed to self-heal. */
+  private[graft] def checkDataWithoutManifest(
+      op: String, fs: org.apache.hadoop.fs.FileSystem, outDir: String,
+      hasPrior: Boolean, generation: Long): Unit = {
+    val hasData = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$outDir/split=*")))
+      .exists(_.nonEmpty)
+    if (!hasPrior && hasData) {
+      require(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$outDir/_manifest_staging")),
+        s"$op: $outDir holds split=* data partitions but no _manifest — " +
+          "a crashed manifest commit leaves the full union at " +
+          "_manifest_staging (rename it back to _manifest); refusing to " +
+          "rebuild a manifest that would orphan prior generations")
+      val strays = Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$outDir/split=*/gen=*")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .map(_.getPath.getName).distinct
+        .filter(_ != s"gen=$generation")
+      require(strays.isEmpty,
+        s"$op: $outDir holds data for generation(s) " +
+          s"${strays.sorted.mkString(", ")} with neither _manifest nor " +
+          s"_manifest_staging — not a replay of a crashed first append " +
+          s"of generation $generation; refusing to rebuild a manifest " +
+          "that would orphan that data")
+    }
   }
 
   /** Recursive data-file listing (underscore/dot names pruned) through

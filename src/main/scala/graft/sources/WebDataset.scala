@@ -135,20 +135,15 @@ object WebDataset {
     val rootPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifestPath = s"$outDir/_manifest"
-    // same crash-window guard as exportShardsIncremental: data with no
-    // manifest means a crashed manifest commit (recover from
-    // _manifest_staging) — rebuilding would orphan prior generations
+    // same crash-window triage as exportShardsIncremental: a crashed
+    // manifest COMMIT refuses with the _manifest_staging recovery
+    // hint, foreign/manifest-lost generation data refuses loudly, and
+    // a crashed FIRST append's replay proceeds to self-heal
     val hasPrior =
       CorpusExport.listDataFiles(fs,
         new org.apache.hadoop.fs.Path(manifestPath)).nonEmpty
-    val hasData = Option(fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$outDir/split=*")))
-      .exists(_.nonEmpty)
-    require(hasPrior || !hasData,
-      s"exportWebDatasetIncremental: $outDir holds split=* data but no " +
-        "_manifest — a crashed manifest commit leaves the full union at " +
-        "_manifest_staging (rename it back to _manifest); refusing to " +
-        "rebuild a manifest that would orphan prior generations")
+    CorpusExport.checkDataWithoutManifest("exportWebDatasetIncremental",
+      fs, outDir, hasPrior, generation)
     val allPrior: Option[DataFrame] =
       if (hasPrior) Some(spark.read.parquet(manifestPath).localCheckpoint())
       else None
@@ -186,6 +181,22 @@ object WebDataset {
     val fresh = genManifest.withColumn("shard_id",
       lit(maxId) + row_number().over(org.apache.spark.sql.expressions
         .Window.orderBy(col("split"), col("shard_path"))).cast("long"))
+    // non-latest replay id-collision guard (the exportShardsIncremental
+    // contract): a replay below landed generations must reproduce its
+    // shard count, or its re-derived ids would collide with later gens'
+    if (allGens.exists(_ > generation)) {
+      val oldN = allPrior.get.where(col("gen") === generation).count()
+      val newN = genManifest.count()
+      require(newN == oldN,
+        s"exportWebDatasetIncremental: replaying NON-latest generation " +
+          s"$generation produced $newN shards where the manifest holds " +
+          s"$oldN — the re-derived shard ids would collide with or gap " +
+          "against later generations'; only a same-data (same shard " +
+          "count) replay of a non-latest generation is legal. NOTE: " +
+          "this generation's data partitions were already replaced by " +
+          "this run — re-run the ORIGINAL (same-data) append to " +
+          "restore data ≡ manifest consistency")
+    }
     // atomic staging commit (the exportShardsIncremental contract)
     val stagingPath =
       new org.apache.hadoop.fs.Path(s"$outDir/_manifest_staging")
@@ -358,6 +369,17 @@ object WebDataset {
       os.close()
       if (fs.exists(fin)) fs.delete(fin, false)
       require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
+      // best-effort sweep of LOSER attempts' staging files: our own tmp
+      // was just renamed away, so any remaining .inprogress-* for this
+      // shard is a killed speculative/retried attempt's leftover — the
+      // attempt-unique names that prevent mid-write truncation would
+      // otherwise accumulate in long-lived incremental dirs. A loser
+      // still writing may recreate its file once (bounded: one per
+      // kill), which the next committer's sweep removes.
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          fin.getParent, fin.getName + ".inprogress-*")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .foreach(st => fs.delete(st.getPath, false))
       cur = None
     }
     it.foreach { r =>

@@ -491,6 +491,23 @@ class PipelinesSuite extends AnyFunSuite {
     val exhaust = Seq((1L, "ab ab")).toDF("doc_id", "text")
     assert(Pipelines.bpeTrainMergesDistributed(exhaust, "text", 5) ==
       Pipelines.bpeTrainMerges(Seq("ab" -> 2L), 5))
+
+    // astral characters (surrogate pairs — any emoji): both trainers
+    // split by CODE POINT, so symbols survive the executor's UTF8String
+    // round-trip intact; two DISTINCT emoji must stay distinct symbols
+    // (a per-UTF-16-unit split would mangle both to '?' and merge them)
+    val g = "😀" // U+1F600
+    val r = "🚀" // U+1F680
+    val astral = Seq((1L, s"$g$g $g$g $r$r")).toDF("doc_id", "text")
+    val wantAstral = Pipelines.bpeTrainMerges(
+      Seq(s"$g$g" -> 2L, s"$r$r" -> 1L), 2)
+    assert(wantAstral == Seq(g -> g, r -> r)) // distinct, count-ordered
+    assert(Pipelines.bpeTrainMergesDistributed(astral, "text", 2) ==
+      wantAstral)
+    val mAstral = Pipelines.bpeTrainModelDistributed(astral, "text", 2)
+    assert(mAstral.baseChars == Seq(g, r).sorted)
+    assert(Pipelines.bpeEncodeWord(s"$g$g$r", mAstral.ranks) ==
+      Vector(s"$g$g", r))
   }
 
   test("BPE artifact round-trip: save → fresh-session load → encode ≡ the training session") {

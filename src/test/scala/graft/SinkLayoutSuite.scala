@@ -394,6 +394,54 @@ class SinkLayoutSuite extends AnyFunSuite {
     assert(m1.filter(_.getLong(6) == 0L).map(_.getLong(7)).sorted.toSeq ==
       m0.map(_.getLong(7)).sorted.toSeq)
     assert(spark.read.parquet(out).count() == docs.count())
+
+    // data for OTHER generations with neither manifest nor staging =
+    // foreign dir / truly lost manifest — refused (gens 0 and 1 exist,
+    // replaying 1 alone can't account for gen 0's data)
+    val mfBytes = listTree(dir).filter(_.startsWith("_manifest"))
+    Files.walk(dir.resolve("_manifest")).iterator().asScala.toSeq.reverse
+      .foreach(Files.delete)
+    val eLost = intercept[IllegalArgumentException](
+      append(docs.where(col("doc_id") % 2 === 1), 1L))
+    assert(eLost.getMessage.contains("neither _manifest nor"),
+      eLost.getMessage)
+    assert(mfBytes.nonEmpty) // the guard really ran against lost state
+  }
+
+  test("corpus export incremental: a crashed FIRST append self-heals on replay; non-latest replays must reproduce their shard count") {
+    import graft.sources.CorpusExport
+    val dir = Files.createTempDirectory("graft_gen0_crash")
+    val out = dir.toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text", "lang", "source")
+    def append(df: org.apache.spark.sql.DataFrame, gen: Long) =
+      CorpusExport.exportShardsIncremental(df, "doc_id",
+        contentCols = Seq("doc_id", "text"), outDir = out,
+        generation = gen, targetShardBytes = 64L * 1024)
+    // simulate a crash DURING the first append's data write: data for
+    // exactly this generation exists, no manifest, no staging — the
+    // replay must proceed (dynamic overwrite replaces its own
+    // partitions) instead of wedging the stream on every retry
+    val even = docs.where(col("doc_id") % 2 === 0)
+    append(even, 0L)
+    Files.walk(dir.resolve("_manifest")).iterator().asScala.toSeq.reverse
+      .foreach(Files.delete)
+    val m0 = append(even, 0L).collect() // the self-healing replay
+    assert(m0.nonEmpty && m0.forall(_.getLong(6) == 0L))
+    assert(m0.map(_.getLong(2)).sum == even.count())
+
+    // non-latest replay that changes the generation's SHARD COUNT
+    // (here: same data, 16× smaller roll target → more shards): the
+    // re-derived ids would collide with gen 1's — refused loudly
+    append(docs.where(col("doc_id") % 2 === 1), 1L)
+    val eCollide = intercept[IllegalArgumentException](
+      CorpusExport.exportShardsIncremental(even, "doc_id",
+        contentCols = Seq("doc_id", "text"), outDir = out,
+        generation = 0L, targetShardBytes = 4L * 1024))
+    assert(eCollide.getMessage.contains("NON-latest"), eCollide.getMessage)
+    // the same-data replay of gen 0 restores data ≡ manifest
+    val mRestore = append(even, 0L).collect()
+    assert(mRestore.map(_.getLong(2)).sum == docs.count())
   }
 
   test("WebDataset: truncated tar and duplicate/null keys fail loudly") {
