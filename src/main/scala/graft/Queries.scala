@@ -665,6 +665,28 @@ object Queries {
       m = PqFixture.m, ks = PqFixture.ks,
       lloydIters = PqFixture.lloydIters, trainCap = PqFixture.trainCap)
 
+  /** [[xIvfAdcTopK]] through BOTH versioned artifacts: coarse
+    * centroids via [[Similarity.ivfSave]]/[[Similarity.ivfLoad]],
+    * codebooks via pqSave/pqLoad — the mounted form of the
+    * billion-scale IVFADC layout, against the same dump-time oracle
+    * as the trained entry. */
+  def xIvfAdcTopKLoaded(s: SparkSession, d: String): DataFrame = {
+    val coarse = Similarity.ivfTrain(embeddings(s, d), "vec_id",
+      "embedding", IvfFixture.nCells, IvfFixture.lloydIters,
+      IvfFixture.trainCap)
+    val cbs = Similarity.pqTrain(embeddings(s, d), "vec_id", "embedding",
+      PqFixture.m, PqFixture.ks, PqFixture.lloydIters, PqFixture.trainCap)
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_ivfadc_index_${s.sparkContext.applicationId}"
+    Similarity.ivfSave(s, coarse, s"$path/coarse", version = 1L)
+    Similarity.pqSave(s, cbs, s"$path/pq", version = 1L)
+    val (coarseL, _) = Similarity.ivfLoad(s, s"$path/coarse")
+    val (cbsL, _) = Similarity.pqLoad(s, s"$path/pq")
+    Similarity.ivfadcTopKWith(embeddings(s, d), "vec_id", "embedding",
+      queryId = PqFixture.queryId, k = PqFixture.k, coarseL, cbsL,
+      nProbe = IvfFixture.nProbe)
+  }
+
   /** [[xPqTopK]] scored through the VERSIONED codebook artifact
     * ([[Similarity.pqSave]] → [[Similarity.pqLoad]]) — the
     * [[xIvfTopKLoaded]] contract for the PQ index. */

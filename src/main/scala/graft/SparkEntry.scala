@@ -997,6 +997,7 @@ object SparkEntry {
     "x_pq_topk" -> (Queries.xPqTopK _),
     "x_pq_topk_loaded" -> (Queries.xPqTopKLoaded _),
     "x_ivfadc_topk" -> (Queries.xIvfAdcTopK _),
+    "x_ivfadc_topk_loaded" -> (Queries.xIvfAdcTopKLoaded _),
     "x_shuffle" -> (Queries.xShuffle _),
     "x_lm_score" -> (Queries.xLmScore _),
     "x_dsir" -> (Queries.xDsir _),
@@ -2893,7 +2894,11 @@ object SparkEntry {
   } ++ semDedupOracles ++ pqOracleSql.toSeq.flatMap { case (k, sql) =>
     Seq(k -> sql, "x_pq_topk_loaded" -> sql)
   } ++
-    ivfadcOracleSql ++ bpeOracleSql ++ bpeDistOracleSql ++
+    ivfadcOracleSql.toSeq.flatMap { case (k, sql) =>
+      // the mounted-IVFADC entry trains the same structures through a
+      // save/load cycle — one dump-time SQL serves both
+      Seq(k -> sql, "x_ivfadc_topk_loaded" -> sql)
+    } ++ bpeOracleSql ++ bpeDistOracleSql ++
     bpeRoundtripOracleSql ++
     bpeFertilityOracleSql ++ unigramOracleSql ++
     unigramFertilityOracleSql ++ qualityLrOracleSql ++ pcaOracleSql

@@ -1028,11 +1028,26 @@ object Similarity {
   def ivfadcTopK(emb: DataFrame, idCol: String, vecCol: String,
                  queryId: Long, k: Int, nCells: Int = 16, nProbe: Int = 4,
                  m: Int = 4, ks: Int = 16, lloydIters: Int = 2,
-                 trainCap: Int = 4096): DataFrame = {
+                 trainCap: Int = 4096): DataFrame =
+    ivfadcTopKWith(emb, idCol, vecCol, queryId, k,
+      ivfTrain(emb, idCol, vecCol, nCells, lloydIters, trainCap),
+      pqTrain(emb, idCol, vecCol, m, ks, lloydIters, trainCap), nProbe)
+
+  /** [[ivfadcTopK]]'s apply half against ALREADY-TRAINED structures —
+    * the mounted form of the billion-scale layout: coarse centroids
+    * ([[ivfLoad]]) route, codebooks ([[pqLoad]]) score, Lloyd never
+    * re-runs per query batch. Output ≡ ivfadcTopK at equal structures. */
+  def ivfadcTopKWith(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int,
+                     coarse: Array[Array[Double]],
+                     cbs: Array[Array[Array[Double]]],
+                     nProbe: Int = 4): DataFrame = {
+    require(coarse.nonEmpty, "ivfadcTopKWith needs at least one centroid")
+    require(cbs.nonEmpty && cbs.forall(_.nonEmpty),
+      "ivfadcTopKWith needs non-empty codebooks")
+    val m = cbs.length
     val spark = emb.sparkSession
     import spark.implicits._
-    val coarse = ivfTrain(emb, idCol, vecCol, nCells, lloydIters, trainCap)
-    val cbs = pqTrain(emb, idCol, vecCol, m, ks, lloydIters, trainCap)
     val qVec = emb.where(col(idCol) === queryId)
       .select(toDouble(col(vecCol))).as[Array[Double]].head()
     val sub = qVec.length / m

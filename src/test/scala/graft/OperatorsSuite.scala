@@ -615,6 +615,15 @@ class OperatorsSuite extends AnyFunSuite {
     val eRagged = intercept[IllegalArgumentException](
       Similarity.pqLoad(spark, s"$dir/pq_ragged"))
     assert(eRagged.getMessage.contains("not dense"), eRagged.getMessage)
+
+    // IVFADC through BOTH loaded structures ≡ the trained composition
+    val adcFresh = Similarity.ivfadcTopKWith(emb, "vec_id", "embedding",
+      0L, 10, csBack, cbsBack, nProbe = 4).collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).toSeq
+    val adcTrained = Similarity.ivfadcTopK(emb, "vec_id", "embedding",
+      0L, 10, nCells = 8, nProbe = 4, m = 4, ks = 8).collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).toSeq
+    assert(adcFresh == adcTrained)
   }
 
   test("L4 fingerprint is order-sensitive (reordered tokens differ)") {
