@@ -1367,6 +1367,25 @@ object Queries {
     val vocabSize = 200; val maxPieceLen = 4; val emIters = 2
   }
 
+  /** The DISTRIBUTED unigram trainer's piece table (ord, piece,
+    * log_prob) — the no-driver-cap training path, the [[xBpeDistMerges]]
+    * convention for the unigram half: the oracle is the CAPPED trainer's
+    * model on the same corpus as dump-time literals, a genuine
+    * distributed-vs-local differential (identical exact counts feed the
+    * same driver-side probability folds, so even the doubles match
+    * bit-for-bit; both sides round to 6 dp for the compare). */
+  def xUnigramDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = Pipelines.unigramTrainModelDistributed(documents(s, d), "text",
+      vocabSize = UnigramFixture.vocabSize,
+      maxPieceLen = UnigramFixture.maxPieceLen,
+      emIters = UnigramFixture.emIters)
+    m.pieces.zipWithIndex
+      .map { case ((p, lp), i) => (i.toLong, p, lp) }
+      .toDF("ord", "piece", "log_prob")
+      .withColumn("log_prob", round(col("log_prob"), 6))
+  }
+
   /** Unigram-LM (SentencePiece-style) encode: a 200-piece model
     * hard-EM-trained on the corpus vocabulary, every doc Viterbi-
     * segmented to pieces + ids — the other half of production

@@ -415,6 +415,21 @@ object ScaleSmoke {
           .zipWithIndex.map { case ((a, b), i) => (i + 1L, a, b) }
           .toDF("rank", "left_sym", "right_sym")
       }),
+      // distributed unigram training over the growing corpus: one seed
+      // explode + emIters encode explodes, all vocabulary-keyed partial
+      // aggs; driver collects stay vocabSize-bounded while the
+      // replica's c<i> tag grows the vocabulary ∝ copies — time must
+      // track rows × rounds
+      ("x_unigram_dist_full", Seq("documents"),
+        (s: SparkSession, d: String) => {
+          import s.implicits._
+          graft.operators.Pipelines.unigramTrainModelDistributed(
+              Tables.documents(s, d), "text",
+              vocabSize = 200, maxPieceLen = 4, emIters = 2)
+            .pieces.zipWithIndex
+            .map { case ((p, lp), i) => (i.toLong, p, lp) }
+            .toDF("ord", "piece", "log_prob")
+        }),
       // two-phase quota on a deliberately UNKEYED mega-stratum (every
       // doc in one stratum): phase 1 shards it across 32 windows,
       // phase 2 sees ≤ 32·k rows — time must track rows where the

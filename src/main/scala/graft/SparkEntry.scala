@@ -686,6 +686,44 @@ object SparkEntry {
     "x_bpe_encode" -> wordEncodingReplaySql(bpeValuesLiteral())
   }.toOption
 
+  /** x_unigram_dist's dump-time oracle: the CAPPED trainer's model on
+    * the same corpus as VALUES literals — the [[bpeDistOracleSql]]
+    * convention for the unigram half. The entry runs the distributed
+    * trainer; identical exact counts through the same driver folds make
+    * even the log-probs bit-equal (both sides ROUND to 6 dp for the
+    * compare). Exactness needs the vocabulary under the local trainCap,
+    * asserted loudly (entry omitted → rows-only fallback past it). */
+  private def unigramDistOracleSql: Option[(String, String)] = scala.util.Try {
+    val spark = SparkSession.active
+    val sfDir = sys.props("graft.oracle.sfDir")
+    val docs = Tables.documents(spark, sfDir)
+    val cap = 1000000
+    val nVocab = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("__w"))
+      .where(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("__w")) >= 1)
+      .select("__w").distinct().count()
+    require(nVocab <= cap,
+      s"x_unigram_dist oracle: $nVocab distinct words exceeds the local " +
+        s"trainer's cap $cap — differential not exact, omitting")
+    val model = graft.operators.Pipelines.unigramTrainModel(
+      docs, "text", vocabSize = Queries.UnigramFixture.vocabSize,
+      maxPieceLen = Queries.UnigramFixture.maxPieceLen,
+      emIters = Queries.UnigramFixture.emIters)
+    require(model.pieces.nonEmpty,
+      "x_unigram_dist oracle: empty model (empty VALUES is invalid " +
+        "SQL), omitting")
+    val values = model.pieces.zipWithIndex.map { case ((p, lp), i) =>
+      s"($i, '${p.replace("'", "''")}', $lp)"
+    }.mkString(", ")
+    "x_unigram_dist" ->
+      (s"SELECT CAST(ord AS BIGINT) AS ord, piece, " +
+        s"ROUND(CAST(lp AS DOUBLE), 6) AS log_prob " +
+        s"FROM (VALUES $values) AS t(ord, piece, lp) ORDER BY ord")
+  }.toOption
+
   /** x_bpe_dist_merges' dump-time oracle: the LOCAL trainer
     * ([[graft.operators.Pipelines.bpeTrainModel]]) runs on the same
     * corpus and its merge sequence ships as VALUES literals — a true
@@ -1021,6 +1059,7 @@ object SparkEntry {
     "x_bpe_encode" -> (Queries.xBpeEncode _),
     "x_bpe_roundtrip" -> (Queries.xBpeRoundtrip _),
     "x_unigram_lm" -> (Queries.xUnigramLm _),
+    "x_unigram_dist" -> (Queries.xUnigramDist _),
     "x_unigram_fertility" -> (Queries.xUnigramFertility _),
     "x_quality_lr" -> (Queries.xQualityLr _),
     "x_cluster_split" -> (Queries.xClusterSplit _),
@@ -2900,6 +2939,6 @@ object SparkEntry {
       Seq(k -> sql, "x_ivfadc_topk_loaded" -> sql)
     } ++ bpeOracleSql ++ bpeDistOracleSql ++
     bpeRoundtripOracleSql ++
-    bpeFertilityOracleSql ++ unigramOracleSql ++
+    bpeFertilityOracleSql ++ unigramOracleSql ++ unigramDistOracleSql ++
     unigramFertilityOracleSql ++ qualityLrOracleSql ++ pcaOracleSql
 }

@@ -14,7 +14,9 @@ import graft.sources.CorpusExport
   *   exact dedup vs the ALREADY-LANDED corpus (bloom-pruned) →
   *   optional NEAR-dup drop vs the landed corpus (`nearDupTau`:
   *   MinHash-banded candidates, exact-Jaccard verified — paraphrased
-  *   crawl duplicates, not just byte-identical ones) →
+  *   crawl duplicates, not just byte-identical ones; the seen side's
+  *   bands persist per generation at `_bands/`, a rebuildable derived
+  *   cache, so a batch never re-pays the corpus-sized signature work) →
   *   land the survivors as export generation = batch id
   *   ([[CorpusExport.exportShardsIncremental]]).
   *
@@ -95,14 +97,35 @@ object CrawlIngestJob {
         // matched delta ids. Within-batch paraphrases are NOT deduped
         // here (only exact within-batch dups are): they land together
         // and the later batch's copies dedup against them once landed.
-        // Per-batch cost adds one band projection over the landed
-        // corpus; a 100 TB deployment persists the seen side's banded
-        // form and appends each batch's bands instead (the documented
-        // [[Dedup.incrementalNearDupPairs]] posture).
+        // The seen side's bands are PERSISTED per generation at
+        // _bands/ (the [[Dedup.writeBandKeys]] cache): each batch reads
+        // them instead of re-paying the corpus-sized minhash signature
+        // work every trigger. The cache is derived state — a
+        // generation whose bands are missing (crash between the data
+        // land and the band append) is rebuilt from its landed data
+        // here, so the stage can never silently skip a generation.
+        val bandsPath = s"$outDir/_bands"
         val novel = (nearDupTau, landedPrior) match {
           case (Some(tau), Some(seen)) =>
-            val dupIds = Dedup.incrementalNearDupPairs(
-                novelExact, seen, idCol, textCol, tau,
+            val landedGens = seen.select(col("gen").cast("long"))
+              .distinct().collect().map(_.getLong(0)).toSet
+            val bandGens =
+              if (fs.exists(new org.apache.hadoop.fs.Path(bandsPath)))
+                spark.read.parquet(bandsPath)
+                  .select(col("gen").cast("long")).distinct()
+                  .collect().map(_.getLong(0)).toSet
+              else Set.empty[Long]
+            (landedGens -- bandGens).toSeq.sorted.foreach { g =>
+              Dedup.writeBandKeys(
+                spark.read.parquet(outDir)
+                  .where(col("gen").cast("long") === g),
+                idCol, textCol, bandsPath, g,
+                numHashes = nearDupNumHashes, bands = nearDupBands)
+            }
+            val seenBands = spark.read.parquet(bandsPath)
+              .where(col("gen").cast("long") =!= batchId)
+            val dupIds = Dedup.incrementalNearDupPairsWithBands(
+                novelExact, idCol, textCol, seenBands, seen, tau,
                 numHashes = nearDupNumHashes, bands = nearDupBands)
               .select(col("delta_id").as(idCol)).distinct()
             novelExact.join(dupIds, Seq(idCol), "left_anti")
@@ -121,7 +144,15 @@ object CrawlIngestJob {
             CorpusExport.exportShardsIncremental(staged, idCol,
               contentCols, outDir, generation = batchId,
               targetShardBytes = targetShardBytes)
-            ()
+            // append this generation's bands AFTER its data commits: a
+            // crash between the two leaves a landed generation with no
+            // bands, which the next batch's rebuild heals from the data
+            // (never the other way round — bands for unlanded data
+            // would poison dedup with phantom seen docs)
+            if (nearDupTau.isDefined)
+              Dedup.writeBandKeys(staged, idCol, textCol, bandsPath,
+                batchId, numHashes = nearDupNumHashes,
+                bands = nearDupBands)
           }
         } finally Dedup.uncheckpoint(staged)
         ()

@@ -1154,15 +1154,7 @@ object Pipelines {
     }
     val seedMulti = seedCounts.iterator.filter(_._1.length > 1).toSeq
       .sortBy { case (p, c) => (-c, p) }.take(4 * vocabSize)
-    def toModel(counts: Seq[(String, Long)]): UnigramModel = {
-      val total = counts.iterator.map(_._2).sum.toDouble
-      val cs = counts.filter(_._1.length == 1).sortBy(_._1)
-      val ms = counts.filter(_._1.length > 1)
-        .sortBy { case (p, c) => (-c, p) }
-      UnigramModel((cs ++ ms).map { case (p, c) =>
-        p -> math.log(c / total) })
-    }
-    var model = toModel(
+    var model = unigramToModel(
       chars.map(c => c -> math.max(1L, seedCounts.getOrElse(c, 1L))) ++
         seedMulti)
     for (_ <- 1 to emIters) {
@@ -1170,18 +1162,143 @@ object Pipelines {
       for ((w, c) <- words; p <- unigramEncodeWord(w, model))
         counts(p) = counts.getOrElse(p, 0L) + c
       // chars always survive (coverage floor); dead multi-char drop
-      model = toModel(
+      model = unigramToModel(
         chars.map(c => c -> (counts.getOrElse(c, 0L) + 1L)) ++
           counts.iterator.filter(_._1.length > 1).toSeq)
     }
-    // final prune: every char, then the best multi-char pieces
-    val keepMulti = math.max(0, vocabSize - chars.length)
+    unigramPrune(model, vocabSize)
+  }
+
+  /** Counts → model: probabilities ∝ counts, id layout = sorted chars
+    * then multi-char pieces by (count desc, piece). Shared by the
+    * capped and distributed trainers so their folds cannot drift. */
+  private def unigramToModel(counts: Seq[(String, Long)]): UnigramModel = {
+    val total = counts.iterator.map(_._2).sum.toDouble
+    val cs = counts.filter(_._1.length == 1).sortBy(_._1)
+    val ms = counts.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }
+    UnigramModel((cs ++ ms).map { case (p, c) =>
+      p -> math.log(c / total) })
+  }
+
+  /** Final prune to `vocabSize`: every char (mandatory coverage), then
+    * the best multi-char pieces in model order; renormalize over the
+    * kept inventory. Shared by both trainers. */
+  private def unigramPrune(model: UnigramModel,
+                           vocabSize: Int): UnigramModel = {
+    val charsN = model.pieces.count(_._1.length == 1)
+    val keepMulti = math.max(0, vocabSize - charsN)
     val pruned = model.pieces.filter(_._1.length == 1) ++
       model.pieces.filter(_._1.length > 1).take(keepMulti)
     // re-normalize over the kept inventory (one more Viterbi count pass
     // would also work; a plain renorm keeps the artifact minimal)
     val mass = pruned.iterator.map { case (_, lp) => math.exp(lp) }.sum
     UnigramModel(pruned.map { case (p, lp) => p -> (lp - math.log(mass)) })
+  }
+
+  /** Lossless piece transport for the distributed unigram trainer:
+    * fixed-width (4 hex digits) encoding of each UTF-16 unit. The
+    * trainer's substring windows run over UTF-16 units (the
+    * [[unigramEncodeWord]] indexing), so a piece can be a LONE
+    * surrogate — which cannot survive a DataFrame round-trip (the
+    * executor's UTF8String mangles it to '?', collapsing distinct
+    * pieces). Hex strings also ORDER like their decoded strings
+    * (fixed-width lowercase hex compares numerically per unit; the
+    * shorter-prefix rule carries over), so TakeOrdered on the hex
+    * column reproduces the local trainer's (count desc, piece) order
+    * exactly. */
+  private def hexUnits(s: String): String =
+    s.map(u => f"${u.toInt}%04x").mkString
+  private def unhexUnits(h: String): String = {
+    val sb = new StringBuilder(h.length / 4)
+    var i = 0
+    while (i < h.length) {
+      sb.append(Integer.parseInt(h.substring(i, i + 4), 16).toChar)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Distributed unigram-LM trainer — [[unigramTrainModel]] with NO
+    * driver word cap: the distinct-word table stays a DataFrame; the
+    * substring seed pass and each hard-EM round are one exploded,
+    * map-side-combining count over it, and ONLY vocabulary-sized
+    * frames ever reach the driver (seed top-`4·vocabSize` via
+    * TakeOrdered, per-round Viterbi piece counts bounded by the model
+    * inventory — model pieces + OOV chars — never corpus-sized). All
+    * probability math runs driver-side through the same
+    * [[unigramToModel]]/[[unigramPrune]] folds as the capped trainer,
+    * over identical exact long counts, so the resulting model is
+    * BIT-equal to [[unigramTrainModel]] whenever the vocabulary fits
+    * under its trainCap (PipelinesSuite pins it, including an
+    * astral-character corpus — pieces travel as lossless fixed-width
+    * hex, see [[hexUnits]]). Past the cap this is the exact trainer:
+    * no word ever drops from the statistics.
+    *
+    * Scale shape: corpus-sized work = distinctWordCounts (once,
+    * localCheckpoint'd) + 1 seed pass + `emIters` encode passes, each
+    * a vocabulary-keyed explode + partial-agg groupBy. The per-round
+    * model broadcast is vocabulary-sized metadata. */
+  def unigramTrainModelDistributed(df: DataFrame, textCol: String,
+                                   vocabSize: Int, maxPieceLen: Int = 8,
+                                   emIters: Int = 3): UnigramModel = {
+    require(vocabSize >= 1, "unigramTrainModelDistributed needs vocabSize >= 1")
+    require(maxPieceLen >= 1 && emIters >= 1, "bad unigram params")
+    val spark = df.sparkSession
+    val words = distinctWordCounts(df, textCol).localCheckpoint()
+    try {
+      // seed substring counts, frequency-weighted — the local trainer's
+      // (w, len, start) triple loop as one explode + groupBy
+      val mpl = maxPieceLen
+      val seedUdf = udf { (w: String) =>
+        val out = Seq.newBuilder[String]
+        var len = 1
+        while (len <= math.min(mpl, w.length)) {
+          var st = 0
+          while (st <= w.length - len) {
+            out += hexUnits(w.substring(st, st + len)); st += 1
+          }
+          len += 1
+        }
+        out.result()
+      }
+      val seed = words
+        .select(col("__c"), explode(seedUdf(col("__w"))).as("__p"))
+        .groupBy("__p").agg(sum("__c").as("__n"))
+        .localCheckpoint()
+      // chars (hex length 4) are an inventory-sized collect; multi-char
+      // seeds TakeOrdered to 4·vocabSize by (count desc, piece) — hex
+      // order ≡ decoded-string order, so the cut matches the local fold
+      val seedChars = seed.where(length(col("__p")) === 4)
+        .collect().map(r => unhexUnits(r.getString(0)) -> r.getLong(1))
+        .toMap
+      val chars = seedChars.keys.toSeq.sorted
+      val seedMulti = seed.where(length(col("__p")) > 4)
+        .orderBy(col("__n").desc, col("__p")).limit(4 * vocabSize)
+        .collect().map(r => unhexUnits(r.getString(0)) -> r.getLong(1))
+        .toSeq
+      Dedup.uncheckpoint(seed)
+      var model = unigramToModel(
+        chars.map(c => c -> math.max(1L, seedChars.getOrElse(c, 1L))) ++
+          seedMulti)
+      for (_ <- 1 to emIters) {
+        val modelB = spark.sparkContext.broadcast(model)
+        val emUdf = udf { (w: String) =>
+          unigramEncodeWord(w, modelB.value).map(hexUnits)
+        }
+        // counted pieces ⊆ model inventory ∪ OOV chars — the collect is
+        // vocabulary-sized at any corpus size
+        val counts = words
+          .select(col("__c"), explode(emUdf(col("__w"))).as("__p"))
+          .groupBy("__p").agg(sum("__c").as("__n"))
+          .collect().map(r => unhexUnits(r.getString(0)) -> r.getLong(1))
+          .toMap
+        model = unigramToModel(
+          chars.map(c => c -> (counts.getOrElse(c, 0L) + 1L)) ++
+            counts.iterator.filter(_._1.length > 1).toSeq)
+      }
+      unigramPrune(model, vocabSize)
+    } finally Dedup.uncheckpoint(words)
   }
 
   /** Persist a [[UnigramModel]] through the same versioned-artifact

@@ -395,6 +395,39 @@ class OperatorsSuite extends AnyFunSuite {
       s"int8 recall ${(floatTop & int8Top).size}/10")
   }
 
+  test("L1i incremental near-dup vs PERSISTED bands ≡ live-banded form; generation replace is idempotent") {
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.where(col("doc_id").between(100, 119))
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(lit("re "), col("text")).as("text"))
+    val seenA = docs.where(col("doc_id") < 200).select("doc_id", "text")
+    val seenB = docs.where(col("doc_id") >= 200 && col("doc_id") < 400)
+      .select("doc_id", "text")
+    val seen = seenA.unionByName(seenB)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bands").toString
+    // two generation appends of the banded projection
+    Dedup.writeBandKeys(seenA, "doc_id", "text", path, 0L)
+    Dedup.writeBandKeys(seenB, "doc_id", "text", path, 1L)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val live = key(Dedup.incrementalNearDupPairs(
+      delta, seen, "doc_id", "text", tau = 0.8))
+    val persisted = key(Dedup.incrementalNearDupPairsWithBands(
+      delta, "doc_id", "text", spark.read.parquet(path), seen, tau = 0.8))
+    assert(persisted == live && live.nonEmpty)
+    // replaying a generation's bands replaces its partition (dynamic
+    // overwrite) — never duplicates candidates
+    Dedup.writeBandKeys(seenB, "doc_id", "text", path, 1L)
+    assert(key(Dedup.incrementalNearDupPairsWithBands(
+      delta, "doc_id", "text", spark.read.parquet(path), seen,
+      tau = 0.8)) == live)
+    // empty band table (no generations landed yet) → no pairs
+    val emptyBands = spark.read.parquet(path).where(lit(false))
+    assert(key(Dedup.incrementalNearDupPairsWithBands(
+      delta, "doc_id", "text", emptyBands, seen, tau = 0.8)).isEmpty)
+  }
+
   test("L1i incremental near-dup ≡ exact cross-corpus pairwise; no within-side pairs") {
     val docs = Tables.documents(spark, sfDir)
     val delta = docs.where(col("doc_id").between(100, 119))

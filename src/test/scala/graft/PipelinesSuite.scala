@@ -510,6 +510,43 @@ class PipelinesSuite extends AnyFunSuite {
       Vector(s"$g$g", r))
   }
 
+  test("distributed unigram trainer ≡ capped trainer: fixture, astral corpus, edge params") {
+    val docs = Tables.documents(spark, sfDir)
+    val local = Pipelines.unigramTrainModel(docs, "text",
+      vocabSize = Queries.UnigramFixture.vocabSize,
+      maxPieceLen = Queries.UnigramFixture.maxPieceLen,
+      emIters = Queries.UnigramFixture.emIters)
+    val dist = Pipelines.unigramTrainModelDistributed(docs, "text",
+      vocabSize = Queries.UnigramFixture.vocabSize,
+      maxPieceLen = Queries.UnigramFixture.maxPieceLen,
+      emIters = Queries.UnigramFixture.emIters)
+    // bit-equal including the log-probs: identical exact counts feed
+    // the same driver-side probability folds
+    assert(dist == local)
+
+    // astral corpus: the UTF-16 substring windows create LONE-surrogate
+    // pieces (each half of an emoji), which a raw string column would
+    // mangle to '?' in the distributed aggregation — the hex transport
+    // must keep them distinct and the models equal
+    val astral = Seq((1L, "😀😀 😀😀 🚀")).toDF("doc_id", "text")
+    val la = Pipelines.unigramTrainModel(astral, "text",
+      vocabSize = 8, maxPieceLen = 3, emIters = 2)
+    val da = Pipelines.unigramTrainModelDistributed(astral, "text",
+      vocabSize = 8, maxPieceLen = 3, emIters = 2)
+    assert(la.pieces.exists(p =>
+        p._1.length == 1 && Character.isSurrogate(p._1.charAt(0))),
+      "fixture must actually exercise the lone-surrogate hazard")
+    assert(da == la)
+
+    // edges: tiny corpus, single EM round; empty corpus → empty model
+    val single = Seq((1L, "a a b")).toDF("doc_id", "text")
+    assert(Pipelines.unigramTrainModelDistributed(single, "text", 4, 2, 1) ==
+      Pipelines.unigramTrainModel(single, "text", 4, 2, 1))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Pipelines.unigramTrainModelDistributed(empty, "text", 4, 2, 1)
+      .pieces.isEmpty)
+  }
+
   test("BPE artifact round-trip: save → fresh-session load → encode ≡ the training session") {
     val docs = Tables.documents(spark, sfDir)
     val path = java.nio.file.Files

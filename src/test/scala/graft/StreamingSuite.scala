@@ -946,12 +946,30 @@ class StreamingSuite extends AnyFunSuite {
     // 101 (above-tau paraphrase) dropped; 102 (below-tau) landed
     assert(first.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L, 102L), first)
     assert(first.filter(_._2 == 1L).map(_._1) == Seq(6L, 102L))
+    // the banded seen-state persisted per generation (the derived
+    // cache the stage reads instead of re-banding the corpus)
+    val bandGens = spark.read.parquet(s"$out/_bands")
+      .select(col("gen").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(bandGens == Set(0L, 1L), bandGens.toString)
     // full replay (fresh checkpoint): gen 1 must not dedup against its
     // own crashed write nor re-land the paraphrase — bit-stable
     run("ckpt_replay")
     assert(landed() == first)
     assert(spark.read.parquet(s"$out/_manifest")
       .agg(sum("rows")).head().getLong(0) == 7L)
+    // crash-heal: a lost band cache (e.g. a crash between a data land
+    // and its band append) rebuilds from the landed data — the replay
+    // must still drop the paraphrase, never silently skip a generation
+    val bandsDir = java.nio.file.Paths.get(s"$out/_bands")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(bandsDir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    run("ckpt_replay2")
+    assert(landed() == first)
+    assert(spark.read.parquet(s"$out/_bands")
+      .select(col("gen").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L))
   }
 
   test("WebDataset streaming readback: a trainer-side stream sees each landed generation's members exactly once") {
