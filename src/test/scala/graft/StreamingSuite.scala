@@ -1009,6 +1009,66 @@ class StreamingSuite extends AnyFunSuite {
     assert(all.sorted == wantKeys)
   }
 
+  test("TrainFeedJob: streamed generations tokenize + pack ≡ the batch operators per landed slice") {
+    import graft.operators.Pipelines
+    import graft.sources.WebDataset
+    val dir = Files.createTempDirectory("graft_feed").toString
+    val (corpus, tok, out, ckpt) =
+      (s"$dir/corpus", s"$dir/tok", s"$dir/feed", s"$dir/ckpt")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    // the mounted tokenizer: trained once upstream, versioned
+    val model = Pipelines.bpeTrainModel(docs, "text", numMerges = 20)
+    Pipelines.bpeSave(spark, model, tok, 1L)
+    def land(df: org.apache.spark.sql.DataFrame, gen: Long) =
+      WebDataset.exportWebDatasetIncremental(df, "doc_id",
+        contentCols = Seq("doc_id", "text"), outDir = corpus,
+        generation = gen, targetShardBytes = 64L * 1024)
+    // land-then-drain cadence with ONE checkpoint lineage (the trainer
+    // posture): each AvailableNow run consumes exactly the generations
+    // committed since the last, so batch scope ≡ landed slice. (A
+    // live trigger RACING an in-progress export may split one
+    // generation's progressively-committed tars across batches — each
+    // batch still packs correctly over its own slice, but slice
+    // boundaries then follow arrival, not generations.)
+    def drain(): Unit = {
+      val q = graft.jobs.TrainFeedJob.runStreaming(spark, corpus, tok,
+        outDir = out, checkpoint = ckpt, capacity = 64, shards = 4,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    land(even, 0L)
+    drain()
+    land(odd, 1L)
+    drain() // checkpoint resume: only gen 1 is new → batch 1
+    // per-batch feed rows ≡ the batch operators over that generation's
+    // decoded docs — tokenization, packing offsets/windows, and ids
+    def expected(df: org.apache.spark.sql.DataFrame) = {
+      val enc = Pipelines.bpeEncodeWith(
+        df.select(col("doc_id").cast("string").as("doc_id"),
+          col("text")), "doc_id", "text", model)
+      Pipelines.packSequences(
+          enc.select(col("doc_id"), col("n_tokens").as("nt")),
+          "doc_id", "nt", capacity = 64, shards = 4)
+        .join(enc.select(col("doc_id"), col("ids_str")), "doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getString(7))).toSet
+    }
+    val feed = spark.read.parquet(out)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("gstart"),
+        col("start_bin"), col("end_bin"), col("bin_offset"),
+        col("ids_str"), col("batch_id").cast("long"))
+    def got(b: Long) = feed.where(col("batch_id") === b).drop("batch_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7))).toSet
+    assert(got(0L) == expected(even) && got(0L).nonEmpty)
+    assert(got(1L) == expected(odd) && got(1L).nonEmpty)
+    assert(feed.select("batch_id").distinct().count() == 2)
+  }
+
   test("DriftMonitorJob: planted categorical shift and novel envelope field raise their alarm rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
