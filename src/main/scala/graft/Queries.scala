@@ -1380,10 +1380,15 @@ object Queries {
       vocabSize = UnigramFixture.vocabSize,
       maxPieceLen = UnigramFixture.maxPieceLen,
       emIters = UnigramFixture.emIters)
+    // pieces ship HEX-encoded (the trainer's own lossless transport):
+    // a raw piece column would mangle lone UTF-16 surrogates through
+    // UTF8String on astral corpora — the exact channel the trainer
+    // avoids internally; "+ 0.0" folds a -0.0 from rounding a
+    // near-zero log-prob (the house float contract)
     m.pieces.zipWithIndex
-      .map { case ((p, lp), i) => (i.toLong, p, lp) }
-      .toDF("ord", "piece", "log_prob")
-      .withColumn("log_prob", round(col("log_prob"), 6))
+      .map { case ((p, lp), i) => (i.toLong, Pipelines.hexUnits(p), lp) }
+      .toDF("ord", "piece_hex", "log_prob")
+      .withColumn("log_prob", round(col("log_prob"), 6) + 0.0)
   }
 
   /** Unigram-LM (SentencePiece-style) encode: a 200-piece model

@@ -715,13 +715,16 @@ object SparkEntry {
     require(model.pieces.nonEmpty,
       "x_unigram_dist oracle: empty model (empty VALUES is invalid " +
         "SQL), omitting")
+    // pieces as the trainer's own hex transport (lossless for lone
+    // surrogates on astral corpora; plain hex digits need no SQL
+    // escaping); "+ 0" folds -0.0 like the Spark side
     val values = model.pieces.zipWithIndex.map { case ((p, lp), i) =>
-      s"($i, '${p.replace("'", "''")}', $lp)"
+      s"($i, '${graft.operators.Pipelines.hexUnits(p)}', $lp)"
     }.mkString(", ")
     "x_unigram_dist" ->
-      (s"SELECT CAST(ord AS BIGINT) AS ord, piece, " +
-        s"ROUND(CAST(lp AS DOUBLE), 6) AS log_prob " +
-        s"FROM (VALUES $values) AS t(ord, piece, lp) ORDER BY ord")
+      (s"SELECT CAST(ord AS BIGINT) AS ord, piece_hex, " +
+        s"ROUND(CAST(lp AS DOUBLE), 6) + 0 AS log_prob " +
+        s"FROM (VALUES $values) AS t(ord, piece_hex, lp) ORDER BY ord")
   }.toOption
 
   /** x_bpe_dist_merges' dump-time oracle: the LOCAL trainer

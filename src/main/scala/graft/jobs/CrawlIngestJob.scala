@@ -15,8 +15,11 @@ import graft.sources.CorpusExport
   *   optional NEAR-dup drop vs the landed corpus (`nearDupTau`:
   *   MinHash-banded candidates, exact-Jaccard verified — paraphrased
   *   crawl duplicates, not just byte-identical ones; the seen side's
-  *   bands persist per generation at `_bands/`, a rebuildable derived
-  *   cache, so a batch never re-pays the corpus-sized signature work) →
+  *   bands persist per generation at `_bands_nh<numHashes>_b<bands>/`
+  *   — a rebuildable derived cache whose path carries the banding
+  *   parameters, so a batch never re-pays the corpus-sized signature
+  *   work and a re-parameterized job can never join against
+  *   stale-family keys) →
   *   land the survivors as export generation = batch id
   *   ([[CorpusExport.exportShardsIncremental]]).
   *
@@ -104,31 +107,49 @@ object CrawlIngestJob {
         // generation whose bands are missing (crash between the data
         // land and the band append) is rebuilt from its landed data
         // here, so the stage can never silently skip a generation.
-        val bandsPath = s"$outDir/_bands"
+        // the cache path carries the banding parameters: a config
+        // change (numHashes/bands) must NOT silently join fresh delta
+        // bands against stale-parameter cached keys (zero candidates →
+        // paraphrases land undetected) — a new parameterization gets a
+        // new path and rebuilds from the landed data by construction
+        val bandsPath =
+          s"$outDir/_bands_nh${nearDupNumHashes}_b$nearDupBands"
         val novel = (nearDupTau, landedPrior) match {
           case (Some(tau), Some(seen)) =>
             val landedGens = seen.select(col("gen").cast("long"))
               .distinct().collect().map(_.getLong(0)).toSet
-            val bandGens =
-              if (fs.exists(new org.apache.hadoop.fs.Path(bandsPath)))
-                spark.read.parquet(bandsPath)
-                  .select(col("gen").cast("long")).distinct()
-                  .collect().map(_.getLong(0)).toSet
-              else Set.empty[Long]
-            (landedGens -- bandGens).toSeq.sorted.foreach { g =>
-              Dedup.writeBandKeys(
-                spark.read.parquet(outDir)
-                  .where(col("gen").cast("long") === g),
-                idCol, textCol, bandsPath, g,
-                numHashes = nearDupNumHashes, bands = nearDupBands)
+            // NOTHING landed besides this batch's own (crashed) write:
+            // there is no seen corpus to compare against — skip, and
+            // never touch a band path that may not exist yet (the
+            // first-batch replay crash window)
+            if (landedGens.isEmpty) novelExact
+            else {
+              // committed-files probe, not a bare exists: a crash mid
+              // band write leaves _temporary with no data files, which
+              // a parquet read would refuse to infer a schema from —
+              // before the heal loop could ever run
+              val bandGens =
+                if (graft.sources.CorpusExport.listDataFiles(fs,
+                    new org.apache.hadoop.fs.Path(bandsPath)).nonEmpty)
+                  spark.read.parquet(bandsPath)
+                    .select(col("gen").cast("long")).distinct()
+                    .collect().map(_.getLong(0)).toSet
+                else Set.empty[Long]
+              (landedGens -- bandGens).toSeq.sorted.foreach { g =>
+                Dedup.writeBandKeys(
+                  spark.read.parquet(outDir)
+                    .where(col("gen").cast("long") === g),
+                  idCol, textCol, bandsPath, g,
+                  numHashes = nearDupNumHashes, bands = nearDupBands)
+              }
+              val seenBands = spark.read.parquet(bandsPath)
+                .where(col("gen").cast("long") =!= batchId)
+              val dupIds = Dedup.incrementalNearDupPairsWithBands(
+                  novelExact, idCol, textCol, seenBands, seen, tau,
+                  numHashes = nearDupNumHashes, bands = nearDupBands)
+                .select(col("delta_id").as(idCol)).distinct()
+              novelExact.join(dupIds, Seq(idCol), "left_anti")
             }
-            val seenBands = spark.read.parquet(bandsPath)
-              .where(col("gen").cast("long") =!= batchId)
-            val dupIds = Dedup.incrementalNearDupPairsWithBands(
-                novelExact, idCol, textCol, seenBands, seen, tau,
-                numHashes = nearDupNumHashes, bands = nearDupBands)
-              .select(col("delta_id").as(idCol)).distinct()
-            novelExact.join(dupIds, Seq(idCol), "left_anti")
           case _ => novelExact
         }
         // stage the (batch-sized) survivors once: the export's probe,

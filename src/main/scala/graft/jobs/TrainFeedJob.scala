@@ -78,16 +78,19 @@ object TrainFeedJob {
         val enc = Pipelines.bpeEncodeWith(docs, "doc_id", "text", model)
           .localCheckpoint()
         try {
-          val packed = Pipelines.packSequences(
-            enc.select(col("doc_id"), col("n_tokens").as("nt")),
-            "doc_id", "nt", capacity, shards)
-          val out = packed
-            .join(enc.select(col("doc_id"), col("ids_str")), "doc_id")
           // an empty batch lands nothing (its partition is simply
-          // absent) — a zero-row dynamic overwrite would be a no-op
-          // write job for nothing
-          if (out.limit(1).count() > 0) {
-            out.withColumn("batch_id", lit(batchId))
+          // absent). The probe reads the CHECKPOINTED enc, not the
+          // pack+join plan — every enc row carries ≥ 1 token (a word
+          // encodes to ≥ 1 symbol), so enc-nonempty ⟺ out-nonempty,
+          // and probing `out` would evaluate the window+join twice
+          // per trigger
+          if (enc.limit(1).count() > 0) {
+            val packed = Pipelines.packSequences(
+              enc.select(col("doc_id"), col("n_tokens").as("nt")),
+              "doc_id", "nt", capacity, shards)
+            packed
+              .join(enc.select(col("doc_id"), col("ids_str")), "doc_id")
+              .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id").parquet(outDir)

@@ -1207,9 +1207,9 @@ object Pipelines {
     * shorter-prefix rule carries over), so TakeOrdered on the hex
     * column reproduces the local trainer's (count desc, piece) order
     * exactly. */
-  private def hexUnits(s: String): String =
+  private[graft] def hexUnits(s: String): String =
     s.map(u => f"${u.toInt}%04x").mkString
-  private def unhexUnits(h: String): String = {
+  private[graft] def unhexUnits(h: String): String = {
     val sb = new StringBuilder(h.length / 4)
     var i = 0
     while (i < h.length) {
@@ -1269,15 +1269,18 @@ object Pipelines {
       // chars (hex length 4) are an inventory-sized collect; multi-char
       // seeds TakeOrdered to 4·vocabSize by (count desc, piece) — hex
       // order ≡ decoded-string order, so the cut matches the local fold
-      val seedChars = seed.where(length(col("__p")) === 4)
-        .collect().map(r => unhexUnits(r.getString(0)) -> r.getLong(1))
-        .toMap
+      val (seedChars, seedMulti) =
+        try {
+          (seed.where(length(col("__p")) === 4)
+            .collect().map(r => unhexUnits(r.getString(0)) -> r.getLong(1))
+            .toMap,
+            seed.where(length(col("__p")) > 4)
+              .orderBy(col("__n").desc, col("__p")).limit(4 * vocabSize)
+              .collect()
+              .map(r => unhexUnits(r.getString(0)) -> r.getLong(1))
+              .toSeq)
+        } finally Dedup.uncheckpoint(seed)
       val chars = seedChars.keys.toSeq.sorted
-      val seedMulti = seed.where(length(col("__p")) > 4)
-        .orderBy(col("__n").desc, col("__p")).limit(4 * vocabSize)
-        .collect().map(r => unhexUnits(r.getString(0)) -> r.getLong(1))
-        .toSeq
-      Dedup.uncheckpoint(seed)
       var model = unigramToModel(
         chars.map(c => c -> math.max(1L, seedChars.getOrElse(c, 1L))) ++
           seedMulti)

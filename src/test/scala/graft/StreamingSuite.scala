@@ -948,7 +948,7 @@ class StreamingSuite extends AnyFunSuite {
     assert(first.filter(_._2 == 1L).map(_._1) == Seq(6L, 102L))
     // the banded seen-state persisted per generation (the derived
     // cache the stage reads instead of re-banding the corpus)
-    val bandGens = spark.read.parquet(s"$out/_bands")
+    val bandGens = spark.read.parquet(s"$out/_bands_nh64_b32")
       .select(col("gen").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet
     assert(bandGens == Set(0L, 1L), bandGens.toString)
@@ -961,13 +961,13 @@ class StreamingSuite extends AnyFunSuite {
     // crash-heal: a lost band cache (e.g. a crash between a data land
     // and its band append) rebuilds from the landed data — the replay
     // must still drop the paraphrase, never silently skip a generation
-    val bandsDir = java.nio.file.Paths.get(s"$out/_bands")
+    val bandsDir = java.nio.file.Paths.get(s"$out/_bands_nh64_b32")
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(bandsDir).iterator().asScala.toSeq.reverse
       .foreach(java.nio.file.Files.delete)
     run("ckpt_replay2")
     assert(landed() == first)
-    assert(spark.read.parquet(s"$out/_bands")
+    assert(spark.read.parquet(s"$out/_bands_nh64_b32")
       .select(col("gen").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet == Set(0L, 1L))
   }
@@ -1007,6 +1007,42 @@ class StreamingSuite extends AnyFunSuite {
     val wantKeys = docs.collect().map(_.getLong(0))
       .flatMap(id => Seq(s"$id.doc_id", s"$id.text")).sorted.toSeq
     assert(all.sorted == wantKeys)
+  }
+
+  test("CrawlIngestJob: first-batch crash replay (own generation landed, no band cache) does not wedge") {
+    val dir = Files.createTempDirectory("graft_crawl_fb").toString
+    val (src, out) = (s"$dir/src", s"$dir/out")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def text(i: Long) = s"the document number $i talks and about " +
+      s"topic$i subject$i theme$i detail$i widget$i gadget$i notion$i"
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      (1L to 3L).map(i =>
+        s"""{"doc_id":$i,"text":"${text(i)}"}""").mkString("\n").getBytes)
+    def run(ckpt: String) = {
+      val q = graft.jobs.CrawlIngestJob.runStreaming(
+        spark.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1).json(s"$src/*"),
+        "doc_id", "text", contentCols = Seq("doc_id", "text"),
+        outDir = out, checkpoint = s"$dir/$ckpt", minWords = 5,
+        trigger = Trigger.AvailableNow(), nearDupTau = Some(0.7))
+      q.awaitTermination()
+    }
+    run("ckpt")
+    // simulate the crash window: batch 0's data landed, the band cache
+    // never written, the checkpoint lost — the replay sees its OWN
+    // generation as the only landed data and must neither wedge on the
+    // missing band path nor dedup itself to nothing
+    val bandsDir = java.nio.file.Paths.get(s"$out/_bands_nh64_b32")
+    Files.walk(bandsDir).iterator().asScala.toSeq.reverse
+      .foreach(Files.delete)
+    run("ckpt_replay")
+    val landed = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(landed == Seq(1L, 2L, 3L), landed.toString)
+    // the band cache is re-established by the replayed batch's append
+    assert(spark.read.parquet(s"$out/_bands_nh64_b32")
+      .select(col("gen").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
 
   test("TrainFeedJob: streamed generations tokenize + pack ≡ the batch operators per landed slice") {
