@@ -12,9 +12,11 @@ import graft.sources.WebDataset
   * generation tars ([[WebDataset.readWebDatasetStream]]):
   *
   *   decode the newly landed shards' `textMember` members →
-  *   tokenize with a MOUNTED versioned tokenizer artifact
-  *   ([[Pipelines.bpeLoad]] + [[Pipelines.bpeEncodeWith]] — trained
-  *   once upstream, never retrained by the feed) →
+  *   tokenize with a MOUNTED versioned tokenizer artifact (either
+  *   family: `tokenizer = "bpe"` → [[Pipelines.bpeLoad]] +
+  *   [[Pipelines.bpeEncodeWith]], `"unigram"` →
+  *   [[Pipelines.unigramLoad]] + [[Pipelines.unigramEncodeWith]] —
+  *   trained once upstream, never retrained by the feed) →
   *   pack into fixed-`capacity` context windows
   *   ([[Pipelines.packSequences]]) →
   *   land one feed partition per micro-batch.
@@ -54,6 +56,7 @@ object TrainFeedJob {
                    checkpoint: String,
                    textMember: String = "text",
                    capacity: Int = 2048, shards: Int = 32,
+                   tokenizer: String = "bpe",
                    tokenizerVersion: Option[Long] = None,
                    trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
       : StreamingQuery = {
@@ -61,8 +64,21 @@ object TrainFeedJob {
     require(shards >= 1, "TrainFeedJob needs shards >= 1")
     require(!textMember.contains("."),
       s"textMember must be a dot-free member suffix, got '$textMember'")
-    val (model, _) = Pipelines.bpeLoad(spark, tokenizerPath,
-      tokenizerVersion)
+    // both tokenizer families mount through their versioned-artifact
+    // seams and share the encode output schema — the feed is
+    // tokenizer-agnostic past this point
+    val encode: DataFrame => DataFrame = tokenizer match {
+      case "bpe" =>
+        val (model, _) = Pipelines.bpeLoad(spark, tokenizerPath,
+          tokenizerVersion)
+        df => Pipelines.bpeEncodeWith(df, "doc_id", "text", model)
+      case "unigram" =>
+        val (model, _) = Pipelines.unigramLoad(spark, tokenizerPath,
+          tokenizerVersion)
+        df => Pipelines.unigramEncodeWith(df, "doc_id", "text", model)
+      case other => throw new IllegalArgumentException(
+        s"TrainFeedJob: unknown tokenizer '$other' (expected bpe | unigram)")
+    }
     val suffixLen = textMember.length + 1
     WebDataset.readWebDatasetStream(spark, corpusDir)
       .writeStream
@@ -75,8 +91,7 @@ object TrainFeedJob {
             expr(s"substring(member, 1, length(member) - $suffixLen)")
               .as("doc_id"),
             col("content").cast("string").as("text"))
-        val enc = Pipelines.bpeEncodeWith(docs, "doc_id", "text", model)
-          .localCheckpoint()
+        val enc = encode(docs).localCheckpoint()
         try {
           // an empty batch lands nothing (its partition is simply
           // absent). The probe reads the CHECKPOINTED enc, not the

@@ -1103,6 +1103,43 @@ class StreamingSuite extends AnyFunSuite {
     assert(got(0L) == expected(even) && got(0L).nonEmpty)
     assert(got(1L) == expected(odd) && got(1L).nonEmpty)
     assert(feed.select("batch_id").distinct().count() == 2)
+
+    // the unigram family through the same feed — and through the
+    // DISTRIBUTED trainer + artifact seam (train → save → mount):
+    // a fresh checkpoint sees both landed generations as one batch,
+    // so the pack scope is the whole corpus
+    val um = Pipelines.unigramTrainModelDistributed(docs, "text",
+      vocabSize = 60, maxPieceLen = 4, emIters = 2)
+    Pipelines.unigramSave(spark, um, s"$dir/utok", 1L)
+    val q2 = graft.jobs.TrainFeedJob.runStreaming(spark, corpus,
+      s"$dir/utok", outDir = s"$dir/ufeed", checkpoint = s"$dir/uckpt",
+      capacity = 64, shards = 4, tokenizer = "unigram",
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    val encU = Pipelines.unigramEncodeWith(
+      docs.select(col("doc_id").cast("string").as("doc_id"),
+        col("text")), "doc_id", "text", um)
+    val wantU = Pipelines.packSequences(
+        encU.select(col("doc_id"), col("n_tokens").as("nt")),
+        "doc_id", "nt", capacity = 64, shards = 4)
+      .join(encU.select(col("doc_id"), col("ids_str")), "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7))).toSet
+    val gotU = spark.read.parquet(s"$dir/ufeed")
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("gstart"),
+        col("start_bin"), col("end_bin"), col("bin_offset"), col("ids_str"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7))).toSet
+    assert(gotU == wantU && gotU.nonEmpty)
+
+    // an unknown tokenizer family refuses loudly, before starting
+    val eTok = intercept[IllegalArgumentException](
+      graft.jobs.TrainFeedJob.runStreaming(spark, corpus, tok,
+        outDir = s"$dir/x", checkpoint = s"$dir/xc",
+        tokenizer = "word2vec"))
+    assert(eTok.getMessage.contains("unknown tokenizer"), eTok.getMessage)
   }
 
   test("DriftMonitorJob: planted categorical shift and novel envelope field raise their alarm rows") {
