@@ -114,6 +114,14 @@ object CrawlIngestJob {
         // new path and rebuilds from the landed data by construction
         val bandsPath =
           s"$outDir/_bands_nh${nearDupNumHashes}_b$nearDupBands"
+        // when the near-dup stage runs, novelExact feeds BOTH the delta
+        // band-keying inside the candidate join AND the left-anti that
+        // drops the matches — un-staged, the quality gate + seen-bloom
+        // pipeline above would evaluate twice inside the single staged
+        // action below. Checkpointed lazily (only when the stage
+        // actually engages) and dropped as soon as `staged` holds the
+        // survivors' blocks.
+        var nearDupBase: Option[DataFrame] = None
         val novel = (nearDupTau, landedPrior) match {
           case (Some(tau), Some(seen)) =>
             val landedGens = seen.select(col("gen").cast("long"))
@@ -142,13 +150,15 @@ object CrawlIngestJob {
                   idCol, textCol, bandsPath, g,
                   numHashes = nearDupNumHashes, bands = nearDupBands)
               }
+              val base = novelExact.localCheckpoint()
+              nearDupBase = Some(base)
               val seenBands = spark.read.parquet(bandsPath)
                 .where(col("gen").cast("long") =!= batchId)
               val dupIds = Dedup.incrementalNearDupPairsWithBands(
-                  novelExact, idCol, textCol, seenBands, seen, tau,
+                  base, idCol, textCol, seenBands, seen, tau,
                   numHashes = nearDupNumHashes, bands = nearDupBands)
                 .select(col("delta_id").as(idCol)).distinct()
-              novelExact.join(dupIds, Seq(idCol), "left_anti")
+              base.join(dupIds, Seq(idCol), "left_anti")
             }
           case _ => novelExact
         }
@@ -159,7 +169,12 @@ object CrawlIngestJob {
         // explicitly dropped after the batch — a stream on a 10 s
         // trigger would otherwise pin one batch of survivors in
         // block-manager storage PER TRIGGER for the job's lifetime
-        val staged = novel.localCheckpoint()
+        val staged =
+          // localCheckpoint is eager: once `staged` exists, the
+          // near-dup base's blocks have served their purpose — drop
+          // them even when the checkpoint itself throws
+          try novel.localCheckpoint()
+          finally nearDupBase.foreach(Dedup.uncheckpoint)
         try {
           if (staged.limit(1).count() > 0) {
             CorpusExport.exportShardsIncremental(staged, idCol,

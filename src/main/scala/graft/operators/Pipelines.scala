@@ -581,8 +581,9 @@ object Pipelines {
     * closure of [[bpeMergeCandidates]]: starting from characters,
     * repeatedly count adjacent symbol pairs over the (word, freq)
     * vocabulary — pair occurrences weighted by word frequency — and
-    * merge the argmax (ties break to the lexicographically smallest
-    * (a, b)), emitting the merge list in creation order. Pure local
+    * merge the argmax (ties break to the smallest (a, b) in CODE-POINT
+    * order — the UTF8String order the distributed trainer's argmax
+    * compares by), emitting the merge list in creation order. Pure local
     * Scala over a vocabulary-sized table: the caller collects the
     * distinct-word counts (capped — see [[bpeEncode]]), never the
     * token stream. Deterministic: same vocabulary → same merges on
@@ -605,6 +606,30 @@ object Pipelines {
     out.result()
   }
 
+  /** CODE-POINT string order — the order Spark's UTF8String (UTF-8
+    * binary) and DuckDB's default collation compare by. Java's
+    * `String.compareTo` orders by UTF-16 unit instead, which disagrees
+    * exactly when a symbol in [U+E000, U+FFFF] meets an astral symbol
+    * (surrogate units 0xD800-0xDFFF sort below 0xE000 but encode code
+    * points ≥ 0x10000): under UTF-16 order the emoji sorts FIRST, under
+    * code-point order LAST. The local BPE trainer's tie-break must use
+    * this order — the distributed trainer's argmax
+    * (`orderBy(cnt.desc, a, b)`) compares UTF8Strings and can't use any
+    * other — or the two pick different merges on such a count tie. */
+  private[graft] def codePointCompare(x: String, y: String): Int = {
+    val nx = x.length; val ny = y.length
+    var i = 0
+    while (i < nx && i < ny) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(i)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+    }
+    Integer.compare(nx - i, ny - i)
+  }
+
+  private[graft] val codePointOrdering: Ordering[String] =
+    (x: String, y: String) => codePointCompare(x, y)
+
   def bpeTrainMerges(words: Seq[(String, Long)],
                      numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 0, "bpeTrainMerges needs numMerges >= 0")
@@ -619,8 +644,14 @@ object Pipelines {
         counts(s(j) -> s(j + 1)) = counts.getOrElse(s(j) -> s(j + 1), 0L) + c
       if (counts.isEmpty) done = true
       else {
+        // tie-break in CODE-POINT order, not String.compareTo's UTF-16
+        // unit order — the distributed trainer's argmax compares
+        // UTF8Strings, and the two orders disagree on [U+E000,U+FFFF]
+        // vs astral symbols (see codePointCompare)
         val (a, b) = counts.toSeq
-          .minBy { case ((x, y), c) => (-c, x, y) }._1
+          .minBy { case ((x, y), c) => (-c, x, y) }(
+            Ordering.Tuple3(Ordering.Long, codePointOrdering,
+              codePointOrdering))._1
         merges += (a -> b)
         syms = syms.map { case (s, c) => mergePair(s, a, b) -> c }
         i += 1

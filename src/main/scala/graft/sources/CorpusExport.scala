@@ -79,8 +79,11 @@ object CorpusExport {
     // 100 TB corpus in executor storage to save re-deriving an md5
     // nibble would be the real scale bug.
     val labeled = Pipelines.splitByMd5Prefix(df, idCol, cuts)
+    // probe dir is applicationId-keyed: two concurrent exports sharing
+    // an outDir would otherwise clobber each other's probe data and
+    // skew or fail the sizing (readers never see it — underscore name)
     val bytesPerRow = estimateBytesPerRow(labeled, sampleRows, format,
-      s"$outDir/_probe", codec)
+      s"$outDir/_probe_${spark.sparkContext.applicationId}", codec)
     val rowsPerShard = math.max(1L, (targetShardBytes / bytesPerRow).toLong)
     val splitCounts = labeled.groupBy("split").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -195,7 +198,7 @@ object CorpusExport {
     val labeled = Pipelines.splitByMd5Prefix(delta, idCol, cuts)
       .withColumn("gen", lit(generation))
     val bytesPerRow = estimateBytesPerRow(labeled, sampleRows, format,
-      s"$outDir/_probe", codec)
+      s"$outDir/_probe_${spark.sparkContext.applicationId}", codec)
     val rowsPerShard = math.max(1L, (targetShardBytes / bytesPerRow).toLong)
     val splitCounts = labeled.groupBy("split").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -206,15 +209,67 @@ object CorpusExport {
       when(col("split") === s, lit(k)).otherwise(els)
     }
     val totalShards = math.max(1L, shardsPerSplit.values.sum).toInt
-    val writer = labeled
+    val routed = labeled
       .withColumn("__shard", pmod(xxhash64(col(idCol)), kExpr))
       .repartition(totalShards, col("split"), col("__shard"))
       .drop("__shard")
-      .write.format(format).mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("split", "gen")
-      .option("maxRecordsPerFile", rowsPerShard)
-    codec.fold(writer)(c => writer.option("compression", c)).save(outDir)
+    if (allGens.exists(_ > generation)) {
+      // Replaying a generation BELOW already-landed ones: its re-derived
+      // shard ids must not collide with, or gap against, later
+      // generations' — so its shard COUNT must reproduce the manifest's,
+      // and that must be known BEFORE the generation's live partitions
+      // are touched (a post-write refusal would leave data ≠ manifest
+      // and demand a manual same-data re-run to restore consistency).
+      // The file count is not derivable up front (reducer collisions
+      // shift maxRecordsPerFile roll boundaries), so the write STAGES
+      // under an app-keyed underscore dir, the count checks against the
+      // untouched manifest, and only a match swaps the partition dirs
+      // in. On refusal the corpus dir is untouched; a crash mid-swap
+      // self-heals on the same-append replay (the manifest still holds,
+      // so the count re-passes and the swap re-runs over every split).
+      val staging =
+        s"$outDir/_gen_staging_${spark.sparkContext.applicationId}"
+      val stagingP = new org.apache.hadoop.fs.Path(staging)
+      try {
+        val w = routed.write.format(format).mode("overwrite")
+          .partitionBy("split", "gen")
+          .option("maxRecordsPerFile", rowsPerShard)
+        codec.fold(w)(c => w.option("compression", c)).save(staging)
+        val newN = listDataFiles(fs, stagingP).size.toLong
+        val oldN = allPrior.get.where(col("gen") === generation).count()
+        require(newN == oldN,
+          s"exportShardsIncremental: replaying NON-latest generation " +
+            s"$generation produced $newN shards where the manifest holds " +
+            s"$oldN — the re-derived shard ids would collide with or gap " +
+            "against later generations'; only a same-data (same shard " +
+            "count) replay of a non-latest generation is legal. The " +
+            "corpus dir is UNTOUCHED (the mismatch was caught at the " +
+            "staging step, before any live partition was replaced)")
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"$outDir/split=*/gen=$generation")))
+          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+          .foreach(st => fs.delete(st.getPath, true))
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"$staging/split=*/gen=$generation")))
+          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+          .foreach { st =>
+            val dest = new org.apache.hadoop.fs.Path(new org.apache.hadoop
+              .fs.Path(outDir, st.getPath.getParent.getName),
+              st.getPath.getName)
+            fs.mkdirs(dest.getParent)
+            require(fs.rename(st.getPath, dest),
+              s"exportShardsIncremental: swap rename ${st.getPath} -> " +
+                s"$dest failed")
+          }
+      } finally { fs.delete(stagingP, true); () }
+    } else {
+      val writer = routed
+        .write.format(format).mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("split", "gen")
+        .option("maxRecordsPerFile", rowsPerShard)
+      codec.fold(writer)(c => writer.option("compression", c)).save(outDir)
+    }
     // manifest rows for THIS generation only, from its committed files
     val genManifest = buildManifest(
       spark.read.format(format).schema(labeled.schema).load(outDir)
@@ -232,24 +287,8 @@ object CorpusExport {
     val fresh = genManifest.withColumn("shard_id",
       lit(maxId) + row_number().over(org.apache.spark.sql.expressions
         .Window.orderBy(col("split"), col("shard_path"))).cast("long"))
-    // a NON-latest generation's replay re-derives its ids from the
-    // generations below it — legal only when it reproduces the same
-    // shard COUNT (a same-data replay does, deterministically): a
-    // different count would make the re-derived ids collide with, or
-    // gap against, later generations' ids under a mounted trainer
-    if (allGens.exists(_ > generation)) {
-      val oldN = allPrior.get.where(col("gen") === generation).count()
-      val newN = genManifest.count()
-      require(newN == oldN,
-        s"exportShardsIncremental: replaying NON-latest generation " +
-          s"$generation produced $newN shards where the manifest holds " +
-          s"$oldN — the re-derived shard ids would collide with or gap " +
-          "against later generations'; only a same-data (same shard " +
-          "count) replay of a non-latest generation is legal. NOTE: " +
-          "this generation's data partitions were already replaced by " +
-          "this run — re-run the ORIGINAL (same-data) append to " +
-          "restore data ≡ manifest consistency")
-    }
+    // (the NON-latest-replay shard-count guard ran pre-swap above, on
+    // the staged files, so a refusal leaves data ≡ manifest)
     // atomic-ish manifest commit: the union lands complete at a staging
     // path first, then swaps in via delete + rename — an in-place
     // overwrite would truncate _manifest before rewriting it, and a

@@ -46,7 +46,7 @@ object OrcTableSink {
                             targetFileBytes: Long = 256L * 1024 * 1024,
                             sampleRows: Int = 10000): Long = {
     require(targetFileBytes > 0 && sampleRows > 0)
-    val bytesPerRow = estimateOrcBytesPerRow(df, sampleRows)
+    val bytesPerRow = estimateOrcBytesPerRow(df, sampleRows, s"$warehouse/$table")
     val maxRecords = math.max(1L, (targetFileBytes / bytesPerRow).toLong)
     writeBatch(df, warehouse, table, partitionCol, maxRecords)
     maxRecords
@@ -54,25 +54,20 @@ object OrcTableSink {
 
   /** Encoded-ORC bytes per row, measured from a `sampleRows`-row probe
     * file (one small extra job; only runs when a byte target is asked
-    * for). */
-  private[graft] def estimateOrcBytesPerRow(df: DataFrame, sampleRows: Int): Double = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_size_probe").toFile
-    try {
-      df.limit(sampleRows).coalesce(1)
-        .write.mode("overwrite").format("orc").save(tmp.getAbsolutePath)
-      val files = Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("part-"))
-      val bytes = files.map(_.length).sum
-      // row count from the ORC footer — no second scan of the input
-      val rows = df.sparkSession.read.orc(tmp.getAbsolutePath).count()
-      bytes.toDouble / math.max(rows, 1L)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(tmp)
-    }
+    * for). The probe lands under `destDir` in an underscore-named,
+    * applicationId-keyed subdir so it (a) shares the destination's
+    * FILESYSTEM — a driver-local `java.io` temp dir would be written
+    * remotely when `fs.defaultFS` is hdfs://|s3a:// and read back as 0
+    * bytes, collapsing bytesPerRow to ~0 and maxRecords to unbounded —
+    * (b) is invisible to readers (underscore prefix), and (c) is
+    * disjoint across concurrent writers sharing a warehouse. Listing
+    * and cleanup go through the destination's Hadoop FileSystem, never
+    * `java.io.File`. */
+  private[graft] def estimateOrcBytesPerRow(df: DataFrame, sampleRows: Int,
+                                            destDir: String): Double = {
+    val appId = df.sparkSession.sparkContext.applicationId
+    CorpusExport.estimateBytesPerRow(df, sampleRows, "orc",
+      s"$destDir/_size_probe_$appId")
   }
 
   /** S12: register the warehouse directory as a catalog table (the

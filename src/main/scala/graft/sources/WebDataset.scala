@@ -154,14 +154,60 @@ object WebDataset {
         s"NEW generation below already-landed ones at $outDir — " +
         "appending out of order would re-number history under a " +
         "mounted trainer")
-    // replay idempotency: this generation's own dirs are replaced
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$outDir/split=*/gen=$generation")))
-      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
-      .foreach(st => fs.delete(st.getPath, true))
     val labeled = Pipelines.splitByMd5Prefix(delta, idCol, cuts)
-    val binaryCols = writeTarShards(labeled, idCol, contentCols, outDir,
-      targetShardBytes, gen = Some(generation))
+    val binaryCols = if (allGens.exists(_ > generation)) {
+      // NON-latest replay: the shard count must reproduce the
+      // manifest's BEFORE the live partitions are touched (the
+      // exportShardsIncremental staged-swap contract) — stage the tars
+      // under an app-keyed underscore dir, count, and only a match
+      // swaps the gen dirs in; on refusal the corpus dir is untouched
+      val staging =
+        s"$outDir/_gen_staging_${spark.sparkContext.applicationId}"
+      val stagingP = new org.apache.hadoop.fs.Path(staging)
+      try {
+        val bc = writeTarShards(labeled, idCol, contentCols, staging,
+          targetShardBytes, gen = Some(generation))
+        val newN = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"$staging/split=*/gen=$generation/shard-*.tar")))
+          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+          .length.toLong
+        val oldN = allPrior.get.where(col("gen") === generation).count()
+        require(newN == oldN,
+          s"exportWebDatasetIncremental: replaying NON-latest " +
+            s"generation $generation produced $newN shards where the " +
+            s"manifest holds $oldN — the re-derived shard ids would " +
+            "collide with or gap against later generations'; only a " +
+            "same-data (same shard count) replay of a non-latest " +
+            "generation is legal. The corpus dir is UNTOUCHED (the " +
+            "mismatch was caught at the staging step, before any live " +
+            "partition was replaced)")
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"$outDir/split=*/gen=$generation")))
+          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+          .foreach(st => fs.delete(st.getPath, true))
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"$staging/split=*/gen=$generation")))
+          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+          .foreach { st =>
+            val dest = new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(outDir,
+                st.getPath.getParent.getName), st.getPath.getName)
+            fs.mkdirs(dest.getParent)
+            require(fs.rename(st.getPath, dest),
+              s"exportWebDatasetIncremental: swap rename ${st.getPath} " +
+                s"-> $dest failed")
+          }
+        bc
+      } finally { fs.delete(stagingP, true); () }
+    } else {
+      // replay idempotency: this generation's own dirs are replaced
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$outDir/split=*/gen=$generation")))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+        .foreach(st => fs.delete(st.getPath, true))
+      writeTarShards(labeled, idCol, contentCols, outDir,
+        targetShardBytes, gen = Some(generation))
+    }
     val genGlob = s"split=*/gen=$generation/shard-*.tar"
     val hasShards = fs.exists(rootPath) && Option(
       fs.globStatus(new org.apache.hadoop.fs.Path(rootPath, genGlob)))
@@ -181,22 +227,8 @@ object WebDataset {
     val fresh = genManifest.withColumn("shard_id",
       lit(maxId) + row_number().over(org.apache.spark.sql.expressions
         .Window.orderBy(col("split"), col("shard_path"))).cast("long"))
-    // non-latest replay id-collision guard (the exportShardsIncremental
-    // contract): a replay below landed generations must reproduce its
-    // shard count, or its re-derived ids would collide with later gens'
-    if (allGens.exists(_ > generation)) {
-      val oldN = allPrior.get.where(col("gen") === generation).count()
-      val newN = genManifest.count()
-      require(newN == oldN,
-        s"exportWebDatasetIncremental: replaying NON-latest generation " +
-          s"$generation produced $newN shards where the manifest holds " +
-          s"$oldN — the re-derived shard ids would collide with or gap " +
-          "against later generations'; only a same-data (same shard " +
-          "count) replay of a non-latest generation is legal. NOTE: " +
-          "this generation's data partitions were already replaced by " +
-          "this run — re-run the ORIGINAL (same-data) append to " +
-          "restore data ≡ manifest consistency")
-    }
+    // (the NON-latest-replay shard-count guard ran pre-swap above, on
+    // the staged tars, so a refusal leaves data ≡ manifest)
     // atomic staging commit (the exportShardsIncremental contract)
     val stagingPath =
       new org.apache.hadoop.fs.Path(s"$outDir/_manifest_staging")
@@ -367,19 +399,31 @@ object WebDataset {
     def close(): Unit = cur.foreach { case (_, _, os, tmp, fin) =>
       os.write(new Array[Byte](1024)) // two zero end-of-archive blocks
       os.close()
-      if (fs.exists(fin)) fs.delete(fin, false)
-      require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
-      // best-effort sweep of LOSER attempts' staging files: our own tmp
-      // was just renamed away, so any remaining .inprogress-* for this
-      // shard is a killed speculative/retried attempt's leftover — the
-      // attempt-unique names that prevent mid-write truncation would
-      // otherwise accumulate in long-lived incremental dirs. A loser
-      // still writing may recreate its file once (bounded: one per
-      // kill), which the next committer's sweep removes.
-      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-          fin.getParent, fin.getName + ".inprogress-*")))
-        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
-        .foreach(st => fs.delete(st.getPath, false))
+      // If OUR tmp is gone, a winning attempt's committer swept it while
+      // this (loser) attempt was still writing — on filesystems where an
+      // open handle survives unlink (local FS) the write above completed
+      // into an unlinked inode. The winner already committed
+      // byte-identical content; touching `fin` here would DELETE the
+      // committed tar and the rename would fail on the swept tmp,
+      // leaving the shard absent from data and manifest. Skip the
+      // commit entirely instead.
+      if (fs.exists(tmp)) {
+        if (fs.exists(fin)) fs.delete(fin, false)
+        require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
+        // best-effort sweep of LOSER attempts' staging files: our own
+        // tmp was just renamed away, so any remaining .inprogress-* for
+        // this shard is a killed speculative/retried attempt's leftover
+        // — the attempt-unique names that prevent mid-write truncation
+        // would otherwise accumulate in long-lived incremental dirs. A
+        // loser still writing may recreate its file once (bounded: one
+        // per kill), which the next committer's sweep removes — and the
+        // loser's own close() sees its tmp swept and stands down (the
+        // exists guard above).
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+            fin.getParent, fin.getName + ".inprogress-*")))
+          .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+          .foreach(st => fs.delete(st.getPath, false))
+      }
       cur = None
     }
     it.foreach { r =>

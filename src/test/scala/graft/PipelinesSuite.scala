@@ -510,6 +510,32 @@ class PipelinesSuite extends AnyFunSuite {
       Vector(s"$g$g", r))
   }
 
+  test("BPE tie-break: [U+E000,U+FFFF] vs astral symbols order by CODE POINT in both trainers") {
+    // '豈' (one UTF-16 unit) vs '😀' (surrogate pair): Java's
+    // String.compareTo puts the emoji FIRST (high surrogate 0xD83D <
+    // 0xF900) while UTF8String/code-point order puts U+F900 first
+    // (0xF900 < 0x1F600). On a count tie the two trainers must still
+    // pick the SAME merge — both tie-break in code-point order.
+    val f = "豈"
+    val g = "😀"
+    val words = Seq(s"x$f" -> 2L, s"x$g" -> 2L)
+    val local = Pipelines.bpeTrainMerges(words, 1)
+    assert(local == Seq("x" -> f), // the code-point-smaller pair wins
+      s"local trainer broke the tie in UTF-16 order: $local")
+    val df = Seq((1L, s"x$f x$g"), (2L, s"x$f x$g")).toDF("doc_id", "text")
+    assert(Pipelines.bpeTrainMergesDistributed(df, "text", 1) == local)
+    // the full sequences stay bit-equal past the tie round
+    assert(Pipelines.bpeTrainMergesDistributed(df, "text", 3) ==
+      Pipelines.bpeTrainMerges(words, 3))
+    // the comparator itself: total order, prefix rule, astral boundary
+    assert(Pipelines.codePointCompare(f, g) < 0)
+    assert(Pipelines.codePointCompare(g, f) > 0)
+    assert(Pipelines.codePointCompare("x", "x") == 0)
+    assert(Pipelines.codePointCompare("x", s"x$f") < 0) // strict prefix
+    assert(f.compareTo(g) > 0, // and the orders really do disagree
+      "fixture no longer exercises the UTF-16 vs code-point divergence")
+  }
+
   test("distributed unigram trainer ≡ capped trainer: fixture, astral corpus, edge params") {
     val docs = Tables.documents(spark, sfDir)
     val local = Pipelines.unigramTrainModel(docs, "text",

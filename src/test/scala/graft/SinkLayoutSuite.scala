@@ -432,16 +432,116 @@ class SinkLayoutSuite extends AnyFunSuite {
 
     // non-latest replay that changes the generation's SHARD COUNT
     // (here: same data, 16× smaller roll target → more shards): the
-    // re-derived ids would collide with gen 1's — refused loudly
+    // re-derived ids would collide with gen 1's — refused loudly,
+    // and BEFORE any live partition is touched (the guard runs on the
+    // STAGED write): data files and manifest stay exactly as they were
     append(docs.where(col("doc_id") % 2 === 1), 1L)
+    def dataFiles() = listTree(dir)
+      .filterNot(f => f.endsWith("_SUCCESS") || f.contains(".crc") ||
+        f.startsWith("_manifest") || f.startsWith("_gen_staging"))
+      .toSet
+    val filesBefore = dataFiles()
+    val mfBefore = spark.read.parquet(s"$out/_manifest").collect()
+      .map(_.toString).sorted.toSeq
     val eCollide = intercept[IllegalArgumentException](
       CorpusExport.exportShardsIncremental(even, "doc_id",
         contentCols = Seq("doc_id", "text"), outDir = out,
         generation = 0L, targetShardBytes = 4L * 1024))
     assert(eCollide.getMessage.contains("NON-latest"), eCollide.getMessage)
-    // the same-data replay of gen 0 restores data ≡ manifest
+    assert(eCollide.getMessage.contains("UNTOUCHED"), eCollide.getMessage)
+    assert(dataFiles() == filesBefore,
+      "refused non-latest replay touched live data partitions")
+    assert(spark.read.parquet(s"$out/_manifest").collect()
+      .map(_.toString).sorted.toSeq == mfBefore,
+      "refused non-latest replay touched the manifest")
+    assert(!listTree(dir).exists(_.contains("_gen_staging")),
+      "refused replay leaked its staging dir")
+    // the same-data replay of gen 0 proceeds through the staged SWAP
+    // path (count matches → partitions replaced) and keeps data ≡
+    // manifest with gen 0's original ids
     val mRestore = append(even, 0L).collect()
     assert(mRestore.map(_.getLong(2)).sum == docs.count())
+    assert(spark.read.parquet(out).count() == docs.count())
+    assert(!listTree(dir).exists(_.contains("_gen_staging")),
+      "successful staged replay leaked its staging dir")
+  }
+
+  test("S7: writeBatchTargetBytes probes through the destination's filesystem (scheme-qualified file:/// warehouse)") {
+    // scheme-qualified URI: the old driver-local java.nio temp-dir probe
+    // resolved its unqualified path against fs.defaultFS — on a real
+    // cluster (hdfs://, s3a://) executors wrote the sample remotely, the
+    // driver's java.io.File listing read 0 bytes, and maxRecords blew up
+    // to targetFileBytes (bytesPerRow ≈ 0): files silently stopped
+    // rolling. The probe now lands UNDER the destination and lists via
+    // its Hadoop FileSystem, so this path exercises exactly that seam.
+    val dir = Files.createTempDirectory("graft_wh_bytes").toString
+    val warehouse = s"file://$dir"
+    val df = spark.range(3000).select(
+      col("id").as("ref"), col("id").as("city_id"),
+      concat(lit("city_name_padding_"), col("id")).as("city_name"),
+      lit("2024-01-01").as("c_date"))
+    val target = 4L * 1024
+    val maxRecords = OrcTableSink.writeBatchTargetBytes(df.coalesce(1),
+      warehouse, "t", "c_date", targetFileBytes = target, sampleRows = 1000)
+    // sane estimate: bytesPerRow > 1 ⇒ maxRecords strictly under the
+    // byte target (the fail-open mode returns maxRecords == target)
+    assert(maxRecords > 0 && maxRecords < target,
+      s"maxRecords=$maxRecords — sizing probe read no bytes (fail-open)")
+    // the roll actually engaged: several files in the partition dir,
+    // each at-or-under ~2× target (small-file ORC overhead allowance)
+    val files = listTree(java.nio.file.Paths.get(dir, "t"))
+      .filter(_.endsWith(".orc"))
+    assert(files.size >= 2, s"no rolling happened: $files")
+    assert(files.forall(f =>
+      Files.size(java.nio.file.Paths.get(dir, "t", f)) <= 2 * target))
+    // no probe leftovers under the destination
+    assert(!listTree(java.nio.file.Paths.get(dir))
+      .exists(_.contains("_size_probe")),
+      "sizing probe left its staging dir behind")
+    // and the write itself is intact
+    assert(spark.read.orc(s"$warehouse/t").count() == 3000L)
+  }
+
+  test("WebDataset incremental: a NON-latest replay with a changed shard count refuses pre-swap — tars and manifest untouched") {
+    import graft.sources.WebDataset
+    val dir = Files.createTempDirectory("graft_wds_nonlatest")
+    val out = dir.toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    def append(df: org.apache.spark.sql.DataFrame, gen: Long,
+               target: Long = 64L * 1024) =
+      WebDataset.exportWebDatasetIncremental(df, "doc_id",
+        contentCols = Seq("doc_id", "text"), outDir = out,
+        generation = gen, targetShardBytes = target)
+    append(even, 0L)
+    val m1 = append(odd, 1L).collect()
+    def tarBytes() = listTree(dir).filter(_.endsWith(".tar"))
+      .map(f => f -> java.util.Arrays.hashCode(
+        Files.readAllBytes(dir.resolve(f)))).toMap
+    val before = tarBytes()
+    // same data, 16× smaller target → more gen-0 shards → refused,
+    // with every live tar and the manifest byte-untouched
+    val e = intercept[IllegalArgumentException](
+      append(even, 0L, target = 4L * 1024))
+    assert(e.getMessage.contains("NON-latest"), e.getMessage)
+    assert(e.getMessage.contains("UNTOUCHED"), e.getMessage)
+    assert(tarBytes() == before, "refused replay touched live tars")
+    assert(!listTree(dir).exists(_.contains("_gen_staging")),
+      "refused replay leaked its staging dir")
+    val mAfter = spark.read.parquet(s"$out/_manifest").collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_.toString).toSeq
+    assert(key(mAfter) == key(m1), "refused replay touched the manifest")
+    // the same-data replay swaps cleanly: identical manifest, identical
+    // tar bytes (tar content is deterministic)
+    val m2 = append(even, 0L).collect()
+    assert(key(m2) == key(m1))
+    assert(tarBytes() == before)
+    assert(!listTree(dir).exists(_.contains("_gen_staging")))
   }
 
   test("WebDataset: truncated tar and duplicate/null keys fail loudly") {
