@@ -295,9 +295,13 @@ object Queries {
           .cast("bigint").as("dd"))
       .orderBy("o_orderkey")
 
-  /** Q31 (F3): math family. */
+  /** Q31 (F3): math family. Scan fan-out: eight math expressions per
+    * row feed the global sort's shuffle — an under-split scan runs them
+    * serially (Joins.fanOutForCompute is a no-op at scale). */
   def q31(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+    graft.operators.Joins.fanOutForCompute(lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice"), 1).as("price_r"),
         round(abs(col("l_discount") - 0.05), 4).as("disc_abs"),
         ceil(col("l_quantity")).as("qty_ceil"),
@@ -1249,7 +1253,11 @@ object Queries {
     * it, 40001 loses exactly the span, prefix/suffix survive). */
   def xSubstringDedup(s: SparkSession, d: String): DataFrame = {
     val span = "sp1 sp2 sp3 sp4 sp5 sp6 sp7 sp8 sp9 sp10 sp11 sp12"
-    val base = documents(s, d).select(col("doc_id"), col("text"))
+    // fan out the full-corpus branch BEFORE the union: the union's
+    // partition count (corpus + fixture branches) masks the corpus
+    // scan's under-split, so the operator itself can't detect it
+    val base = graft.operators.Joins.fanOutForCompute(
+      documents(s, d).select(col("doc_id"), col("text")), Seq("doc_id"))
     val doubled = documents(s, d).where(col("doc_id") < 20)
       .select((col("doc_id") + 30000L).as("doc_id"),
         concat_ws(" ", col("text"), col("text")).as("text"))
@@ -2124,7 +2132,11 @@ object Queries {
   /** Q54: unpivot/melt — the four lineitem measures as
     * (measure, value) rows, the wide→long reshape. */
   def q54(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
+    // scan fan-out: the 4× unpivot row expansion feeds the global
+    // sort's shuffle — an under-split scan generates it serially
+    // (Joins.fanOutForCompute is a no-op at scale)
+    val li = graft.operators.Joins.fanOutForCompute(lineitem(s, d),
+      Seq("l_orderkey", "l_linenumber"))
     li.unpivot(
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_extendedprice"),

@@ -247,9 +247,15 @@ object Dedup {
     * Same recall algebra as [[minHashLshPairs]]: with r =
     * numHashes/bands, P(candidate | j) = 1-(1-j^r)^bands — ≈ 1 at the
     * default (64, 32) for j ≥ 0.6. */
-  def incrementalNearDupPairs(delta: DataFrame, seen: DataFrame,
+  def incrementalNearDupPairs(delta0: DataFrame, seen0: DataFrame,
                               idCol: String, textCol: String, tau: Double,
                               numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    // scan fan-out on both sides: the minhash signature pass is
+    // O(tokens × numHashes) per row and inherits the scan's
+    // partitioning; the shared exchange is reused by the band and
+    // token-set branches (no-op when the scan already parallelizes)
+    val delta = Joins.fanOutForCompute(delta0, Seq(idCol))
+    val seen = Joins.fanOutForCompute(seen0, Seq(idCol))
     val bd = bandKeys(delta, idCol, textCol, numHashes, bands)
       .withColumnRenamed("__id", "delta_id")
     val bs = bandKeys(seen, idCol, textCol, numHashes, bands)

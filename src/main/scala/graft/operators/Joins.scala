@@ -22,6 +22,40 @@ object Joins {
         "conflicting input column(s)")
   }
 
+  /** Opt-in scan fan-out for per-row-COMPUTE-heavy operator inputs
+    * (optimization guide §2.5 "input skew: one huge unsplittable file →
+    * repartition immediately after the read"): small/single-row-group
+    * parquet yields ONE scan task regardless of `maxPartitionBytes`, so
+    * everything upstream of an operator's first exchange (shingle
+    * hashing, trigram explodes, HOF folds, brute-force cosine scoring)
+    * runs serially on one core. When the input's partition count
+    * undershoots the session's parallelism, add one deterministic hash
+    * repartition on `keys` (keyed, so it skips the local sort a keyless
+    * round-robin repartition pays — SPARK-23207).
+    *
+    * At production scale this is a structural NO-OP: a large table's
+    * scan yields splits >> cores, the condition is false, and the plan
+    * is unchanged — the fan-out never fires where the scan already
+    * parallelizes. It is deliberately opt-in per call site, NOT blanket
+    * at the table loader: measured A/B (OPTIMIZATION_r18.md) shows it
+    * pays only where per-row compute dominates the pre-exchange stage;
+    * entries whose first exchange comes cheap (plain aggregations,
+    * multi-action trainer loops) regress under a blanket fan-out.
+    * Results are partitioning-invariant for every declared entry (keyed
+    * aggs, sort-pinned output, order-canonical float folds — re-proven
+    * by the 221-entry oracle gate).
+    *
+    * Call on scan-stage (narrow) inputs only: computing the partition
+    * count of a plan that already contains exchanges would force AQE
+    * stage materialization. Env kill-switch for A/B measurement only. */
+  def fanOutForCompute(df: DataFrame, keys: Seq[String]): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_SCAN_FANOUT").contains("off")) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts >= target) df
+    else df.repartition(target, keys.map(col): _*)
+  }
+
   /** Range join (J7): pairs rows of `left` and `right` sharing a key with
     * `right.ts ∈ (left.ts, left.ts + widthSec]`.
     *

@@ -2515,7 +2515,11 @@ object Pipelines {
     require(cols.size >= 2, "correlationMatrix needs >= 2 columns")
     require(cols.distinct.size == cols.size,
       "correlationMatrix needs distinct columns")
-    val base = df
+    // scan fan-out: the one aggregation pass carries k + k(k+1)/2
+    // decimal multiply-sums per row — per-row compute an under-split
+    // scan would serialize on one core (Joins.fanOutForCompute: no-op
+    // when the scan already parallelizes)
+    val base = Joins.fanOutForCompute(df, cols)
       .where(cols.map(c => col(c).isNotNull).reduce(_ && _))
       .select(cols.zipWithIndex.map { case (c, i) =>
         round(col(c).cast("double") * 1e6, 0).cast("long").as(s"__q$i")
@@ -2577,15 +2581,24 @@ object Pipelines {
       // downstream total and cumulative-window sums inherit the type
       .agg(sum(col("__wq").cast("decimal(38,0)")).as("__w"),
         count(lit(1)).as("__c"))
-    val win = org.apache.spark.sql.expressions.Window
+    val winSpec = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy("__v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    val tot = perVal.groupBy(col(groupCol))
-      .agg(sum("__w").as("__wt"), sum("__c").as("n"))
+    val win = winSpec.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // group totals via a SECOND (whole-frame) window over the SAME
+    // partitioning instead of a groupBy + broadcast join: one WindowExec
+    // computes both frames, so perVal (and the scan+quantize+pre-agg
+    // plan feeding it) is evaluated ONCE — previously the `tot` branch
+    // re-ran the whole upstream plan a second time (two full scans of
+    // the raw table at any scale) and added an aggregation + broadcast
+    // exchange. Same decimal sums, same p·W comparison, identical rows.
+    val whole = winSpec.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
     perVal
       .withColumn("__cw", sum(col("__w")).over(win))
-      .join(broadcast(tot), Seq(groupCol))
+      .withColumn("__wt", sum(col("__w")).over(whole))
+      .withColumn("n", sum(col("__c")).over(whole))
       .where(col("__cw").cast("double") >= lit(p) * col("__wt"))
       .groupBy(col(groupCol))
       .agg(max("n").as("n"),

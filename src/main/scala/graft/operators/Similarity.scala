@@ -173,8 +173,11 @@ object Similarity {
               vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       toDouble(col(vecCol)).as("__qv"))
-    val c = corpus.select(col(idCol).as("vec_id"),
-      toDouble(col(vecCol)).as("__v"))
+    // corpus-side scan fan-out: the crossJoin-score stage is pure per-row
+    // compute (|corpus| × |queries| cosines) and inherits the corpus
+    // scan's partitioning — an under-split scan serializes it
+    val c = Joins.fanOutForCompute(corpus.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("__v")), Seq("vec_id"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -197,8 +200,10 @@ object Similarity {
                     vecCol: String, labelCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(labelCol).as("__ql"),
       toDouble(col(vecCol)).as("__qv"))
-    val c = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("__cl"),
-      toDouble(col(vecCol)).as("__v"))
+    // same corpus-side fan-out rationale as [[knnJoin]]
+    val c = Joins.fanOutForCompute(
+      corpus.select(col(idCol).as("vec_id"), col(labelCol).as("__cl"),
+        toDouble(col(vecCol)).as("__v")), Seq("vec_id"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid") && col("__cl") =!= col("__ql"))
       .select(col("qid"), col("vec_id"),

@@ -83,10 +83,15 @@ object TextAnalysis {
     * ties). No per-(doc, lang) shuffle, no argmax window. Docs with no
     * trigram (< 3 chars) pass through as `und` with a null score.
     * Output: (id, n_trigrams, lang_pred, nb_score). */
-  def langIdNgram(docs: DataFrame, train: DataFrame,
+  def langIdNgram(docs0: DataFrame, train0: DataFrame,
                   idCol: String, textCol: String, langCol: String): DataFrame = {
-    Joins.requireFreeColumns("langIdNgram", docs.columns,
+    Joins.requireFreeColumns("langIdNgram", docs0.columns,
       "n_trigrams", "lang_pred", "nb_score")
+    // scan fan-out on both passes: the trigram-position explode and the
+    // per-position profile probe are pure per-row compute that inherit
+    // the scan's partitioning (no-op when the scan already parallelizes)
+    val docs = Joins.fanOutForCompute(docs0, Seq(idCol))
+    val train = Joins.fanOutForCompute(train0, Seq(idCol))
     val txt = col("__txt")
     // one row per trigram POSITION: explode the int position sequence
     // and slice post-explode — the generate + projection fuse in one
@@ -750,10 +755,13 @@ object TextAnalysis {
     * if a probability is wanted. Zero shuffle beyond the per-doc
     * groupBy; the weight array is a constant-folded literal riding
     * whole-stage codegen. Output: (id, n_tokens, logit, keep). */
-  def qualityLrScore(docs: DataFrame, idCol: String, textCol: String,
+  def qualityLrScore(docs0: DataFrame, idCol: String, textCol: String,
                      weights: Array[Double], bias: Double): DataFrame = {
-    Joins.requireFreeColumns("qualityLrScore", docs.columns,
+    Joins.requireFreeColumns("qualityLrScore", docs0.columns,
       "n_tokens", "logit", "keep")
+    // scan fan-out: tokenize + md5-bucket per position is per-row
+    // compute inheriting the scan's partitioning (no-op at scale)
+    val docs = Joins.fanOutForCompute(docs0, Seq(idCol))
     val warr = array(weights.map(lit).toIndexedSeq: _*)
     docs.select(col(idCol),
         posexplode(whitespaceTokens(col(textCol))).as(Seq("__pos", "__t")))
