@@ -280,25 +280,39 @@ object WebDataset {
     // groupBy __key merges into ONE sample — rows undercounts and the
     // per-sample hash concatenates both values, silently breaking the
     // manifest ≡ table contract — so they refuse loudly instead.
-    val stats = labeled
-      .select(memberBytes.as("__b"), col(idCol).cast("string").as("__key"))
-      .agg(coalesce(avg("__b"), lit(1.0)).as("b"),
-        count(lit(1)).as("n"), count(col("__key")).as("nk"),
-        count_distinct(col("__key")).as("nd"))
-      .head()
-    require(stats.getLong(1) == stats.getLong(2),
+    // ONE per-split aggregation pass serves both the sizing/key audit
+    // and the split counts (previously two separate full-scan jobs).
+    // Equivalence: member-byte terms are integer-valued doubles, so the
+    // per-split sums recombine to EXACTLY the old global avg's value
+    // (exact integer addition in any order below 2^53); per-split
+    // distinct-key counts sum to the global distinct count because the
+    // split label is a function of the id (a duplicate key can only
+    // collide within its own split).
+    val statRows = labeled
+      .select(col("split"), memberBytes.as("__b"),
+        col(idCol).cast("string").as("__key"))
+      .groupBy("split")
+      .agg(sum(col("__b").cast("double")).as("bs"), count(lit(1)).as("n"),
+        count(col("__key")).as("nk"), count_distinct(col("__key")).as("nd"))
+      .collect()
+    val nAll = statRows.map(_.getLong(2)).sum
+    val nkAll = statRows.map(_.getLong(3)).sum
+    val ndAll = statRows.map(_.getLong(4)).sum
+    require(nAll == nkAll,
       s"WebDataset export: idCol '$idCol' holds null keys " +
-        s"(${stats.getLong(1) - stats.getLong(2)} of ${stats.getLong(1)} " +
+        s"(${nAll - nkAll} of ${nAll} " +
         "rows) — every sample needs a key to name its members")
-    require(stats.getLong(2) == stats.getLong(3),
+    require(nkAll == ndAll,
       s"WebDataset export: idCol '$idCol' is not unique " +
-        s"(${stats.getLong(2)} rows, ${stats.getLong(3)} distinct keys) — " +
+        s"(${nkAll} rows, ${ndAll} distinct keys) — " +
         "duplicate keys merge into one WebDataset sample and corrupt " +
         "the manifest ≡ table contract; dedup upstream first")
-    val bytesPerSample = math.max(1.0, stats.getDouble(0))
+    val bAll =
+      if (nAll > 0) statRows.map(_.getDouble(1)).sum / nAll else 1.0
+    val bytesPerSample = math.max(1.0, bAll)
     val rowsPerShard = math.max(1L, (targetShardBytes / bytesPerSample).toLong)
-    val splitCounts = labeled.groupBy("split").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val splitCounts =
+      statRows.map(r => r.getString(0) -> r.getLong(2)).toMap
     val shardsPerSplit = splitCounts.map { case (s, n) =>
       s -> math.max(1L, (n + rowsPerShard - 1L) / rowsPerShard)
     }
