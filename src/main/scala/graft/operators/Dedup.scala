@@ -384,6 +384,9 @@ object Dedup {
   val simHashBits = 60
 
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // (explode_outer considered and rejected here: the inferred-filter
+    // duplication is one split+distinct per doc — same cost class as
+    // the explode itself — and the A/B read as noise-to-negative)
     val tok = docs.select(col(idCol), explode(tokenSet(col(textCol))).as("__t"))
       .withColumn("__h", conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"))
     fingerprintFromHashes(tok.select(col(idCol), col("__h")), idCol)
@@ -1000,13 +1003,23 @@ object Dedup {
     // side shuffles map-combined partials, the join side raw rows) —
     // without it the split+slice+hash shingle pass runs twice. The
     // materialization is (id, pos, fp) longs — ~24 B/shingle.
+    // POSITIONAL explode (the langIdNgram instances pattern), not an
+    // explode of a per-doc transform() array: InferFiltersFromGenerate
+    // adds a `size(child) > 0` pre-filter to every Generate, and with a
+    // transform() child that filter re-inlines the WHOLE shingle-hash
+    // lambda — the full O(tokens × k) hashing ran TWICE per doc, once
+    // inside the inferred filter (pushed below the operator's first
+    // exchange, i.e. serially into the scan stage) and once in the real
+    // projection (measured: a 1-task ~1.9 s CPU stage at sf0.1 doing
+    // nothing but the duplicated filter hashing). Exploding the int
+    // position sequence makes the inferred filter O(tokens) sequence
+    // construction, and the hash computes once per position AFTER the
+    // explode, inside the parallel stage.
     val starts = base.where(size(s) >= k)
-      .select(col(idCol),
-        transform(sequence(lit(1), size(s) - (k - 1)),
-          i => struct(i.as("__pos"),
-            xxhash64(array_join(slice(s, i, lit(k)), " ")).as("__fp"))).as("__g"))
-      .select(col(idCol), explode(col("__g")).as("__x"))
-      .select(col(idCol), col("__x.__pos").as("__pos"), col("__x.__fp").as("__fp"))
+      .select(col(idCol), s,
+        explode(sequence(lit(1), size(s) - (k - 1))).as("__pos"))
+      .select(col(idCol), col("__pos"),
+        xxhash64(array_join(slice(s, col("__pos"), lit(k)), " ")).as("__fp"))
       .localCheckpoint()
     // dup-fp stats: count + global first occurrence, both map-side
     // combinable (min over the (id, pos) struct IS the row_number()=1

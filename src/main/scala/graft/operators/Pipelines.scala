@@ -566,9 +566,15 @@ object Pipelines {
     val words = df.select(explode(split(col(textCol), " ")).as("__w"))
       .where(length(col("__w")) >= 2)
       .groupBy("__w").agg(count(lit(1)).as("__c"))
+    // positional explode: exploding a transform() array lets
+    // InferFiltersFromGenerate re-inline the whole pair build into a
+    // size()>0 pre-filter (every pair built twice); the int-sequence
+    // explode keeps the inferred filter trivial (length(__w) >= 2 is
+    // already guaranteed above, so the sequence never descends)
     val pairs = words.select(col("__c"),
-      explode(transform(sequence(lit(1), length(col("__w")) - 1),
-        i => col("__w").substr(i, lit(2)))).as("pair"))
+        explode(sequence(lit(1), length(col("__w")) - 1)).as("__i"),
+        col("__w"))
+      .select(col("__c"), col("__w").substr(col("__i"), lit(2)).as("pair"))
     pairs.groupBy("pair").agg(sum("__c").as("cnt"))
       .orderBy(col("cnt").desc, col("pair")).limit(k)
       .withColumn("rank",
@@ -742,12 +748,14 @@ object Pipelines {
     while (i < numMerges && !done) {
       // guard size >= 2 BEFORE the sequence: sequence(1, 0) would
       // generate the DESCENDING [1, 0] and element_at(_, 0) throws
+      // positional explode (the bpeMergeCandidates rationale): the
+      // transform()-array explode built every adjacent pair TWICE per
+      // round via InferFiltersFromGenerate's size()>0 pre-filter
       val top = syms.where(size(col("__s")) >= 2)
-        .select(col("__c"), explode(
-          transform(sequence(lit(1), size(col("__s")) - 1),
-            j => struct(element_at(col("__s"), j).as("a"),
-              element_at(col("__s"), j + 1).as("b")))).as("__p"))
-        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .select(col("__c"), col("__s"),
+          explode(sequence(lit(1), size(col("__s")) - 1)).as("__j"))
+        .groupBy(element_at(col("__s"), col("__j")).as("a"),
+          element_at(col("__s"), col("__j") + 1).as("b"))
         .agg(sum(col("__c")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
@@ -1293,8 +1301,14 @@ object Pipelines {
         }
         out.result()
       }
+      // explode_outer + isNotNull, not explode: the plain explode's
+      // inferred size()>0 pre-filter re-invokes the (deterministic)
+      // candidate UDF on every word — the whole enumeration ran twice
+      // per word. The UDF never returns null elements, so dropping the
+      // outer-join null row is exactly plain-explode semantics.
       val seed = words
-        .select(col("__c"), explode(seedUdf(col("__w"))).as("__p"))
+        .select(col("__c"), explode_outer(seedUdf(col("__w"))).as("__p"))
+        .where(col("__p").isNotNull)
         .groupBy("__p").agg(sum("__c").as("__n"))
         .localCheckpoint()
       // chars (hex length 4) are an inventory-sized collect; multi-char
@@ -1322,8 +1336,11 @@ object Pipelines {
         }
         // counted pieces ⊆ model inventory ∪ OOV chars — the collect is
         // vocabulary-sized at any corpus size
+        // explode_outer + isNotNull: same UDF-double-evaluation dodge
+        // as the seed pass above, per EM iteration
         val counts = words
-          .select(col("__c"), explode(emUdf(col("__w"))).as("__p"))
+          .select(col("__c"), explode_outer(emUdf(col("__w"))).as("__p"))
+          .where(col("__p").isNotNull)
           .groupBy("__p").agg(sum("__c").as("__n"))
           .collect().map(r => unhexUnits(r.getString(0)) -> r.getLong(1))
           .toMap

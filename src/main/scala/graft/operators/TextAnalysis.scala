@@ -268,8 +268,15 @@ object TextAnalysis {
     val wins = transform(
       sequence(lit(1), greatest(size(g) - (w - 1), lit(1))),
       j => array_min(slice(g, j, lit(w))))
+    // explode_outer + isNotNull, not explode: the plain explode's
+    // inferred size()>0 pre-filter re-inlines the whole window-min
+    // transform (every window minimum computed twice per doc). Window
+    // minima are md5 strings over a non-null staged gram array — no
+    // null elements — so dropping the outer null row is exactly
+    // plain-explode semantics.
     df.select(col(idCol), grams.as("__g"))
-      .select(col(idCol), explode(array_distinct(wins)).as("fp"))
+      .select(col(idCol), explode_outer(array_distinct(wins)).as("fp"))
+      .where(col("fp").isNotNull)
   }
 
   /** Near-dup / contamination pairs via winnowing fingerprints: docs
@@ -602,12 +609,19 @@ object TextAnalysis {
   def lmScoreBigram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = col("__s")
     val base = df.select(col(idCol), whitespaceTokens(col(textCol)).as("__s"))
-    val pairs = base.select(col(idCol),
-        explode(zip_with(
-          slice(s, lit(1), size(s) - 1),
-          slice(s, lit(2), size(s) - 1),
-          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))))
-      .select(col(idCol), col("col.w1").as("__w1"), col("col.bg").as("__bg"))
+    // positional explode (the substringDedup/langIdNgram pattern):
+    // exploding a zip_with(...struct...) array lets
+    // InferFiltersFromGenerate re-inline the whole bigram-array build
+    // into a size()>0 pre-filter — the array was constructed TWICE per
+    // doc. The int-sequence explode keeps the inferred filter trivial
+    // and builds each bigram once, post-explode. The `size >= 2` guard
+    // replaces the implicit empty-slice behavior (sequence(1, 0) would
+    // count DOWN); docs with < 2 tokens stay absent from the output.
+    val pairs = base.where(size(s) >= 2)
+      .select(col(idCol), s, explode(sequence(lit(1), size(s) - 1)).as("__p"))
+      .select(col(idCol), element_at(s, col("__p")).as("__w1"),
+        concat_ws(" ", element_at(s, col("__p")),
+          element_at(s, col("__p") + 1)).as("__bg"))
     // localCheckpoint: the (doc, bigram, m) table feeds three subplans
     // (c2, c1, the score probe); one eager materialization caps the
     // explode+collapse at a single evaluation.
@@ -883,9 +897,14 @@ object TextAnalysis {
     require(n >= 1, "ngramNovelty needs n >= 1")
     Joins.requireFreeColumns("ngramNovelty", df.columns,
       "__t", "__gram", "__gdf", "n_grams", "n_novel", "novel_frac")
+    // explode_outer + isNotNull (the winnowFingerprints rationale): the
+    // plain explode's inferred size()>0 pre-filter re-built the whole
+    // n-gram array per doc; gram elements are concat_ws strings (never
+    // null), so the rewrite is exactly plain-explode semantics
     val grams = df.select(col(idCol), whitespaceTokens(col(textCol)).as("__t"))
       .select(col(idCol),
-        explode(array_distinct(wordNgrams(col("__t"), n))).as("__gram"))
+        explode_outer(array_distinct(wordNgrams(col("__t"), n))).as("__gram"))
+      .where(col("__gram").isNotNull)
       // localCheckpoint: doc-freq agg + probe join both read the gram
       // stream (exchanges unshareable) — one n-gram explode, not two
       .localCheckpoint()
@@ -928,10 +947,13 @@ object TextAnalysis {
                        maxDocFreq: Long = 1000L): DataFrame = {
     require(n >= 1 && tau > 0.0 && maxDocFreq >= 1,
       "containmentPairs needs n >= 1, tau > 0, maxDocFreq >= 1")
+    // explode_outer + isNotNull: see ngramNovelty — dodges the inferred
+    // size()>0 pre-filter that re-built the n-gram array per doc
     def gramsOf(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol), whitespaceTokens(col(textCol)).as("__t"))
         .select(col(idCol).as(as),
-          explode(array_distinct(wordNgrams(col("__t"), n))).as("__gram"))
+          explode_outer(array_distinct(wordNgrams(col("__t"), n))).as("__gram"))
+        .where(col("__gram").isNotNull)
     val eg = gramsOf(evalDf, "eval_id").localCheckpoint()
     // localCheckpoint both gram streams: each feeds an agg AND a join
     // probe (stop-gram df / eval-gram totals), which cannot share an
