@@ -1306,16 +1306,14 @@ object Queries {
   /** KMV corpus-overlap matrix: per-source k=64 sketches over distinct
     * word bigrams, pairwise Jaccard estimates for all 20 sources. */
   def xKmvOverlap(s: SparkSession, d: String): DataFrame = {
-    // explode_outer + isNotNull: dodges InferFiltersFromGenerate's
-    // size()>0 pre-filter re-building the bigram array per doc (see
-    // TextAnalysis.ngramNovelty); bigrams are concat_ws strings, never
-    // null elements, so semantics are exactly plain explode
+    // (explode_outer + isNotNull considered and reverted — see
+    // TextAnalysis.ngramNovelty: outer-mode overhead per emitted gram
+    // measured above the once-per-doc duplicated build it saves)
     val items = documents(s, d)
       .select(col("source"), split(col("text"), " ").as("__t"))
       .select(col("source"),
-        explode_outer(array_distinct(TextAnalysis.wordNgrams(col("__t"), 2)))
+        explode(array_distinct(TextAnalysis.wordNgrams(col("__t"), 2)))
           .as("item"))
-      .where(col("item").isNotNull)
     Pipelines.kmvOverlap(items, "source", "item", k = 64)
       .orderBy("g1", "g2")
   }

@@ -897,14 +897,14 @@ object TextAnalysis {
     require(n >= 1, "ngramNovelty needs n >= 1")
     Joins.requireFreeColumns("ngramNovelty", df.columns,
       "__t", "__gram", "__gdf", "n_grams", "n_novel", "novel_frac")
-    // explode_outer + isNotNull (the winnowFingerprints rationale): the
-    // plain explode's inferred size()>0 pre-filter re-built the whole
-    // n-gram array per doc; gram elements are concat_ws strings (never
-    // null), so the rewrite is exactly plain-explode semantics
+    // (explode_outer + isNotNull considered for the inferred-filter
+    // duplication and REVERTED: two independent sf0.1 A/Bs measured the
+    // outer-generate mode 1.1–1.2× slower here — the high explode
+    // fan-out pays outer-mode overhead per emitted gram, exceeding the
+    // once-per-doc duplicated array build it saves)
     val grams = df.select(col(idCol), whitespaceTokens(col(textCol)).as("__t"))
       .select(col(idCol),
-        explode_outer(array_distinct(wordNgrams(col("__t"), n))).as("__gram"))
-      .where(col("__gram").isNotNull)
+        explode(array_distinct(wordNgrams(col("__t"), n))).as("__gram"))
       // localCheckpoint: doc-freq agg + probe join both read the gram
       // stream (exchanges unshareable) — one n-gram explode, not two
       .localCheckpoint()
