@@ -147,6 +147,13 @@ object Bench {
     regressions.foreach { case (n, r) =>
       System.err.println(f"[bench] REGRESSION $n: ${r}%.2fx baseline")
     }
+    // stderr budget for the non-gating tail watch: the driver keeps only
+    // the last few KB of output, and r17's round-over-round comparison
+    // was LOST because warn spam pushed the JSON line past the capture
+    // window (truncated mid-line ⇒ unparseable). Cap the warn lines;
+    // the full detail file carries every number regardless.
+    val tailWarnCap = 3
+    var tailWarns = 0
     // non-fatal tail watch: a clean min with a blown median is either a
     // load burst (usual) or a real variance regression — GC pressure or
     // intermittent spill raises the tail while the best-case pass stays
@@ -159,14 +166,20 @@ object Bench {
           // "clean" = exactly "not flagged above" — one source of truth,
           // so tuning the gate thresholds can't desync the warn window
           val minClean = !regressed.contains(n)
-          if (minClean && med > 3 * b && med - b > 0.25)
-            System.err.println(
-              f"[bench] TAIL-WARN $n: median ${med}%.2fs is ${med / b}%.2fx " +
-                f"baseline while min ${mins(n)}%.2fs is clean — load burst " +
-                "or variance regression (GC/spill); not gated")
+          if (minClean && med > 3 * b && med - b > 0.25) {
+            tailWarns += 1
+            if (tailWarns <= tailWarnCap)
+              System.err.println(
+                f"[bench] TAIL-WARN $n: median ${med}%.2fs is ${med / b}%.2fx " +
+                  f"baseline while min ${mins(n)}%.2fs is clean — load burst " +
+                  "or variance regression (GC/spill); not gated")
+          }
         }
       case _ => ()
     }
+    if (tailWarns > tailWarnCap)
+      System.err.println(s"[bench] TAIL-WARN: ${tailWarns - tailWarnCap} more " +
+        s"entries suppressed (stderr budget); full numbers in the detail file")
     val qs = results.map {
       case (k, Some(v)) => "\"" + k + f"\":$v%.3f"
       case (k, None) => "\"" + k + "\":null"
@@ -192,8 +205,15 @@ object Bench {
     val certifiable = failed.isEmpty && dispersion <= 1.5
     val certJson =
       f""""min_total":$minTotal%.3f,"load_dispersion":$dispersion%.3f,"certifiable":$certifiable"""
+    // "cpus"/"parallelism" echo what the harness actually did with
+    // $SPARK_GRAFT_CPUS (master local[cpus], shufflePartitions=cpus) so
+    // the driver's scaling probe can verify the env var was honored
+    // instead of heuristically flagging ≈1 low-core ratios (r18's false
+    // `suspect_cpus_ignored`: at this SF most entries are fixed per-job
+    // overhead, so core count is invisible in their seconds).
+    val envJson = s""""cpus":$cpus,"parallelism":${spark.sparkContext.defaultParallelism}"""
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$minJson,"failed":$failedJson,"regressions":$regJson,$certJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$envJson,"queries":$qs,"queries_min":$minJson,"failed":$failedJson,"regressions":$regJson,$certJson,"sf":"$sfDir"}"""
     // Full per-query detail goes to a FILE: the driver keeps only the last
     // ~2000 chars of stdout, and with 100+ entries the one-line-per-contract
     // JSON is ~5 KB — rounds 1-6 all came back `parsed: null` because the
@@ -218,7 +238,7 @@ object Bench {
     // numbers on stdout instead (the capture-window concern only applies
     // to the driver's unfiltered runs)
     if (onlyFilter.isDefined) println(fullLine)
-    else println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$coreQs,"x_total":$xTotal%.3f,"x_count":${xEntries.size},"failed":$failedJson,"regressions":$regJson,$certJson,"detail":"$detailPath","sf":"$sfDir"}""")
+    else println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",$envJson,"queries":$coreQs,"x_total":$xTotal%.3f,"x_count":${xEntries.size},"failed":$failedJson,"regressions":$regJson,$certJson,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -198,11 +198,15 @@ object Dedup {
   }
 
   /** MinHash signature column: for seed i, min over tokens of
-    * xxhash64(token, i). Seed-pinned → deterministic across runs. */
+    * xxhash64(token, i). Seed-pinned → deterministic across runs.
+    * Fused single-pass codegen expression (each token's bytes hashed
+    * once, all seeds derived via the int-mix tail) — value-identical to
+    * `array((0 until numHashes).map(i => array_min(transform(tok, t =>
+    * xxhash64(t, lit(i))))))`, proven by OperatorsSuite's differential;
+    * the HOF form re-hashed every token's bytes per seed through
+    * interpreted lambda dispatch. */
   private def minHashSig(tok: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(tok, t => xxhash64(t, lit(i))))
-    }: _*)
+    graft.expressions.HashExpressions.minHashSignature(tok, numHashes)
 
   /** L2 at scale: MinHash + LSH banding candidate generation, then exact
     * Jaccard verification of candidates only.

@@ -45,11 +45,28 @@ object Joins {
     * aggs, sort-pinned output, order-canonical float folds — re-proven
     * by the 221-entry oracle gate).
     *
-    * Call on scan-stage (narrow) inputs only: computing the partition
+    * Meant for scan-stage (narrow) inputs: computing the partition
     * count of a plan that already contains exchanges would force AQE
-    * stage materialization. Env kill-switch for A/B measurement only. */
+    * stage materialization (`.rdd` on such a plan runs the upstream
+    * stages eagerly at operator-CONSTRUCTION time, and the work is not
+    * reused at action time). That invariant is enforced STRUCTURALLY,
+    * not by docstring: public operators hand this helper caller-supplied
+    * frames, so when the analyzed plan carries any exchange-introducing
+    * or wide node (join, aggregate, window, sort, distinct/dedup,
+    * repartition, limit) the helper returns the frame unchanged — such a
+    * plan already has a partitioning decided by its own operators, and
+    * the probe would be both unsafe and pointless. Env kill-switch for
+    * A/B measurement only. */
   def fanOutForCompute(df: DataFrame, keys: Seq[String]): DataFrame = {
     if (sys.env.get("SPARK_GRAFT_SCAN_FANOUT").contains("off")) return df
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    val wide = df.queryExecution.analyzed.exists {
+      case _: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.Sort |
+           _: lp.Distinct | _: lp.Deduplicate | _: lp.RepartitionOperation |
+           _: lp.GlobalLimit | _: lp.LocalLimit => true
+      case _ => false
+    }
+    if (wide) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     val parts = df.rdd.getNumPartitions
     if (parts >= target) df

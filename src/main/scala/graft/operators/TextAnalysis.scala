@@ -89,9 +89,15 @@ object TextAnalysis {
       "n_trigrams", "lang_pred", "nb_score")
     // scan fan-out on both passes: the trigram-position explode and the
     // per-position profile probe are pure per-row compute that inherit
-    // the scan's partitioning (no-op when the scan already parallelizes)
+    // the scan's partitioning (no-op when the scan already parallelizes).
+    // The train side fans out on (langCol, textCol) — the only columns
+    // its contract requires (idCol is a docs-side requirement; keying
+    // the train repartition on it made a missing train idCol fail only
+    // when the fan-out fired, an input-size-dependent error). langCol
+    // alone would hash into ≤ #languages buckets; textCol supplies the
+    // key cardinality.
     val docs = Joins.fanOutForCompute(docs0, Seq(idCol))
-    val train = Joins.fanOutForCompute(train0, Seq(idCol))
+    val train = Joins.fanOutForCompute(train0, Seq(langCol, textCol))
     val txt = col("__txt")
     // one row per trigram POSITION: explode the int position sequence
     // and slice post-explode — the generate + projection fuse in one
@@ -270,11 +276,16 @@ object TextAnalysis {
       j => array_min(slice(g, j, lit(w))))
     // explode_outer + isNotNull, not explode: the plain explode's
     // inferred size()>0 pre-filter re-inlines the whole window-min
-    // transform (every window minimum computed twice per doc). Window
-    // minima are md5 strings over a non-null staged gram array — no
-    // null elements — so dropping the outer null row is exactly
+    // transform (every window minimum computed twice per doc). With the
+    // explicit null-text pre-filter below, the staged gram array has no
+    // null elements, so dropping the outer null row is exactly
     // plain-explode semantics.
-    df.select(col(idCol), grams.as("__g"))
+    // Null-text docs are DROPPED, by declared contract (filtered up
+    // front rather than incidentally): a null text has no substrings to
+    // fingerprint, and the null fp the pre-r18 explode emitted for it
+    // could never equi-join anyway (null = null is never true).
+    df.where(txt.isNotNull)
+      .select(col(idCol), grams.as("__g"))
       .select(col(idCol), explode_outer(array_distinct(wins)).as("fp"))
       .where(col("fp").isNotNull)
   }

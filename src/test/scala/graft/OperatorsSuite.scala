@@ -1885,4 +1885,35 @@ class OperatorsSuite extends AnyFunSuite {
     // horizon cut: row 10 of user 1 no longer sees row 1's value
     assert(got.size == data.size)
   }
+
+  test("fused minhash_signature equals the HOF xxhash64 formulation bit-for-bit") {
+    // the LSH band keys (and through them every candidate set) depend on
+    // these exact long values, so the fused codegen expression must be
+    // value-identical to the reference HOF form — including null text
+    // (null token array), empty-string text ([""] after split), and
+    // single-token docs
+    val docs = Tables.documents(spark, sfDir).limit(200)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, null.asInstanceOf[String]),
+        (900002L, ""),
+        (900003L, "one"),
+        (900004L, "a b c a b")).toDF("doc_id", "text"))
+    val tok = array_distinct(split(col("text"), " "))
+    for (numHashes <- Seq(1, 8, 64)) {
+      val ref = array((0 until numHashes).map { i =>
+        array_min(transform(col("__tok"), t => xxhash64(t, lit(i))))
+      }: _*)
+      val both = docs.select(col("doc_id"), tok.as("__tok"))
+        .select(col("doc_id"),
+          graft.expressions.HashExpressions.minHashSignature(col("__tok"), numHashes).as("fused"),
+          ref.as("ref"))
+      assert(both.where(not(col("fused") <=> col("ref"))).count() == 0L,
+        s"numHashes=$numHashes")
+      // result array is non-null even for null input; elements null there
+      val nullDoc = both.where(col("doc_id") === 900001L).head()
+      assert(!nullDoc.isNullAt(1))
+      assert(nullDoc.getSeq[Any](1).forall(_ == null))
+    }
+  }
 }
